@@ -1,0 +1,69 @@
+"""Tumbling-window OHLCV resampling (SURVEY.md section 2.5, A1/A2).
+
+Reference semantics (main.py:263-278):
+  5-min:  resample('5min', label='left', closed='right')
+          .agg(Open first, High max, Low min, Close last, Volume sum)
+  60-min: day session resample('60min', offset='45min'); night session
+          resample('60min'); both default closed='left', label='left'.
+
+Spark mapping: F.window(ts, width, startTime=offset) is a [start, end)
+bucket labeled by start == pandas closed='left', label='left'. The
+closed='right' variant buckets on (ts - 1 microsecond), which moves
+boundary-stamped rows into the preceding bucket while keeping the left
+label - exactly pandas' (start, end] with label='left' (SURVEY.md 1.4).
+
+first/last are order-sensitive: implemented as min_by/max_by over the
+timestamp, never F.first/F.last (nondeterministic after shuffle).
+
+Scale: the groupBy(window) aggregation partial-aggregates map-side before
+one hash shuffle on the window key; with date-partitioned sources the
+shuffle is the only exchange. No Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_start(
+    ts: Column, width: str, *, offset: str = "0 seconds", closed: str = "left"
+) -> Column:
+    """Window-start label for a tumbling bucket, as a plain timestamp."""
+    src = ts - F.expr("INTERVAL 1 MICROSECOND") if closed == "right" else ts
+    return F.window(src, width, startTime=offset)["start"]
+
+
+def tumbling_ohlcv(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    volume_col: str | None = None,
+    width: str = "5 minutes",
+    offset: str = "0 seconds",
+    closed: str = "right",
+    out_ts: str = "bar_ts",
+) -> DataFrame:
+    """A1/A2: OHLCV bars over a tumbling window.
+
+    Output: out_ts, open, high, low, close, volume (sum of volume_col, or
+    row count when volume_col is None), n_rows. Empty buckets are simply
+    absent, which matches the reference's .dropna() after resample
+    (main.py:265 - F2 is a no-op here by construction).
+    """
+    ts, price = F.col(ts_col), F.col(price_col)
+    vol = F.sum(volume_col) if volume_col else F.count("*")
+    return (
+        df.groupBy(
+            bucket_start(ts, width, offset=offset, closed=closed).alias(out_ts)
+        )
+        .agg(
+            F.min_by(price, ts).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts).alias("close"),
+            vol.cast("long").alias("volume"),
+            F.count("*").alias("n_rows"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""End-to-end bar pipeline (SURVEY.md section 3.1) over the driver
+testdata, with `events` standing in for the 1-min k-bar stream
+(TESTDATA.md / FIXTURES.md section B).
+
+Stage order mirrors the reference run (main.py:516-597):
+  resample -> session split + label -> back-adjust (range join against a
+  settlement config) -> drop the still-open trailing session -> watermark
+  filter -> completeness gate -> append.
+
+The settlement config here is DERIVED deterministically from the data
+(one "contract" per ISO week of the events range, roll gap 10.0 per
+week) so the whole pipeline stays oracle-checkable without external
+fixtures; the real-world config would arrive via sources.read_table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.adjust import backadjust, derive_accumulated_gap
+from ..operators.quality import EXPECTED_5MIN, drop_open_session, watermark_filter
+from ..operators.resample import tumbling_ohlcv
+from ..operators.sessions import split_and_label
+from ..sources import read_table
+
+WEEKLY_GAP = 10.0
+
+
+def weekly_settle_config(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Synthetic settle_config (FIXTURES.md A2 schema): one contract per
+    calendar week of the input range; next_contract_diff = 10 * week#,
+    accumulated derived as the exclusive prefix sum (A7, main.py:210).
+    Intervals tile the range exactly: [week_start, next_week_start)."""
+    weeks = (
+        events.select(F.date_trunc("week", F.col(ts_col)).alias("start_k"))
+        .distinct()
+    )
+    w = Window.orderBy("start_k")
+    cfg = (
+        weeks.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.date_format("start_k", "yyyyMMdd").alias("contract_year_month"),
+            (F.col("_rn") * F.lit(WEEKLY_GAP)).alias("next_contract_diff"),
+            F.col("start_k"),
+            (F.col("start_k") + F.expr("INTERVAL 7 DAYS")).alias("settle_k"),
+        )
+    )
+    return derive_accumulated_gap(cfg)
+
+
+def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-min back-adjusted session bars from `events`.
+
+    resample(A1, closed-right) -> split+label(F3/F4/P11/P12) ->
+    backadjust(J1+A7, broadcast range join) -> drop-open-session(F7).
+    """
+    events = read_table(spark, sf_dir, "events")
+    bars = tumbling_ohlcv(
+        events, ts_col="ts", price_col="value", width="5 minutes", closed="right",
+        out_ts="bar_ts",
+    ).drop("n_rows")
+    labeled = split_and_label(bars, "bar_ts")
+    cfg = weekly_settle_config(events)
+    adjusted = backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    return drop_open_session(
+        adjusted, EXPECTED_5MIN, session_col="session_id", ts_col="bar_ts"
+    ).select(
+        "bar_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "date_market_type",
+        "session_id",
+        "contract_year_month",
+        "accumulated_contract_diff",
+    )
+
+
+def incremental_run(
+    spark: SparkSession, sf_dir: str, sink_path: str
+) -> int:
+    """Gate-2 batch run: pipeline -> watermark filter -> idempotent
+    append (main.py:548-562 + append_safely). Returns rows appended;
+    running twice appends zero the second time."""
+    from ..sources import append_idempotent
+
+    out = bar_pipeline_5m(spark, sf_dir)
+    return append_idempotent(out, sink_path, ts_col="bar_ts")

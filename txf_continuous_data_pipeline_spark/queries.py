@@ -1,0 +1,405 @@
+"""Driver-contract query registry.
+
+Each entry: name -> (spark_fn, oracle_sql | None). spark_fn(spark, sf_dir)
+returns a DataFrame built with the engine's operators; oracle_sql is the
+equivalent ANSI SQL DuckDB runs on the same parquet views. Column names
+and (for floats, rounded) values must match exactly - the driver sorts
+columns by name and hashes values (see __spark_entry__.py docstring).
+
+Convention notes shared by both sides:
+  - timestamps are naive; Spark session tz pinned UTC (session.py).
+  - tumbling buckets: [start, end) labeled by start. The reference's
+    pandas closed='right' resample is reproduced by bucketing ts - 1us
+    (SURVEY.md 1.4).
+  - time-of-day comparisons at full microsecond precision.
+  - ties in open/close: events.ts is unique (verified), min_by/arg_min on
+    ts is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import date_market_type, session_id, session_kind, third_wednesday, tod_between
+from .operators.adjust import backadjust, derive_accumulated_gap
+from .operators.calendar import settlement_schedule
+from .operators.quality import EXPECTED_5MIN, completeness_violations, session_counts
+from .operators.resample import tumbling_ohlcv
+from .operators.sessions import day_session, night_session, with_session_labels
+from .plans.pipeline import bar_pipeline_5m, weekly_settle_config
+from .sources import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators on `events` (the k-bar stand-in)
+# ---------------------------------------------------------------------------
+
+_OHLCV_5M_SQL = """
+SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND) AS bar_ts,
+       arg_min(value, ts) AS open,
+       max(value)         AS high,
+       min(value)         AS low,
+       arg_max(value, ts) AS close,
+       count(*)           AS volume,
+       count(*)           AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
+@q("ohlcv_5m", _OHLCV_5M_SQL)
+def ohlcv_5m(spark, sf_dir):
+    """A1: 5-min tumbling OHLCV, closed='right' label='left'
+    (main.py:263-265)."""
+    return tumbling_ohlcv(
+        read_table(spark, sf_dir, "events"),
+        price_col="value",
+        width="5 minutes",
+        closed="right",
+    )
+
+
+_OHLCV_60M_SQL = """
+SELECT time_bucket(INTERVAL 60 MINUTES, ts, INTERVAL 45 MINUTES) AS bar_ts,
+       arg_min(value, ts) AS open,
+       max(value)         AS high,
+       min(value)         AS low,
+       arg_max(value, ts) AS close,
+       count(*)           AS volume,
+       count(*)           AS n_rows
+FROM events
+WHERE ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00'
+GROUP BY 1
+"""
+
+
+@q("ohlcv_60m_offset45", _OHLCV_60M_SQL)
+def ohlcv_60m_offset45(spark, sf_dir):
+    """A2: day-session 60-min bars phase-shifted 45 min so buckets run
+    08:45-09:45-... (pandas offset='45min' == Spark startTime,
+    main.py:272-274); closed='left' (the 60-min call's default, unlike
+    the 5-min call)."""
+    df = day_session(read_table(spark, sf_dir, "events"))
+    return tumbling_ohlcv(
+        df, price_col="value", width="60 minutes", offset="45 minutes",
+        closed="left",
+    )
+
+
+@q(
+    "session_split_day",
+    """
+SELECT event_id, ts, event_type, value FROM events
+WHERE ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00'
+""",
+)
+def session_split_day(spark, sf_dir):
+    """F3: inclusive 08:45-13:45 time-of-day filter (main.py:268)."""
+    return day_session(read_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+@q(
+    "session_split_night",
+    """
+SELECT event_id, ts, event_type, value FROM events
+WHERE ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00'
+""",
+)
+def session_split_night(spark, sf_dir):
+    """F4: 15:00-05:00 night filter - wraps midnight (main.py:269)."""
+    return night_session(read_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+_LABELS_SQL = """
+WITH k AS (
+  SELECT event_id, ts,
+         CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+)
+SELECT event_id, ts,
+       strftime(sess_date, '%y%m%d') ||
+         (CASE WHEN kind = 'N' THEN 'N' ELSE 'D' END) AS date_market_type,
+       CASE WHEN kind = 'UNKNOWN' THEN 'UNKNOWN'
+            ELSE strftime(sess_date, '%Y-%m-%d') || '_' || kind
+       END AS session_id
+FROM k
+"""
+
+
+@q("session_labels", _LABELS_SQL)
+def session_labels(spark, sf_dir):
+    """P11+P12: date_market_type and session_id; night rows before 05:00
+    are dated to the previous day (main.py:281-291, :341-345)."""
+    return with_session_labels(read_table(spark, sf_dir, "events")).select(
+        "event_id", "ts", "date_market_type", "session_id"
+    )
+
+
+_SESSION_COUNTS_SQL = """
+WITH k AS (
+  SELECT CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+)
+SELECT CASE WHEN kind = 'UNKNOWN' THEN 'UNKNOWN'
+            ELSE strftime(sess_date, '%Y-%m-%d') || '_' || kind END AS session_id,
+       count(*) AS cnt
+FROM k GROUP BY 1
+"""
+
+
+@q("session_counts", _SESSION_COUNTS_SQL)
+def session_counts_q(spark, sf_dir):
+    """A3: bars per session (value_counts, main.py:388-389)."""
+    return session_counts(
+        with_session_labels(read_table(spark, sf_dir, "events"))
+    )
+
+
+_GATE_SQL = """
+WITH k AS (
+  SELECT CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+  WHERE (ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00')
+     OR (ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00')
+),
+counts AS (
+  SELECT strftime(sess_date, '%Y-%m-%d') || '_' || kind AS session_id,
+         kind, count(*) AS cnt
+  FROM k GROUP BY 1, 2
+),
+expected(kind, expected) AS (VALUES ('D', 60), ('N', 168))
+SELECT c.session_id, c.cnt, CAST(e.expected AS BIGINT) AS expected
+FROM counts c LEFT JOIN expected e USING (kind)
+WHERE e.expected IS NULL OR c.cnt != e.expected
+"""
+
+
+@q("completeness_gate", _GATE_SQL)
+def completeness_gate(spark, sf_dir):
+    """A4 / Gate 1: sessions whose count differs from the expected map
+    (check_completeness, main.py:369-401). On in-session rows only."""
+    from .operators.sessions import split_and_label
+
+    labeled = split_and_label(read_table(spark, sf_dir, "events"))
+    return completeness_violations(labeled, EXPECTED_5MIN)
+
+
+@q(
+    "watermark_filter",
+    """
+SELECT event_id, ts, value FROM events
+WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+""",
+)
+def watermark_filter_q(spark, sf_dir):
+    """F5 / Gate 2 (main.py:548-558): rows strictly newer than the
+    watermark; here the watermark is max(ts)-7d, mirroring the
+    reference's 7-day lookback (QUERY_BACK_DAYS, main.py:61)."""
+    events = read_table(spark, sf_dir, "events")
+    wm = events.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("wm"))
+    # scalar watermark via broadcast cross-join keeps the plan fully lazy
+    return (
+        events.crossJoin(F.broadcast(wm))
+        .where(F.col("ts") > F.col("wm"))
+        .select("event_id", "ts", "value")
+    )
+
+
+_CFG_CTE = """
+weeks AS (
+  SELECT DISTINCT date_trunc('week', ts)::TIMESTAMP AS start_k FROM events
+),
+numbered AS (
+  SELECT start_k, row_number() OVER (ORDER BY start_k) AS rn FROM weeks
+),
+cfg AS (
+  SELECT strftime(start_k, '%Y%m%d') AS contract_year_month,
+         rn * 10.0 AS next_contract_diff,
+         coalesce(sum(rn * 10.0) OVER (ORDER BY start_k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS accumulated_contract_diff,
+         start_k,
+         start_k + INTERVAL 7 DAYS AS settle_k
+  FROM numbered
+)
+"""
+
+
+@q(
+    "settle_config_derived",
+    f"WITH {_CFG_CTE} SELECT * FROM cfg",
+)
+def settle_config_derived(spark, sf_dir):
+    """A7: the synthetic weekly settle_config with the accumulated gap
+    DERIVED as an exclusive prefix sum (invariant at main.py:210)."""
+    return weekly_settle_config(read_table(spark, sf_dir, "events")).select(
+        "contract_year_month",
+        "next_contract_diff",
+        "accumulated_contract_diff",
+        "start_k",
+        "settle_k",
+    )
+
+
+_BACKADJUST_SQL = f"""
+WITH {_CFG_CTE}
+SELECT e.event_id, e.ts,
+       e.value + coalesce(c.accumulated_contract_diff, 0.0) AS value_adj,
+       coalesce(c.contract_year_month, '') AS contract_year_month,
+       coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
+FROM events e
+LEFT JOIN cfg c ON e.ts >= c.start_k AND e.ts < c.settle_k
+"""
+
+
+@q("backadjust_rangejoin", _BACKADJUST_SQL)
+def backadjust_rangejoin(spark, sf_dir):
+    """J1: point-in-interval broadcast join + price shift (the engine's
+    replacement for the reference's O(n*m) apply(axis=1) loop at
+    main.py:318)."""
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    bars = events.select("event_id", "ts", F.col("value").alias("value_adj"))
+    out = backadjust(
+        bars, cfg, ts_col="ts", price_cols=("value_adj",), end_inclusive=False
+    )
+    return out.select(
+        "event_id", "ts", "value_adj", "contract_year_month",
+        "accumulated_contract_diff",
+    )
+
+
+_PIPELINE_SQL = f"""
+WITH {_CFG_CTE},
+bars AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND) AS bar_ts,
+         arg_min(value, ts) AS open,
+         max(value)         AS high,
+         min(value)         AS low,
+         arg_max(value, ts) AS close,
+         count(*)           AS volume
+  FROM events GROUP BY 1
+),
+labeled AS (
+  SELECT b.*,
+         CASE WHEN hour(bar_ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(bar_ts) >= 15 OR hour(bar_ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(bar_ts) < 5 THEN (bar_ts - INTERVAL 1 DAY)::DATE
+              ELSE bar_ts::DATE END AS sess_date
+  FROM bars b
+  WHERE (bar_ts::TIME >= TIME '08:45:00' AND bar_ts::TIME <= TIME '13:45:00')
+     OR (bar_ts::TIME >= TIME '15:00:00' OR bar_ts::TIME <= TIME '05:00:00')
+),
+adjusted AS (
+  SELECT l.bar_ts,
+         l.open + coalesce(c.accumulated_contract_diff, 0.0)  AS open,
+         l.high + coalesce(c.accumulated_contract_diff, 0.0)  AS high,
+         l.low + coalesce(c.accumulated_contract_diff, 0.0)   AS low,
+         l.close + coalesce(c.accumulated_contract_diff, 0.0) AS close,
+         l.volume,
+         strftime(l.sess_date, '%y%m%d') ||
+           (CASE WHEN l.kind = 'N' THEN 'N' ELSE 'D' END) AS date_market_type,
+         CASE WHEN l.kind = 'UNKNOWN' THEN 'UNKNOWN'
+              ELSE strftime(l.sess_date, '%Y-%m-%d') || '_' || l.kind
+         END AS session_id,
+         coalesce(c.contract_year_month, '') AS contract_year_month,
+         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
+  FROM labeled l
+  LEFT JOIN cfg c ON l.bar_ts >= c.start_k AND l.bar_ts < c.settle_k
+),
+last_session AS (
+  SELECT session_id FROM adjusted ORDER BY bar_ts DESC LIMIT 1
+),
+open_session AS (
+  SELECT a.session_id
+  FROM adjusted a JOIN last_session ls USING (session_id)
+  GROUP BY a.session_id
+  HAVING count(*) < (CASE WHEN a.session_id = 'UNKNOWN' THEN 9223372036854775807
+                          WHEN right(a.session_id, 1) = 'D' THEN 60
+                          ELSE 168 END)
+)
+SELECT * FROM adjusted
+WHERE session_id NOT IN (SELECT session_id FROM open_session)
+"""
+
+
+@q("bar_pipeline_5m", _PIPELINE_SQL)
+def bar_pipeline_5m_q(spark, sf_dir):
+    """Flagship: the full reference dataflow (resample -> split/label ->
+    back-adjust -> drop-open-session) as one composed plan."""
+    return bar_pipeline_5m(spark, sf_dir)
+
+
+_SCHEDULE_SQL = """
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate)::DATE AS month_start FROM orders
+),
+wed AS (
+  SELECT month_start,
+         month_start + (((2 - (dayofweek(month_start) + 6) % 7) + 7) % 7 + 14)
+           * INTERVAL 1 DAY AS wed3
+  FROM months
+)
+SELECT strftime(month_start, '%Y%m') AS contract_year_month,
+       month_start::TIMESTAMP AS month_start,
+       wed3::TIMESTAMP + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k,
+       lag(wed3::TIMESTAMP + INTERVAL 13 HOURS + INTERVAL 25 MINUTES)
+           OVER (ORDER BY month_start) + INTERVAL 5 MINUTES AS start_k
+FROM wed
+"""
+
+
+@q("settlement_schedule", _SCHEDULE_SQL)
+def settlement_schedule_q(spark, sf_dir):
+    """P7-P10 + A6: third-Wednesday settlement calendar per month of
+    orders.o_orderdate (calculate_next_contract, main.py:191-224)."""
+    months = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.trunc("o_orderdate", "month").alias("month_start"))
+        .distinct()
+    )
+    return settlement_schedule(months).select(
+        "contract_year_month",
+        F.col("month_start").cast("timestamp").alias("month_start"),
+        "settle_k",
+        "start_k",
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

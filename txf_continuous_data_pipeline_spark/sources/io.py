@@ -1,0 +1,111 @@
+"""Sources and sinks (SURVEY.md section 2.1, S1-S5).
+
+The reference's sources are a broker API fetch (main.py:234-256) and two
+Google-Sheet scans (config main.py:174-176, watermark main.py:411-435);
+its sink is an append to a sheet tab (main.py:478-510). Here the same
+roles are played by parquet tables:
+
+  S1  scan            -> spark.read.parquet (columnar, predicate pushdown)
+  S3  config scan     -> small dimension read; callers broadcast it
+  S4  watermark read  -> max(ts) aggregate (parquet footer stats make this
+                         near-free; strictly more correct than the
+                         reference's last-row read, main.py:428-429)
+  S5  append sink     -> mode("append").parquet with a watermark filter in
+                         front for idempotency (Gate 2, main.py:548-558)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    to read natively (PARQUET_TYPE_ILLEGAL)."""
+    if path not in _NS_COLS_CACHE:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        schema = pq.read_schema(path)
+        _NS_COLS_CACHE[path] = [
+            f.name
+            for f in schema
+            if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NS_COLS_CACHE[path]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S3: scan one testdata table. Plain parquet read so Catalyst can
+    push filters and prune columns into the scan.
+
+    Nanosecond-timestamp columns (events.ts in the testdata) are read via
+    the legacy nanos-as-long path and truncated to microseconds - the
+    same truncation DuckDB applies, keeping the oracle comparison exact.
+    Production tables should store micros; this shim only costs the
+    pushdown of predicates on the converted column.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def sink_watermark(spark: SparkSession, sink_path: str, ts_col: str = "ts"):
+    """S4: the sink's high-watermark, or None for an empty/missing sink.
+
+    Reference: get_last_timestamp (main.py:411-435) re-reads the WHOLE
+    sheet and takes the last row. Here: one max() aggregate answered from
+    parquet footer statistics.
+    """
+    try:
+        df = spark.read.parquet(sink_path)
+    except Exception:
+        return None
+    row = df.agg(F.max(ts_col).alias("wm")).collect()[0]
+    return row["wm"]
+
+
+def append_idempotent(
+    df: DataFrame, sink_path: str, ts_col: str = "ts"
+) -> int:
+    """S5 + F5 (Gate 2): append only rows strictly newer than the sink's
+    watermark; re-running is a no-op (main.py:548-558, README "Gate 2").
+
+    Returns the number of rows appended. Batch analogue of the streaming
+    checkpointed sink in streaming/incremental.py.
+    """
+    wm = sink_watermark(df.sparkSession, sink_path, ts_col)
+    out = df if wm is None else df.where(F.col(ts_col) > F.lit(wm))
+    n = out.count()
+    if n:
+        out.write.mode("append").parquet(sink_path)
+    return n
