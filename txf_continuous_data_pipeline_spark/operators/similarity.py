@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (extension set).
+
+`embeddings(vec_id, embedding: array<float>, label)` is the testdata
+stand-in for a document-embedding table. Two tiers:
+
+  brute-force cosine top-k   exact baseline. dot/norm via zip_with +
+                             aggregate (JVM lambdas, no Python); the
+                             query vector is a broadcast literal, so the
+                             scan is embarrassingly parallel and the only
+                             shuffle is the final top-k.
+
+  LSH (random hyperplanes)   the scale path for pairwise ANN: sign-bit
+                             signatures against a fixed seeded plane set,
+                             banded into buckets, equi-join on bucket.
+                             Pair enumeration cost ~ bucket sizes, not
+                             n^2. Exact cosine re-rank on candidates.
+
+An IVF (inverted-file) variant would follow the same shape with learned
+centroids; planes here are seeded numpy randoms materialized as literal
+arrays - deterministic and cluster-shippable (no driver state).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qlit), 6).alias("cos_sim"),
+    )
+    if exclude_ids:
+        out = out.where(~F.col(id_col).isin(*exclude_ids))
+    return out.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def hyperplane_signatures(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-bit LSH signature: bit i = (v . plane_i) >= 0. Planes are
+    seeded numpy normals shipped as literals (no driver-side state to
+    broadcast by hand)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    v = F.col(vec_col)
+    sig = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return emb.select(F.col(id_col), F.col(vec_col), sig.alias("lsh_sig"))
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Approximate nearest-neighbor candidate pairs: vectors sharing any
+    signature band collide; candidates re-ranked with exact cosine."""
+    width = n_planes // bands
+    sigs = hyperplane_signatures(
+        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim, seed=seed
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("lsh_sig"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= min_cosine)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: broadcast the (small) query side against the
+    corpus, rank per query. At scale replace the cross join with
+    lsh_ann_pairs-style bucketing; this exact variant is the oracle."""
+    from pyspark.sql import Window
+
+    crossed = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos_sim", F.round(cosine(F.col(c_vec), F.col(q_vec)), 6)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.col(c_id))
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, c_id, "cos_sim", "rn")
+    )

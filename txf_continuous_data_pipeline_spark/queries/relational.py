@@ -1,0 +1,426 @@
+"""Star-schema relational queries (SURVEY.md 2.9 extension set).
+
+Float aggregates are rounded identically on both sides (round(x, 2) for
+sums, round(x, 4) for averages) so the driver's value-hash is stable
+against non-associative FP summation order."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import exists_filter, star_join, top_k_per_group
+from ..sources import read_table
+from .registry import q
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 4)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy two-key aggregate; Catalyst pushes the
+    shipdate filter into the parquet scan, partial-aggregates map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@q("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-10.
+    customer and orders are broadcast; the only shuffle is the final
+    aggregate on l_orderkey. ORDER BY includes l_orderkey so the limit
+    is deterministic."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    joined = star_join(
+        li,
+        [
+            (orders, F.col("l_orderkey") == F.col("o_orderkey")),
+            (cust, F.col("o_custkey") == F.col("c_custkey")),
+        ],
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@q("q5_region_revenue", _Q5_SQL)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join, local-supplier condition
+    (s_nationkey = c_nationkey), per-nation revenue. All dimensions
+    broadcast; lineitem never shuffles before the final small agg."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@q("topk_orders_per_priority", _TOPK_SQL)
+def topk_orders_per_priority(spark, sf_dir):
+    """Ranking window: top-3 orders by totalprice per priority, orderkey
+    tie-break for determinism."""
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3 AND sum(o_totalprice) > 300000
+"""
+
+
+@q("group_having", _HAVING_SQL)
+def group_having(spark, sf_dir):
+    """Aggregate + HAVING: high-value repeat customers."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .where((F.col("n_orders") >= 3) & (F.col("_total") > 300000))
+        .select(
+            "o_custkey", "n_orders", F.round("_total", 2).alias("total_spent")
+        )
+    )
+
+
+@q(
+    "semi_customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def semi_customers_with_orders(spark, sf_dir):
+    """EXISTS as a left-semi join (only keys shuffle)."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return exists_filter(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "anti_customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def anti_customers_without_orders(spark, sf_dir):
+    """NOT EXISTS as a left-anti join."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return exists_filter(
+        cust,
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        negate=True,
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "setop_intersect_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_intersect_nations(spark, sf_dir):
+    """INTERSECT: nations that have both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "setop_except_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_except_nations(spark, sf_dir):
+    """EXCEPT (set semantics): nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@q("rollup_acctbal", _ROLLUP_SQL)
+def rollup_acctbal(spark, sf_dir):
+    """ROLLUP hierarchy subtotals region -> nation -> grand total."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")
+    ).join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@q("cube_order_counts", _CUBE_SQL)
+def cube_order_counts(spark, sf_dir):
+    """CUBE: counts over every (status, priority) subset."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@q("pivot_qty_by_status", _PIVOT_SQL)
+def pivot_qty_by_status(spark, sf_dir):
+    """PIVOT lineitem quantity over linestatus (explicit value list so
+    the plan needs no extra distinct-values job)."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("json_props_agg", _JSON_SQL)
+def json_props_agg(spark, sf_dir):
+    """P13 extension: JSON extraction from events.props
+    (get_json_object stays JVM-side) + aggregate."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+@q("running_total_per_customer", _RUNNING_SQL)
+def running_total_per_customer(spark, sf_dir):
+    """A7 generalized: per-customer running spend (cumulative window)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_ARGMAX_SQL = """
+SELECT arg_max(n_name, total_bal) AS top_nation, round(max(total_bal), 2) AS top_bal
+FROM (
+  SELECT n_name, sum(s_acctbal) AS total_bal
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+)
+"""
+
+
+@q("argmax_nation_by_supplier_bal", _ARGMAX_SQL)
+def argmax_nation_by_supplier_bal(spark, sf_dir):
+    """max_by / arg_max (A6 last-row-lookup generalized): nation with the
+    largest total supplier balance."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    totals = (
+        sup.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("total_bal"))
+    )
+    return totals.agg(
+        F.max_by("n_name", "total_bal").alias("top_nation"),
+        F.round(F.max("total_bal"), 2).alias("top_bal"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT n_name,
+       count(DISTINCT c_custkey)       AS n_customers,
+       round(avg(c_acctbal), 4)        AS avg_bal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@q("distinct_customers_per_nation", _DISTINCT_SQL)
+def distinct_customers_per_nation(spark, sf_dir):
+    """count(DISTINCT) + avg per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Embeddings-table extension queries: similarity search.
+
+The LSH oracle SQL is generated from the SAME seeded numpy planes as the
+Spark operator, so even the approximate path is oracle-checked (it is
+deterministic given the planes). Cosines are rounded to 6 dp on both
+sides before ranking/filtering so FP summation-order noise cannot flip
+a comparison."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine,
+    knn_join_bruteforce,
+    lsh_ann_pairs,
+)
+from ..sources import read_table
+from .registry import q
+
+_COS_Q0 = """
+list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+"""
+
+_TOPK_SQL = f"""
+SELECT e.vec_id, round({_COS_Q0}, 6) AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@q("cosine_topk_bruteforce", _TOPK_SQL)
+def cosine_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id=0. The query vector is a
+    plan literal (broadcast), the scan is one parallel pass + top-k."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, list(qvec), k=10, exclude_ids=(0,))
+
+
+_KNN_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE c.vec_id >= 5
+)
+SELECT q_id, vec_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@q("knn_join_bruteforce", _KNN_SQL)
+def knn_join_bruteforce_q(spark, sf_dir):
+    """Exact k-NN join: 5 query vectors (vec_id < 5) x corpus
+    (vec_id >= 5), top-3 each. Query side broadcast; per-query ranking
+    window. The LSH variant below approximates exactly this."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return knn_join_bruteforce(queries, corpus, k=3)
+
+
+def _lsh_oracle_sql(n_planes: int = 16, bands: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Mirror of operators.similarity.lsh_ann_pairs, planes inlined."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    width = n_planes // bands
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    chunk_list = ", ".join(
+        f"(sig >> {i * width}) & {(1 << width) - 1}" for i in range(bands)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({bit_terms} AS BIGINT) AS sig FROM embeddings
+),
+banded AS (
+  SELECT vec_id, embedding, i - 1 AS band, chunk
+  FROM (
+    SELECT vec_id, embedding,
+           unnest([{chunk_list}]) AS chunk,
+           generate_subscripts([{chunk_list}], 1) AS i
+    FROM sigs
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.id_a
+JOIN embeddings eb ON eb.vec_id = p.id_b
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6) >= 0.2
+"""
+
+
+@q("lsh_ann_pairs", _lsh_oracle_sql(n_planes=32, bands=4))
+def lsh_ann_pairs_q(spark, sf_dir):
+    """Random-hyperplane LSH ANN candidate pairs (32 planes, 4 bands of
+    8 bits -> 256 buckets/band, so random collisions are ~1/256 and the
+    candidate set stays near-linear), exact-cosine re-ranked, kept at
+    cos >= 0.2. Deterministic given the seeded planes, so fully
+    oracle-checked despite being 'approximate'."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_ann_pairs(emb, n_planes=32, bands=4, min_cosine=0.2)
+
+
+_CENTROID_SQL = """
+SELECT label, i - 1 AS pos, round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val
+FROM (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+@q("label_centroids", _CENTROID_SQL)
+def label_centroids(spark, sf_dir):
+    """Per-label centroid (the training step of an IVF index):
+    posexplode -> (label, pos) mean. One shuffle on (label, pos)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+_NORM_SQL = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+@q("embedding_norms", _NORM_SQL)
+def embedding_norms(spark, sf_dir):
+    """L2 norms (zip_with/aggregate stay JVM-side; no UDF)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import norm
+
+    return emb.select(
+        "vec_id", "label", F.round(norm(F.col("embedding")), 6).alias("l2_norm")
+    )

@@ -1,0 +1,224 @@
+"""Documents-table extension queries: dedup + text analysis.
+
+Oracle SQL is generated from the same constants as the Spark operators
+(marker lists, shingle width) so the two sides cannot drift. MinHash /
+SimHash / fingerprint queries are rows-only: their hash functions
+(xxhash64) have no DuckDB equivalent, so the driver records the weaker
+check; their *verification* stage (exact Jaccard) IS oracle-checked via
+ngram_jaccard_pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    shingles_exploded,
+    dropDuplicates_exact,
+    exact_dedup_groups,
+    minhash_neardup_pairs,
+    normalized_tokens,
+    simhash_neardup_pairs,
+    token_shingles,
+)
+from ..operators.textstats import LANG_MARKERS, doc_fingerprint, text_stats
+from ..sources import read_table
+from .registry import q
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _sql_marker_list(markers):
+    return "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+
+
+@q(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_groups_q(spark, sf_dir):
+    """Exact dedup groups: digest -> representative id + multiplicity.
+    The shuffle key is the 32-byte md5, never the document text."""
+    return exact_dedup_groups(read_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_exact_keep",
+    """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+""",
+)
+def dedup_exact_keep(spark, sf_dir):
+    """Exact dedup applied: one surviving row per distinct text."""
+    return dropDuplicates_exact(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _lang_guess_sql() -> str:
+    """Mirror of textstats.lang_guess: running argmax with dict-order
+    tie-break, built as nested CASE chain."""
+    guess, best = "'und'", "0"
+    for lang, markers in LANG_MARKERS.items():
+        hits = f"len(list_filter({_TOKS}, t -> list_contains({_sql_marker_list(markers)}, t)))"
+        guess = f"(CASE WHEN {hits} > {best} THEN '{lang}' ELSE {guess} END)"
+        best = f"greatest({hits}, {best})"
+    return guess
+
+
+_ALL_MARKERS = tuple(m for ms in LANG_MARKERS.values() for m in ms)
+
+_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_uniq_tokens,
+       round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+             / greatest(len({_TOKS}), 1), 6) AS avg_token_len,
+       round(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(len(list_filter({_TOKS},
+                 t -> list_contains({_sql_marker_list(_ALL_MARKERS)}, t))) AS DOUBLE)
+             / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+       round(least(len({_TOKS}) / 50.0, 1.0)
+             * (0.5 + least((CAST(len(list_filter({_TOKS},
+                   t -> list_contains({_sql_marker_list(_ALL_MARKERS)}, t))) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.5)
+             * (1.0 - least((CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1)) * 2.0, 1.0)), 6) AS quality_score,
+       {_lang_guess_sql()} AS lang_guess
+FROM documents
+"""
+
+
+@q("text_stats", _STATS_SQL)
+def text_stats_q(spark, sf_dir):
+    """Per-document token counts, length/punct/stopword ratios, quality
+    score and heuristic language guess - all JVM column expressions."""
+    df = text_stats(read_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq_tokens").cast("long").alias("n_uniq_tokens"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+        "lang_guess",
+    )
+
+
+_SHINGLES = (
+    f"list_distinct(list_transform(range(0, greatest(len({_TOKS}) - 3, 0) + 1),"
+    f" i -> array_to_string(({_TOKS})[i + 1:i + 3], ' ')))"
+)
+
+_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+"""
+
+
+@q("ngram_jaccard_pairs", _JACCARD_SQL)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by `source`.
+
+    Inverted-index plan (the 100-TB shape): explode shingles, self-join
+    on (source, shingle) to count the intersection per pair, then
+    jaccard = common / (|A| + |B| - common). Pairs sharing zero shingles
+    never materialize - unlike the naive self-join + array_intersect,
+    which enumerates the full blocked n^2 and re-scans both arrays per
+    pair (measured 35s vs ~3s at sf0.1)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # shingle text replaced by its xxhash64 before the shuffle: 8-byte
+    # join keys instead of ~20-char strings (collision odds ~1e-11 at
+    # this cardinality). The two self-join sides share one canonical
+    # subplan, so ReuseExchange computes the index once - no persist()
+    # needed (and no cache lingering across later queries).
+    inv = shingles_exploded(docs, extra_cols=("source",)).select(
+        "doc_id", "source", F.xxhash64("shingle").alias("sh")
+    )
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .where(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_TOKEN_HIST_SQL = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+@q("token_histogram_top20", _TOKEN_HIST_SQL)
+def token_histogram_top20(spark, sf_dir):
+    """Corpus token frequency top-20 (explode -> count -> top-k)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(normalized_tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@q("minhash_neardup", None)
+def minhash_neardup(spark, sf_dir):
+    """MinHash(32) + LSH(8 bands) near-dup pairs with exact-Jaccard
+    verification >= 0.5. Rows-only: xxhash64 has no DuckDB twin; the
+    Jaccard verifier itself is oracle-checked by ngram_jaccard_pairs."""
+    return minhash_neardup_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("simhash_neardup", None)
+def simhash_neardup(spark, sf_dir):
+    """SimHash-banded near-dup pairs at hamming distance <= 3."""
+    return simhash_neardup_pairs(read_table(spark, sf_dir, "documents"))
+
+
+@q("doc_fingerprint", None)
+def doc_fingerprint_q(spark, sf_dir):
+    """Order-sensitive rolling token-hash fingerprint per document."""
+    return doc_fingerprint(read_table(spark, sf_dir, "documents"))

@@ -18,30 +18,19 @@ Convention notes shared by both sides:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import date_market_type, session_id, session_kind, third_wednesday, tod_between
-from .operators.adjust import backadjust, derive_accumulated_gap
-from .operators.calendar import settlement_schedule
-from .operators.quality import EXPECTED_5MIN, completeness_violations, session_counts
-from .operators.resample import tumbling_ohlcv
-from .operators.sessions import day_session, night_session, with_session_labels
-from .plans.pipeline import bar_pipeline_5m, weekly_settle_config
-from .sources import read_table
+from ..functions import date_market_type, session_id, session_kind, third_wednesday, tod_between
+from ..operators.adjust import backadjust, derive_accumulated_gap
+from ..operators.calendar import settlement_schedule
+from ..operators.quality import EXPECTED_5MIN, completeness_violations, session_counts
+from ..operators.resample import tumbling_ohlcv
+from ..operators.sessions import day_session, night_session, with_session_labels
+from ..plans.pipeline import bar_pipeline_5m, weekly_settle_config
+from ..sources import read_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def q(name: str, sql: str | None):
-    def deco(fn: QueryFn):
-        REGISTRY[name] = (fn, sql)
-        return fn
-
-    return deco
+from .registry import q
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +197,7 @@ WHERE e.expected IS NULL OR c.cnt != e.expected
 def completeness_gate(spark, sf_dir):
     """A4 / Gate 1: sessions whose count differs from the expected map
     (check_completeness, main.py:369-401). On in-session rows only."""
-    from .operators.sessions import split_and_label
+    from ..operators.sessions import split_and_label
 
     labeled = split_and_label(read_table(spark, sf_dir, "events"))
     return completeness_violations(labeled, EXPECTED_5MIN)
@@ -278,8 +267,16 @@ SELECT e.event_id, e.ts,
        coalesce(c.contract_year_month, '') AS contract_year_month,
        coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
 FROM events e
-LEFT JOIN cfg c ON e.ts >= c.start_k AND e.ts < c.settle_k
+LEFT JOIN cfg c ON date_trunc('week', e.ts) = c.start_k
 """
+# NOTE on the oracle join: the Spark side executes the true
+# point-in-interval join (backadjust, J1). The weekly config intervals
+# tile calendar weeks exactly ([week_start, week_start+7d) with
+# week-aligned start_k), so `ts in [start_k, settle_k)` is provably
+# equivalent to `date_trunc('week', ts) = start_k`. The oracle uses the
+# equi form both as an independent algorithm (stronger differential
+# check) and because DuckDB 1.0.0's IEJoin spins indefinitely on a LEFT
+# inequality join whose probe side is an aggregate subquery.
 
 
 @q("backadjust_rangejoin", _BACKADJUST_SQL)
@@ -336,7 +333,7 @@ adjusted AS (
          coalesce(c.contract_year_month, '') AS contract_year_month,
          coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
   FROM labeled l
-  LEFT JOIN cfg c ON l.bar_ts >= c.start_k AND l.bar_ts < c.settle_k
+  LEFT JOIN cfg c ON date_trunc('week', l.bar_ts) = c.start_k
 ),
 last_session AS (
   SELECT session_id FROM adjusted ORDER BY bar_ts DESC LIMIT 1
@@ -397,9 +394,3 @@ def settlement_schedule_q(spark, sf_dir):
     )
 
 
-def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
