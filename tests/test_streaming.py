@@ -1,0 +1,70 @@
+"""ST1-ST4: the streaming micro-run must (a) agree with batch on every
+bar it emits, (b) have emitted at least every bar finalized by the
+watermark as of the last completed data batch, (c) never duplicate a
+window under re-run (SURVEY.md section 5 "Streaming re-run test")."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.resample import tumbling_ohlcv
+from txf_continuous_data_pipeline_spark.sources import read_table
+from txf_continuous_data_pipeline_spark.streaming import (
+    available_now_bar_stream,
+    stage_events_dir,
+)
+
+DELAY = "10 minutes"
+WIDTH = "5 minutes"
+
+
+def _batch_bars(spark, sf_dir):
+    return tumbling_ohlcv(
+        read_table(spark, sf_dir, "events"),
+        ts_col="ts", price_col="value", width=WIDTH,
+        closed="right", out_ts="bar_ts",
+    ).drop("n_rows")
+
+
+def test_stream_matches_batch_and_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+
+    available_now_bar_stream(spark, feed, sink, ckpt, delay=DELAY)
+    streamed = spark.read.parquet(sink)
+    cols = streamed.columns
+
+    all_batch = {tuple(r) for r in _batch_bars(spark, sf_dir).select(*cols).collect()}
+    got = {tuple(r) for r in streamed.collect()}
+    assert got <= all_batch, "stream emitted bars that disagree with batch"
+
+    # Lower bound: every window finalized by the watermark in force
+    # during the LAST data batch (= max ts of the first n-1 files - delay)
+    # must have been emitted, whether or not the final no-data flush ran.
+    parts = sorted(glob.glob(os.path.join(feed, "part-*")))
+    first_files = spark.read.parquet(*parts[:-1])
+    wm = first_files.agg(F.max("ts")).collect()[0][0]
+    want = {
+        tuple(r)
+        for r in _batch_bars(spark, sf_dir)
+        .where(
+            F.col("bar_ts") + F.expr(f"INTERVAL {WIDTH}")
+            <= F.lit(wm) - F.expr(f"INTERVAL {DELAY}")
+        )
+        .select(*cols)
+        .collect()
+    }
+    assert want <= got, f"stream missing {len(want - got)} finalized bars"
+
+    # Re-runs may flush residual windows from state, but must never
+    # duplicate a window key and must stay value-consistent with batch.
+    for _ in range(2):
+        available_now_bar_stream(spark, feed, sink, ckpt, delay=DELAY)
+    final = spark.read.parquet(sink)
+    n = final.count()
+    assert final.select("bar_ts").distinct().count() == n, "duplicate windows"
+    assert {tuple(r) for r in final.collect()} <= all_batch

@@ -1,0 +1,238 @@
+"""Structured Streaming variant of the bar pipeline (SURVEY.md 2.7).
+
+The reference is a batch micro-run with streaming semantics: each cron
+invocation re-fetches a 7-day window and relies on a sink watermark for
+idempotent appends (main.py:548-558, :61). That model maps 1:1 onto
+Structured Streaming's incremental-batch execution:
+
+  ST1 watermark / idempotent load -> file source + checkpoint; the
+      foreachBatch sink re-applies the max(ts) watermark filter so even a
+      replayed micro-batch (at-least-once delivery) appends no duplicates.
+  ST2 never-emit-open-session     -> event-time watermark: an append-mode
+      windowed aggregate only emits a bar once the watermark passes the
+      window end, i.e. once the bar can no longer change. This is the
+      reference's "better missing than wrong" rule (main.py:362-364) made
+      precise.
+  ST3 completeness gate            -> validated inside foreachBatch before
+      the commit; a violation raises and fails the batch, like the
+      reference's abort at main.py:399-400.
+  ST4 tumbling windows             -> the same F.window exprs as batch
+      (operators/resample.py); the plan is shared code, not a rewrite.
+
+Scale notes: the stateful windowed aggregate keeps one row of state per
+open window per key; the watermark bounds state size. The shuffle
+partitioning of a streaming agg is fixed at checkpoint creation -
+size spark.sql.shuffle.partitions for the steady-state rate before the
+first run, not after.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# File-stream schema for a staged events feed (micros timestamps - see
+# stage_events_dir, which converts the testdata's TIMESTAMP(NANOS)).
+from pyspark.sql.types import TimestampType
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stage_events_dir(
+    spark: SparkSession, sf_dir: str, staging_dir: str, *, n_files: int = 4
+) -> str:
+    """Stage the (read-only, single-file) testdata events table as a
+    directory of `n_files` time-range-ordered parquet files - the shape a
+    real feed directory has, and what the file-stream source requires.
+    Range-partitioning by ts keeps per-file time ranges disjoint so
+    maxFilesPerTrigger=1 replays the feed in near-arrival order."""
+    import glob
+    import os as _os
+    import time as _time
+
+    from ..sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    (
+        events.repartitionByRange(n_files, "ts")
+        .write.mode("overwrite")
+        .parquet(staging_dir)
+    )
+    # The file source orders micro-batches by modification time; the
+    # write stamps all parts at once, so ties would make arrival order
+    # (and therefore watermark-drop behavior) nondeterministic. Re-stamp
+    # in part order = ts-range order (repartitionByRange partition 0 is
+    # the lowest range) to model an in-order feed.
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(_os.path.join(staging_dir, "part-*")))):
+        _os.utime(f, (now + 2 * i, now + 2 * i))
+    return staging_dir
+
+
+def stream_events(
+    spark: SparkSession, feed_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """ST1 source: the events feed directory as a file stream (the k-bar
+    feed stand-in for the broker API scan, S1/main.py:234-256). New files
+    landing in feed_dir are the arrival of new bars."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(feed_dir)
+
+
+def streaming_ohlcv(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    width: str = "5 minutes",
+    offset: str = "0 seconds",
+    closed: str = "right",
+    delay: str = "10 minutes",
+    out_ts: str = "bar_ts",
+) -> DataFrame:
+    """ST4 + ST2: watermarked tumbling OHLCV in append mode.
+
+    Same bucket convention as batch (operators/resample.py: closed='right'
+    buckets ts - 1us, labeled left). The watermark delays emission until a
+    bar is `delay` past its window end, so an in-progress bar is never
+    emitted - the streaming form of drop_incomplete_current_session
+    (main.py:326-366).
+
+    min_by/max_by replace pandas' order-dependent first/last - safe under
+    shuffle AND under out-of-order arrival within the watermark.
+    """
+    ts, price = F.col(ts_col), F.col(price_col)
+    # The watermark must be declared on the very column the window groups
+    # on, or Spark rejects append mode as an unwatermarked aggregation -
+    # so the closed='right' 1us shift is materialized as its own column
+    # first (shifting event time and watermark together by 1us is
+    # semantics-preserving).
+    src = ts - F.expr("INTERVAL 1 MICROSECOND") if closed == "right" else ts
+    return (
+        stream.withColumn("_wts", src)
+        .withWatermark("_wts", delay)
+        .groupBy(F.window(F.col("_wts"), width, startTime=offset).alias("w"))
+        .agg(
+            F.min_by(price, ts).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, ts).alias("close"),
+            F.count("*").cast("long").alias("volume"),
+        )
+        .select(F.col("w")["start"].alias(out_ts), "open", "high", "low", "close", "volume")
+    )
+
+
+def gated_idempotent_sink(
+    sink_path: str,
+    *,
+    ts_col: str = "bar_ts",
+    expected: dict[str, int] | None = None,
+    session_col: str = "session_id",
+):
+    """ST1 + ST3 sink: a foreachBatch function that (1) optionally runs
+    the Gate-1 completeness check and aborts the batch on violation, and
+    (2) appends idempotently, so at-least-once micro-batch replay cannot
+    duplicate rows (Gate 2).
+
+    Unlike the batch sink (sources/io.append_idempotent, which mirrors
+    the reference's scalar max-ts watermark), dedup here is KEYED on the
+    window column: a windowed aggregate does not emit windows in
+    time order across micro-batches (batch N can flush an older window
+    than batch N-1's max), so a scalar watermark would silently drop
+    legitimate late-flushed windows. An anti-join on the window key is
+    order-independent and replay-safe. At scale the sink key scan prunes
+    by partition when the sink is date-partitioned on the key.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.quality import assert_complete
+
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if expected is not None and session_col in batch_df.columns:
+                assert_complete(batch_df, expected)
+            spark = batch_df.sparkSession
+            lo, hi = batch_df.agg(
+                F.min(ts_col), F.max(ts_col)
+            ).collect()[0]
+            try:
+                # Only sink keys inside the batch's own key range can
+                # collide; the range predicate reaches the parquet scan
+                # (min/max row-group stats), so the dedup read stays
+                # O(batch) however large the sink grows.
+                existing = (
+                    spark.read.parquet(sink_path)
+                    .where(F.col(ts_col).between(lo, hi))
+                    .select(ts_col)
+                )
+                out = batch_df.join(F.broadcast(existing), ts_col, "left_anti")
+            except Exception:
+                out = batch_df
+            if not out.isEmpty():
+                out.write.mode("append").parquet(sink_path)
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def available_now_bar_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    sink_path: str,
+    checkpoint_path: str,
+    *,
+    width: str = "5 minutes",
+    delay: str = "10 minutes",
+    max_files_per_trigger: int | None = 1,
+    timeout_s: int = 120,
+) -> None:
+    """One incremental run, end to end: process whatever files are new
+    since the checkpoint and stop (Trigger.AvailableNow) - the exact
+    execution shape of the reference's cron micro-run (section 3.1),
+    with the checkpoint playing the role of the 7-day re-fetch + sink
+    watermark read.
+    """
+    bars = streaming_ohlcv(
+        stream_events(
+            spark, feed_dir, max_files_per_trigger=max_files_per_trigger
+        ),
+        width=width,
+        delay=delay,
+    )
+    q = (
+        bars.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(gated_idempotent_sink(sink_path, ts_col="bar_ts"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming run exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
