@@ -55,3 +55,97 @@ def exists_filter(
     """EXISTS / NOT EXISTS as left-semi / left-anti joins - the shuffle
     only moves join keys, never payload columns of the right side."""
     return left.join(right, on, "left_anti" if negate else "left_semi")
+
+
+def asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_ts: str = "ts",
+    dim_ts: str = "start_k",
+    strictness: str = "<=",
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (backward) join: each fact row picks the dim row with the
+    LARGEST dim_ts satisfying dim_ts <= fact_ts (or < for strict) - the
+    time-series operator Spark lacks natively (SURVEY.md "custom
+    operators": composition of existing ops, no UDF).
+
+    Plan: broadcast the dim (versioned dimensions are small by nature),
+    range-predicate join, then one max_by per fact row folds the
+    candidate set to the latest version. The fact side is scanned once
+    and shuffles only for the final aggregate, which AQE partial-
+    aggregates map-side. For a dim too large to broadcast, pre-bucket
+    both sides by time range and equi-join on the bucket first - same
+    rewrite as operators/adjust.backadjust_bucketed.
+
+    Requirement: `facts` must contain a unique key among its columns
+    (the fold groups by all fact columns, so exact-duplicate fact rows
+    would merge otherwise).
+    """
+    cmp = (
+        F.col(f"_d.{dim_ts}") <= F.col(f"_f.{fact_ts}")
+        if strictness == "<="
+        else F.col(f"_d.{dim_ts}") < F.col(f"_f.{fact_ts}")
+    )
+    f_side, d_side = facts.alias("_f"), dim.alias("_d")
+    joined = f_side.join(F.broadcast(d_side), cmp, "left")
+    fact_cols = [F.col(f"_f.{c}") for c in facts.columns]
+    keep = list(keep) or [c for c in dim.columns if c != dim_ts]
+    picked = F.max_by(
+        F.struct(*[F.col(f"_d.{c}").alias(c) for c in [dim_ts, *keep]]),
+        F.col(f"_d.{dim_ts}"),
+    ).alias("_dim")
+    grouped = joined.groupBy(*fact_cols).agg(picked)
+    return grouped.select(
+        *[F.col(c) for c in facts.columns],
+        *[F.col(f"_dim.{c}").alias(c) for c in [dim_ts, *keep]],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization (the batch twin of F.session_window):
+    rows of one key belong to the same session until a silence longer
+    than `gap`. Classic gaps-and-islands: lag + cumulative sum of
+    new-session flags inside one window partition per key - a single
+    shuffle on key_col, no UDF, fully codegen'd.
+
+    The streaming variant is F.session_window(ts, gap) in a watermarked
+    agg; this batch form exists so results are oracle-checkable.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("long")
+    return df.withColumn("_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session aggregate over sessionize(): bounds, length, events.
+    Reuses the sessionize shuffle partitioning (same key prefix), so the
+    second aggregate is exchange-free under AQE."""
+    s = sessionize(df, key_col=key_col, ts_col=ts_col, gap=gap)
+    return s.groupBy(key_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -34,6 +34,40 @@ def bucket_start(
     return F.window(src, width, startTime=offset)["start"]
 
 
+def rollup_ohlcv(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    width: str = "60 minutes",
+    offset: str = "0 seconds",
+    closed: str = "left",
+    out_ts: str = "bar_ts",
+) -> DataFrame:
+    """A2 as a hypertable-style rollup: coarser OHLCV bars from finer
+    OHLCV bars (open = first open, high = max high, low = min low,
+    close = last close, volume = sum) - the reference builds its 60-min
+    bars from the already-split 5-min stream (main.py:272-278).
+
+    Rolling up from bars instead of re-scanning raw ticks is the
+    100-TB move: the 60-min layer reads ~1/5th the rows and reuses the
+    5-min layer's shuffle partitioning (same key derivation, so AQE can
+    often plan it exchange-free after the first agg)."""
+    ts = F.col(ts_col)
+    return (
+        bars.groupBy(
+            bucket_start(ts, width, offset=offset, closed=closed).alias(out_ts)
+        )
+        .agg(
+            F.min_by("open", ts).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ts).alias("close"),
+            F.sum("volume").cast("long").alias("volume"),
+            F.count("*").alias("n_bars"),
+        )
+    )
+
+
 def tumbling_ohlcv(
     df: DataFrame,
     *,

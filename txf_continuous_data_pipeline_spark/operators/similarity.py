@@ -144,6 +144,133 @@ def lsh_ann_pairs(
     )
 
 
+def centroids_by_label(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector -> (cluster_id, centroid).
+
+    This is the training step of an IVF index with the label column
+    standing in for k-means assignments (REAL IMPLEMENTATION SEAM: swap
+    in Lloyd iterations - each is exactly this posexplode/avg/rebuild
+    plan keyed on the previous assignment). One shuffle on (label, pos);
+    the rebuild via sorted struct collect is deterministic."""
+    exploded = emb.select(
+        F.col(label_col).alias("cluster_id"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    per_pos = exploded.groupBy("cluster_id", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("v")
+    )
+    return per_pos.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the (tiny)
+    centroid table, argmax per row via max_by (sim then cluster_id as
+    tie-break) - no window, no shuffle of the fact side beyond the final
+    aggregate's map-side combine. The vector rides through the max_by
+    struct so the grouping key stays scalar."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("cluster_id"), F.col(vec_col).alias("_v")),
+            F.struct(F.col("_sim"), F.col("cluster_id")),
+        ).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_b.cluster_id").alias("cluster_id"),
+        F.col("_b._v").alias(vec_col),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_pred,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-probed ANN top-k: queries only score vectors in their nearest
+    centroid's cluster. The candidate join is an equi-join on cluster_id,
+    so the scored set is ~n/n_clusters per query instead of n - the
+    scale path next to knn_join_bruteforce's exact cross join.
+
+    Ties on cosine break by vec_id; deterministic end to end given the
+    label clustering, so the whole approximate path is oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    cents = centroids_by_label(emb, label_col=label_col, vec_col=vec_col)
+    corpus = emb.where(~query_pred(F.col(id_col)))
+    queries = emb.where(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_assigned = ivf_assign(queries, cents, vec_col="q_vec", id_col="q_id")
+    # corpus cluster = its own label (the IVF partition it is stored in)
+    cand = corpus.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col).alias("cluster_id")
+    ).join(F.broadcast(q_assigned), "cluster_id")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        cand.withColumn(
+            "cos_sim", F.round(cosine(F.col(vec_col), F.col("q_vec")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "cos_sim", "rn")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on `block_col`
+    (at 100 TB the block would be an LSH bucket or IVF cluster; the
+    equi-join on the block key keeps pair enumeration out of n^2)."""
+    sides = emb.select(id_col, vec_col, block_col)
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
 def knn_join_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

@@ -79,6 +79,47 @@ def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bar_pipeline_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-min variant (A2): day-session 5-min bars roll up into
+    phase-shifted 60-min bars (08:45-09:45-..., pandas offset='45min' ==
+    Spark startTime), night-session bars into hour-aligned ones; union,
+    label, back-adjust, drop the open trailing session at the 60-min
+    expected counts (D=5/N=14, main.py:331-334)."""
+    from ..operators.quality import EXPECTED_60MIN
+    from ..operators.resample import rollup_ohlcv
+    from ..operators.sessions import day_session, night_session
+
+    events = read_table(spark, sf_dir, "events")
+    bars5 = tumbling_ohlcv(
+        events, ts_col="ts", price_col="value", width="5 minutes",
+        closed="right", out_ts="bar_ts",
+    ).drop("n_rows")
+    day60 = rollup_ohlcv(
+        day_session(bars5, "bar_ts"), ts_col="bar_ts",
+        width="60 minutes", offset="45 minutes",
+    )
+    night60 = rollup_ohlcv(
+        night_session(bars5, "bar_ts"), ts_col="bar_ts", width="60 minutes"
+    )
+    bars60 = day60.unionByName(night60).drop("n_bars")
+    labeled = with_session_labels_60(bars60)
+    cfg = weekly_settle_config(events)
+    adjusted = backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    return drop_open_session(
+        adjusted, EXPECTED_60MIN, session_col="session_id", ts_col="bar_ts"
+    ).select(
+        "bar_ts", "open", "high", "low", "close", "volume",
+        "date_market_type", "session_id", "contract_year_month",
+        "accumulated_contract_diff",
+    )
+
+
+def with_session_labels_60(bars: DataFrame) -> DataFrame:
+    from ..operators.sessions import with_session_labels
+
+    return with_session_labels(bars, "bar_ts")
+
+
 def incremental_run(
     spark: SparkSession, sf_dir: str, sink_path: str
 ) -> int:

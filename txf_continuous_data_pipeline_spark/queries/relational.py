@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import exists_filter, star_join, top_k_per_group
+from ..operators.relational import (
+    asof_join,
+    exists_filter,
+    session_stats,
+    star_join,
+    top_k_per_group,
+)
 from ..sources import read_table
 from .registry import q
 
@@ -399,6 +405,91 @@ def argmax_nation_by_supplier_bal(spark, sf_dir):
     return totals.agg(
         F.max_by("n_name", "total_bal").alias("top_nation"),
         F.round(F.max("total_bal"), 2).alias("top_bal"),
+    )
+
+
+_ASOF_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT date_trunc('week', ts)::TIMESTAMP AS start_k FROM events
+),
+cfg AS (
+  SELECT start_k,
+         strftime(start_k, '%Y%m%d') AS contract_year_month,
+         row_number() OVER (ORDER BY start_k) * 10.0 AS next_contract_diff
+  FROM weeks
+)
+SELECT e.event_id, e.ts, c.start_k, c.contract_year_month, c.next_contract_diff
+FROM events e
+ASOF LEFT JOIN cfg c ON e.ts >= c.start_k
+"""
+
+
+@q("asof_join_config", _ASOF_SQL)
+def asof_join_config(spark, sf_dir):
+    """As-of (backward) join: each event picks the latest config version
+    with start_k <= ts. The oracle runs DuckDB's native ASOF JOIN - a
+    genuinely independent algorithm against the engine's broadcast
+    range-join + max_by fold."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    w = Window.orderBy("start_k")
+    cfg = (
+        events.select(
+            F.date_trunc("week", F.col("ts")).alias("start_k")
+        )
+        .distinct()
+        .select(
+            "start_k",
+            F.date_format("start_k", "yyyyMMdd").alias("contract_year_month"),
+            (F.row_number().over(w) * F.lit(10.0)).alias("next_contract_diff"),
+        )
+    )
+    return asof_join(
+        events, cfg, fact_ts="ts", dim_ts="start_k",
+        keep=("contract_year_month", "next_contract_diff"),
+    )
+
+
+_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+@q("user_sessions", _SESSIONS_SQL)
+def user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min silence splits a session) +
+    per-session stats - the batch, oracle-checkable twin of
+    F.session_window (SURVEY.md 2.7 ST4 extension)."""
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_stats(events, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
+@q("approx_distinct_users", None)
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HLL++) per event_type. Rows-only check:
+    DuckDB's approx_count_distinct uses a different sketch, so values
+    need not match; the exact twin is distinct_customers_per_nation."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
     )
 
 

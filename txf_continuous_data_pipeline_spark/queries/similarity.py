@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine,
+    embedding_neardup_pairs,
+    ivf_topk,
     knn_join_bruteforce,
     lsh_ann_pairs,
 )
@@ -127,6 +129,79 @@ def lsh_ann_pairs_q(spark, sf_dir):
     oracle-checked despite being 'approximate'."""
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_ann_pairs(emb, n_planes=32, bands=4, min_cosine=0.2)
+
+
+_IVF_SQL = """
+WITH cent AS (
+  SELECT cluster_id, list(v ORDER BY pos) AS centroid
+  FROM (
+    SELECT label AS cluster_id, i - 1 AS pos, avg(CAST(x AS DOUBLE)) AS v
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+  )
+  GROUP BY cluster_id
+),
+q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 5
+),
+qa AS (
+  SELECT q_id, q_vec, cluster_id FROM (
+    SELECT q.q_id, q.q_vec, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, c.centroid), 6)
+                        DESC, c.cluster_id DESC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT qa.q_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      qa.q_vec), 6) AS cos_sim
+  FROM embeddings e JOIN qa ON e.label = qa.cluster_id
+  WHERE e.vec_id >= 5
+)
+SELECT q_id, vec_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
+@q("ivf_topk", _IVF_SQL)
+def ivf_topk_q(spark, sf_dir):
+    """IVF-probed ANN: per-cluster mean centroids (label = stored
+    partition), queries probe only their nearest centroid's cluster -
+    the scale path where knn_join_bruteforce is the exact baseline.
+    Deterministic given the clustering, so fully oracle-checked."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_pred=lambda c: c < 5, k=3)
+
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+"""
+
+
+@q("embedding_neardup_pairs", _NEARDUP_SQL)
+def embedding_neardup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label (at scale the
+    block is an LSH bucket/IVF cluster; the equi-join keeps enumeration
+    out of n^2)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, min_cosine=0.2)
 
 
 _CENTROID_SQL = """

@@ -27,7 +27,7 @@ from ..operators.calendar import settlement_schedule
 from ..operators.quality import EXPECTED_5MIN, completeness_violations, session_counts
 from ..operators.resample import tumbling_ohlcv
 from ..operators.sessions import day_session, night_session, with_session_labels
-from ..plans.pipeline import bar_pipeline_5m, weekly_settle_config
+from ..plans.pipeline import bar_pipeline_5m, bar_pipeline_60m, weekly_settle_config
 from ..sources import read_table
 
 from .registry import q
@@ -356,6 +356,164 @@ def bar_pipeline_5m_q(spark, sf_dir):
     """Flagship: the full reference dataflow (resample -> split/label ->
     back-adjust -> drop-open-session) as one composed plan."""
     return bar_pipeline_5m(spark, sf_dir)
+
+
+_PIPELINE60_SQL = f"""
+WITH {_CFG_CTE},
+bars5 AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND) AS bar_ts,
+         arg_min(value, ts) AS open,
+         max(value)         AS high,
+         min(value)         AS low,
+         arg_max(value, ts) AS close,
+         count(*)           AS volume
+  FROM events GROUP BY 1
+),
+day60 AS (
+  SELECT time_bucket(INTERVAL 60 MINUTES, bar_ts, INTERVAL 45 MINUTES) AS bar_ts,
+         arg_min(open, bar_ts)  AS open,
+         max(high)              AS high,
+         min(low)               AS low,
+         arg_max(close, bar_ts) AS close,
+         sum(volume)            AS volume
+  FROM bars5
+  WHERE bar_ts::TIME >= TIME '08:45:00' AND bar_ts::TIME <= TIME '13:45:00'
+  GROUP BY 1
+),
+night60 AS (
+  SELECT time_bucket(INTERVAL 60 MINUTES, bar_ts) AS bar_ts,
+         arg_min(open, bar_ts)  AS open,
+         max(high)              AS high,
+         min(low)               AS low,
+         arg_max(close, bar_ts) AS close,
+         sum(volume)            AS volume
+  FROM bars5
+  WHERE bar_ts::TIME >= TIME '15:00:00' OR bar_ts::TIME <= TIME '05:00:00'
+  GROUP BY 1
+),
+bars60 AS (SELECT * FROM day60 UNION ALL SELECT * FROM night60),
+labeled AS (
+  SELECT b.*,
+         CASE WHEN hour(bar_ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(bar_ts) >= 15 OR hour(bar_ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(bar_ts) < 5 THEN (bar_ts - INTERVAL 1 DAY)::DATE
+              ELSE bar_ts::DATE END AS sess_date
+  FROM bars60 b
+),
+adjusted AS (
+  SELECT l.bar_ts,
+         l.open + coalesce(c.accumulated_contract_diff, 0.0)  AS open,
+         l.high + coalesce(c.accumulated_contract_diff, 0.0)  AS high,
+         l.low + coalesce(c.accumulated_contract_diff, 0.0)   AS low,
+         l.close + coalesce(c.accumulated_contract_diff, 0.0) AS close,
+         l.volume,
+         strftime(l.sess_date, '%y%m%d') ||
+           (CASE WHEN l.kind = 'N' THEN 'N' ELSE 'D' END) AS date_market_type,
+         CASE WHEN l.kind = 'UNKNOWN' THEN 'UNKNOWN'
+              ELSE strftime(l.sess_date, '%Y-%m-%d') || '_' || l.kind
+         END AS session_id,
+         coalesce(c.contract_year_month, '') AS contract_year_month,
+         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
+  FROM labeled l
+  LEFT JOIN cfg c ON date_trunc('week', l.bar_ts) = c.start_k
+),
+last_session AS (
+  SELECT session_id FROM adjusted ORDER BY bar_ts DESC LIMIT 1
+),
+open_session AS (
+  SELECT a.session_id
+  FROM adjusted a JOIN last_session ls USING (session_id)
+  GROUP BY a.session_id
+  HAVING count(*) < (CASE WHEN a.session_id = 'UNKNOWN' THEN 9223372036854775807
+                          WHEN right(a.session_id, 1) = 'D' THEN 5
+                          ELSE 14 END)
+)
+SELECT * FROM adjusted
+WHERE session_id NOT IN (SELECT session_id FROM open_session)
+"""
+
+
+@q("bar_pipeline_60m", _PIPELINE60_SQL)
+def bar_pipeline_60m_q(spark, sf_dir):
+    """A2 end to end: 60-min bars rolled up FROM the session-split 5-min
+    bars (hypertable rollup; day side phase-shifted 45 min), then the
+    same label/back-adjust/drop-open chain at the 60-min expected counts
+    (D=5/N=14)."""
+    return bar_pipeline_60m(spark, sf_dir)
+
+
+_PREDICT_SQL = """
+WITH months AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate)::DATE AS month_start FROM orders
+),
+wed AS (
+  SELECT month_start,
+         month_start + (((2 - (dayofweek(month_start) + 6) % 7) + 7) % 7 + 14)
+           * INTERVAL 1 DAY AS wed3
+  FROM months
+),
+sched AS (
+  SELECT strftime(month_start, '%Y%m') AS contract_year_month,
+         month_start,
+         wed3::TIMESTAMP + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k,
+         row_number() OVER (ORDER BY month_start) * 10.0 AS next_contract_diff
+  FROM wed
+),
+cfg AS (
+  SELECT *,
+         coalesce(sum(next_contract_diff) OVER (ORDER BY month_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS accumulated_contract_diff
+  FROM sched
+),
+last_row AS (SELECT * FROM cfg ORDER BY settle_k DESC LIMIT 1),
+nxt AS (
+  SELECT date_trunc('month',
+           strptime(contract_year_month, '%Y%m')::DATE + INTERVAL 31 DAYS)::DATE
+           AS nm,
+         settle_k AS last_settle,
+         accumulated_contract_diff + next_contract_diff AS acc
+  FROM last_row
+)
+SELECT strftime(nm, '%Y%m') AS contract_year_month,
+       0.0 AS next_contract_diff,
+       acc AS accumulated_contract_diff,
+       last_settle + INTERVAL 5 MINUTES AS start_k,
+       (nm + (((2 - (dayofweek(nm) + 6) % 7) + 7) % 7 + 14) * INTERVAL 1 DAY)::TIMESTAMP
+         + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k
+FROM nxt
+"""
+
+
+@q("predict_next_contract", _PREDICT_SQL)
+def predict_next_contract_q(spark, sf_dir):
+    """calculate_next_contract (main.py:191-224) end to end: settlement
+    schedule over orders' months with synthetic roll gaps (10*i), then
+    the predicted next-contract row - next yyyyMM via +31d from month
+    start (P7/P8), third-Wednesday 13:25 settle (P9), start = last
+    settle + 5 min, accumulated gap rolled forward (A7/A6)."""
+    from ..operators.adjust import derive_accumulated_gap
+    from ..operators.calendar import predict_next_contract, settlement_schedule
+
+    months = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.trunc("o_orderdate", "month").alias("month_start"))
+        .distinct()
+    )
+    w = Window.orderBy("month_start")
+    cfg = (
+        settlement_schedule(months)
+        .withColumn("next_contract_diff", F.row_number().over(w) * F.lit(10.0))
+    )
+    cfg = derive_accumulated_gap(cfg, order_col="month_start")
+    return predict_next_contract(cfg).select(
+        "contract_year_month",
+        "next_contract_diff",
+        "accumulated_contract_diff",
+        "start_k",
+        "settle_k",
+    )
 
 
 _SCHEDULE_SQL = """
