@@ -101,22 +101,22 @@ def shingles_exploded(
         "pos",
         "tok",
         *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)],
-        F.count("*").over(Window.partitionBy(id_col)).alias("_n_tok"),
     )
-    long_docs = leads.where(
-        (F.col("_n_tok") >= n) & F.col(f"_t{n - 1}").isNotNull()
+    # One branch covers both cases: a row is a shingle start iff it has
+    # n-1 successors (full n-gram) OR it is position 0 of a doc shorter
+    # than n tokens (then _t{n-1} is null everywhere and concat_ws skips
+    # nulls, yielding the whole text as the single shingle). Keeping this
+    # single-branch matters for plan cost: a union of two filters over
+    # the window output would duplicate the whole shingle subtree at
+    # every use site (measured: 8 scans/16 windows -> 3/3 in
+    # ngram_jaccard_pairs).
+    return leads.where(
+        F.col(f"_t{n - 1}").isNotNull() | (F.col("pos") == 0)
     ).select(
         F.col(id_col),
         *extra_cols,
         F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, n)]).alias("shingle"),
-    )
-    # concat_ws skips nulls, so a doc with < n tokens yields its full text
-    short_docs = leads.where((F.col("_n_tok") < n) & (F.col("pos") == 0)).select(
-        F.col(id_col),
-        *extra_cols,
-        F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, n)]).alias("shingle"),
-    )
-    return long_docs.unionByName(short_docs).distinct()
+    ).distinct()
 
 
 def minhash_signature(

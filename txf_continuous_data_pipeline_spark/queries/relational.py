@@ -493,6 +493,53 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@q("grouping_sets_orders", _GROUPING_SETS_SQL)
+def grouping_sets_orders(spark, sf_dir):
+    """GROUPING SETS (the general form behind rollup/cube): per-status,
+    per-priority, and grand-total aggregates in one pass over orders -
+    Spark expands to a single expand+aggregate, no multi-scan union."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_FROM_JSON_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+                THEN 1 ELSE 0 END) AS n_high_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@q("json_struct_agg", _FROM_JSON_SQL)
+def json_struct_agg(spark, sf_dir):
+    """P13 full form: from_json with a declared schema parses props ONCE
+    into a typed struct (vs one get_json_object pass per field), then
+    aggregates over the typed field."""
+    events = read_table(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k DOUBLE"))
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+        F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0)).alias("n_high_k"),
+    )
+
+
 _DISTINCT_SQL = """
 SELECT n_name,
        count(DISTINCT c_custkey)       AS n_customers,

@@ -94,6 +94,22 @@ def sink_watermark(spark: SparkSession, sink_path: str, ts_col: str = "ts"):
     return row["wm"]
 
 
+def write_date_partitioned(
+    df: DataFrame, path: str, *, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write a fact table partitioned by calendar date of ts_col - the
+    layout every 100-TB scan depends on: a date predicate then prunes
+    whole directories before any IO (PartitionFilters in the scan), and
+    the reference's 7-day-lookback fetch (S1, main.py:236-238) becomes
+    pure partition pruning instead of a full scan."""
+    (
+        df.withColumn("_date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("_date")
+        .parquet(path)
+    )
+
+
 def append_idempotent(
     df: DataFrame, sink_path: str, ts_col: str = "ts"
 ) -> int:
