@@ -103,6 +103,36 @@ def asof_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew: the big side's hot keys are
+    split across `n_salts` synthetic sub-keys (hash of `salt_src`, any
+    column uncorrelated with the join key - a unique id works), and the
+    small side is replicated n_salts times so every sub-key finds its
+    match. Result is row-identical to the plain join; the shuffle spreads
+    a hot key over n_salts reducers instead of one straggler.
+
+    AQE's skew-join handles the sort-merge case automatically at runtime;
+    this explicit form is for plans AQE cannot split (e.g. a skewed
+    aggregate feeding the join, or pre-AQE engines) and as the documented
+    recipe for the 100-TB case.
+    """
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
+
+
 def sessionize(
     df: DataFrame,
     *,
