@@ -141,15 +141,20 @@ def ngram_jaccard_pairs(spark, sf_dir):
     which enumerates the full blocked n^2 and re-scans both arrays per
     pair (measured 35s vs ~3s at sf0.1)."""
     docs = read_table(spark, sf_dir, "documents")
-    # shingle text replaced by its xxhash64 before the shuffle: 8-byte
-    # join keys instead of ~20-char strings (collision odds ~1e-11 at
-    # this cardinality). The two self-join sides share one canonical
-    # subplan, so ReuseExchange computes the index once - no persist()
-    # needed (and no cache lingering across later queries).
-    inv = shingles_exploded(docs, extra_cols=("source",)).select(
-        "doc_id", "source", F.xxhash64("shingle").alias("sh")
-    )
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # shingles pre-hashed to 8-byte longs (collision odds ~1e-11 at this
+    # cardinality); the per-doc set size is read off the shingle array
+    # before exploding, so the whole index build has ZERO exchanges and
+    # the Jaccard arithmetic needs no separate `sizes` joins - the
+    # intersection count and both set sizes come out of the one
+    # inverted-index self-join.
+    inv = shingles_exploded(
+        docs, extra_cols=("source",), hashed=True, count_col="n_sh"
+    ).select("doc_id", "source", "n_sh", F.col("shingle").alias("sh"))
+    # Explicit repartition on the join keys: both self-join sides then
+    # share one identical exchange subplan, so ReusedExchange builds the
+    # index ONCE instead of once per side, and the join needs no further
+    # shuffle (co-partitioned children).
+    inv = inv.repartition(F.col("source"), F.col("sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -161,20 +166,15 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .where(jac >= 0.2)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return common.where(jac >= 0.2).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 
