@@ -1,0 +1,91 @@
+"""applyInPandasWithState sessionizer: every emitted session must agree
+with the batch twin (session_stats), sessions closed by the watermark in
+force during the last data batch must all be emitted, and re-runs from
+the same checkpoint must never emit a session key twice."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.relational import session_stats
+from txf_continuous_data_pipeline_spark.sources import read_table
+from txf_continuous_data_pipeline_spark.streaming import stage_events_dir
+from txf_continuous_data_pipeline_spark.streaming.incremental import stream_events
+from txf_continuous_data_pipeline_spark.streaming.stateful import (
+    stateful_session_stream,
+)
+
+GAP = "30 minutes"
+DELAY = "10 minutes"
+COLS = ["user_id", "session_start", "session_end", "n_events"]
+
+
+def _batch_sessions(spark, sf_dir):
+    return session_stats(
+        read_table(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        gap=GAP,
+    ).select(*COLS)
+
+
+def _run(spark, feed, sink, ckpt):
+    sessions = stateful_session_stream(
+        stream_events(spark, feed, max_files_per_trigger=1),
+        key_col="user_id", ts_col="ts", gap=GAP, delay=DELAY,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stateful stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+
+    _run(spark, feed, sink, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(sink).select(*COLS).collect()}
+    assert got, "no sessions emitted"
+
+    batch = {tuple(r) for r in _batch_sessions(spark, sf_dir).collect()}
+    assert got <= batch, "stream emitted sessions that disagree with batch"
+
+    # Lower bound: sessions whose close condition (last event + gap) fell
+    # below the watermark of the LAST data batch (max ts of the first n-1
+    # files - delay) must all be out, whether or not the final no-data
+    # flush batch ran.
+    parts = sorted(glob.glob(os.path.join(feed, "part-*")))
+    wm = spark.read.parquet(*parts[:-1]).agg(F.max("ts")).collect()[0][0]
+    want = {
+        tuple(r)
+        for r in _batch_sessions(spark, sf_dir)
+        .where(
+            F.col("session_end") + F.expr(f"INTERVAL {GAP}")
+            < F.lit(wm) - F.expr(f"INTERVAL {DELAY}")
+        )
+        .collect()
+    }
+    assert want <= got, f"missing {len(want - got)} finalized sessions"
+
+    # Re-run from the same checkpoint: residual state may flush, but no
+    # session key may appear twice and values must stay batch-consistent.
+    _run(spark, feed, sink, ckpt)
+    final = spark.read.parquet(sink)
+    n = final.count()
+    assert (
+        final.select("user_id", "session_start").distinct().count() == n
+    ), "duplicate sessions emitted"
+    assert {tuple(r) for r in final.select(*COLS).collect()} <= batch

@@ -101,6 +101,61 @@ def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def curate_corpus(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_tokens: int = 10,
+    max_punct: float = 0.25,
+    budget_tokens: int = 20_000,
+) -> DataFrame:
+    """End-to-end training-data curation: quality filter (token count +
+    punctuation ratio) -> exact dedup (keep lowest id per md5 digest) ->
+    per-language token budget (highest-token docs first until the budget
+    is spent). The standard web-corpus -> training-set reduction, as one
+    declarative plan.
+
+    Scale shape: the filter runs at the scan (pushdown-friendly
+    predicates over derived columns), the dedup shuffles on the 16-byte
+    digest (never the document text), and the budget is a running-sum
+    window per language. At 100-TB the per-language window is the skew
+    point (one partition per language); production would pre-aggregate
+    per-shard token counts to pick an approximate per-shard quota, then
+    apply it shard-locally - the per-language exact form here is the
+    oracle-checkable reference semantics."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    stats = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.md5(text).alias("_digest"),
+        token_count(text).cast("long").alias("n_tokens"),
+        punct_ratio(text).alias("_punct"),
+    )
+    filtered = stats.where(
+        (F.col("n_tokens") >= min_tokens) & (F.col("_punct") <= max_punct)
+    )
+    w_dup = Window.partitionBy("_digest").orderBy(id_col)
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w_dup))
+        .where(F.col("_rn") == 1)
+    )
+    w_budget = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("n_tokens"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return deduped.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tokens",
+        F.sum("n_tokens").over(w_budget).alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget_tokens)
+
+
 def text_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats bundle (token counts, lengths, ratios, quality,
     language guess).

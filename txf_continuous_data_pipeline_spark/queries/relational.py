@@ -562,3 +562,68 @@ def distinct_customers_per_nation(spark, sf_dir):
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
+
+
+_PCT_SQL = """
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(l_extendedprice, 0.90) AS DOUBLE), 4) AS p90,
+       round(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99,
+       round(avg(l_extendedprice), 4)                                 AS mean_price,
+       round(stddev_samp(l_extendedprice), 4)                         AS sd_price,
+       count(*)                                                       AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@q("percentile_price_stats", _PCT_SQL)
+def percentile_price_stats(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) + moments per return
+    flag. Spark's `percentile` and DuckDB's `quantile_cont` share the
+    p*(n-1) linear-interpolation definition, so the oracle matches to FP
+    precision. Exact percentile sorts each group's values in the
+    aggregation buffer - fine at 3 groups x any row count because the
+    merge is per-group; at 100-TB swap in approx_percentile (t-digest)
+    for the same call shape with bounded memory."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile(price, F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile(price, F.lit(0.99)), 4).alias("p99"),
+        F.round(F.avg(price), 4).alias("mean_price"),
+        F.round(F.stddev_samp(price), 4).alias("sd_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice
+             - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+             2) AS delta_prev,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+"""
+
+
+@q("order_price_lag_quartile", _LAG_SQL)
+def order_price_lag_quartile(spark, sf_dir):
+    """lag() + ntile() ranking windows per customer. Both windows
+    partition by o_custkey, so Catalyst plans ONE exchange feeding two
+    WindowExec sorts; tie-breaks include o_orderkey so the frames are
+    deterministic under any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w_time), 2
+        ).alias("delta_prev"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+    )

@@ -20,7 +20,12 @@ from ..operators.dedup import (
     simhash_neardup_pairs,
     token_shingles,
 )
-from ..operators.textstats import LANG_MARKERS, doc_fingerprint, text_stats
+from ..operators.textstats import (
+    LANG_MARKERS,
+    curate_corpus,
+    doc_fingerprint,
+    text_stats,
+)
 from ..sources import read_table
 from .registry import q
 
@@ -200,6 +205,93 @@ def token_histogram_top20(spark, sf_dir):
         .orderBy(F.desc("n"), "tok")
         .limit(20)
     )
+
+
+_REGEX_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT regexp_extract(lower(text), '([a-z]{7,})', 1) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 15
+"""
+
+
+@q("regex_top_words", _REGEX_SQL)
+def regex_top_words(spark, sf_dir):
+    """Regex extraction in the scan projection: first >=7-letter word per
+    document, corpus frequency top-15. regexp_extract stays inside
+    whole-stage codegen; the only exchange is the final group-count."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.regexp_extract(F.lower(F.col("text")), "([a-z]{7,})", 1).alias(
+                "word"
+            )
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(15)
+    )
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      < (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
+"""
+
+
+@q("stratified_sample_docs", _SAMPLE_SQL)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling: keep a doc iff the first hex
+    digit of md5(doc_id) falls under the stratum's threshold (en: 8/16 =
+    50%, other langs 4/16 = 25%). Unlike rand()/sampleBy this is
+    reproducible across engines and runs, embarrassingly parallel (pure
+    per-row predicate, no shuffle, no state), and stable under
+    re-partitioning - the property a 100-TB curation pipeline needs so a
+    re-run selects the identical subset."""
+    docs = read_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    thresh = F.when(F.col("lang") == "en", F.lit("8")).otherwise(F.lit("4"))
+    return docs.where(digit < thresh).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_CURATE_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, lang, md5(text) AS digest,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct
+  FROM documents
+), filtered AS (
+  SELECT * FROM stats WHERE n_tokens >= 10 AND punct <= 0.25
+), deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+), budgeted AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM deduped
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM budgeted
+WHERE cum_tokens <= 20000
+"""
+
+
+@q("training_data_curation", _CURATE_SQL)
+def training_data_curation(spark, sf_dir):
+    """Flagship curation pipeline: quality filter -> exact dedup ->
+    per-language token budget, one declarative plan (see
+    operators/textstats.curate_corpus for the scale analysis)."""
+    return curate_corpus(read_table(spark, sf_dir, "documents"))
 
 
 @q("minhash_neardup", None)

@@ -5,6 +5,7 @@ from .incremental import (
     streaming_ohlcv,
     gated_idempotent_sink,
 )
+from .stateful import stateful_session_stream
 
 __all__ = [
     "available_now_bar_stream",
@@ -12,4 +13,5 @@ __all__ = [
     "stream_events",
     "streaming_ohlcv",
     "gated_idempotent_sink",
+    "stateful_session_stream",
 ]

@@ -1,0 +1,125 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+applyInPandasWithState (SURVEY.md 2.7 extension).
+
+F.session_window covers the built-in case; this operator exists for the
+semantics the built-in can't express - arbitrary per-session state and
+emit-on-close outputs - and demonstrates the engine's custom-stateful
+surface. Semantics are the batch twin's (operators/relational.sessionize
+/ session_stats): events of one key belong to a session until a silence
+STRICTLY longer than `gap`; a session closes when a newer event opens
+the next one, or when the event-time watermark passes last_event + gap
+(EventTimeTimeout), i.e. no on-time event can extend it anymore. Closed
+sessions are emitted exactly once (append mode).
+
+Scale shape: state is one fixed-width row (3 longs) per OPEN session per
+key - bounded by active keys, not history; the watermark timeout
+guarantees eviction. Arrow moves each key-group batch into pandas in one
+block; the per-event fold is O(events in batch for that key). The
+shuffle is the same hash-by-key exchange a streaming agg needs anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _to_us(series: pd.Series) -> pd.Series:
+    """Event timestamps as int64 epoch-microseconds, whatever datetime64
+    resolution Arrow handed over."""
+    return pd.to_datetime(series).astype("datetime64[us]").astype("int64")
+
+
+def _session_fold(gap_us: int):
+    gap_ms = gap_us // 1000
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        closed: list[tuple[int, int, int]] = []  # (start_us, last_us, n)
+
+        if state.hasTimedOut:
+            # Watermark passed last+gap with no new data for this key:
+            # the open session can no longer be extended - final.
+            start, last, n = state.get
+            state.remove()
+            closed.append((start, last, n))
+        else:
+            cur = tuple(state.get) if state.exists else None
+            for pdf in pdfs:
+                for t in _to_us(pdf["ts"]).sort_values():
+                    t = int(t)
+                    if cur is None:
+                        cur = (t, t, 1)
+                    elif t - cur[1] > gap_us:
+                        closed.append(cur)
+                        cur = (t, t, 1)
+                    else:
+                        cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                state.update(cur)
+                # Fire once no on-time event can extend the session.
+                # Must be strictly above the current watermark or Spark
+                # rejects the timestamp (a session already expired at
+                # fold time still needs a tick to come back and emit).
+                state.setTimeoutTimestamp(
+                    max(
+                        cur[1] // 1000 + gap_ms + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["start_us", "last_us", "n_events"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "session_start": pd.to_datetime(
+                        out["start_us"], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(out["last_us"], unit="us"),
+                    "n_events": out["n_events"].astype("int64"),
+                }
+            )
+
+    return fold
+
+
+def stateful_session_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Emit-on-close session stats over a stream: one output row per
+    CLOSED session (user_id, session_start, session_end, n_events) -
+    row-equal to batch `session_stats` restricted to sessions the
+    watermark has finalized."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _session_fold(gap_us),
+            SESSION_OUT_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
