@@ -1,0 +1,94 @@
+"""Distributed connected components over a pair/edge table.
+
+The missing last stage of every near-duplicate pipeline: LSH/Jaccard
+verification emits PAIRS (a~b, b~c), but curation needs GROUPS — the
+transitive closure {a,b,c} with one representative. The reference has no
+graph stage (its dedup is a scalar watermark, /root/reference/main.py:
+548-558); this is part of the beyond-the-reference training-data layer.
+
+Algorithm: iterative min-label propagation. Each node starts labeled
+with its own id; every round each node takes the min label among itself
+and its neighbors; converged when no label changes. Rounds needed =
+graph diameter, and near-dup graphs are overwhelmingly tiny cliques
+(diameter 1-2), so 3-5 rounds close almost any real corpus.
+
+Scale notes (100 TB):
+  - each round is ONE shuffle (join edges->labels on the edge key) plus
+    one groupBy(min); both hash-partition on node id, so AQE reuses the
+    partitioning between the join and the agg.
+  - lineage is cut with localCheckpoint() each round — without it the
+    plan doubles per iteration and the driver OOMs on plan analysis
+    long before data is a problem.
+  - the convergence probe is a `limit(1).count()` on the changed set,
+    not a full count — it short-circuits at the first changed row.
+  - for adversarial graphs (long chains), swap the propagation body for
+    the large-star/small-star rounds of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SOCC'14) — same loop shell,
+    O(log^2 n) rounds. Not needed for near-dup workloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected edges to (id, component) with component = min
+    node id reachable. Only nodes that appear in an edge are returned
+    (isolated rows are their own singleton group by definition — union
+    them in at the call site if needed)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels, sym["a"] == labels["id"], "inner"
+        ).select(F.col("b").alias("id"), F.col("component"))
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(nbr_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pair table -> (doc_id, component) group assignment;
+    component is the smallest doc_id in the transitive-closure group."""
+    return connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )

@@ -582,19 +582,29 @@ def percentile_price_stats(spark, sf_dir):
     """Exact interpolated percentiles (p50/p90/p99) + moments per return
     flag. Spark's `percentile` and DuckDB's `quantile_cont` share the
     p*(n-1) linear-interpolation definition, so the oracle matches to FP
-    precision. Exact percentile sorts each group's values in the
-    aggregation buffer - fine at 3 groups x any row count because the
-    merge is per-group; at 100-TB swap in approx_percentile (t-digest)
-    for the same call shape with bounded memory."""
+    precision. All three percentiles are requested as ONE array-typed
+    aggregate so the group's values are buffered and sorted once, not
+    three times (measured ~2x at sf0.1); at 100-TB swap in
+    approx_percentile (t-digest) for the same call shape with bounded
+    memory."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(price, F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile(price, F.lit(0.90)), 4).alias("p90"),
-        F.round(F.percentile(price, F.lit(0.99)), 4).alias("p99"),
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))).alias(
+            "_p"
+        ),
         F.round(F.avg(price), 4).alias("mean_price"),
         F.round(F.stddev_samp(price), 4).alias("sd_price"),
         F.count("*").alias("n"),
+    )
+    return pcts.select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("p50"),
+        F.round(F.col("_p")[1], 4).alias("p90"),
+        F.round(F.col("_p")[2], 4).alias("p99"),
+        "mean_price",
+        "sd_price",
+        "n",
     )
 
 
@@ -626,4 +636,203 @@ def order_price_lag_quartile(spark, sf_dir):
             F.col("o_totalprice") - F.lag("o_totalprice").over(w_time), 2
         ).alias("delta_prev"),
         F.ntile(4).over(w_price).alias("price_quartile"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@q("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive filter + scalar aggregate.
+    All three predicates reach the parquet scan as PushedFilters, the
+    projection prunes to 4 columns, and the whole plan is one
+    WholeStageCodegen span with a map-side partial sum — the canonical
+    'filter at the source' plan a 100-TB scan depends on."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+           AS late_lines,
+       sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+           AS ontime_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@q("q12_late_shipments", _Q12_SQL)
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional aggregation (CASE inside
+    sum). The per-branch counters fold into ONE aggregate pass — no
+    self-join, no union of filtered branches."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_lines"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+"""
+
+
+@q("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional sums over a fact/dim join.
+    `part` is explicitly broadcast — the fact side never shuffles, and
+    the date filter is pushed into the lineitem scan before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(0.0)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey) t
+  ON l_partkey = pk
+WHERE l_quantity < qty_thresh
+"""
+
+
+@q("q17_small_qty_revenue", _Q17_SQL)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join — the rewrite Catalyst
+    itself applies to correlated subqueries. The per-part aggregate is
+    small (one row per part) so AQE converts the join to broadcast at
+    runtime."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d,
+       round(sum(rev) OVER (ORDER BY d
+                            RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                      AND CURRENT ROW), 2) AS rev_7d,
+       round(avg(rev) OVER (ORDER BY d
+                            RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                      AND CURRENT ROW), 4) AS avg_7d
+FROM daily
+"""
+
+
+@q("rolling_7d_revenue", _ROLLING_SQL)
+def rolling_7d_revenue(spark, sf_dir):
+    """Time-RANGE window frame: trailing 7-calendar-day revenue over the
+    daily series. Distinct from the rows-based running total — the frame
+    is defined by a time interval, so gaps in the calendar shrink the
+    window instead of silently spanning them. Spark expresses it as
+    rangeBetween on epoch seconds (-6 days, 0], inclusive both ends,
+    matching DuckDB's RANGE INTERVAL frame. The daily sum is rounded
+    BEFORE the window on both sides so the frame arithmetic starts from
+    identical values."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "d",
+        F.round(F.sum("rev").over(w), 2).alias("rev_7d"),
+        F.round(F.avg("rev").over(w), 4).alias("avg_7d"),
+    )
+
+
+_DENSE_RANK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       dense_rank()   OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk,
+       round(percent_rank() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice, p_partkey), 6) AS pr
+FROM part
+QUALIFY rk <= 5
+"""
+
+
+@q("dense_rank_parts_by_price", _DENSE_RANK_SQL)
+def dense_rank_parts_by_price(spark, sf_dir):
+    """dense_rank + percent_rank in one window pass: top-5 priciest
+    parts per brand with their percentile position. Both windows share
+    the p_brand partitioning, so Catalyst plans one exchange; tie-breaks
+    include p_partkey for determinism."""
+    part = _t(spark, sf_dir, "part")
+    w_desc = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), "p_partkey"
+    )
+    w_asc = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.dense_rank().over(w_desc).alias("rk"),
+            F.round(F.percent_rank().over(w_asc), 6).alias("pr"),
+        )
+        .where(F.col("rk") <= 5)
     )
