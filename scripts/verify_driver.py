@@ -52,7 +52,11 @@ def canon(v):
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ")
+        # datetime.date has no sep kwarg; normalize midnight datetimes
+        # and bare dates to the same string so date32 vs timestamp
+        # sources compare equal (both sides canonicalized identically).
+        s = v.isoformat(sep=" ") if hasattr(v, "time") else v.isoformat()
+        return s[:-9] if s.endswith(" 00:00:00") else s
     return v
 
 
@@ -68,17 +72,55 @@ def values_match(a, b):
     return a == b
 
 
+def _canon_type(t) -> str:
+    """Collapse an Arrow/Spark type to a comparison class. The driver
+    hashes typed Arrow values, so DuckDB HUGEINT (decimal128) vs Spark
+    long (int64) is a real mismatch even when Python values are equal -
+    keep 'int' and 'decimal' distinct classes."""
+    s = str(t).lower()
+    if s.startswith(("timestamp", "datetime")):
+        return "ts"
+    if s.startswith("date"):
+        return "date"
+    if "string" in s or s in ("utf8", "large_utf8", "varchar"):
+        return "str"
+    if s.startswith(("int", "uint", "long", "short", "byte", "bigint")):
+        return "int"
+    if s.startswith(("float", "double", "halffloat")):
+        return "float"
+    if s.startswith("decimal"):
+        # DuckDB DECIMAL/HUGEINT reach the driver as pandas float64, so
+        # they match a Spark double but NOT a Spark long (the r01 bug).
+        return "float"
+    if s.startswith(("bool",)):
+        return "bool"
+    if s.startswith(("list", "array", "large_list")):
+        return "list"
+    return s
+
+
 def compare(name, spark_df, con, sql):
     cols = sorted(spark_df.columns)
     s_rows = [
         tuple(canon(r[c]) for c in cols) for r in spark_df.collect()
     ]
-    o = con.execute(sql)
-    o_cols = [d[0] for d in o.description]
+    tbl = con.execute(sql).arrow()
+    o_cols = list(tbl.column_names)
     if sorted(o_cols) != cols:
         return f"SCHEMA {sorted(o_cols)} != {cols}"
+    s_types = {f.name: _canon_type(f.dataType) for f in spark_df.schema.fields}
+    o_types = {fld.name: _canon_type(fld.type) for fld in tbl.schema}
+    bad = [
+        f"{c}: spark={s_types[c]} oracle={o_types[c]}"
+        for c in cols
+        if s_types[c] != o_types[c]
+    ]
+    if bad:
+        return "TYPE " + "; ".join(bad)
     idx = [o_cols.index(c) for c in cols]
-    o_rows = [tuple(canon(r[i]) for i in idx) for r in o.fetchall()]
+    o_rows = [
+        tuple(canon(r[o_cols[i]]) for i in idx) for r in tbl.to_pylist()
+    ]
     if len(s_rows) != len(o_rows):
         return f"ROWCOUNT spark={len(s_rows)} oracle={len(o_rows)}"
     for sr, orow in zip(rows_key(s_rows), rows_key(o_rows)):

@@ -32,7 +32,43 @@ def _canon(v):
             return None
     except (TypeError, ValueError):
         pass
+    # Normalize temporal types: pandas Timestamp vs datetime.date vs
+    # datetime.datetime must compare equal when they name the same
+    # instant (the driver hashes Arrow values, where both sides already
+    # agree; locally pandas re-types them differently per source).
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if hasattr(v, "isoformat"):
+        s = v.isoformat(sep=" ") if hasattr(v, "time") else v.isoformat()
+        return s[:-9] if s.endswith(" 00:00:00") else s
     return v
+
+
+def _canon_type(t) -> str:
+    """Collapse a Spark/Arrow type to a comparison class (mirrors
+    scripts/verify_driver.py). The driver hashes typed Arrow values, so
+    DuckDB HUGEINT (decimal128) vs Spark long (int64) is a real
+    mismatch even when the Python values are equal."""
+    s = str(t).lower()
+    if s.startswith(("timestamp", "datetime")):
+        return "ts"
+    if s.startswith("date"):
+        return "date"
+    if "string" in s or s in ("utf8", "large_utf8", "varchar"):
+        return "str"
+    if s.startswith(("int", "uint", "long", "short", "byte", "bigint")):
+        return "int"
+    if s.startswith(("float", "double", "halffloat")):
+        return "float"
+    if s.startswith("decimal"):
+        # DuckDB DECIMAL/HUGEINT reach the driver as pandas float64, so
+        # they match a Spark double but NOT a Spark long (the r01 bug).
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith(("list", "array", "large_list")):
+        return "list"
+    return s
 
 
 def _rows(colnames, rows):
@@ -49,11 +85,23 @@ def _vals_eq(a, b) -> bool:
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     sdf = spark_df.toPandas()
-    odf = con.sql(sql).df()
-    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    otbl = con.sql(sql).arrow()
+    o_colnames = list(otbl.column_names)
+    s_cols, o_cols = sorted(sdf.columns), sorted(o_colnames)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    s_types = {f.name: _canon_type(f.dataType) for f in spark_df.schema.fields}
+    o_types = {fld.name: _canon_type(fld.type) for fld in otbl.schema}
+    type_mismatch = [
+        f"{c}: spark={s_types[c]} oracle={o_types[c]}"
+        for c in s_cols
+        if s_types[c] != o_types[c]
+    ]
+    assert not type_mismatch, f"{name}: TYPE {'; '.join(type_mismatch)}"
     s_rows = _rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
-    o_rows = _rows(list(odf.columns), odf.itertuples(index=False, name=None))
+    o_rows = _rows(
+        o_colnames,
+        [tuple(r[c] for c in o_colnames) for r in otbl.to_pylist()],
+    )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count {len(s_rows)} != {len(o_rows)}"
     )

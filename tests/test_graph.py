@@ -1,0 +1,67 @@
+"""connected_components / dedup_components: clique, chain, disconnected
+groups, undirected symmetry, and the max_iter convergence contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from txf_continuous_data_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_clique_collapses_to_min_id(spark):
+    # 4-clique on {10,11,12,13}: every node labels to 10.
+    pairs = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    got = _labels(connected_components(_edges(spark, pairs)))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_chain_converges_within_diameter_rounds(spark):
+    # 0-1-2-...-7 chain: diameter 7, min-label floods down to 0.
+    pairs = [(i, i + 1) for i in range(7)]
+    got = _labels(connected_components(_edges(spark, pairs), max_iter=8))
+    assert got == {i: 0 for i in range(8)}
+
+
+def test_disconnected_components_stay_separate(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    got = _labels(connected_components(_edges(spark, pairs)))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    # (b, a) edges with b > a: propagation must still flow both ways.
+    fwd = _labels(connected_components(_edges(spark, [(1, 5), (5, 9)])))
+    rev = _labels(connected_components(_edges(spark, [(9, 5), (5, 1)])))
+    assert fwd == rev == {1: 1, 5: 1, 9: 1}
+
+
+def test_max_iter_exhaustion_raises_by_default(spark):
+    # A 9-hop chain cannot converge in 2 rounds -> strict raises.
+    pairs = [(i, i + 1) for i in range(9)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, pairs), max_iter=2)
+
+
+def test_max_iter_exhaustion_warns_when_not_strict(spark):
+    pairs = [(i, i + 1) for i in range(9)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(_edges(spark, pairs), max_iter=2, strict=False)
+
+
+def test_dedup_components_renames_to_doc_id(spark):
+    pairs = _edges(spark, [(100, 200), (200, 300)])
+    rows = {
+        r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    assert rows == {100: 100, 200: 100, 300: 100}

@@ -29,6 +29,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,11 +41,21 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Resolve undirected edges to (id, component) with component = min
     node id reachable. Only nodes that appear in an edge are returned
     (isolated rows are their own singleton group by definition — union
-    them in at the call site if needed)."""
+    them in at the call site if needed).
+
+    Convergence contract: min-label propagation needs `graph diameter`
+    rounds, so a chain longer than max_iter hops cannot converge. When
+    the loop exhausts max_iter with labels still changing, the result
+    is WRONG (partially propagated), so strict=True (default) raises;
+    strict=False downgrades to a warning for exploratory use. Near-dup
+    graphs are tiny cliques (diameter 1-2), so the default bound is
+    generous; for adversarial diameters use the large-star/small-star
+    variant referenced in the module docstring."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -57,6 +69,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels, sym["a"] == labels["id"], "inner"
@@ -77,7 +90,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (graph diameter exceeds the bound); "
+            "labels are partially propagated and component assignments "
+            "are wrong. Raise max_iter or use a star-contraction variant."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

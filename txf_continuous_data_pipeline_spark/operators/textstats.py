@@ -160,13 +160,17 @@ def text_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
     """Per-document stats bundle (token counts, lengths, ratios, quality,
     language guess).
 
-    Staged projections: the token array and each marker-hit count are
-    materialized ONCE in intermediate selects and reused, instead of
-    re-deriving the regex split inside every stat expression (Catalyst
-    does not CSE across independent output columns; the naive form
-    re-splits the text ~15x and measured 4x slower)."""
+    Staged projections: the token array is materialized ONCE and every
+    marker/length stat comes out of ONE fused `aggregate` pass over it
+    (struct accumulator), instead of one interpreted higher-order lambda
+    per stat. Catalyst does not CSE across independent output columns,
+    and higher-order functions are interpreted (no codegen), so pass
+    count is the cost driver: the naive form ran ~7 lambda passes per
+    doc and measured 15% of the whole round-1 bench; the fused form is
+    one pass plus native size/array_distinct. Marker lookup is a single
+    20-entry literal-map probe per token; the per-language marker sets
+    are disjoint, so stopword hits = sum of per-language hits."""
     text = F.col(text_col)
-    all_markers = tuple(m for ms in LANG_MARKERS.values() for m in ms)
     staged = df.select(
         F.col(id_col),
         F.length(text).alias("n_chars_actual"),
@@ -174,22 +178,46 @@ def text_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
         F.length(F.regexp_replace(text, r"[\w\s]", "")).alias("_n_punct"),
     )
     toks = F.col("_toks")
+    marker_map = F.create_map(
+        *[
+            c
+            for lang, markers in LANG_MARKERS.items()
+            for m in markers
+            for c in (F.lit(m), F.lit(lang))
+        ]
+    )
+    langs = list(LANG_MARKERS)
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, t):
+        code = F.element_at(marker_map, t)
+        return F.struct(
+            (acc["ls"] + F.length(t)).alias("ls"),
+            *[
+                F.when(code == lang, acc[lang] + 1)
+                .otherwise(acc[lang])
+                .alias(lang)
+                for lang in langs
+            ],
+        )
+
+    init = F.struct(
+        zero.alias("ls"), *[zero.alias(lang) for lang in langs]
+    )
     hits = staged.select(
         F.col(id_col),
         "n_chars_actual",
         "_n_punct",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x.cast("long"),
-        ).alias("_tok_len_sum"),
-        marker_hits(toks, all_markers).alias("_stop_hits"),
-        *[
-            marker_hits(toks, markers).alias(f"_hits_{lang}")
-            for lang, markers in LANG_MARKERS.items()
-        ],
+        F.aggregate(toks, init, _step).alias("_acc"),
+    ).select(
+        "*",
+        F.col("_acc.ls").alias("_tok_len_sum"),
+        sum(
+            (F.col(f"_acc.{lang}") for lang in langs), F.lit(0).cast("long")
+        ).alias("_stop_hits"),
+        *[F.col(f"_acc.{lang}").alias(f"_hits_{lang}") for lang in langs],
     )
     n_tok = F.col("n_tokens")
     punct = F.col("_n_punct") / F.greatest(F.col("n_chars_actual"), F.lit(1))

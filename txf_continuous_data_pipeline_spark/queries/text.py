@@ -135,9 +135,10 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-@q("ngram_jaccard_pairs", _JACCARD_SQL)
-def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by `source`.
+def _jaccard_pair_frame(docs, threshold: float):
+    """Exact 3-gram Jaccard pairs (id_a < id_b, blocked by `source`)
+    via the inverted-index plan - shared by ngram_jaccard_pairs and
+    neardup_groups.
 
     Inverted-index plan (the 100-TB shape): explode shingles, self-join
     on (source, shingle) to count the intersection per pair, then
@@ -145,7 +146,6 @@ def ngram_jaccard_pairs(spark, sf_dir):
     never materialize - unlike the naive self-join + array_intersect,
     which enumerates the full blocked n^2 and re-scans both arrays per
     pair (measured 35s vs ~3s at sf0.1)."""
-    docs = read_table(spark, sf_dir, "documents")
     # shingles pre-hashed to 8-byte longs (collision odds ~1e-11 at this
     # cardinality); the per-doc set size is read off the shingle array
     # before exploding, so the whole index build has ZERO exchanges and
@@ -178,9 +178,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return common.where(jac >= 0.2).select(
+    return common.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@q("ngram_jaccard_pairs", _JACCARD_SQL)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by `source` (see
+    _jaccard_pair_frame for the inverted-index plan notes)."""
+    return _jaccard_pair_frame(read_table(spark, sf_dir, "documents"), 0.2)
 
 
 _TOKEN_HIST_SQL = f"""
@@ -276,9 +283,9 @@ WITH stats AS (
   QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
 ), budgeted AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang
-                             ORDER BY n_tokens DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM deduped
 )
 SELECT doc_id, lang, n_tokens, cum_tokens FROM budgeted
@@ -314,3 +321,49 @@ def simhash_neardup(spark, sf_dir):
 def doc_fingerprint_q(spark, sf_dir):
     """Order-sensitive rolling token-hash fingerprint per document."""
     return doc_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+# Transitive closure via a recursive CTE: reach = every node reachable
+# from `id`; the component label is the minimum reachable id (including
+# id itself) - exactly connected_components' min-label fixpoint.
+_NEARDUP_GROUPS_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+)
+SELECT id AS doc_id, least(id, min(r)) AS component
+FROM reach GROUP BY id
+"""
+
+
+@q("neardup_groups", _NEARDUP_GROUPS_SQL)
+def neardup_groups(spark, sf_dir):
+    """The composed dedup story, last stage included: near-dup PAIRS
+    (exact 3-gram Jaccard >= 0.02, inverted index) -> connected
+    components -> (doc_id, component) group assignment with component =
+    min doc_id of the transitive-closure group. The graph stage is
+    operators/graph.connected_components (min-label propagation, one
+    shuffle per round); the oracle reproduces the same fixpoint with a
+    recursive CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = _jaccard_pair_frame(
+        read_table(spark, sf_dir, "documents"), 0.02
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component")

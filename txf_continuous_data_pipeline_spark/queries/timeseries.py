@@ -375,7 +375,7 @@ day60 AS (
          max(high)              AS high,
          min(low)               AS low,
          arg_max(close, bar_ts) AS close,
-         sum(volume)            AS volume
+         CAST(sum(volume) AS BIGINT) AS volume
   FROM bars5
   WHERE bar_ts::TIME >= TIME '08:45:00' AND bar_ts::TIME <= TIME '13:45:00'
   GROUP BY 1
@@ -386,7 +386,7 @@ night60 AS (
          max(high)              AS high,
          min(low)               AS low,
          arg_max(close, bar_ts) AS close,
-         sum(volume)            AS volume
+         CAST(sum(volume) AS BIGINT) AS volume
   FROM bars5
   WHERE bar_ts::TIME >= TIME '15:00:00' OR bar_ts::TIME <= TIME '05:00:00'
   GROUP BY 1
