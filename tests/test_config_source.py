@@ -1,0 +1,37 @@
+"""External settlement-config ingestion (S3 faithful): typed coercion,
+null-key drop, and strict up-front validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from txf_continuous_data_pipeline_spark.sources import read_settle_config
+
+CFG_PATH = "/root/repo/tests/fixtures/settle_config.csv"
+
+
+def test_null_key_rows_dropped_and_bad_values_coerced(spark):
+    cfg = read_settle_config(spark, CFG_PATH)
+    rows = {r["contract_year_month"]: r for r in cfg.collect()}
+    # 7 file rows -> 6 kept (the empty-key row is dropped, F1)
+    assert len(rows) == 6 and "" not in rows
+    # 'n/a' diff and empty accumulated coerce to null, row kept (P4)
+    dirty = rows["202412"]
+    assert dirty["next_contract_diff"] is None
+    assert dirty["accumulated_contract_diff"] is None
+    # clean rows fully typed (P4/P5)
+    clean = rows["202402"]
+    assert clean["next_contract_diff"] == 15.0
+    assert clean["start_k"].isoformat() == "2024-01-03T13:30:00"
+
+
+def test_strict_mode_rejects_unparseable_rows(spark):
+    with pytest.raises(ValueError, match="unparseable"):
+        read_settle_config(spark, CFG_PATH, strict=True)
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "cfg.parquet")
+    read_settle_config(spark, CFG_PATH).write.parquet(p)
+    again = read_settle_config(spark, p)
+    assert again.count() == 6

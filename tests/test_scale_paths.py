@@ -1,0 +1,114 @@
+"""The advertised 100-TB rewrites must be row-identical to their
+reference forms: backadjust_bucketed == backadjust, and
+asof_join's bucketed plan == the broadcast+fold plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.adjust import (
+    backadjust,
+    backadjust_bucketed,
+)
+from txf_continuous_data_pipeline_spark.operators.relational import (
+    asof_join,
+    asof_join_bucketed,
+)
+from txf_continuous_data_pipeline_spark.plans.pipeline import (
+    weekly_settle_config,
+)
+from txf_continuous_data_pipeline_spark.sources import (
+    read_settle_config,
+    read_table,
+)
+
+CFG_PATH = "/root/repo/tests/fixtures/settle_config.csv"
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(str(r[c]) for c in cols) for r in df.collect()]
+    )
+
+
+def test_backadjust_bucketed_equals_backadjust_weekly(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    bars = events.select(
+        "event_id", "ts", F.col("value").alias("close")
+    )
+    cfg = weekly_settle_config(events)
+    plain = backadjust(
+        bars, cfg, ts_col="ts", price_cols=("close",), end_inclusive=False
+    )
+    bucketed = backadjust_bucketed(
+        bars, cfg, ts_col="ts", price_cols=("close",), end_inclusive=False
+    )
+    assert plain.columns == bucketed.columns
+    assert _rows(plain) == _rows(bucketed)
+
+
+def test_backadjust_bucketed_equals_backadjust_cfgfile(spark, sf_dir):
+    # File config: 13:25/13:30 interval bounds cross month boundaries
+    # (202401 starts 2023-12-20), exercising the multi-bucket explode.
+    events = read_table(spark, sf_dir, "events")
+    bars = events.select("event_id", "ts", F.col("value").alias("close"))
+    cfg = read_settle_config(spark, CFG_PATH)
+    plain = backadjust(
+        bars, cfg, ts_col="ts", price_cols=("close",), end_inclusive=True
+    )
+    bucketed = backadjust_bucketed(
+        bars, cfg, ts_col="ts", price_cols=("close",), end_inclusive=True
+    )
+    assert _rows(plain) == _rows(bucketed)
+
+
+def _versioned_dim(spark, n):
+    # n versions, 6-hourly starts from Jan 1 - spans month boundaries
+    # when n > 124.
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=6 * i), f"v{i}", float(i)) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "start_k timestamp, version string, rate double"
+    )
+
+
+def test_asof_bucketed_equals_broadcast_fold(spark, sf_dir):
+    facts = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    dim = _versioned_dim(spark, 140)
+    for strictness in ("<=", "<"):
+        fold = asof_join(
+            facts, dim, fact_ts="ts", dim_ts="start_k",
+            strictness=strictness, bucketed_threshold=10_000,
+        )
+        bucketed = asof_join_bucketed(
+            facts, dim, fact_ts="ts", dim_ts="start_k",
+            strictness=strictness,
+        )
+        assert fold.columns == bucketed.columns
+        assert _rows(fold) == _rows(bucketed)
+
+
+def test_asof_auto_switches_to_bucketed_plan(spark, sf_dir):
+    facts = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    dim = _versioned_dim(spark, 140)  # > ASOF_BUCKETED_THRESHOLD
+    auto = asof_join(facts, dim, fact_ts="ts", dim_ts="start_k")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    # the bucketed plan has no aggregate fold - no max_by anywhere
+    assert "max_by" not in plan
+    explicit = asof_join_bucketed(facts, dim, fact_ts="ts", dim_ts="start_k")
+    assert _rows(auto) == _rows(explicit)
+
+
+def test_asof_bucketed_facts_before_first_version_get_nulls(spark):
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2023, 12, 31, 23, 0))], "event_id long, ts timestamp"
+    )
+    dim = _versioned_dim(spark, 3)
+    out = asof_join_bucketed(facts, dim, fact_ts="ts", dim_ts="start_k")
+    row = out.collect()[0]
+    assert row["version"] is None and row["rate"] is None

@@ -57,6 +57,9 @@ def exists_filter(
     return left.join(right, on, "left_anti" if negate else "left_semi")
 
 
+ASOF_BUCKETED_THRESHOLD = 64
+
+
 def asof_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -65,24 +68,37 @@ def asof_join(
     dim_ts: str = "start_k",
     strictness: str = "<=",
     keep: Sequence[str] = (),
+    bucketed_threshold: int = ASOF_BUCKETED_THRESHOLD,
+    bucket: str = "month",
 ) -> DataFrame:
     """As-of (backward) join: each fact row picks the dim row with the
     LARGEST dim_ts satisfying dim_ts <= fact_ts (or < for strict) - the
     time-series operator Spark lacks natively (SURVEY.md "custom
     operators": composition of existing ops, no UDF).
 
-    Plan: broadcast the dim (versioned dimensions are small by nature),
-    range-predicate join, then one max_by per fact row folds the
-    candidate set to the latest version. The fact side is scanned once
-    and shuffles only for the final aggregate, which AQE partial-
-    aggregates map-side. For a dim too large to broadcast, pre-bucket
-    both sides by time range and equi-join on the bucket first - same
-    rewrite as operators/adjust.backadjust_bucketed.
+    Two plans, picked by dim-version count (one cheap dimension-side
+    count at build time):
 
-    Requirement: `facts` must contain a unique key among its columns
-    (the fold groups by all fact columns, so exact-duplicate fact rows
-    would merge otherwise).
+    - few versions (<= bucketed_threshold): broadcast inequality join +
+      one max_by fold per fact row. Candidate rows are
+      O(facts x versions), so this form is only safe while the version
+      count is small - a years-long versioned dim would explode it.
+      Requirement: `facts` must contain a unique key among its columns
+      (the fold groups by all fact columns).
+
+    - many versions: asof_join_bucketed() - version i's validity
+      interval [dim_ts_i, dim_ts_{i+1}) is derived with lead(), the
+      non-overlapping intervals are exploded to calendar buckets, and
+      facts EQUI-join on trunc(fact_ts, bucket) with the exact range
+      check as a residual. At most one match per fact by construction,
+      so no fold, no candidate blowup, no unique-key requirement - the
+      same rewrite as operators/adjust.backadjust_bucketed.
     """
+    if dim.count() > bucketed_threshold:
+        return asof_join_bucketed(
+            facts, dim, fact_ts=fact_ts, dim_ts=dim_ts,
+            strictness=strictness, keep=keep, bucket=bucket,
+        )
     cmp = (
         F.col(f"_d.{dim_ts}") <= F.col(f"_f.{fact_ts}")
         if strictness == "<="
@@ -100,6 +116,63 @@ def asof_join(
     return grouped.select(
         *[F.col(c) for c in facts.columns],
         *[F.col(f"_dim.{c}").alias(c) for c in [dim_ts, *keep]],
+    )
+
+
+def asof_join_bucketed(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_ts: str = "ts",
+    dim_ts: str = "start_k",
+    strictness: str = "<=",
+    keep: Sequence[str] = (),
+    bucket: str = "month",
+) -> DataFrame:
+    """The scale form of asof_join (see its docstring): derive validity
+    intervals, explode to calendar buckets, equi-join + residual filter.
+
+    The open-ended last interval is capped at max(fact_ts) - one scalar
+    aggregate on the fact side, answered from parquet footer stats on a
+    raw scan (the same cost class as the watermark read, S4)."""
+    keep = list(keep) or [c for c in dim.columns if c != dim_ts]
+    row = facts.agg(F.max(fact_ts).alias("m")).collect()[0]
+    if row["m"] is None:  # empty fact side: nothing to join
+        empty_dim = [F.lit(None).cast(dim.schema[c].dataType).alias(c)
+                     for c in [dim_ts, *keep]]
+        return facts.select("*", *empty_dim)
+    w = Window.orderBy(dim_ts)
+    intervals = dim.select(dim_ts, *keep).withColumn(
+        "_end", F.lead(dim_ts).over(w)
+    )
+    cfg_b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col(dim_ts), bucket),
+                F.trunc(F.coalesce(F.col("_end"), F.lit(row["m"])), bucket),
+            )
+        ),
+    )
+    ts = facts[fact_ts]
+    if strictness == "<=":
+        # version i owns [dim_ts_i, dim_ts_{i+1})
+        residual = (ts >= cfg_b[dim_ts]) & (
+            cfg_b["_end"].isNull() | (ts < cfg_b["_end"])
+        )
+    else:
+        # strict <: version i owns (dim_ts_i, dim_ts_{i+1}]
+        residual = (ts > cfg_b[dim_ts]) & (
+            cfg_b["_end"].isNull() | (ts <= cfg_b["_end"])
+        )
+    joined = facts.join(
+        cfg_b,
+        (F.trunc(ts, bucket) == cfg_b["_bucket"]) & residual,
+        "left",
+    )
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[cfg_b[c] for c in [dim_ts, *keep]],
     )
 
 

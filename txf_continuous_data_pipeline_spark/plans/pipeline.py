@@ -49,11 +49,40 @@ def weekly_settle_config(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     return derive_accumulated_gap(cfg)
 
 
+def with_mxf_code(df: DataFrame) -> DataFrame:
+    """P2: stamp the contract code onto every output row (main.py:569,
+    :578 - df['MXF_code'] = used_code). The reference stamps the single
+    code it fetched that run; the batch engine processes many contract
+    windows at once, so the per-row equivalent is the code of the
+    matched config row ('' for bars outside every window)."""
+    cym = F.col("contract_year_month")
+    return df.withColumn(
+        "MXF_code",
+        F.when(cym != "", F.concat(F.lit("MXF"), cym)).otherwise(F.lit("")),
+    )
+
+
+_OUT_COLS = (
+    "bar_ts",
+    "open",
+    "high",
+    "low",
+    "close",
+    "volume",
+    "date_market_type",
+    "session_id",
+    "contract_year_month",
+    "accumulated_contract_diff",
+    "MXF_code",
+)
+
+
 def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 5-min back-adjusted session bars from `events`.
 
     resample(A1, closed-right) -> split+label(F3/F4/P11/P12) ->
-    backadjust(J1+A7, broadcast range join) -> drop-open-session(F7).
+    backadjust(J1+A7, broadcast range join) -> MXF_code stamp(P2) ->
+    drop-open-session(F7).
     """
     events = read_table(spark, sf_dir, "events")
     bars = tumbling_ohlcv(
@@ -62,21 +91,38 @@ def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("n_rows")
     labeled = split_and_label(bars, "bar_ts")
     cfg = weekly_settle_config(events)
-    adjusted = backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    adjusted = with_mxf_code(
+        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    )
     return drop_open_session(
         adjusted, EXPECTED_5MIN, session_col="session_id", ts_col="bar_ts"
-    ).select(
-        "bar_ts",
-        "open",
-        "high",
-        "low",
-        "close",
-        "volume",
-        "date_market_type",
-        "session_id",
-        "contract_year_month",
-        "accumulated_contract_diff",
+    ).select(*_OUT_COLS)
+
+
+def bar_pipeline_5m_cfgfile(
+    spark: SparkSession, sf_dir: str, config_path: str
+) -> DataFrame:
+    """The 5-min pipeline against an EXTERNAL settlement config (S3
+    faithful): same dataflow as bar_pipeline_5m, but the dimension comes
+    from read_settle_config (typed coercion + null-key drop) instead of
+    being derived, and the interval join is end-INCLUSIVE exactly like
+    the reference predicate start_k <= t <= settle_k (main.py:302-305).
+    """
+    from ..sources import read_settle_config
+
+    events = read_table(spark, sf_dir, "events")
+    bars = tumbling_ohlcv(
+        events, ts_col="ts", price_col="value", width="5 minutes", closed="right",
+        out_ts="bar_ts",
+    ).drop("n_rows")
+    labeled = split_and_label(bars, "bar_ts")
+    cfg = read_settle_config(spark, config_path)
+    adjusted = with_mxf_code(
+        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=True)
     )
+    return drop_open_session(
+        adjusted, EXPECTED_5MIN, session_col="session_id", ts_col="bar_ts"
+    ).select(*_OUT_COLS)
 
 
 def bar_pipeline_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,14 +150,12 @@ def bar_pipeline_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars60 = day60.unionByName(night60).drop("n_bars")
     labeled = with_session_labels_60(bars60)
     cfg = weekly_settle_config(events)
-    adjusted = backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    adjusted = with_mxf_code(
+        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    )
     return drop_open_session(
         adjusted, EXPECTED_60MIN, session_col="session_id", ts_col="bar_ts"
-    ).select(
-        "bar_ts", "open", "high", "low", "close", "volume",
-        "date_market_type", "session_id", "contract_year_month",
-        "accumulated_contract_diff",
-    )
+    ).select(*_OUT_COLS)
 
 
 def with_session_labels_60(bars: DataFrame) -> DataFrame:

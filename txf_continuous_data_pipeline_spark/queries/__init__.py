@@ -81,7 +81,7 @@ _PRIORITY = [
     "user_sessions",
     "order_price_lag_quartile",
     "rolling_7d_revenue",
-    "approx_distinct_users",
+    "config_with_prediction",
 ]
 
 

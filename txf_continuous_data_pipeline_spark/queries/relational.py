@@ -821,10 +821,12 @@ QUALIFY rk <= 5
 
 @q("dense_rank_parts_by_price", _DENSE_RANK_SQL)
 def dense_rank_parts_by_price(spark, sf_dir):
-    """dense_rank + percent_rank in one window pass: top-5 priciest
-    parts per brand with their percentile position. Both windows share
-    the p_brand partitioning, so Catalyst plans one exchange; tie-breaks
-    include p_partkey for determinism."""
+    """dense_rank + percent_rank: top-5 priciest parts per brand with
+    their percentile position. Both windows share the p_brand
+    partitioning, so Catalyst plans ONE exchange - but the opposite sort
+    orders (DESC for rank, ASC for percentile) still need two sorted
+    window passes over it. Tie-breaks include p_partkey for
+    determinism."""
     part = _t(spark, sf_dir, "part")
     w_desc = Window.partitionBy("p_brand").orderBy(
         F.desc("p_retailprice"), "p_partkey"

@@ -331,7 +331,9 @@ adjusted AS (
               ELSE strftime(l.sess_date, '%Y-%m-%d') || '_' || l.kind
          END AS session_id,
          coalesce(c.contract_year_month, '') AS contract_year_month,
-         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
+         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff,
+         CASE WHEN coalesce(c.contract_year_month, '') <> ''
+              THEN 'MXF' || c.contract_year_month ELSE '' END AS MXF_code
   FROM labeled l
   LEFT JOIN cfg c ON date_trunc('week', l.bar_ts) = c.start_k
 ),
@@ -414,7 +416,9 @@ adjusted AS (
               ELSE strftime(l.sess_date, '%Y-%m-%d') || '_' || l.kind
          END AS session_id,
          coalesce(c.contract_year_month, '') AS contract_year_month,
-         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff
+         coalesce(c.accumulated_contract_diff, 0.0) AS accumulated_contract_diff,
+         CASE WHEN coalesce(c.contract_year_month, '') <> ''
+              THEN 'MXF' || c.contract_year_month ELSE '' END AS MXF_code
   FROM labeled l
   LEFT JOIN cfg c ON date_trunc('week', l.bar_ts) = c.start_k
 ),
@@ -552,3 +556,162 @@ def settlement_schedule_q(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# External settlement-config ingestion (S3 faithful) + the pipeline on it
+# ---------------------------------------------------------------------------
+
+SETTLE_CONFIG_PATH = "/root/repo/tests/fixtures/settle_config.csv"
+
+# Raw strings + TRY_CAST reproduce the engine's null-on-fail coercion
+# (P4/P5); the WHERE clause is the F1 null-key drop (main.py:187).
+_CFG_FILE_CTE = f"""
+cfg AS (
+  SELECT contract_year_month,
+         TRY_CAST(next_contract_diff AS DOUBLE) AS next_contract_diff,
+         TRY_CAST(accumulated_contract_diff AS DOUBLE)
+           AS accumulated_contract_diff,
+         TRY_CAST(start_k AS TIMESTAMP) AS start_k,
+         TRY_CAST(settle_k AS TIMESTAMP) AS settle_k
+  FROM read_csv('{SETTLE_CONFIG_PATH}', header=true, all_varchar=true)
+  WHERE contract_year_month IS NOT NULL AND contract_year_month <> ''
+)
+"""
+
+
+@q("settle_config_file", f"WITH {_CFG_FILE_CTE} SELECT * FROM cfg")
+def settle_config_file(spark, sf_dir):
+    """S3 faithful: external settlement-config load with typed coercion
+    (P4/P5 null-on-fail casts) and the F1 null-key drop, from the
+    template-format CSV fixture (_load_config, main.py:174-187)."""
+    from ..sources import read_settle_config
+
+    return read_settle_config(spark, SETTLE_CONFIG_PATH)
+
+
+# The interval match is expressed as correlated scalar subqueries, which
+# doubles as a non-overlap assertion (DuckDB errors if a bar matches two
+# config rows) and sidesteps DuckDB's IEJoin planner on LEFT range joins
+# over aggregate subqueries (see the backadjust_rangejoin note).
+_PIPELINE_CFGFILE_SQL = f"""
+WITH {_CFG_FILE_CTE},
+bars AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND) AS bar_ts,
+         arg_min(value, ts) AS open,
+         max(value)         AS high,
+         min(value)         AS low,
+         arg_max(value, ts) AS close,
+         count(*)           AS volume
+  FROM events GROUP BY 1
+),
+labeled AS (
+  SELECT b.*,
+         CASE WHEN hour(bar_ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(bar_ts) >= 15 OR hour(bar_ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(bar_ts) < 5 THEN (bar_ts - INTERVAL 1 DAY)::DATE
+              ELSE bar_ts::DATE END AS sess_date
+  FROM bars b
+  WHERE (bar_ts::TIME >= TIME '08:45:00' AND bar_ts::TIME <= TIME '13:45:00')
+     OR (bar_ts::TIME >= TIME '15:00:00' OR bar_ts::TIME <= TIME '05:00:00')
+),
+matched AS (
+  SELECT l.*,
+         (SELECT c.contract_year_month FROM cfg c
+          WHERE l.bar_ts >= c.start_k AND l.bar_ts <= c.settle_k) AS cym,
+         (SELECT c.accumulated_contract_diff FROM cfg c
+          WHERE l.bar_ts >= c.start_k AND l.bar_ts <= c.settle_k) AS acc
+  FROM labeled l
+),
+adjusted AS (
+  SELECT m.bar_ts,
+         m.open + coalesce(m.acc, 0.0)  AS open,
+         m.high + coalesce(m.acc, 0.0)  AS high,
+         m.low + coalesce(m.acc, 0.0)   AS low,
+         m.close + coalesce(m.acc, 0.0) AS close,
+         m.volume,
+         strftime(m.sess_date, '%y%m%d') ||
+           (CASE WHEN m.kind = 'N' THEN 'N' ELSE 'D' END) AS date_market_type,
+         CASE WHEN m.kind = 'UNKNOWN' THEN 'UNKNOWN'
+              ELSE strftime(m.sess_date, '%Y-%m-%d') || '_' || m.kind
+         END AS session_id,
+         coalesce(m.cym, '') AS contract_year_month,
+         coalesce(m.acc, 0.0) AS accumulated_contract_diff,
+         CASE WHEN coalesce(m.cym, '') <> ''
+              THEN 'MXF' || m.cym ELSE '' END AS MXF_code
+  FROM matched m
+),
+last_session AS (
+  SELECT session_id FROM adjusted ORDER BY bar_ts DESC LIMIT 1
+),
+open_session AS (
+  SELECT a.session_id
+  FROM adjusted a JOIN last_session ls USING (session_id)
+  GROUP BY a.session_id
+  HAVING count(*) < (CASE WHEN a.session_id = 'UNKNOWN' THEN 9223372036854775807
+                          WHEN right(a.session_id, 1) = 'D' THEN 60
+                          ELSE 168 END)
+)
+SELECT * FROM adjusted
+WHERE session_id NOT IN (SELECT session_id FROM open_session)
+"""
+
+
+@q("bar_pipeline_5m_cfgfile", _PIPELINE_CFGFILE_SQL)
+def bar_pipeline_5m_cfgfile_q(spark, sf_dir):
+    """The flagship pipeline against an EXTERNAL settle config file:
+    resample -> split/label -> end-INCLUSIVE range join back-adjust
+    (start_k <= t <= settle_k, main.py:302-305) -> MXF_code stamp (P2)
+    -> drop-open-session."""
+    from ..plans.pipeline import bar_pipeline_5m_cfgfile
+
+    return bar_pipeline_5m_cfgfile(spark, sf_dir, SETTLE_CONFIG_PATH)
+
+
+_PREDICT_FILE_SQL = f"""
+WITH {_CFG_FILE_CTE},
+clean AS (
+  SELECT * FROM cfg
+  WHERE next_contract_diff IS NOT NULL
+    AND accumulated_contract_diff IS NOT NULL
+    AND start_k IS NOT NULL AND settle_k IS NOT NULL
+),
+last_row AS (SELECT * FROM clean ORDER BY settle_k DESC LIMIT 1),
+nxt AS (
+  SELECT date_trunc('month',
+           strptime(contract_year_month, '%Y%m')::DATE + INTERVAL 31 DAYS)::DATE
+           AS nm,
+         settle_k AS last_settle,
+         accumulated_contract_diff + next_contract_diff AS acc
+  FROM last_row
+)
+SELECT * FROM clean
+UNION ALL
+SELECT strftime(nm, '%Y%m') AS contract_year_month,
+       0.0 AS next_contract_diff,
+       acc AS accumulated_contract_diff,
+       last_settle + INTERVAL 5 MINUTES AS start_k,
+       (nm + (((2 - (dayofweek(nm) + 6) % 7) + 7) % 7 + 14) * INTERVAL 1 DAY)::TIMESTAMP
+         + INTERVAL 13 HOURS + INTERVAL 25 MINUTES AS settle_k
+FROM nxt
+"""
+
+
+@q("config_with_prediction", _PREDICT_FILE_SQL)
+def config_with_prediction(spark, sf_dir):
+    """O3 end to end on the EXTERNAL config: validated rows + the
+    predicted next-contract row appended via with_predicted_contract
+    (main.py:216-222). The prediction chain (A6 last row -> P7/P8 next
+    month -> P9 third Wednesday -> A7 gap rollup) runs on file-loaded
+    state instead of a derived calendar."""
+    from ..operators.calendar import with_predicted_contract
+    from ..sources import read_settle_config
+
+    cfg = read_settle_config(spark, SETTLE_CONFIG_PATH).where(
+        F.col("next_contract_diff").isNotNull()
+        & F.col("accumulated_contract_diff").isNotNull()
+        & F.col("start_k").isNotNull()
+        & F.col("settle_k").isNotNull()
+    )
+    return with_predicted_contract(cfg)

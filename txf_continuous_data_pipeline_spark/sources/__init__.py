@@ -1,3 +1,15 @@
-from .io import read_table, read_tables, append_idempotent, sink_watermark
+from .io import (
+    append_idempotent,
+    read_settle_config,
+    read_table,
+    read_tables,
+    sink_watermark,
+)
 
-__all__ = ["read_table", "read_tables", "append_idempotent", "sink_watermark"]
+__all__ = [
+    "read_table",
+    "read_tables",
+    "read_settle_config",
+    "append_idempotent",
+    "sink_watermark",
+]

@@ -79,6 +79,72 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+SETTLE_CONFIG_COLUMNS = (
+    "contract_year_month",
+    "next_contract_diff",
+    "accumulated_contract_diff",
+    "start_k",
+    "settle_k",
+)
+
+
+def read_settle_config(
+    spark: SparkSession, path: str, *, strict: bool = False
+) -> DataFrame:
+    """S3 faithful: external settlement-config ingestion.
+
+    Mirrors the reference's sheet load (_load_config, main.py:174-187;
+    schema settle_config_template.csv:1): every cell arrives as a raw
+    string, the two diff columns get a null-on-fail numeric cast (P4,
+    pd.to_numeric errors='coerce' == Spark try_cast - plain cast THROWS
+    under Spark 4's default ANSI mode), the two boundary columns a
+    null-on-fail timestamp cast (P5, try_to_timestamp), and rows with a
+    missing contract_year_month key are dropped (F1, main.py:187).
+
+    strict=True additionally fails fast when any KEPT row has a
+    null diff/boundary after coercion - the reference would instead
+    crash later at int(cfg[...]) on the NaN (main.py:309, SURVEY.md
+    "faithfulness notes"); validating up-front is the conscious fix.
+
+    Accepts .csv (header row, the template format) or .parquet.
+    """
+    if path.endswith(".parquet"):
+        raw = spark.read.parquet(path).select(
+            *[F.col(c).cast("string") for c in SETTLE_CONFIG_COLUMNS]
+        )
+    else:
+        raw = spark.read.csv(path, header=True).select(*SETTLE_CONFIG_COLUMNS)
+    typed = raw.select(
+        F.col("contract_year_month"),
+        F.col("next_contract_diff").try_cast("double").alias(
+            "next_contract_diff"
+        ),
+        F.col("accumulated_contract_diff").try_cast("double").alias(
+            "accumulated_contract_diff"
+        ),
+        F.try_to_timestamp(F.col("start_k")).alias("start_k"),
+        F.try_to_timestamp(F.col("settle_k")).alias("settle_k"),
+    )
+    kept = typed.where(
+        F.col("contract_year_month").isNotNull()
+        & (F.col("contract_year_month") != "")
+    )
+    if strict:
+        bad = kept.where(
+            F.col("next_contract_diff").isNull()
+            | F.col("accumulated_contract_diff").isNull()
+            | F.col("start_k").isNull()
+            | F.col("settle_k").isNull()
+        ).count()
+        if bad:
+            raise ValueError(
+                f"settle config at {path}: {bad} row(s) with unparseable "
+                "diff/boundary values (the reference would crash on these "
+                "at main.py:309; strict ingestion rejects them up-front)"
+            )
+    return kept
+
+
 def sink_watermark(spark: SparkSession, sink_path: str, ts_col: str = "ts"):
     """S4: the sink's high-watermark, or None for an empty/missing sink.
 
@@ -121,6 +187,9 @@ def append_idempotent(
     """
     wm = sink_watermark(df.sparkSession, sink_path, ts_col)
     out = df if wm is None else df.where(F.col(ts_col) > F.lit(wm))
+    # Materialize once: count() then write() would otherwise execute the
+    # whole upstream pipeline twice per append.
+    out = out.localCheckpoint(eager=True)
     n = out.count()
     if n:
         out.write.mode("append").parquet(sink_path)
