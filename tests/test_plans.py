@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the properties the 100-TB design
+depends on, pinned so a refactor cannot silently regress them.
+
+Each assertion reads .explain() output (the AQE initial plan) - cheap,
+no job runs."""
+
+from __future__ import annotations
+
+from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bar_pipeline_range_join_is_broadcast(spark, sf_dir):
+    # J1: the settle-config range join must broadcast the dim, never
+    # sort-merge or shuffle the bar side for it.
+    plan = _plan(spark, sf_dir, "bar_pipeline_5m")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    # q5: lineitem joins orders/customer/supplier/nation/region; the
+    # small dims must arrive as broadcasts, not fact-side shuffles.
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_filter_pushdown_and_column_pruning(spark, sf_dir):
+    # q6 touches 4 lineitem columns; the parquet scan must carry the
+    # predicates (PushedFilters) and read ONLY those columns.
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }
+
+
+def test_text_stats_is_shuffle_free(spark, sf_dir):
+    # Pure per-row derivation: any Exchange here is a regression.
+    plan = _plan(spark, sf_dir, "text_stats")
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_sample_docs")
+    assert "Exchange" not in plan
+
+
+def test_inverted_index_self_join_reuses_exchange(spark, sf_dir):
+    # ngram_jaccard_pairs: both self-join sides share one repartition
+    # subplan; the index must be built once. Under AQE the reuse only
+    # shows in the FINAL plan (ReusedExchange / reused query stage), so
+    # execute the query first.
+    fn, _ = REGISTRY["ngram_jaccard_pairs"]
+    df = fn(spark, sf_dir)
+    df.collect()  # a write would spawn a NEW QueryExecution; collect
+    # finalizes THIS one, so the adaptive plan below is the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_ohlcv_is_single_aggregation_pass(spark, sf_dir):
+    # A1: one hash aggregate with a map-side partial - exactly one
+    # shuffle; min_by/max_by, never first/last.
+    plan = _plan(spark, sf_dir, "ohlcv_5m")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "min_by" in plan and "max_by" in plan
+    assert "first(" not in plan and "last(" not in plan
+
+
+def test_asof_join_small_dim_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_config")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
