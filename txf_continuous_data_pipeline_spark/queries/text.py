@@ -9,6 +9,7 @@ ngram_jaccard_pairs."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -367,3 +368,114 @@ def neardup_groups(spark, sf_dir):
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+_NEARDUP_KEEP_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@q("neardup_keep", _NEARDUP_KEEP_SQL)
+def neardup_keep(spark, sf_dir):
+    """The dedup story's final act: the curated corpus after near-dup
+    removal - every singleton plus ONE representative (min doc_id) per
+    transitive-closure group. pairs -> connected_components ->
+    left-anti join of the non-representatives; the corpus side never
+    shuffles (the tiny non-representative list broadcasts)."""
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pair_frame(docs, 0.02)
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("id") != F.col("component")).select("id")
+    return docs.join(
+        F.broadcast(losers), docs["doc_id"] == losers["id"], "left_anti"
+    ).select("doc_id", "source", "lang")
+
+
+_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) DESC,
+                    t.tok
+         ) AS rn
+  FROM tf t JOIN df d USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, tfidf FROM scored WHERE rn <= 3
+"""
+
+
+@q("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1))).
+
+    Plan: one explode -> term-count aggregate hash-partitioned on
+    (doc_id, tok); the document-frequency table derives FROM the term
+    counts (no second scan) and re-shuffles only the (tok, df) pairs;
+    the corpus size joins in as a broadcast scalar, so the ranking
+    window's doc_id shuffle is the only fact-scale exchange after the
+    aggregate. Rounding before ranking keeps the window order identical
+    to the oracle's."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf")
+    )
