@@ -236,3 +236,27 @@ def available_now_bar_stream(
         raise TimeoutError(f"streaming run exceeded {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for an at-least-once feed: drop every
+    record whose key was already seen while its event time is inside
+    the watermark horizon (dropDuplicatesWithinWatermark). The
+    training-data ingestion twin of Gate 2: a replayed file / retried
+    producer batch contributes zero duplicate rows downstream.
+
+    State is one entry per key within the horizon; the watermark evicts
+    older keys, so state size is bounded by the feed's rate x delay,
+    never by feed history. (Plain dropDuplicates on a stream would keep
+    EVERY key forever - unbounded state; the watermarked form is the
+    only shape that survives at 100 TB.)
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
