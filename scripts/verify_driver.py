@@ -42,6 +42,14 @@ def canon(v):
         if math.isnan(v):
             return None
         return v
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Arrow hands DECIMAL columns over as decimal.Decimal; the
+        # driver-side pandas path sees float64, so compare as float
+        # (restores isclose tolerance - Decimal is neither float nor
+        # int to values_match).
+        return float(v)
     try:  # pandas NaT / NaN-likes
         import pandas as pd
 

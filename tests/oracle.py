@@ -32,6 +32,13 @@ def _canon(v):
             return None
     except (TypeError, ValueError):
         pass
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Arrow yields decimal.Decimal for DECIMAL columns; compare as
+        # float so the isclose tolerance applies (the driver's pandas
+        # conversion sees float64 here).
+        return float(v)
     # Normalize temporal types: pandas Timestamp vs datetime.date vs
     # datetime.datetime must compare equal when they name the same
     # instant (the driver hashes Arrow values, where both sides already

@@ -77,20 +77,20 @@ def _versioned_dim(spark, n):
     )
 
 
-def test_asof_bucketed_equals_broadcast_fold(spark, sf_dir):
+def test_asof_bucketed_equals_broadcast(spark, sf_dir):
     facts = read_table(spark, sf_dir, "events").select("event_id", "ts")
     dim = _versioned_dim(spark, 140)
     for strictness in ("<=", "<"):
-        fold = asof_join(
+        bcast = asof_join(
             facts, dim, fact_ts="ts", dim_ts="start_k",
-            strictness=strictness, bucketed_threshold=10_000,
+            strictness=strictness, plan="broadcast",
         )
         bucketed = asof_join_bucketed(
             facts, dim, fact_ts="ts", dim_ts="start_k",
             strictness=strictness,
         )
-        assert fold.columns == bucketed.columns
-        assert _rows(fold) == _rows(bucketed)
+        assert bcast.columns == bucketed.columns
+        assert _rows(bcast) == _rows(bucketed)
 
 
 def test_asof_auto_switches_to_bucketed_plan(spark, sf_dir):
@@ -98,10 +98,48 @@ def test_asof_auto_switches_to_bucketed_plan(spark, sf_dir):
     dim = _versioned_dim(spark, 140)  # > ASOF_BUCKETED_THRESHOLD
     auto = asof_join(facts, dim, fact_ts="ts", dim_ts="start_k")
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    # the bucketed plan has no aggregate fold - no max_by anywhere
-    assert "max_by" not in plan
+    # bucketed = KEYED join on the clamped bucket (hash or sort-merge,
+    # Catalyst's pick by stats) - never a nested loop over the residual
+    # predicate; the only nested-loop allowed is the 1-row max-bucket
+    # scalar cross join.
+    keyed = (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert keyed, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     explicit = asof_join_bucketed(facts, dim, fact_ts="ts", dim_ts="start_k")
     assert _rows(auto) == _rows(explicit)
+
+
+def test_asof_preserves_duplicate_fact_rows_in_both_plans(spark):
+    # Exact-duplicate fact rows must survive every plan identically
+    # (the old broadcast+fold form silently merged them).
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 12, 0))] * 2
+        + [(2, dt.datetime(2024, 1, 3, 12, 0))],
+        "event_id long, ts timestamp",
+    )
+    dim = _versioned_dim(spark, 3)
+    for plan in ("broadcast", "bucketed"):
+        out = asof_join(
+            facts, dim, fact_ts="ts", dim_ts="start_k", plan=plan
+        )
+        assert out.count() == 3, plan
+
+
+def test_asof_bucketed_fact_after_last_version_matches_it(spark):
+    # The open-ended last interval: a fact months past the last
+    # version's bucket must still match it (clamped bucket key).
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 9, 15, 3, 0))], "event_id long, ts timestamp"
+    )
+    dim = _versioned_dim(spark, 3)  # versions on 2024-01-01 .. +12h
+    row = asof_join_bucketed(
+        facts, dim, fact_ts="ts", dim_ts="start_k"
+    ).collect()[0]
+    assert row["version"] == "v2" and row["rate"] == 2.0
 
 
 def test_asof_bucketed_facts_before_first_version_get_nulls(spark):

@@ -40,7 +40,10 @@ def test_replayed_file_adds_no_duplicates(spark, sf_dir, tmp_path):
         .option("path", sink)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming dedup run exceeded 120s")
     assert q.exception() is None
 
     got = spark.read.parquet(sink)

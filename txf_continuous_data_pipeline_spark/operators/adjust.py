@@ -98,11 +98,16 @@ def backadjust_bucketed(
     for a small config) instead of a nested loop, and the same rewrite
     keeps working when the config side grows too big to broadcast.
     """
+    # Explicit step: sequence() over dates defaults to a 1-DAY stride,
+    # which would explode ~30 rows per month-bucket instead of 1.
+    step = {"week": "1 week", "month": "1 month", "year": "1 year"}[bucket]
     cfg_b = cfg.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.trunc(start_col, bucket), F.trunc(end_col, bucket)
+                F.date_trunc(bucket, F.col(start_col)),
+                F.date_trunc(bucket, F.col(end_col)),
+                F.expr(f"INTERVAL {step}"),
             )
         ),
     )
@@ -110,7 +115,9 @@ def backadjust_bucketed(
     upper = ts <= cfg_b[end_col] if end_inclusive else ts < cfg_b[end_col]
     joined = bars.join(
         F.broadcast(cfg_b),
-        (F.trunc(ts, bucket) == cfg_b["_bucket"]) & (ts >= cfg_b[start_col]) & upper,
+        (F.date_trunc(bucket, ts) == cfg_b["_bucket"])
+        & (ts >= cfg_b[start_col])
+        & upper,
         "left",
     ).drop("_bucket")
     return _apply_shift(joined, bars, cfg, price_cols, start_col, end_col)

@@ -130,6 +130,25 @@ def connected_components(
             converged = True
             break
     if not converged:
+        # The fixpoint may have been reached exactly on the final
+        # round (that round still reports changed!=0). One cheap probe
+        # fold distinguishes "converged, unconfirmed" from genuinely
+        # unfinished - without it, a correct result would raise.
+        probe = (
+            sym.join(labels, sym["a"] == labels["id"], "inner")
+            .select(F.col("b").alias("id"), F.col("component"))
+            .join(
+                labels.select(
+                    "id", F.col("component").alias("_cur")
+                ),
+                "id",
+            )
+            .where(F.col("component") < F.col("_cur"))
+            .limit(1)
+            .count()
+        )
+        converged = probe == 0
+    if not converged:
         msg = (
             f"connected_components did not converge within max_iter="
             f"{max_iter} rounds (with pointer doubling that bounds the "

@@ -60,6 +60,29 @@ def exists_filter(
 ASOF_BUCKETED_THRESHOLD = 64
 
 
+def _asof_intervals(dim, dim_ts, keep):
+    """Versioned dim -> non-overlapping validity intervals: version i
+    owns [dim_ts_i, dim_ts_{i+1}) (half-open; the strictness shift is
+    applied in the residual predicate). Single window over the small
+    dimension."""
+    w = Window.orderBy(dim_ts)
+    return dim.select(dim_ts, *keep).withColumn(
+        "_end", F.lead(dim_ts).over(w)
+    )
+
+
+def _asof_residual(ts, intervals, dim_ts, strictness):
+    if strictness == "<=":
+        # version i owns [dim_ts_i, dim_ts_{i+1})
+        return (ts >= intervals[dim_ts]) & (
+            intervals["_end"].isNull() | (ts < intervals["_end"])
+        )
+    # strict <: version i owns (dim_ts_i, dim_ts_{i+1}]
+    return (ts > intervals[dim_ts]) & (
+        intervals["_end"].isNull() | (ts <= intervals["_end"])
+    )
+
+
 def asof_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -68,6 +91,7 @@ def asof_join(
     dim_ts: str = "start_k",
     strictness: str = "<=",
     keep: Sequence[str] = (),
+    plan: str = "auto",
     bucketed_threshold: int = ASOF_BUCKETED_THRESHOLD,
     bucket: str = "month",
 ) -> DataFrame:
@@ -76,47 +100,52 @@ def asof_join(
     time-series operator Spark lacks natively (SURVEY.md "custom
     operators": composition of existing ops, no UDF).
 
-    Two plans, picked by dim-version count (one cheap dimension-side
-    count at build time):
+    Both plans first derive each version's validity interval with a
+    lead() window, turning the as-of semantics into a non-overlapping
+    point-in-interval join: at most ONE match per fact row by
+    construction, so there is no fold, no candidate blowup, and
+    duplicate fact rows are preserved identically by every plan.
 
-    - few versions (<= bucketed_threshold): broadcast inequality join +
-      one max_by fold per fact row. Candidate rows are
-      O(facts x versions), so this form is only safe while the version
-      count is small - a years-long versioned dim would explode it.
-      Requirement: `facts` must contain a unique key among its columns
-      (the fold groups by all fact columns).
+    plan='broadcast': interval table broadcasts; facts stream against
+    it (nested-loop on the residual predicate). Right while the version
+    count is small.
 
-    - many versions: asof_join_bucketed() - version i's validity
-      interval [dim_ts_i, dim_ts_{i+1}) is derived with lead(), the
-      non-overlapping intervals are exploded to calendar buckets, and
-      facts EQUI-join on trunc(fact_ts, bucket) with the exact range
-      check as a residual. At most one match per fact by construction,
-      so no fold, no candidate blowup, no unique-key requirement - the
-      same rewrite as operators/adjust.backadjust_bucketed.
+    plan='bucketed': asof_join_bucketed - intervals explode to calendar
+    buckets and facts EQUI-join on their (clamped) bucket with the
+    range check as a residual; works when the dim outgrows a broadcast.
+    Pick `bucket` near the version spacing (a 'month' bucket over
+    6-hourly versions still enumerates every same-month version per
+    fact before the residual keeps one).
+
+    plan='auto' (default): one dimension-side count() at build time
+    picks broadcast below `bucketed_threshold` versions. Pass an
+    explicit plan to keep plan construction fully lazy.
     """
-    if dim.count() > bucketed_threshold:
+    keep = list(keep) or [c for c in dim.columns if c != dim_ts]
+    if plan == "auto":
+        plan = (
+            "broadcast" if dim.count() <= bucketed_threshold else "bucketed"
+        )
+    if plan == "bucketed":
         return asof_join_bucketed(
             facts, dim, fact_ts=fact_ts, dim_ts=dim_ts,
             strictness=strictness, keep=keep, bucket=bucket,
         )
-    cmp = (
-        F.col(f"_d.{dim_ts}") <= F.col(f"_f.{fact_ts}")
-        if strictness == "<="
-        else F.col(f"_d.{dim_ts}") < F.col(f"_f.{fact_ts}")
+    intervals = _asof_intervals(dim, dim_ts, keep)
+    ts = facts[fact_ts]
+    joined = facts.join(
+        F.broadcast(intervals),
+        _asof_residual(ts, intervals, dim_ts, strictness),
+        "left",
     )
-    f_side, d_side = facts.alias("_f"), dim.alias("_d")
-    joined = f_side.join(F.broadcast(d_side), cmp, "left")
-    fact_cols = [F.col(f"_f.{c}") for c in facts.columns]
-    keep = list(keep) or [c for c in dim.columns if c != dim_ts]
-    picked = F.max_by(
-        F.struct(*[F.col(f"_d.{c}").alias(c) for c in [dim_ts, *keep]]),
-        F.col(f"_d.{dim_ts}"),
-    ).alias("_dim")
-    grouped = joined.groupBy(*fact_cols).agg(picked)
-    return grouped.select(
-        *[F.col(c) for c in facts.columns],
-        *[F.col(f"_dim.{c}").alias(c) for c in [dim_ts, *keep]],
+    return joined.select(
+        *[facts[c] for c in facts.columns],
+        *[intervals[c] for c in [dim_ts, *keep]],
     )
+
+
+_BUCKET_STEP = {"day": "1 day", "week": "1 week", "month": "1 month",
+                "year": "1 year"}
 
 
 def asof_join_bucketed(
@@ -130,49 +159,54 @@ def asof_join_bucketed(
     bucket: str = "month",
 ) -> DataFrame:
     """The scale form of asof_join (see its docstring): derive validity
-    intervals, explode to calendar buckets, equi-join + residual filter.
+    intervals, explode to calendar buckets, equi-join + residual
+    filter.
 
-    The open-ended last interval is capped at max(fact_ts) - one scalar
-    aggregate on the fact side, answered from parquet footer stats on a
-    raw scan (the same cost class as the watermark read, S4)."""
+    The last interval is open-ended, so instead of enumerating buckets
+    up to some fact-side maximum (which would need an eager job), the
+    FACT's bucket key is clamped to the latest dim bucket: every fact
+    past the last version's bucket belongs to the last version by
+    definition, and the max-dim-bucket scalar joins in as a broadcast
+    1-row frame, keeping plan construction fully lazy."""
     keep = list(keep) or [c for c in dim.columns if c != dim_ts]
-    row = facts.agg(F.max(fact_ts).alias("m")).collect()[0]
-    if row["m"] is None:  # empty fact side: nothing to join
-        empty_dim = [F.lit(None).cast(dim.schema[c].dataType).alias(c)
-                     for c in [dim_ts, *keep]]
-        return facts.select("*", *empty_dim)
-    w = Window.orderBy(dim_ts)
-    intervals = dim.select(dim_ts, *keep).withColumn(
-        "_end", F.lead(dim_ts).over(w)
-    )
+    step = F.expr(f"INTERVAL {_BUCKET_STEP[bucket]}")
+    intervals = _asof_intervals(dim, dim_ts, keep)
+    # Rename the dim-side columns: max_bucket below also derives from
+    # `dim`, and two lineages of the same source make unqualified dim
+    # columns ambiguous in the final select.
     cfg_b = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.trunc(F.col(dim_ts), bucket),
-                F.trunc(F.coalesce(F.col("_end"), F.lit(row["m"])), bucket),
+                F.date_trunc(bucket, F.col(dim_ts)),
+                F.date_trunc(
+                    bucket, F.coalesce(F.col("_end"), F.col(dim_ts))
+                ),
+                step,
             )
         ),
+    ).select(
+        F.col(dim_ts).alias("_dim_ts"),
+        F.col("_end"),
+        F.col("_bucket"),
+        *[F.col(c).alias(f"_keep_{c}") for c in keep],
+    )
+    max_bucket = dim.agg(
+        F.max(F.date_trunc(bucket, F.col(dim_ts))).alias("_max_bucket")
     )
     ts = facts[fact_ts]
-    if strictness == "<=":
-        # version i owns [dim_ts_i, dim_ts_{i+1})
-        residual = (ts >= cfg_b[dim_ts]) & (
-            cfg_b["_end"].isNull() | (ts < cfg_b["_end"])
-        )
-    else:
-        # strict <: version i owns (dim_ts_i, dim_ts_{i+1}]
-        residual = (ts > cfg_b[dim_ts]) & (
-            cfg_b["_end"].isNull() | (ts <= cfg_b["_end"])
-        )
-    joined = facts.join(
+    f = facts.join(F.broadcast(max_bucket))
+    fact_bucket = F.least(F.date_trunc(bucket, ts), f["_max_bucket"])
+    joined = f.join(
         cfg_b,
-        (F.trunc(ts, bucket) == cfg_b["_bucket"]) & residual,
+        (fact_bucket == cfg_b["_bucket"])
+        & _asof_residual(ts, cfg_b, "_dim_ts", strictness),
         "left",
     )
     return joined.select(
         *[facts[c] for c in facts.columns],
-        *[cfg_b[c] for c in [dim_ts, *keep]],
+        cfg_b["_dim_ts"].alias(dim_ts),
+        *[cfg_b[f"_keep_{c}"].alias(c) for c in keep],
     )
 
 

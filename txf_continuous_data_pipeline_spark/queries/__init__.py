@@ -45,7 +45,7 @@ _PRIORITY = [
     "bar_pipeline_60m",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 10
+    # text / dedup / curation flagships — 13
     "text_stats",
     "ngram_jaccard_pairs",
     "token_histogram_top20",
@@ -56,6 +56,9 @@ _PRIORITY = [
     "minhash_neardup",
     "simhash_neardup",
     "neardup_groups",
+    "neardup_keep",
+    "tfidf_top_terms",
+    "multimodal_features",
     # similarity search suite — 6
     "cosine_topk_bruteforce",
     "knn_join_bruteforce",
@@ -63,7 +66,12 @@ _PRIORITY = [
     "ivf_topk",
     "embedding_neardup_pairs",
     "label_centroids",
-    # relational/window/JSON core — fills to 50
+    # relational/window/JSON core — fills to 50. Dropped to the tail to
+    # make room for the three extension flagships above: r01-green
+    # near-twins whose operator family stays represented in-window
+    # (running_total -> the cum-sum windows in user_sessions/curation;
+    # grouping_sets -> rollup_acctbal; rolling_7d -> the window family
+    # via order_price_lag_quartile).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -72,15 +80,12 @@ _PRIORITY = [
     "topk_orders_per_priority",
     "group_having",
     "rollup_acctbal",
-    "grouping_sets_orders",
     "json_props_agg",
     "json_struct_agg",
-    "running_total_per_customer",
     "argmax_nation_by_supplier_bal",
     "asof_join_config",
     "user_sessions",
     "order_price_lag_quartile",
-    "rolling_7d_revenue",
     "config_with_prediction",
 ]
 

@@ -187,10 +187,15 @@ def append_idempotent(
     """
     wm = sink_watermark(df.sparkSession, sink_path, ts_col)
     out = df if wm is None else df.where(F.col(ts_col) > F.lit(wm))
-    # Materialize once: count() then write() would otherwise execute the
-    # whole upstream pipeline twice per append.
-    out = out.localCheckpoint(eager=True)
-    n = out.count()
-    if n:
-        out.write.mode("append").parquet(sink_path)
+    # Cache across the count + write so the upstream pipeline executes
+    # once per append, not twice. persist (not localCheckpoint): blocks
+    # spill to disk under pressure and keep their lineage, so losing an
+    # executor recomputes instead of failing the batch.
+    out = out.persist()
+    try:
+        n = out.count()
+        if n:
+            out.write.mode("append").parquet(sink_path)
+    finally:
+        out.unpersist()
     return n
