@@ -30,10 +30,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch classloading.
-    next(iter(REGISTRY.values()))[0](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # the plan, not first-touch classloading. bar_pipeline_5m touches
+    # the broad machinery (window agg, createDataFrame dims, broadcast
+    # exchange) a bare scan query would leave cold.
+    for warm in ("ohlcv_5m", "bar_pipeline_5m"):
+        REGISTRY[warm][0](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, (fn, _) in REGISTRY.items():

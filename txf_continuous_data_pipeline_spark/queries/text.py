@@ -352,6 +352,29 @@ FROM reach GROUP BY id
 """
 
 
+_COMPONENTS_CACHE: dict = {}
+
+
+def _neardup_components(spark, sf_dir, threshold=0.02):
+    """pairs -> connected components, built once per (Spark app,
+    sf_dir, threshold) and shared by neardup_groups / neardup_keep -
+    the iterative label propagation is the expensive stage and both
+    queries consume the identical result. Keyed on applicationId so a
+    new session (whose checkpointed blocks are gone) rebuilds instead
+    of erroring; the cached frame is a few rows per near-dup doc."""
+    from ..operators.graph import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    if key not in _COMPONENTS_CACHE:
+        pairs = _jaccard_pair_frame(
+            read_table(spark, sf_dir, "documents"), threshold
+        )
+        _COMPONENTS_CACHE[key] = connected_components(
+            pairs, "id_a", "id_b"
+        ).localCheckpoint(eager=True)
+    return _COMPONENTS_CACHE[key]
+
+
 @q("neardup_groups", _NEARDUP_GROUPS_SQL)
 def neardup_groups(spark, sf_dir):
     """The composed dedup story, last stage included: near-dup PAIRS
@@ -361,12 +384,7 @@ def neardup_groups(spark, sf_dir):
     operators/graph.connected_components (min-label propagation, one
     shuffle per round); the oracle reproduces the same fixpoint with a
     recursive CTE."""
-    from ..operators.graph import connected_components
-
-    pairs = _jaccard_pair_frame(
-        read_table(spark, sf_dir, "documents"), 0.02
-    )
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = _neardup_components(spark, sf_dir)
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -404,14 +422,12 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
 def neardup_keep(spark, sf_dir):
     """The dedup story's final act: the curated corpus after near-dup
     removal - every singleton plus ONE representative (min doc_id) per
-    transitive-closure group. pairs -> connected_components ->
-    left-anti join of the non-representatives; the corpus side never
-    shuffles (the tiny non-representative list broadcasts)."""
-    from ..operators.graph import connected_components
-
+    transitive-closure group. pairs -> connected_components (shared
+    with neardup_groups via _neardup_components) -> left-anti join of
+    the non-representatives; the corpus side never shuffles (the tiny
+    non-representative list broadcasts)."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pair_frame(docs, 0.02)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = _neardup_components(spark, sf_dir)
     losers = comp.where(F.col("id") != F.col("component")).select("id")
     return docs.join(
         F.broadcast(losers), docs["doc_id"] == losers["id"], "left_anti"
