@@ -59,6 +59,7 @@ _PRIORITY = [
     "neardup_keep",
     "tfidf_top_terms",
     "multimodal_features",
+    "contamination_pairs",
     # similarity search suite — 6
     "cosine_topk_bruteforce",
     "knn_join_bruteforce",
@@ -82,7 +83,6 @@ _PRIORITY = [
     "rollup_acctbal",
     "json_props_agg",
     "json_struct_agg",
-    "argmax_nation_by_supplier_bal",
     "asof_join_config",
     "user_sessions",
     "order_price_lag_quartile",

@@ -495,3 +495,57 @@ def tfidf_top_terms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "tfidf")
     )
+
+
+_CONTAMINATION_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+ev AS (SELECT * FROM s WHERE source = 'src0'),
+tr AS (SELECT * FROM s WHERE source <> 'src0')
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+       round(CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+             / greatest(len(e.sh), 1), 6) AS containment
+FROM ev e JOIN tr t ON len(list_intersect(e.sh, t.sh)) > 0
+WHERE CAST(len(list_intersect(e.sh, t.sh)) AS DOUBLE)
+      / greatest(len(e.sh), 1) >= 0.05
+"""
+
+
+@q("contamination_pairs", _CONTAMINATION_SQL)
+def contamination_pairs(spark, sf_dir):
+    """Eval-set decontamination: 3-gram CONTAINMENT of each eval doc
+    (source 'src0' stands in for the benchmark set) against the train
+    corpus (every other source) - containment = |eval n-grams also in
+    the train doc| / |eval n-grams|, the standard contamination test
+    (asymmetric, unlike Jaccard: a short eval prompt fully quoted
+    inside a long train document scores 1.0).
+
+    Plan: the same shingle inverted index as the near-dup path, but
+    UN-blocked across the eval/train split - the index join enumerates
+    only shingle collisions, so the train corpus can be 100 TB while
+    the candidate set stays proportional to actual overlap. The eval
+    side is tiny by nature and carries its shingle-set size along, so
+    containment falls out of the one index join."""
+    docs = read_table(spark, sf_dir, "documents")
+    ev = shingles_exploded(
+        docs.where(F.col("source") == "src0"), hashed=True, count_col="n_sh"
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("n_sh").alias("n_eval"),
+        F.col("shingle").alias("sh"),
+    )
+    tr = shingles_exploded(
+        docs.where(F.col("source") != "src0"), hashed=True
+    ).select(F.col("doc_id").alias("train_id"), F.col("shingle").alias("sh"))
+    common = (
+        ev.join(tr, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("common"), F.max("n_eval").alias("n_eval"))
+    )
+    containment = F.col("common") / F.greatest(F.col("n_eval"), F.lit(1))
+    return common.where(containment >= 0.05).select(
+        "eval_id",
+        "train_id",
+        F.round(containment, 6).alias("containment"),
+    )
