@@ -65,3 +65,20 @@ def test_dedup_components_renames_to_doc_id(spark):
         r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
     }
     assert rows == {100: 100, 200: 100, 300: 100}
+
+
+def test_stop_shingle_filter_drops_only_hot_shingles(spark):
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        stop_shingle_filter,
+    )
+
+    # shingle 'hot' appears in 4 docs, the rest in <= 2
+    rows = [(d, "hot") for d in range(4)] + [(0, "a"), (1, "a"), (2, "b")]
+    inv = spark.createDataFrame(rows, "doc_id long, shingle string")
+    kept = stop_shingle_filter(inv, max_doc_freq=2)
+    shingles = {r["shingle"] for r in kept.select("shingle").distinct().collect()}
+    assert shingles == {"a", "b"}
+    # a permissive cap is the identity
+    assert stop_shingle_filter(inv, max_doc_freq=10).count() == inv.count()

@@ -352,3 +352,33 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def stop_shingle_filter(
+    inverted: DataFrame,
+    *,
+    shingle_col: str = "shingle",
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Drop boilerplate shingles from an inverted index before the
+    pair join - the standard skew mitigation for near-dup at corpus
+    scale. A shingle appearing in d documents contributes O(d^2)
+    candidate pairs; a single boilerplate fragment (license header,
+    navigation chrome) shared by 1M documents would alone emit 5x10^11
+    pairs and one monster reducer. Capping document frequency bounds
+    per-shingle pair fan-out at max_doc_freq^2 and removes exactly the
+    shingles with no discriminative value (the same reasoning as IDF).
+
+    Cost: one aggregate over the index (shuffle on the shingle key -
+    the partitioning the downstream pair join needs anyway) and a
+    semi-join back. Semantics: Jaccard/containment computed AFTER the
+    cap are approximations that ignore boilerplate overlap - usually
+    the wanted behavior; keep the uncapped path for oracle checks.
+    """
+    hot = (
+        inverted.groupBy(shingle_col)
+        .count()
+        .where(F.col("count") > max_doc_freq)
+        .select(shingle_col)
+    )
+    return inverted.join(F.broadcast(hot), shingle_col, "left_anti")
