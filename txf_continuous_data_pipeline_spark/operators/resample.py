@@ -34,6 +34,25 @@ def bucket_start(
     return F.window(src, width, startTime=offset)["start"]
 
 
+_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    """'60 minutes' -> microseconds (the subset of interval syntax the
+    resample operators accept)."""
+    value, unit = spec.split()
+    return int(value) * _UNIT_US[unit.lower()]
+
+
 def rollup_ohlcv(
     bars: DataFrame,
     *,
@@ -99,5 +118,51 @@ def tumbling_ohlcv(
             F.max_by(price, ts).alias("close"),
             vol.cast("long").alias("volume"),
             F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def rollup_ohlcv_sessions(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    width: str = "60 minutes",
+    day_offset: str = "45 minutes",
+    out_ts: str = "bar_ts",
+) -> DataFrame:
+    """A2 single-pass form: the day/night 60-min rollup as ONE scan and
+    ONE aggregation. The two-branch form (day_session -> rollup UNION
+    night_session -> rollup) derives the 5-min bar subplan twice; here
+    the session filter is one disjunction and the phase offset is a
+    conditional bucket expression (day buckets 45-min shifted, night
+    hour-aligned, main.py:272-278). Day/night time-of-day ranges are
+    disjoint, so the result is row-identical to the union of the two
+    separate rollups."""
+    from ..functions import tod_between
+    from .sessions import DAY_END, DAY_START, NIGHT_END, NIGHT_START
+
+    ts = F.col(ts_col)
+    is_day = tod_between(ts, DAY_START, DAY_END)
+    is_night = tod_between(ts, NIGHT_START, NIGHT_END)
+    # Arithmetic bucket floor instead of F.window: Spark rejects two
+    # window expressions in one aggregation ("cartesian product of
+    # rows"), and the branch needs a per-row choice of phase offset.
+    width_us = _interval_us(width)
+    day_off_us = _interval_us(day_offset)
+    us = F.unix_micros(ts)
+    off = F.when(is_day, F.lit(day_off_us)).otherwise(F.lit(0))
+    bucket = F.timestamp_micros(
+        ((us - off) - F.pmod(us - off, F.lit(width_us))) + off
+    )
+    return (
+        bars.where(is_day | is_night)
+        .groupBy(bucket.alias(out_ts))
+        .agg(
+            F.min_by("open", ts).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ts).alias("close"),
+            F.sum("volume").cast("long").alias("volume"),
+            F.count("*").alias("n_bars"),
         )
     )

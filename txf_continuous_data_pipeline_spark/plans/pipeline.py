@@ -77,6 +77,18 @@ _OUT_COLS = (
 )
 
 
+def _materialized(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that multiple downstream subplans consume
+    (drop_open_session reads its input twice: per-session stats + the
+    anti-join main side). Without this, each consumer re-derives the
+    whole resample->label->backadjust chain from the scan - 12 source
+    scans in one 60-min pipeline plan. MEMORY_AND_DISK (the persist
+    default): spillable and recomputable, unlike a localCheckpoint.
+    Bar-grain data is ~1/300th of tick grain, so the footprint is
+    modest even at fact scale."""
+    return df.persist()
+
+
 def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 5-min back-adjusted session bars from `events`.
 
@@ -91,8 +103,10 @@ def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("n_rows")
     labeled = split_and_label(bars, "bar_ts")
     cfg = weekly_settle_config(events)
-    adjusted = with_mxf_code(
-        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    adjusted = _materialized(
+        with_mxf_code(
+            backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+        )
     )
     return drop_open_session(
         adjusted, EXPECTED_5MIN, session_col="session_id", ts_col="bar_ts"
@@ -117,8 +131,10 @@ def bar_pipeline_5m_cfgfile(
     ).drop("n_rows")
     labeled = split_and_label(bars, "bar_ts")
     cfg = read_settle_config(spark, config_path)
-    adjusted = with_mxf_code(
-        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=True)
+    adjusted = _materialized(
+        with_mxf_code(
+            backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=True)
+        )
     )
     return drop_open_session(
         adjusted, EXPECTED_5MIN, session_col="session_id", ts_col="bar_ts"
@@ -128,30 +144,28 @@ def bar_pipeline_5m_cfgfile(
 def bar_pipeline_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-min variant (A2): day-session 5-min bars roll up into
     phase-shifted 60-min bars (08:45-09:45-..., pandas offset='45min' ==
-    Spark startTime), night-session bars into hour-aligned ones; union,
-    label, back-adjust, drop the open trailing session at the 60-min
-    expected counts (D=5/N=14, main.py:331-334)."""
+    Spark startTime), night-session bars into hour-aligned ones -
+    computed in ONE pass with a conditional bucket (the two-branch
+    union would derive the 5-min subplan twice) - then label,
+    back-adjust, drop the open trailing session at the 60-min expected
+    counts (D=5/N=14, main.py:331-334)."""
     from ..operators.quality import EXPECTED_60MIN
-    from ..operators.resample import rollup_ohlcv
-    from ..operators.sessions import day_session, night_session
+    from ..operators.resample import rollup_ohlcv_sessions
 
     events = read_table(spark, sf_dir, "events")
     bars5 = tumbling_ohlcv(
         events, ts_col="ts", price_col="value", width="5 minutes",
         closed="right", out_ts="bar_ts",
     ).drop("n_rows")
-    day60 = rollup_ohlcv(
-        day_session(bars5, "bar_ts"), ts_col="bar_ts",
-        width="60 minutes", offset="45 minutes",
-    )
-    night60 = rollup_ohlcv(
-        night_session(bars5, "bar_ts"), ts_col="bar_ts", width="60 minutes"
-    )
-    bars60 = day60.unionByName(night60).drop("n_bars")
+    bars60 = rollup_ohlcv_sessions(
+        bars5, ts_col="bar_ts", width="60 minutes", day_offset="45 minutes"
+    ).drop("n_bars")
     labeled = with_session_labels_60(bars60)
     cfg = weekly_settle_config(events)
-    adjusted = with_mxf_code(
-        backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+    adjusted = _materialized(
+        with_mxf_code(
+            backadjust(labeled, cfg, ts_col="bar_ts", end_inclusive=False)
+        )
     )
     return drop_open_session(
         adjusted, EXPECTED_60MIN, session_col="session_id", ts_col="bar_ts"
