@@ -68,8 +68,6 @@ def test_dedup_components_renames_to_doc_id(spark):
 
 
 def test_stop_shingle_filter_drops_only_hot_shingles(spark):
-    from pyspark.sql import functions as F
-
     from txf_continuous_data_pipeline_spark.operators.dedup import (
         stop_shingle_filter,
     )

@@ -100,7 +100,9 @@ def backadjust_bucketed(
     """
     # Explicit step: sequence() over dates defaults to a 1-DAY stride,
     # which would explode ~30 rows per month-bucket instead of 1.
-    step = {"week": "1 week", "month": "1 month", "year": "1 year"}[bucket]
+    from .relational import _BUCKET_STEP
+
+    step = _BUCKET_STEP[bucket]
     cfg_b = cfg.withColumn(
         "_bucket",
         F.explode(

@@ -121,6 +121,10 @@ def asof_join(
     picks broadcast below `bucketed_threshold` versions. Pass an
     explicit plan to keep plan construction fully lazy.
     """
+    if plan not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"unknown asof_join plan: {plan!r}")
+    if strictness not in ("<=", "<"):
+        raise ValueError(f"unknown asof_join strictness: {strictness!r}")
     keep = list(keep) or [c for c in dim.columns if c != dim_ts]
     if plan == "auto":
         plan = (

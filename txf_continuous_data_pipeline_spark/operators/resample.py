@@ -72,18 +72,21 @@ def rollup_ohlcv(
     5-min layer's shuffle partitioning (same key derivation, so AQE can
     often plan it exchange-free after the first agg)."""
     ts = F.col(ts_col)
+    return bars.groupBy(
+        bucket_start(ts, width, offset=offset, closed=closed).alias(out_ts)
+    ).agg(*_rollup_aggs(ts))
+
+
+def _rollup_aggs(ts: Column):
+    """The bars-from-bars OHLCV aggregate list, shared by rollup_ohlcv
+    and rollup_ohlcv_sessions so the two 60-min paths cannot drift."""
     return (
-        bars.groupBy(
-            bucket_start(ts, width, offset=offset, closed=closed).alias(out_ts)
-        )
-        .agg(
-            F.min_by("open", ts).alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", ts).alias("close"),
-            F.sum("volume").cast("long").alias("volume"),
-            F.count("*").alias("n_bars"),
-        )
+        F.min_by("open", ts).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+        F.count("*").alias("n_bars"),
     )
 
 
@@ -157,12 +160,5 @@ def rollup_ohlcv_sessions(
     return (
         bars.where(is_day | is_night)
         .groupBy(bucket.alias(out_ts))
-        .agg(
-            F.min_by("open", ts).alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", ts).alias("close"),
-            F.sum("volume").cast("long").alias("volume"),
-            F.count("*").alias("n_bars"),
-        )
+        .agg(*_rollup_aggs(ts))
     )

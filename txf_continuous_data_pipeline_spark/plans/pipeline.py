@@ -77,6 +77,9 @@ _OUT_COLS = (
 )
 
 
+_MATERIALIZED: list[DataFrame] = []
+
+
 def _materialized(df: DataFrame) -> DataFrame:
     """Persist an intermediate that multiple downstream subplans consume
     (drop_open_session reads its input twice: per-session stats + the
@@ -85,8 +88,21 @@ def _materialized(df: DataFrame) -> DataFrame:
     scans in one 60-min pipeline plan. MEMORY_AND_DISK (the persist
     default): spillable and recomputable, unlike a localCheckpoint.
     Bar-grain data is ~1/300th of tick grain, so the footprint is
-    modest even at fact scale."""
-    return df.persist()
+    modest even at fact scale.
+
+    Every persisted intermediate is tracked; batch entry points that
+    own a complete lifecycle (incremental_run) release them via
+    release_materialized() instead of leaving cleanup to driver GC."""
+    df = df.persist()
+    _MATERIALIZED.append(df)
+    return df
+
+
+def release_materialized() -> None:
+    """Unpersist every pipeline intermediate persisted so far (no-op on
+    frames already evicted or released)."""
+    while _MATERIALIZED:
+        _MATERIALIZED.pop().unpersist()
 
 
 def bar_pipeline_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,4 +203,10 @@ def incremental_run(
     from ..sources import append_idempotent
 
     out = bar_pipeline_5m(spark, sf_dir)
-    return append_idempotent(out, sink_path, ts_col="bar_ts")
+    try:
+        return append_idempotent(out, sink_path, ts_col="bar_ts")
+    finally:
+        # this entry point owns the whole batch lifecycle: release the
+        # pipeline's persisted intermediate instead of leaking cached
+        # blocks across repeated appends
+        release_materialized()

@@ -45,7 +45,7 @@ _PRIORITY = [
     "bar_pipeline_60m",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 13
+    # text / dedup / curation flagships — 14
     "text_stats",
     "ngram_jaccard_pairs",
     "token_histogram_top20",
@@ -68,11 +68,13 @@ _PRIORITY = [
     "embedding_neardup_pairs",
     "label_centroids",
     # relational/window/JSON core — fills to 50. Dropped to the tail to
-    # make room for the three extension flagships above: r01-green
-    # near-twins whose operator family stays represented in-window
-    # (running_total -> the cum-sum windows in user_sessions/curation;
-    # grouping_sets -> rollup_acctbal; rolling_7d -> the window family
-    # via order_price_lag_quartile).
+    # make room for the four extension flagships above (neardup_keep,
+    # tfidf_top_terms, multimodal_features, contamination_pairs):
+    # r01-green near-twins whose operator family stays represented
+    # in-window (running_total -> the cum-sum windows in
+    # user_sessions/curation; grouping_sets -> rollup_acctbal;
+    # rolling_7d -> the window family via order_price_lag_quartile;
+    # argmax_nation -> min_by/max_by via the OHLCV queries).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

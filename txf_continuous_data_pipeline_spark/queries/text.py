@@ -359,12 +359,18 @@ def _neardup_components(spark, sf_dir, threshold=0.02):
     """pairs -> connected components, built once per (Spark app,
     sf_dir, threshold) and shared by neardup_groups / neardup_keep -
     the iterative label propagation is the expensive stage and both
-    queries consume the identical result. Keyed on applicationId so a
-    new session (whose checkpointed blocks are gone) rebuilds instead
-    of erroring; the cached frame is a few rows per near-dup doc."""
+    queries consume the identical result. Keyed on applicationId (a new
+    session, whose checkpointed blocks are gone, rebuilds instead of
+    erroring) and on the source file's mtime/size (a rewritten corpus
+    invalidates the entry); the cached frame is a few rows per near-dup
+    doc."""
+    import os
+
     from ..operators.graph import connected_components
 
-    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    path = os.path.join(sf_dir, "documents.parquet")
+    stamp = (os.path.getmtime(path), os.path.getsize(path))
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, stamp)
     if key not in _COMPONENTS_CACHE:
         pairs = _jaccard_pair_frame(
             read_table(spark, sf_dir, "documents"), threshold
