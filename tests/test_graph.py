@@ -80,3 +80,39 @@ def test_stop_shingle_filter_drops_only_hot_shingles(spark):
     assert shingles == {"a", "b"}
     # a permissive cap is the identity
     assert stop_shingle_filter(inv, max_doc_freq=10).count() == inv.count()
+
+
+def test_random_graph_matches_union_find(spark):
+    # Differential against a pure-Python union-find on a seeded random
+    # graph: mixed component shapes (cliques, chains, stars, isolated
+    # pairs) that no hand-written case enumerates.
+    import random
+
+    rng = random.Random(20240813)
+    n_nodes, n_edges = 300, 220
+    pairs = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for ab in pairs for x in ab}
+    want = {}
+    for x in touched:
+        root = find(x)
+        group_min = min(y for y in touched if find(y) == root)
+        want[x] = group_min
+
+    got = _labels(connected_components(_edges(spark, pairs)))
+    assert got == want
