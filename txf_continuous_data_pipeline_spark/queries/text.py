@@ -555,3 +555,34 @@ def contamination_pairs(spark, sf_dir):
         "train_id",
         F.round(containment, 6).alias("containment"),
     )
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '\\w+'))
+            + length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@q("token_counts", _TOKEN_COUNTS_SQL)
+def token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts per document - the two cheap
+    stand-ins for a real tokenizer's budget accounting. The BPE-ish
+    split (word runs plus every standalone non-word char as its own
+    token) is a lookaround regex on the Spark side; the oracle counts
+    the same partition as |word matches| + |non-word chars|, which is
+    provably the same number without needing lookarounds (RE2 has
+    none)."""
+    from ..operators.textstats import bpe_ish_token_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
