@@ -35,3 +35,24 @@ def test_parquet_roundtrip(spark, tmp_path):
     read_settle_config(spark, CFG_PATH).write.parquet(p)
     again = read_settle_config(spark, p)
     assert again.count() == 6
+
+
+def test_strict_mode_rejects_overlapping_intervals(spark, tmp_path):
+    p = tmp_path / "overlap.csv"
+    p.write_text(
+        "contract_year_month,next_contract_diff,accumulated_contract_diff,start_k,settle_k\n"
+        "202401,1,0,2024-01-01 00:00:00,2024-01-20 00:00:00\n"
+        "202402,2,1,2024-01-15 00:00:00,2024-02-20 00:00:00\n"
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        read_settle_config(spark, str(p), strict=True)
+
+
+def test_strict_mode_accepts_clean_config(spark, tmp_path):
+    p = tmp_path / "clean.csv"
+    p.write_text(
+        "contract_year_month,next_contract_diff,accumulated_contract_diff,start_k,settle_k\n"
+        "202401,1,0,2024-01-01 00:00:00,2024-01-20 00:00:00\n"
+        "202402,2,1,2024-01-20 00:05:00,2024-02-20 00:00:00\n"
+    )
+    assert read_settle_config(spark, str(p), strict=True).count() == 2

@@ -142,6 +142,27 @@ def read_settle_config(
                 "diff/boundary values (the reference would crash on these "
                 "at main.py:309; strict ingestion rejects them up-front)"
             )
+        # Non-overlap invariant (SURVEY.md 1.3): backadjust relies on at
+        # most one config row matching each bar; overlapping intervals
+        # would silently DUPLICATE bars in the join output. One window
+        # over the dimension-sized config checks it.
+        from pyspark.sql import Window
+
+        w = Window.orderBy("start_k")
+        overlaps = (
+            kept.withColumn("_prev_end", F.lag("settle_k").over(w))
+            .where(
+                F.col("_prev_end").isNotNull()
+                & (F.col("start_k") <= F.col("_prev_end"))
+            )
+            .count()
+        )
+        if overlaps:
+            raise ValueError(
+                f"settle config at {path}: {overlaps} interval(s) overlap "
+                "the previous contract window; the point-in-interval join "
+                "requires non-overlapping [start_k, settle_k] ranges"
+            )
     return kept
 
 
