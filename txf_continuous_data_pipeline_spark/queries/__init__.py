@@ -28,7 +28,7 @@ from .registry import REGISTRY, q
 # (set-ops, pivot/cube variants, scalar TPC-H singles) whose operators
 # remain covered by an in-window or pytest sibling.
 _PRIORITY = [
-    # reference pipeline core (SURVEY §2) — 16
+    # reference pipeline core (SURVEY §2) — 17
     "ohlcv_5m",
     "ohlcv_60m_offset45",
     "session_split_day",
@@ -43,6 +43,7 @@ _PRIORITY = [
     "bar_pipeline_5m",
     "bar_pipeline_5m_cfgfile",
     "bar_pipeline_60m",
+    "session_ohlcv",
     "predict_next_contract",
     "settlement_schedule",
     # text / dedup / curation flagships — 14
@@ -87,7 +88,6 @@ _PRIORITY = [
     "json_struct_agg",
     "asof_join_config",
     "user_sessions",
-    "order_price_lag_quartile",
     "config_with_prediction",
 ]
 

@@ -715,3 +715,35 @@ def config_with_prediction(spark, sf_dir):
         & F.col("settle_k").isNotNull()
     )
     return with_predicted_contract(cfg)
+
+
+_SESSION_OHLCV_SQL = f"""
+SELECT session_id, date_market_type,
+       arg_min(open, bar_ts)  AS open,
+       max(high)              AS high,
+       min(low)               AS low,
+       arg_max(close, bar_ts) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       count(*) AS n_bars
+FROM ({_PIPELINE_SQL}) base
+GROUP BY session_id, date_market_type
+"""
+
+
+@q("session_ohlcv", _SESSION_OHLCV_SQL)
+def session_ohlcv(spark, sf_dir):
+    """Level-3 hypertable rollup: one back-adjusted OHLCV row per
+    trading session (the daily continuous-contract bar a downstream
+    consumer actually charts), rolled up from the gated 5-min pipeline
+    output. Same aggregation discipline as every rollup: min_by/max_by
+    on the bar timestamp, never first/last."""
+    bars = bar_pipeline_5m(spark, sf_dir)
+    ts = F.col("bar_ts")
+    return bars.groupBy("session_id", "date_market_type").agg(
+        F.min_by("open", ts).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+        F.count("*").alias("n_bars"),
+    )
