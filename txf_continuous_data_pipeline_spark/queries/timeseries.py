@@ -747,3 +747,45 @@ def session_ohlcv(spark, sf_dir):
         F.sum("volume").cast("long").alias("volume"),
         F.count("*").alias("n_bars"),
     )
+
+
+# Each event lands in width/slide = 2 overlapping windows; the oracle
+# materializes both memberships per row with an unnest.
+_SLIDING_SQL = """
+SELECT win_start,
+       count(*) AS n,
+       round(max(value), 2) AS max_value,
+       round(min(value), 2) AS min_value
+FROM (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) - k * INTERVAL 5 MINUTES
+           AS win_start,
+         value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+GROUP BY win_start
+HAVING count(*) > 0
+"""
+
+
+@q("sliding_window_stats", _SLIDING_SQL)
+def sliding_window_stats(spark, sf_dir):
+    """Sliding (hopping) windows - the one windowing mode the reference
+    lacks (ST4 note, SURVEY.md 2.7): 10-minute windows sliding every 5,
+    so each event belongs to exactly two. Spark's F.window handles the
+    row duplication internally; the oracle unnests the two memberships
+    explicitly. Aggregates are order-exact (count/max/min) - an avg
+    here flips its 4th decimal between the two engines' summation
+    orders on boundary values."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes")["start"].alias(
+                "win_start"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+        )
+    )
