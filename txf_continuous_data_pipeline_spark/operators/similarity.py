@@ -188,10 +188,13 @@ def centroids_by_label(
     """Per-label mean vector -> (cluster_id, centroid).
 
     This is the training step of an IVF index with the label column
-    standing in for k-means assignments (REAL IMPLEMENTATION SEAM: swap
-    in Lloyd iterations - each is exactly this posexplode/avg/rebuild
-    plan keyed on the previous assignment). One shuffle on (label, pos);
-    the rebuild via sorted struct collect is deterministic."""
+    standing in for learned assignments; `kmeans_fit` below is the real
+    trainer (Lloyd iterations - each recompute is this same
+    avg-per-dimension plan keyed on the previous assignment). The label
+    variant stays as the oracle-checkable path: given the labels it is
+    deterministic SQL, while k-means is iterative. One shuffle on
+    (label, pos); the rebuild via sorted struct collect is
+    deterministic."""
     exploded = emb.select(
         F.col(label_col).alias("cluster_id"),
         F.posexplode(vec_col).alias("pos", "x"),
@@ -329,4 +332,156 @@ def knn_join_bruteforce(
         crossed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, c_id, "cos_sim", "rn")
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance of two array columns in double
+    precision (JVM expression; same interpreted-lambda caveat as dot)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_array(centroids: list) -> Column:
+    """[(cluster_id, vector)] -> literal array<struct<c,v>> column. The
+    centroid set rides inside the plan itself (k*dim literals), so
+    assignment needs no join, no broadcast variable, no driver state -
+    the cheapest possible way to ship k small vectors to every task."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("c"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("v"),
+            )
+            for c, v in centroids
+        ]
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure projection - ZERO shuffle.
+
+    Scores every row against the k literal centroids with `transform`
+    and picks the argmin with `array_min` over struct<d,c> (struct
+    ordering compares d first, then c, so ties break deterministically
+    toward the smaller cluster id). Embarrassingly parallel: the scan
+    is the whole cost, which is the property that makes Lloyd iterations
+    viable at 100 TB - only the k*dim recompute partials ever move."""
+    scored = F.transform(
+        _centroid_array(centroids),
+        lambda s: F.struct(
+            sq_dist(F.col(vec_col), s["v"]).alias("d"), s["c"].alias("c")
+        ),
+    )
+    return df.withColumn(out_col, F.array_min(scored)["c"])
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd's k-means -> (centroids, n_iter, converged).
+
+    This closes the IVF training seam `centroids_by_label` documents:
+    real learned centroids instead of the label stand-in. Per iteration:
+
+      assign     kmeans_assign - a projection, zero shuffle
+      recompute  one groupBy(cluster_id) with per-dimension avg -
+                 map-side partial aggregation means exactly
+                 k * dim * n_partitions doubles cross the wire,
+                 independent of row count
+      collect    k rows (k * dim doubles) to the driver, where the
+                 max centroid shift decides convergence
+
+    Initialization is deterministic (the k rows with the smallest
+    md5(id) - a seeded uniform draw with no driver-side RNG state), so
+    fit results are reproducible run to run and testable against a
+    single-node reference implementation. A cluster that loses all its
+    points keeps its previous centroid rather than being dropped, so the
+    output always has exactly k entries.
+
+    Returns `centroids` as [(cluster_id, [float]*dim)] ordered by
+    cluster_id, `n_iter` actually executed, and `converged` (max squared
+    centroid shift <= tol before max_iter ran out).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k={k} exceeds the {len(seed_rows)} available rows"
+        )
+    cents = [
+        (i, [float(x) for x in row[vec_col]])
+        for i, row in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1])
+    n_iter, converged = 0, False
+    for n_iter in range(1, max_iter + 1):
+        assigned = kmeans_assign(emb, cents, vec_col=vec_col)
+        rows = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        means = {
+            r["cluster_id"]: [r[f"m{i}"] for i in range(dim)] for r in rows
+        }
+        nxt = [(c, means.get(c, v)) for c, v in cents]
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(v_old, v_new))
+            for (_, v_old), (_, v_new) in zip(cents, nxt)
+        )
+        cents = nxt
+        if shift <= tol:
+            converged = True
+            break
+    return cents, n_iter, converged
+
+
+def kmeans_cost(
+    emb: DataFrame, centroids: list, *, vec_col: str = "embedding"
+) -> float:
+    """Within-cluster sum of squared distances (the Lloyd objective).
+    One scan, one scalar - used by tests to assert monotone descent."""
+    scored = F.transform(
+        _centroid_array(centroids),
+        lambda s: F.struct(
+            sq_dist(F.col(vec_col), s["v"]).alias("d"), s["c"].alias("c")
+        ),
+    )
+    return (
+        emb.select(F.array_min(scored)["d"].alias("d"))
+        .agg(F.sum("d").alias("cost"))
+        .collect()[0]["cost"]
     )
