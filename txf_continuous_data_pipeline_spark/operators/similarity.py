@@ -390,6 +390,69 @@ def kmeans_assign(
     return df.withColumn(out_col, F.array_min(scored)["c"])
 
 
+def kmeans_assign_fast(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """kmeans_assign's Arrow fast path - still a zero-shuffle projection,
+    but the k*dim distance matrix is one numpy broadcast per batch
+    instead of a k*dim-literal Catalyst expression whose analysis alone
+    costs ~1 s per Lloyd iteration (measured; the data work is trivial
+    next to it). Same vectorized-exception rationale as cosine_fast.
+    Tie-break matches the expression form: argmin returns the first
+    (smallest) cluster id because `centroids` is ordered by id."""
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    ids = np.array([int(c) for c, _ in centroids])
+    if not (ids[:-1] <= ids[1:]).all():
+        order = np.argsort(ids, kind="stable")
+        C, ids = C[order], ids[order]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def kmeans_score_fast(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment + squared distance to the winning centroid in one
+    Arrow pass (struct-returning pandas UDF) - the scoring form of
+    kmeans_assign_fast for consumers that also need the distance
+    (cluster diagnostics, the Lloyd objective)."""
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    ids = np.array([int(c) for c, _ in centroids])
+    if not (ids[:-1] <= ids[1:]).all():
+        order = np.argsort(ids, kind="stable")
+        C, ids = C[order], ids[order]
+
+    @pandas_udf("cluster_id int, sq_dist double")
+    def _score(v: pd.Series) -> pd.DataFrame:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster_id": ids[best],
+                "sq_dist": d[np.arange(len(best)), best],
+            }
+        )
+
+    scored = df.withColumn("_s", _score(F.col(vec_col)))
+    return scored.withColumn("cluster_id", F.col("_s.cluster_id")).withColumn(
+        "sq_dist", F.col("_s.sq_dist")
+    ).drop("_s")
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
@@ -404,13 +467,13 @@ def kmeans_fit(
     This closes the IVF training seam `centroids_by_label` documents:
     real learned centroids instead of the label stand-in. Per iteration:
 
-      assign     kmeans_assign - a projection, zero shuffle
-      recompute  one groupBy(cluster_id) with per-dimension avg -
+      assign     kmeans_assign_fast - a projection, zero shuffle
+      recompute  posexplode -> groupBy(cluster_id, pos) avg -
                  map-side partial aggregation means exactly
                  k * dim * n_partitions doubles cross the wire,
                  independent of row count
-      collect    k rows (k * dim doubles) to the driver, where the
-                 max centroid shift decides convergence
+      collect    k * dim rows (k * dim doubles) to the driver, where
+                 the max centroid shift decides convergence
 
     Initialization is deterministic (the k rows with the smallest
     md5(id) - a seeded uniform draw with no driver-side RNG state), so
@@ -443,20 +506,24 @@ def kmeans_fit(
     dim = len(cents[0][1])
     n_iter, converged = 0, False
     for n_iter in range(1, max_iter + 1):
-        assigned = kmeans_assign(emb, cents, vec_col=vec_col)
+        assigned = kmeans_assign_fast(emb, cents, vec_col=vec_col)
+        # Recompute via posexplode -> (cluster, pos) avg: the expression
+        # tree stays size-O(1) in dim (a dim-wide list of avg exprs costs
+        # ~1 s of analysis PER ITERATION, 3x the whole job here), while
+        # map-side partial aggregation still bounds network at
+        # k * dim * n_partitions doubles. The dim-fold row inflation is
+        # scan-side CPU inside one codegen stage - the cheap currency.
         rows = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("pos", "x")
             )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
             .collect()
         )
-        means = {
-            r["cluster_id"]: [r[f"m{i}"] for i in range(dim)] for r in rows
-        }
+        means: dict = {}
+        for r in rows:
+            means.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = r["v"]
         nxt = [(c, means.get(c, v)) for c, v in cents]
         shift = max(
             sum((a - b) * (a - b) for a, b in zip(v_old, v_new))

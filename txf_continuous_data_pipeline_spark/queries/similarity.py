@@ -253,25 +253,16 @@ def kmeans_clusters(spark, sf_dir):
     rows-only for the driver (no single SQL statement expresses the
     fixpoint); tests/test_kmeans.py pins it differentially against a
     single-node numpy Lloyd with the identical deterministic init."""
-    from ..operators.similarity import kmeans_assign, kmeans_fit, sq_dist
-    from ..operators.similarity import _centroid_array  # plan literal
+    from ..operators.similarity import kmeans_fit, kmeans_score_fast
 
     emb = read_table(spark, sf_dir, "embeddings")
     cents, _, _ = kmeans_fit(emb, 8, max_iter=5)
-    assigned = kmeans_assign(emb, cents)
-    scored = F.transform(
-        _centroid_array(cents),
-        lambda s: F.struct(
-            sq_dist(F.col("embedding"), s["v"]).alias("d"),
-            s["c"].alias("c"),
-        ),
-    )
     return (
-        assigned.withColumn("_d", F.array_min(scored)["d"])
+        kmeans_score_fast(emb, cents)
         .groupBy("cluster_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("_d"), 6).alias("mean_sq_dist"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
         )
         .orderBy("cluster_id")
     )
