@@ -118,3 +118,50 @@ def test_kmeans_assignment_plan_is_shuffle_free(spark, sf_dir):
     cents, _, _ = kmeans_fit(emb, 2, max_iter=1)
     plan = kmeans_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_learned_is_exact_within_cell(spark, sf_dir):
+    """ivf_topk_learned == brute force restricted to the query's own
+    cell (nprobe=1), computed independently in numpy: same quantizer
+    (kmeans_fit is deterministic), exact top-k among cell-mates by
+    (cos desc, id). Pins the whole train -> store -> probe composition,
+    not just its stages."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_topk_learned,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    query_ids = {0, 1, 2}
+    got = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk_learned(
+            emb,
+            query_pred=lambda c: c.isin(*query_ids),
+            k=3,
+            n_clusters=4,
+            max_iter=3,
+        ).collect()
+    }
+
+    cents, _, _ = kmeans_fit(emb, 4, max_iter=3)
+    C = np.array([v for _, v in cents])
+    ids, X = _load(spark, sf_dir)
+    cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    norms = np.sqrt((X**2).sum(axis=1))
+    by_id = {int(i): n for n, i in enumerate(ids)}
+    for q in query_ids:
+        qi = by_id[q]
+        mates = [
+            n
+            for n in range(len(ids))
+            if cell[n] == cell[qi] and int(ids[n]) not in query_ids
+        ]
+        cos = np.round(
+            (X[mates] @ X[qi]) / (norms[mates] * norms[qi]), 6
+        )
+        want = sorted(
+            zip(-cos, ids[mates].astype(int).tolist())
+        )[:3]
+        for rn, (negc, vid) in enumerate(want, start=1):
+            g_vid, g_cos = got[(q, rn)]
+            assert (g_vid, g_cos) == (vid, -negc), (q, rn)

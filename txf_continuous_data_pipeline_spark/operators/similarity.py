@@ -552,3 +552,46 @@ def kmeans_cost(
         .agg(F.sum("d").alias("cost"))
         .collect()[0]["cost"]
     )
+
+
+def ivf_topk_learned(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred,
+    k: int = 3,
+    n_clusters: int = 8,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF ANN end to end with LEARNED partitions - the full composition
+    the label-based ivf_topk stands in for: kmeans_fit trains the coarse
+    quantizer, every row stores into its nearest centroid's cell
+    (kmeans_assign_fast, zero shuffle), and each query probes only its
+    own cell (nprobe=1) via an equi-join on cluster_id before the exact
+    cosine re-rank. Candidate count ~ n/n_clusters per query instead of
+    n; ties break by (cos desc, id) as everywhere else."""
+    from pyspark.sql import Window
+
+    cents, _, _ = kmeans_fit(
+        emb, n_clusters, vec_col=vec_col, id_col=id_col, max_iter=max_iter
+    )
+    assigned = kmeans_assign_fast(emb, cents, vec_col=vec_col)
+    corpus = assigned.where(~query_pred(F.col(id_col)))
+    queries = assigned.where(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "cluster_id",
+    )
+    cand = corpus.select(id_col, vec_col, "cluster_id").join(
+        F.broadcast(queries), "cluster_id"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        cand.withColumn(
+            "cos_sim", F.round(cosine_fast(F.col(vec_col), F.col("q_vec")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "cos_sim", "rn")
+    )
