@@ -8,7 +8,7 @@ zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalized_tokens
@@ -244,4 +244,114 @@ def text_stats(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text")
             len_score * (F.lit(0.5) + stop_score * 0.5) * punct_penalty, 6
         ).alias("quality_score"),
         guess.alias("lang_guess"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    text_col: str = "text",
+    seq_tokens: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid head-to-tail in id order and the token stream is cut into
+    fixed ``seq_tokens``-token training sequences (the standard
+    LLM-pretraining packing scheme - no padding, documents may cross
+    sequence boundaries). Per document, emit the index of the sequence
+    its first token lands in, the token offset inside that sequence,
+    and whether the document spans a chunk boundary.
+
+    Scale shape: packing is a running token count per shard - ONE window
+    sum partitioned by shard, no global sort, no state beyond the
+    cumsum. At 100 TB shard = the file/bucket a writer task owns, so
+    the exchange on shard_col is the only shuffle and each sequence is
+    assembled entirely inside one task. Contrast with first-fit bin
+    packing, which is inherently sequential per bin set and needs a
+    stateful fold; concat-and-chunk is what GPT-style pipelines
+    actually run, precisely because it is this parallelizable.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = df.select(
+        F.col(id_col),
+        F.col(shard_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    cut = F.lit(float(seq_tokens))
+    staged = sized.withColumn("_before", before)
+    seq_index = F.floor(F.col("_before") / cut)
+    end_index = F.floor((F.col("_before") + F.col("n_tokens") - 1) / cut)
+    return staged.select(
+        F.col(id_col),
+        F.col(shard_col),
+        F.col("n_tokens"),
+        seq_index.alias("seq_index"),
+        (F.col("_before") % F.lit(seq_tokens)).alias("seq_offset"),
+        (end_index > seq_index).alias("spans_boundary"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+    weight: Column,
+    budget_tokens: int,
+) -> DataFrame:
+    """Mixture-weighted deterministic corpus sampling: given a per-row
+    stratum weight expression (constant within a stratum) and an
+    overall token budget, each stratum s gets target share
+    ``w_s / sum(w)`` of the budget and a keep-rate
+    ``min(1, budget * share_s / tokens_s)``; a document is kept iff the
+    first 8 hex digits of md5(id) fall under the rate threshold. The
+    standard "rebalance the mixture" step when composing a training set
+    from unevenly-sized sources.
+
+    Determinism over rand(): the md5 predicate is reproducible across
+    engines, runs, and repartitioning - the property that makes a
+    100-TB sample auditable and incrementally extendable. Scale shape:
+    one tiny per-stratum aggregate (broadcast back), then a pure
+    per-row predicate - no shuffle of the fact table at all.
+    """
+    sized = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        weight.cast("double").alias("_w"),
+    )
+    dim = sized.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("_toks"), F.max("_w").alias("_w")
+    )
+    w_all = Window.partitionBy()
+    rated = dim.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens))
+            * (F.col("_w") / F.sum("_w").over(w_all))
+            / F.col("_toks"),
+        ).alias("_rate"),
+    )
+    joined = sized.join(F.broadcast(rated), strata_col)
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("_rate") * F.lit(4294967296.0)))),
+        8,
+        "0",
+    )
+    return joined.where(
+        (F.col("_rate") >= 1.0) | (bucket < thresh)
+    ).select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col("n_tokens"),
+        F.round(F.col("_rate"), 6).alias("keep_rate"),
     )

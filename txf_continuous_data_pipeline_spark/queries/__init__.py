@@ -46,8 +46,10 @@ _PRIORITY = [
     "session_ohlcv",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 14
+    # text / dedup / curation flagships — 16
     "text_stats",
+    "pack_sequences",
+    "mixture_sample",
     "ngram_jaccard_pairs",
     "token_histogram_top20",
     "regex_top_words",
@@ -79,17 +81,19 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
     "q12_late_shipments",
     "topk_orders_per_priority",
     "group_having",
     "rollup_acctbal",
     "json_props_agg",
-    "json_struct_agg",
     "asof_join_config",
     "user_sessions",
     "config_with_prediction",
 ]
+# Displaced to the tail for the two new LLM-pipeline flagships:
+# q6_forecast_revenue (scalar filtered-sum single; family in-window via
+# q12_late_shipments) and json_struct_agg (JSON-parse family in-window
+# via json_props_agg).
 
 
 def _ordered():

@@ -586,3 +586,82 @@ def token_counts(spark, sf_dir):
             "n_bpe_tokens"
         ),
     )
+
+
+_PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before
+  FROM sized
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(tok_before / 256.0) AS BIGINT) AS seq_index,
+       CAST(tok_before % 256 AS BIGINT) AS seq_offset,
+       CAST(floor((tok_before + n_tokens - 1) / 256.0) AS BIGINT)
+         > CAST(floor(tok_before / 256.0) AS BIGINT) AS spans_boundary
+FROM c
+"""
+
+
+@q("pack_sequences", _PACK_SQL)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token training
+    sequences, sharded by source (see operators/textstats.pack_sequences
+    for the scale analysis: one window exchange on the shard key, no
+    global sort, boundary-crossing docs flagged)."""
+    from ..operators.textstats import pack_sequences
+
+    return pack_sequences(
+        read_table(spark, sf_dir, "documents"), seq_tokens=256
+    )
+
+
+# Sources src0..src4 are upweighted 2x against src5..src19; the token
+# budget (12k of the corpus' ~25k ws-tokens at sf0.01) forces keep-rates
+# below 1 so the deterministic md5 predicate actually bites.
+_MIXTURE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5
+              THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents
+), dim AS (
+  SELECT source, max(w) AS w, CAST(sum(n_tokens) AS DOUBLE) AS toks
+  FROM sized GROUP BY source
+), rated AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(12000.0 AS DOUBLE) * (w / sum(w) OVER ()) / toks)
+           AS rate
+  FROM dim
+)
+SELECT s.doc_id, s.source, s.n_tokens, round(r.rate, 6) AS keep_rate
+FROM sized s JOIN rated r USING (source)
+WHERE r.rate >= 1.0
+   OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+             8, '0')
+"""
+
+
+@q("mixture_sample", _MIXTURE_SQL)
+def mixture_sample_q(spark, sf_dir):
+    """Mixture-weighted deterministic sampling: rebalance the 20 sources
+    toward a target mixture (src0-4 upweighted 2x) under a 12k-token
+    budget (see operators/textstats.mixture_sample: tiny broadcast dim +
+    pure per-row md5 predicate, zero fact-table shuffle)."""
+    from ..operators.textstats import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    weight = F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    return mixture_sample(docs, weight=weight, budget_tokens=12000)
