@@ -57,12 +57,17 @@ def test_stratified_sample_is_shuffle_free(spark, sf_dir):
 
 
 def test_inverted_index_self_join_reuses_exchange(spark, sf_dir):
-    # ngram_jaccard_pairs: both self-join sides share one repartition
-    # subplan; the index must be built once. Under AQE the reuse only
-    # shows in the FINAL plan (ReusedExchange / reused query stage), so
-    # execute the query first.
-    fn, _ = REGISTRY["ngram_jaccard_pairs"]
-    df = fn(spark, sf_dir)
+    # The shared Jaccard pairs build: both self-join sides share one
+    # repartition subplan; the index must be built once. Under AQE the
+    # reuse only shows in the FINAL plan (ReusedExchange / reused query
+    # stage), so execute the query first. Built directly (not via the
+    # registry query, which serves from the _shared_pairs checkpoint).
+    from txf_continuous_data_pipeline_spark.queries.text import (
+        _jaccard_pair_frame,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    df = _jaccard_pair_frame(read_table(spark, sf_dir, "documents"), 0.2)
     df.collect()  # a write would spawn a NEW QueryExecution; collect
     # finalizes THIS one, so the adaptive plan below is the final plan
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -180,15 +180,45 @@ def _jaccard_pair_frame(docs, threshold: float):
     )
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return common.where(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", jac.alias("jaccard_exact")
     )
+
+
+# The inverted-index join + per-pair aggregation is identical for every
+# consumer - the Jaccard threshold is only a post-aggregation filter -
+# so the pairs frame is built ONCE per (app, corpus) at the loosest
+# threshold any consumer needs (0.02, the components build) and each
+# consumer re-filters on the exact (unrounded) jaccard. Keyed like
+# _COMPONENTS_CACHE; the checkpointed frame is a few thousand rows.
+_PAIRS_FLOOR = 0.02
+_PAIRS_CACHE: dict = {}
+
+
+def _shared_pairs(spark, sf_dir):
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    stamp = (os.path.getmtime(path), os.path.getsize(path))
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = _jaccard_pair_frame(
+            read_table(spark, sf_dir, "documents"), _PAIRS_FLOOR
+        ).localCheckpoint(eager=True)
+    return _PAIRS_CACHE[key]
 
 
 @q("ngram_jaccard_pairs", _JACCARD_SQL)
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by `source` (see
-    _jaccard_pair_frame for the inverted-index plan notes)."""
-    return _jaccard_pair_frame(read_table(spark, sf_dir, "documents"), 0.2)
+    """Exact 3-gram Jaccard near-dup pairs >= 0.2, blocked by `source`
+    (see _jaccard_pair_frame for the inverted-index plan notes; the
+    pairs build is shared with neardup_groups/keep via _shared_pairs)."""
+    return (
+        _shared_pairs(spark, sf_dir)
+        .where(F.col("jaccard_exact") >= 0.2)
+        .select(
+            "id_a", "id_b", F.round("jaccard_exact", 6).alias("jaccard")
+        )
+    )
 
 
 _TOKEN_HIST_SQL = f"""
@@ -368,12 +398,13 @@ def _neardup_components(spark, sf_dir, threshold=0.02):
 
     from ..operators.graph import connected_components
 
+    assert threshold >= _PAIRS_FLOOR
     path = os.path.join(sf_dir, "documents.parquet")
     stamp = (os.path.getmtime(path), os.path.getsize(path))
     key = (spark.sparkContext.applicationId, sf_dir, threshold, stamp)
     if key not in _COMPONENTS_CACHE:
-        pairs = _jaccard_pair_frame(
-            read_table(spark, sf_dir, "documents"), threshold
+        pairs = _shared_pairs(spark, sf_dir).where(
+            F.col("jaccard_exact") >= threshold
         )
         _COMPONENTS_CACHE[key] = connected_components(
             pairs, "id_a", "id_b"
