@@ -153,9 +153,19 @@ def _jaccard_pair_frame(docs, threshold: float):
     # the Jaccard arithmetic needs no separate `sizes` joins - the
     # intersection count and both set sizes come out of the one
     # inverted-index self-join.
-    inv = shingles_exploded(
+    inv = _build_shingle_index(docs)
+    return _pairs_from_index(inv, threshold)
+
+
+def _build_shingle_index(docs):
+    """(doc_id, source, n_sh, sh) hashed 3-gram inverted index - the
+    zero-exchange build every shingle consumer starts from."""
+    return shingles_exploded(
         docs, extra_cols=("source",), hashed=True, count_col="n_sh"
     ).select("doc_id", "source", "n_sh", F.col("shingle").alias("sh"))
+
+
+def _pairs_from_index(inv, threshold: float):
     # Explicit repartition on the join keys: both self-join sides then
     # share one identical exchange subplan, so ReusedExchange builds the
     # index ONCE instead of once per side, and the join needs no further
@@ -184,25 +194,44 @@ def _jaccard_pair_frame(docs, threshold: float):
     )
 
 
-# The inverted-index join + per-pair aggregation is identical for every
-# consumer - the Jaccard threshold is only a post-aggregation filter -
-# so the pairs frame is built ONCE per (app, corpus) at the loosest
-# threshold any consumer needs (0.02, the components build) and each
-# consumer re-filters on the exact (unrounded) jaccard. Keyed like
-# _COMPONENTS_CACHE; the checkpointed frame is a few thousand rows.
+# Per-corpus caches, keyed on (applicationId, sf_dir, file stamp) like
+# _COMPONENTS_CACHE:
+#  - _INDEX_CACHE: the exploded hashed shingle index (one build serves
+#    the Jaccard pairs, contamination, and any future shingle consumer;
+#    the build's interpreted transform chain over every document is the
+#    expensive part, ~1s + ~1s plan analysis per occurrence at sf0.1).
+#  - _PAIRS_CACHE: the pairs frame at the loosest threshold any
+#    consumer needs (0.02, the components build); the inverted-index
+#    join + per-pair aggregation is identical for every consumer - the
+#    Jaccard threshold is only a post-aggregation filter - so each
+#    consumer re-filters on the exact (unrounded) jaccard.
 _PAIRS_FLOOR = 0.02
 _PAIRS_CACHE: dict = {}
+_INDEX_CACHE: dict = {}
 
 
-def _shared_pairs(spark, sf_dir):
+def _corpus_key(spark, sf_dir):
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
     stamp = (os.path.getmtime(path), os.path.getsize(path))
-    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    return (spark.sparkContext.applicationId, sf_dir, stamp)
+
+
+def _shingle_index(spark, sf_dir):
+    key = _corpus_key(spark, sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = _build_shingle_index(
+            read_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _INDEX_CACHE[key]
+
+
+def _shared_pairs(spark, sf_dir):
+    key = _corpus_key(spark, sf_dir)
     if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = _jaccard_pair_frame(
-            read_table(spark, sf_dir, "documents"), _PAIRS_FLOOR
+        _PAIRS_CACHE[key] = _pairs_from_index(
+            _shingle_index(spark, sf_dir), _PAIRS_FLOOR
         ).localCheckpoint(eager=True)
     return _PAIRS_CACHE[key]
 
@@ -564,17 +593,15 @@ def contamination_pairs(spark, sf_dir):
     the candidate set stays proportional to actual overlap. The eval
     side is tiny by nature and carries its shingle-set size along, so
     containment falls out of the one index join."""
-    docs = read_table(spark, sf_dir, "documents")
-    ev = shingles_exploded(
-        docs.where(F.col("source") == "src0"), hashed=True, count_col="n_sh"
-    ).select(
+    inv = _shingle_index(spark, sf_dir)
+    ev = inv.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("eval_id"),
         F.col("n_sh").alias("n_eval"),
-        F.col("shingle").alias("sh"),
+        "sh",
     )
-    tr = shingles_exploded(
-        docs.where(F.col("source") != "src0"), hashed=True
-    ).select(F.col("doc_id").alias("train_id"), F.col("shingle").alias("sh"))
+    tr = inv.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
     common = (
         ev.join(tr, "sh")
         .groupBy("eval_id", "train_id")
