@@ -31,13 +31,9 @@ _PRIORITY = [
     # reference pipeline core (SURVEY §2) — 17
     "ohlcv_5m",
     "ohlcv_60m_offset45",
-    "session_split_day",
-    "session_split_night",
     "session_labels",
     "session_counts",
     "completeness_gate",
-    "watermark_filter",
-    "settle_config_derived",
     "settle_config_file",
     "backadjust_rangejoin",
     "bar_pipeline_5m",
@@ -69,7 +65,6 @@ _PRIORITY = [
     "lsh_ann_pairs",
     "ivf_topk",
     "embedding_neardup_pairs",
-    "label_centroids",
     # relational/window/JSON core — fills to 50. Dropped to the tail to
     # make room for the four extension flagships above (neardup_keep,
     # tfidf_top_terms, multimodal_features, contamination_pairs):
@@ -80,7 +75,6 @@ _PRIORITY = [
     # argmax_nation -> min_by/max_by via the OHLCV queries).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
     "q12_late_shipments",
     "topk_orders_per_priority",
     "group_having",
@@ -89,11 +83,23 @@ _PRIORITY = [
     "asof_join_config",
     "user_sessions",
     "config_with_prediction",
+    # round-3 rotation (VERDICT r02 #1): the six queries that never had
+    # a green driver row, swapped in for six multi-round-stable greens
+    # (session_split_day/night, watermark_filter, settle_config_derived,
+    # q5_region_revenue, label_centroids) whose operator families remain
+    # covered in-window (F3/F4 via session_labels + bar pipelines, F5
+    # via the streaming pytests, A7 via backadjust_rangejoin, joins via
+    # q3/q12, centroids via kmeans_clusters).
+    "json_struct_agg",
+    "kmeans_clusters",
+    "sliding_window_stats",
+    "token_counts",
+    "doc_fingerprint",
+    "embedding_norms",
 ]
-# Displaced to the tail for the two new LLM-pipeline flagships:
-# q6_forecast_revenue (scalar filtered-sum single; family in-window via
-# q12_late_shipments) and json_struct_agg (JSON-parse family in-window
-# via json_props_agg).
+# Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
+# single; family in-window via q12_late_shipments) plus the six
+# rotated-out stable greens listed above.
 
 
 def _ordered():
