@@ -34,6 +34,27 @@ def normalized_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+#: modulus of the engine-wide 60-bit hash family (see h60)
+H60_MOD = 1 << 60
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column: the first 15 hex
+    chars of md5, as a non-negative bigint.
+
+    This is the engine's cross-checkable hash family: DuckDB computes
+    the identical value as ``CAST('0x' || substr(md5(s), 1, 15) AS
+    BIGINT)``, so every hash-derived operator (MinHash lanes, LSH band
+    buckets, SimHash fingerprints, rolling fingerprints) can carry a
+    value-level oracle instead of a rows-only check. 60 bits keeps the
+    value strictly positive in an int64 on both engines (no sign-bit
+    disagreement) while collision odds at corpus scale stay negligible
+    (~n^2 / 2^61). md5 is a few ns/row slower than xxhash64 but both
+    are JVM-codegen'd scan-side projections - invisible next to the
+    shuffle the consumers do afterwards."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -95,7 +116,7 @@ def shingles_exploded(
     contribute their whole text as one shingle (arrays_zip null-pads the
     short slices and concat_ws skips nulls).
 
-    hashed=True replaces each shingle with its xxhash64 inside the
+    hashed=True replaces each shingle with its h60 hash inside the
     per-doc array: 8-byte join keys instead of ~20-char strings
     (collision odds ~1e-11 at testdata cardinality). count_col attaches
     the per-doc distinct-shingle count, read off the array for free -
@@ -144,8 +165,20 @@ def shingle_array(text: Column, *, n: int = 3, hashed: bool = False) -> Column:
         size >= n, F.slice(shingles, 1, F.greatest(size - (n - 1), F.lit(1)))
     ).otherwise(F.slice(shingles, 1, 1))
     if hashed:
-        full = F.transform(full, lambda x: F.xxhash64(x))
+        full = F.transform(full, lambda x: h60(x))
     return F.array_distinct(full)
+
+
+def minhash_lane_constants(num_hashes: int = 32):
+    """The fixed affine MinHash family (a_i, b_i), seeded so Spark and
+    any oracle engine derive the identical lanes. Returned as numpy
+    uint64 arrays; oracle SQL embeds the same integers literally."""
+    rng = np.random.RandomState(0x5EED)
+    a_lane = (
+        rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1
+    )  # odd multipliers -> bijective mod 2^k
+    b_lane = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a_lane, b_lane
 
 
 def minhash_signature(
@@ -155,12 +188,22 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: per-doc hashed shingle set (JVM-side, zero
     shuffle), then one Arrow pandas UDF computes all k per-lane minima
     vectorized in numpy. Lane i applies a fixed affine mix
-    ``a_i * h + b_i (mod 2^64)`` to the 8-byte shingle hash - a standard
-    MinHash family, deterministic across runs/engines.
+    ``(a_i * h + b_i) mod 2^60`` to the h60 shingle hash - a standard
+    MinHash family, deterministic across runs AND engines: because
+    2^60 divides 2^64, numpy's wrapping uint64 product masked to 60
+    bits equals the exact (a*h + b) mod 2^60 an oracle computes in
+    128-bit arithmetic, so signatures are value-checkable in SQL.
+
+    shingle_sets, if given, is a precomputed (id_col, sh: array<long>)
+    frame of h60-hashed shingle sets - pass the corpus-cached build so
+    the interpreted shingle transform runs once per corpus instead of
+    once per consumer (the r02 minhash_neardup regression was exactly
+    this rebuild).
 
     Why not k aggregate columns (the previous form): a k-wide
     min-aggregate is a k-branch codegen method evaluated per exploded
@@ -168,11 +211,8 @@ def minhash_signature(
     (the same Catalyst-width lesson as text_stats/kmeans: expression
     trees that scale with k belong in one vectorized batch, not k
     columns). Shuffle count drops from one (groupBy id) to zero."""
-    rng = np.random.RandomState(0x5EED)
-    a_lane = (
-        rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) * 2 + 1
-    )  # odd multipliers -> bijective mod 2^64
-    b_lane = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    a_lane, b_lane = minhash_lane_constants(num_hashes)
+    mask60 = np.uint64((1 << 60) - 1)
 
     @pandas_udf("array<long>")
     def _lane_mins(sh: pd.Series) -> pd.Series:
@@ -181,20 +221,22 @@ def minhash_signature(
             out = []
             for arr in sh:
                 h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                lanes = h[:, None] * a_lane[None, :] + b_lane[None, :]
+                lanes = (h[:, None] * a_lane[None, :] + b_lane[None, :]) & mask60
                 out.append(lanes.min(axis=0).view(np.int64))
             return pd.Series(out)
         finally:
             np.seterr(**err)
 
-    sets = df.select(
-        F.col(id_col),
-        shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias(
-            "_sh"
-        ),
-    ).where(F.size("_sh") > 0)
+    if shingle_sets is None:
+        shingle_sets = df.select(
+            F.col(id_col),
+            shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias(
+                "sh"
+            ),
+        )
+    sets = shingle_sets.where(F.size("sh") > 0)
     return sets.select(
-        F.col(id_col), _lane_mins(F.col("_sh")).alias("signature")
+        F.col(id_col), _lane_mins(F.col("sh")).alias("signature")
     )
 
 
@@ -208,16 +250,22 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band hash become a candidate pair.
     The self-join runs on (band_id, band_hash) - only colliding buckets
     produce work, so the n^2 pair space is never enumerated."""
+    # band bucket = h60 of the comma-joined lane values: both engines
+    # format int64 as plain decimal, so the bucket ids (not just the
+    # resulting pairs) are cross-checkable.
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[
-                            F.col("signature")[b * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ]
+                    h60(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
                     )
                     for b in range(bands)
                 ]
@@ -248,15 +296,22 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs with
     jaccard >= threshold. Shingle sets are hashed-long arrays built
     per row with zero shuffles (shingle_array); array_intersect/union
-    on longs stays JVM-side."""
-    sets = df.select(
-        F.col(id_col),
-        shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
-    )
+    on longs stays JVM-side. Pass shingle_sets (id_col, sh:
+    array<long>) to reuse a corpus-cached build."""
+    sets = shingle_sets
+    if sets is None:
+        sets = df.select(
+            F.col(id_col),
+            shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias(
+                "sh"
+            ),
+        )
+    sets = sets.select(id_col, "sh")
     out = (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -279,20 +334,23 @@ def minhash_neardup_pairs(
     shingle_n: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded
-    candidates -> exact-Jaccard verify >= threshold."""
+    candidates -> exact-Jaccard verify >= threshold. shingle_sets, if
+    given, feeds BOTH the signature and verify stages - one shingle
+    build per corpus instead of two per query."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, shingle_sets=shingle_sets,
     )
     cand = lsh_candidate_pairs(
         sig, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     )
     return jaccard_verify(
         cand, df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
-        threshold=threshold,
+        threshold=threshold, shingle_sets=shingle_sets,
     )
 
 
