@@ -359,18 +359,22 @@ def simhash(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
+    bits: int = 60,
 ) -> DataFrame:
     """SimHash fingerprint: majority vote per bit over token hashes.
 
-    Token hashes stay JVM-side (xxhash64 inside a transform lambda);
-    the 64-bit majority vote runs in one Arrow pandas UDF - unpack the
-    per-token hashes to a bit matrix, column-sum, threshold at n/2.
-    Bit b of the result is 1 iff strictly more than half... exactly
-    `2*popcount_b > n`, matching the previous sum(+1/-1) > 0 vote, so
-    fingerprints are bit-identical to the aggregate form.
+    Token hashes stay JVM-side (h60 inside a transform lambda, so the
+    fingerprint is value-checkable in oracle SQL - 60 bit-vote terms
+    over the identical md5-derived token hashes); the majority vote
+    runs in one Arrow pandas UDF - unpack the per-token hashes to a
+    bit matrix, column-sum, threshold at n/2. Bit b of the result is 1
+    iff strictly more than half the token hashes set bit b - exactly
+    `2*popcount_b > n`, matching the classic sum(+1/-1) > 0 vote, so
+    fingerprints are bit-identical to the aggregate form. 60 bits keep
+    the fingerprint strictly positive in an int64 on both engines (no
+    sign-bit reinterpretation anywhere).
 
-    Why not a 64-column conditional-sum groupBy (the previous form):
+    Why not a bit-wide conditional-sum groupBy (the previous form):
     64 branchy agg exprs per exploded token row compile into one huge
     codegen method (JIT bails out past 8KB bytecode) and measured ~8s
     at sf0.1; the Arrow vote is ~0.5s and needs no shuffle at all -
@@ -387,17 +391,14 @@ def simhash(
                 axis=0, dtype=np.int64
             )
             maj = (2 * ones > len(h)).astype(np.uint64)
-            fp = int((maj * weights).sum(dtype=np.uint64))
-            # reinterpret the uint64 fingerprint as the int64 the
-            # LongType column stores (top bit set -> negative long)
-            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+            out[i] = int((maj * weights).sum(dtype=np.uint64))
         return pd.Series(out)
 
     toks = df.select(
         F.col(id_col),
         F.transform(
             F.array_distinct(normalized_tokens(F.col(text_col))),
-            lambda t: F.xxhash64(t),
+            lambda t: h60(t),
         ).alias("_h"),
     ).where(F.size("_h") > 0)
     return toks.select(F.col(id_col), _vote(F.col("_h")).alias("simhash"))
@@ -410,12 +411,13 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit fingerprint into `bands` chunks;
+    """SimHash near-dup: band the fingerprint into `bands` chunks;
     pairs sharing any chunk (pigeonhole guarantee for hamming <= bands-1)
     are verified with an exact popcount distance."""
-    sh = simhash(df, id_col=id_col, text_col=text_col)
-    width = 64 // bands
+    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    width = bits // bands
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), i * width).bitwiseAND(

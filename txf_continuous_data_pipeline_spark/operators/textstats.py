@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalized_tokens
+from .dedup import h60, normalized_tokens
 
 # Marker stopwords per language for the n-gram-free language heuristic.
 # Deterministic and tiny on purpose: the point is the operator shape
@@ -87,16 +87,18 @@ def quality_score(text: Column) -> Column:
 
 def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling document fingerprint: polynomial
-    accumulation of per-token xxhash64 over the token sequence, in
+    accumulation of per-token h60 hashes over the token sequence, in
     modular arithmetic (mod 1e9+7) so it is ANSI-mode safe - Spark 4
     raises on long overflow by default, so the classic wrapping
-    rolling hash is expressed with an explicit modulus instead."""
+    rolling hash is expressed with an explicit modulus instead. The
+    h60 family (md5-derived, see operators/dedup.h60) makes the value
+    reproducible in oracle SQL via list_reduce over the same hashes."""
     m = F.lit(1_000_000_007).cast("long")
     toks = normalized_tokens(F.col(text_col))
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 31 + F.pmod(F.xxhash64(t), m)) % m,
+        lambda acc, t: (acc * 31 + h60(t) % m) % m,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 

@@ -1,11 +1,13 @@
 """Documents-table extension queries: dedup + text analysis.
 
 Oracle SQL is generated from the same constants as the Spark operators
-(marker lists, shingle width) so the two sides cannot drift. MinHash /
-SimHash / fingerprint queries are rows-only: their hash functions
-(xxhash64) have no DuckDB equivalent, so the driver records the weaker
-check; their *verification* stage (exact Jaccard) IS oracle-checked via
-ngram_jaccard_pairs."""
+(marker lists, shingle width, MinHash lane constants) so the two sides
+cannot drift. MinHash / SimHash / fingerprint queries are fully
+value-checked: every hash-derived operator uses the engine-wide h60
+family (first 15 hex chars of md5 as a bigint, operators/dedup.h60),
+which DuckDB reproduces exactly - so signatures, band buckets, SimHash
+fingerprints and rolling fingerprints all carry hash-level oracles
+instead of rows-only checks."""
 
 from __future__ import annotations
 
@@ -13,11 +15,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    H60_MOD,
     shingles_exploded,
     dropDuplicates_exact,
     exact_dedup_groups,
+    minhash_lane_constants,
     minhash_neardup_pairs,
     normalized_tokens,
+    shingle_array,
     simhash_neardup_pairs,
     token_shingles,
 )
@@ -361,25 +366,161 @@ def training_data_curation(spark, sf_dir):
     return curate_corpus(read_table(spark, sf_dir, "documents"))
 
 
-@q("minhash_neardup", None)
+# h60 in DuckDB: identical value to operators/dedup.h60 (first 15 hex
+# chars of md5 as a non-negative bigint).
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+#: hashed shingle set - the oracle twin of shingle_array(hashed=True)
+_SHINGLES_H = f"list_transform({_SHINGLES}, s -> {_h60_sql('s')})"
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Mirror of minhash_neardup_pairs: the SAME lane constants (seeded
+    numpy), affine mix mod 2^60 in HUGEINT (exact - equals numpy's
+    wrapping uint64 product masked to 60 bits because 2^60 | 2^64),
+    band buckets as h60 of the comma-joined lanes, candidate self-join,
+    exact-Jaccard verify."""
+    a_lane, b_lane = minhash_lane_constants(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"CAST(min((CAST({int(a_lane[i])} AS HUGEINT) * h + {int(b_lane[i])})"
+        f" % {H60_MOD}) AS BIGINT) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_list = ",\n           ".join(
+        _h60_sql(
+            "concat(" + ", ',', ".join(f"s{bi * rows + r}" for r in range(rows)) + ")"
+        )
+        for bi in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.shl, sb.shl)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_H} AS shl FROM documents
+),
+eh AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM eh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest(range(0, {bands})) AS band_id,
+         unnest([{band_list}]) AS band_hash
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, round({jac}, 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE {jac} >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    """Mirror of simhash_neardup_pairs: h60 token hashes, per-bit
+    majority vote (2*ones > n) composed as 60 CASE-sum terms, pigeonhole
+    banding, exact popcount verify."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    vote = "\n       + ".join(
+        f"(CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    chunks = ", ".join(
+        f"(simhash >> {i * width}) & {mask}" for i in range(bands)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id, {_h60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents)
+),
+fp AS (
+  SELECT doc_id,
+         CAST({vote} AS BIGINT) AS simhash
+  FROM th GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, unnest(range(0, {bands})) AS band,
+         unnest([{chunks}]) AS chunk
+  FROM fp
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({_TOKS}, t -> {_h60_sql('t')} % 1000000007)),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# Per-corpus cache of the per-doc hashed shingle-set frame (doc_id,
+# sh: array<long>) - the input both MinHash stages (signature + exact
+# verify) consume. One interpreted shingle-transform pass per corpus
+# instead of one per consumer (the r02 minhash_neardup regression was
+# exactly this rebuild).
+_SHINGLE_SETS_CACHE: dict = {}
+
+
+def _shingle_sets(spark, sf_dir):
+    key = _corpus_key(spark, sf_dir)
+    if key not in _SHINGLE_SETS_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        _SHINGLE_SETS_CACHE[key] = docs.select(
+            F.col("doc_id"),
+            shingle_array(F.col("text"), n=3, hashed=True).alias("sh"),
+        ).localCheckpoint(eager=True)
+    return _SHINGLE_SETS_CACHE[key]
+
+
+@q("minhash_neardup", _minhash_sql())
 def minhash_neardup(spark, sf_dir):
     """MinHash(32) + LSH(8 bands) near-dup pairs with exact-Jaccard
-    verification >= 0.5. Rows-only: xxhash64 has no DuckDB twin; the
-    Jaccard verifier itself is oracle-checked by ngram_jaccard_pairs."""
+    verification >= 0.5. Hash-green: the h60 family and seeded lane
+    constants are reproduced exactly in the oracle SQL, so signatures,
+    band buckets AND the verified jaccard all value-match DuckDB."""
     return minhash_neardup_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.5
+        read_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_sets=_shingle_sets(spark, sf_dir),
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("simhash_neardup", None)
+@q("simhash_neardup", _simhash_sql())
 def simhash_neardup(spark, sf_dir):
-    """SimHash-banded near-dup pairs at hamming distance <= 3."""
+    """SimHash-banded near-dup pairs at hamming distance <= 3, over the
+    60-bit h60 token-hash family (value-checkable in oracle SQL)."""
     return simhash_neardup_pairs(read_table(spark, sf_dir, "documents"))
 
 
-@q("doc_fingerprint", None)
+@q("doc_fingerprint", _FINGERPRINT_SQL)
 def doc_fingerprint_q(spark, sf_dir):
-    """Order-sensitive rolling token-hash fingerprint per document."""
+    """Order-sensitive rolling token-hash fingerprint per document
+    (h60 token hashes folded mod 1e9+7; list_reduce oracle)."""
     return doc_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
