@@ -30,8 +30,15 @@ def _hm_micros(hm: str) -> int:
 
 def micros_of_day(ts: Column) -> Column:
     """Full-precision time-of-day in microseconds (keeps sub-second
-    precision, unlike an HH:mm string compare)."""
-    return F.unix_micros(ts) % F.lit(MICROS_PER_DAY)
+    precision, unlike an HH:mm string compare).
+
+    NTZ-polymorphic: unix_micros rejects TIMESTAMP_NTZ at analysis time,
+    so cast first - a Catalyst no-op for TIMESTAMP input and a
+    value-preserving reinterpretation for NTZ under the UTC-pinned
+    session (session.get_spark). Sources normalize already
+    (sources/io._normalize_timestamps); this keeps the helper safe for
+    ad-hoc callers too."""
+    return F.unix_micros(ts.cast("timestamp")) % F.lit(MICROS_PER_DAY)
 
 
 def tod_between(ts: Column, start: str, end: str) -> Column:

@@ -152,7 +152,10 @@ def rollup_ohlcv_sessions(
     # rows"), and the branch needs a per-row choice of phase offset.
     width_us = _interval_us(width)
     day_off_us = _interval_us(day_offset)
-    us = F.unix_micros(ts)
+    # cast: NTZ-polymorphic (no-op for TIMESTAMP; value-preserving for
+    # TIMESTAMP_NTZ under the UTC-pinned session) - and timestamp_micros
+    # below always emits TIMESTAMP, so the output type is consistent.
+    us = F.unix_micros(ts.cast("timestamp"))
     off = F.when(is_day, F.lit(day_off_us)).otherwise(F.lit(0))
     bucket = F.timestamp_micros(
         ((us - off) - F.pmod(us - off, F.lit(width_us))) + off

@@ -54,25 +54,52 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS_CACHE[path]
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Parquet written without isAdjustedToUTC (pandas/pyarrow's default for
+    naive datetimes - the most common parquet timestamp flavor) surfaces
+    in Spark 4 as TIMESTAMP_NTZ, which functions like unix_micros reject
+    at analysis time. With the session timezone pinned to UTC
+    (session.get_spark) the cast is value-preserving: wall-clock fields
+    are reinterpreted as the same UTC instant DuckDB reads, so oracle
+    parity stays bit-exact. The cast is a no-op for columns already read
+    as TIMESTAMP.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S3: scan one testdata table. Plain parquet read so Catalyst can
     push filters and prune columns into the scan.
 
-    Nanosecond-timestamp columns (events.ts in the testdata) are read via
-    the legacy nanos-as-long path and truncated to microseconds - the
-    same truncation DuckDB applies, keeping the oracle comparison exact.
-    Production tables should store micros; this shim only costs the
-    pushdown of predicates on the converted column.
+    Event-time normalization (one choke point for every parquet flavor a
+    user can hand the engine - pinned by tests/test_sources_timestamps):
+      - TIMESTAMP(NANOS): Spark 4 refuses to read natively
+        (PARQUET_TYPE_ILLEGAL); read via the legacy nanos-as-long path
+        and truncate to micros - the same truncation DuckDB applies.
+      - TIMESTAMP(MICROS) naive (isAdjustedToUTC=false): arrives as
+        TIMESTAMP_NTZ; cast to TIMESTAMP (value-preserving under the
+        UTC-pinned session - see _normalize_timestamps).
+      - TIMESTAMP(MICROS) UTC-adjusted: already TIMESTAMP, untouched.
+    Downstream operators can therefore assume event-time is TIMESTAMP.
+    This shim only costs the pushdown of predicates on a converted
+    column; native-micros tables keep full pushdown.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _normalize_timestamps(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
