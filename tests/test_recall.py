@@ -32,3 +32,66 @@ def test_minhash_finds_every_exact_pair(spark, sf_dir):
         "jaccard < 0.5"
     )
     assert low.count() == 0
+
+
+def _recall_at_k(approx_df, exact_df):
+    """Fraction of the exact top-k (q_id, vec_id) pairs the approximate
+    result recovered."""
+    truth = {(r["q_id"], r["vec_id"]) for r in exact_df.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in approx_df.collect()}
+    return len(truth & got) / len(truth)
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """The IVF recall/cost dial: recall@k rises monotonically with
+    nprobe and reaches 1.0 at nprobe = n_clusters (probing every cell IS
+    brute force)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        knn_join_bruteforce,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_clusters = emb.select("label").distinct().count()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = knn_join_bruteforce(queries, corpus, k=3)
+
+    recalls = [
+        _recall_at_k(
+            ivf_topk(emb, query_pred=lambda c: c < 5, k=3, nprobe=p), exact
+        )
+        for p in (1, 3, n_clusters)
+    ]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"nprobe=n_clusters must be exact: {recalls}"
+    # and probing more cells must actually help on this data, or the
+    # dial is wired to nothing
+    assert recalls[-1] > recalls[0] or recalls[0] == 1.0
+
+
+def test_ivf_learned_nprobe_full_probe_is_exact(spark, sf_dir):
+    """Learned-quantizer path: nprobe = n_clusters recovers the exact
+    brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_topk_learned,
+        knn_join_bruteforce,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = knn_join_bruteforce(queries, corpus, k=3)
+    full = ivf_topk_learned(
+        emb, query_pred=lambda c: c < 5, k=3, n_clusters=4, max_iter=2,
+        nprobe=4,
+    )
+    assert _recall_at_k(full, exact) == 1.0

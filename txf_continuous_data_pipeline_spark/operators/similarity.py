@@ -215,25 +215,48 @@ def ivf_assign(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid assignment by cosine: broadcast the (tiny)
-    centroid table, argmax per row via max_by (sim then cluster_id as
-    tie-break) - no window, no shuffle of the fact side beyond the final
-    aggregate's map-side combine. The vector rides through the max_by
-    struct so the grouping key stays scalar."""
+    """Top-`nprobe` nearest-centroid assignment by cosine: broadcast the
+    (tiny) centroid table, then per row collect the centroid scores into
+    one array, sort, slice the best nprobe and explode - no window, no
+    shuffle of the fact side beyond the final aggregate's map-side
+    combine. nprobe is the classic IVF recall/cost dial: each output row
+    is one (query, probed cluster) pair, so the downstream candidate
+    equi-join scans ~nprobe/n_clusters of the corpus per query.
+
+    nprobe=1 preserves the original single-cell semantics (ties on sim
+    break toward the LARGER cluster_id, matching the max_by struct
+    ordering this replaced and the registered oracle SQL).
+    """
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
     )
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.struct(F.col("cluster_id"), F.col(vec_col).alias("_v")),
-            F.struct(F.col("_sim"), F.col("cluster_id")),
-        ).alias("_b")
+    # struct sorts ascending field-by-field: (-sim, -cluster_id) puts the
+    # best-sim / largest-id centroid first.
+    per_row = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("_sim")).alias("_negsim"),
+                        (-F.col("cluster_id")).alias("_negc"),
+                    )
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("_top"),
+        F.first(F.col(vec_col)).alias(vec_col),
     )
-    return best.select(
+    # two-step: Spark can't resolve a struct field on the explode
+    # generator inside the same select
+    return per_row.select(
+        F.col(id_col), F.col(vec_col), F.explode("_top").alias("_p")
+    ).select(
         F.col(id_col),
-        F.col("_b.cluster_id").alias("cluster_id"),
-        F.col("_b._v").alias(vec_col),
+        F.col(vec_col),
+        (-F.col("_p._negc")).alias("cluster_id"),
     )
 
 
@@ -245,14 +268,20 @@ def ivf_topk(
     label_col: str = "label",
     query_pred,
     k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-probed ANN top-k: queries only score vectors in their nearest
-    centroid's cluster. The candidate join is an equi-join on cluster_id,
-    so the scored set is ~n/n_clusters per query instead of n - the
-    scale path next to knn_join_bruteforce's exact cross join.
+    """IVF-probed ANN top-k: queries only score vectors in their
+    `nprobe` nearest centroids' clusters. The candidate join is an
+    equi-join on cluster_id, so the scored set is ~nprobe/n_clusters of
+    the corpus per query instead of all of it - the scale path next to
+    knn_join_bruteforce's exact cross join, with nprobe as the
+    recall/cost dial (nprobe = n_clusters degenerates to exact;
+    tests/test_recall.py pins recall@k rising monotonically to 1.0).
 
     Ties on cosine break by vec_id; deterministic end to end given the
     label clustering, so the whole approximate path is oracle-checkable.
+    A corpus vector is stored in exactly one cell and a query probes
+    nprobe distinct cells, so candidates need no dedup.
     """
     from pyspark.sql import Window
 
@@ -261,7 +290,9 @@ def ivf_topk(
     queries = emb.where(query_pred(F.col(id_col))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    q_assigned = ivf_assign(queries, cents, vec_col="q_vec", id_col="q_id")
+    q_assigned = ivf_assign(
+        queries, cents, vec_col="q_vec", id_col="q_id", nprobe=nprobe
+    )
     # corpus cluster = its own label (the IVF partition it is stored in)
     cand = corpus.select(
         F.col(id_col), F.col(vec_col), F.col(label_col).alias("cluster_id")
@@ -388,6 +419,34 @@ def kmeans_assign(
         ),
     )
     return df.withColumn(out_col, F.array_min(scored)["c"])
+
+
+def kmeans_probe(
+    df: DataFrame,
+    centroids: list,
+    *,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Top-`nprobe` nearest centroids per row as EXPLODED rows - the
+    query-side routing step of an IVF search with literal centroids.
+    Still a zero-shuffle projection: score all k centroids with
+    `transform`, array_sort (struct ordering: distance asc, then cluster
+    id asc - same tie-break as kmeans_assign), slice the best nprobe,
+    explode. nprobe=1 yields exactly kmeans_assign's choice."""
+    scored = F.transform(
+        _centroid_array(centroids),
+        lambda s: F.struct(
+            sq_dist(F.col(vec_col), s["v"]).alias("d"), s["c"].alias("c")
+        ),
+    )
+    top = F.slice(F.array_sort(scored), F.lit(1), F.lit(nprobe))
+    # two-step: Spark can't resolve a struct field on the explode
+    # generator within the same projection
+    return df.withColumn("_probe", F.explode(top)).withColumn(
+        out_col, F.col("_probe.c")
+    ).drop("_probe")
 
 
 def kmeans_assign_fast(
@@ -563,14 +622,18 @@ def ivf_topk_learned(
     k: int = 3,
     n_clusters: int = 8,
     max_iter: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN end to end with LEARNED partitions - the full composition
     the label-based ivf_topk stands in for: kmeans_fit trains the coarse
     quantizer, every row stores into its nearest centroid's cell
-    (kmeans_assign_fast, zero shuffle), and each query probes only its
-    own cell (nprobe=1) via an equi-join on cluster_id before the exact
-    cosine re-rank. Candidate count ~ n/n_clusters per query instead of
-    n; ties break by (cos desc, id) as everywhere else."""
+    (kmeans_assign_fast, zero shuffle), and each query probes its
+    `nprobe` nearest cells (kmeans_probe, a zero-shuffle explode of a
+    top-nprobe centroid array) via an equi-join on cluster_id before the
+    exact cosine re-rank. Candidate count ~ nprobe * n/n_clusters per
+    query instead of n; nprobe = n_clusters recovers brute force exactly
+    (tests/test_recall.py). Ties break by (cos desc, id) as everywhere
+    else."""
     from pyspark.sql import Window
 
     cents, _, _ = kmeans_fit(
@@ -578,7 +641,10 @@ def ivf_topk_learned(
     )
     assigned = kmeans_assign_fast(emb, cents, vec_col=vec_col)
     corpus = assigned.where(~query_pred(F.col(id_col)))
-    queries = assigned.where(query_pred(F.col(id_col))).select(
+    queries = kmeans_probe(
+        emb.where(query_pred(F.col(id_col))), cents, nprobe=nprobe,
+        vec_col=vec_col,
+    ).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         "cluster_id",

@@ -245,6 +245,55 @@ def embedding_norms(spark, sf_dir):
     )
 
 
+def _fixed_centroids(k: int = 4, dim: int = 64, seed: int = 7) -> list:
+    """Deterministic literal centroids shared by the Spark query and its
+    DuckDB oracle (same pattern as the seeded LSH planes): rounded to 6dp
+    so the two sides inline the IDENTICAL doubles."""
+    rng = np.random.RandomState(seed)
+    return [
+        (c, [round(float(x), 6) for x in rng.normal(size=dim)])
+        for c in range(k)
+    ]
+
+
+def _kmeans_assign_sql(centroids: list) -> str:
+    rows = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for c, v in centroids
+    )
+    # list_distance = sqrt(sum of squares); sqrt is monotonic, so the
+    # argmin matches the Spark side's squared-distance argmin exactly.
+    return f"""
+WITH cent(cluster_id, centroid) AS (VALUES {rows}),
+scored AS (
+  SELECT e.vec_id, e.label, c.cluster_id,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS d
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, label, cluster_id FROM (
+  SELECT vec_id, label, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@q("kmeans_assign", _kmeans_assign_sql(_fixed_centroids()))
+def kmeans_assign_q(spark, sf_dir):
+    """Single-pass nearest-centroid assignment against fixed literal
+    centroids - the scoring half of k-means (and of IVF cell routing) as
+    a pure zero-shuffle JVM projection, trivially SQL-expressible, so the
+    driver can hash-check it (integer-only output: no FP compare risk).
+    The iterative trainer (kmeans_clusters below) stays pytest-verified
+    differentially; this covers its assignment step with a full oracle."""
+    from ..operators.similarity import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, _fixed_centroids()).select(
+        "vec_id", "label", "cluster_id"
+    )
+
+
 @q("kmeans_clusters", None)
 def kmeans_clusters(spark, sf_dir):
     """Learned IVF partitions: distributed Lloyd's k-means (k=8, the
