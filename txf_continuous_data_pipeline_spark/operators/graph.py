@@ -42,6 +42,7 @@ def connected_components(
     *,
     max_iter: int = 20,
     strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve undirected edges to (id, component) with component = min
     node id reachable. Only nodes that appear in an edge are returned
@@ -55,7 +56,11 @@ def connected_components(
     When the loop still exhausts max_iter with labels changing, the
     result is WRONG (partially propagated), so strict=True (default)
     raises; strict=False downgrades to a warning for exploratory
-    use."""
+    use.
+
+    stats, if given, is filled with {"rounds": n} - the number of
+    fold+double rounds actually executed, the scale-probe observable
+    (SCALE.md quantifies its growth vs corpus size)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Pre-partition on the probe key so the checkpointed edge table's
     # partitioning is reusable by every round's join (no re-exchange of
@@ -76,7 +81,9 @@ def connected_components(
     id_type = labels.schema["component"].dataType
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # Carry each node's previous label through the fold ("_old" is
         # non-null exactly once per id), so convergence is read off the
         # SAME checkpointed frame with a cheap scan - no per-round
@@ -129,6 +136,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # The fixpoint may have been reached exactly on the final
         # round (that round still reports changed!=0). One cheap probe
