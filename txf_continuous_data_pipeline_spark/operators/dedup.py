@@ -341,10 +341,12 @@ def minhash_neardup_pairs(
     given, feeds BOTH the signature and verify stages - one shingle
     build per corpus instead of two per query."""
     rows_per_band = num_hashes // bands
+    # persist: the LSH band self-join scans the signature frame twice
+    # with no exchange to reuse (same rationale as simhash_neardup_pairs)
     sig = minhash_signature(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, shingle_sets=shingle_sets,
-    )
+    ).persist()
     cand = lsh_candidate_pairs(
         sig, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     )
@@ -415,8 +417,14 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """SimHash near-dup: band the fingerprint into `bands` chunks;
     pairs sharing any chunk (pigeonhole guarantee for hamming <= bands-1)
-    are verified with an exact popcount distance."""
-    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    are verified with an exact popcount distance.
+
+    The fingerprint frame is persisted before the band self-join: the
+    join's broadcast side carries no exchange, so without
+    materialization BOTH sides recompute the token-hash transform and
+    the Arrow vote (measured 4.6s -> 2.9s at sf0.1). Fingerprints are
+    id + 8 bytes - linear, the table you'd write to storage at 100 TB."""
+    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).persist()
     width = bits // bands
     chunks = F.array(
         *[
