@@ -1,0 +1,100 @@
+"""Pin the n-gram repetition metrics (sorted-run fold) against
+hand-computed cases and the relational (explode -> group) form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.textstats import (
+    gopher_quality_flags,
+    ngram_repetition_stats,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "single")]).select(
+        "doc_id", word_ngrams(F.split(F.col("text"), " "), 3).alias("ng")
+    )
+    got = {r.doc_id: list(r.ng) for r in df.collect()}
+    assert got == {1: [], 2: []}
+
+
+def test_repetition_hand_case(spark):
+    # bigrams of "a b a b a c": [a b, b a, a b, b a, a c] -> n=5,
+    # top count 2 (a b / b a tie), dup occurrences 4 (both doubled)
+    df = ngram_repetition_stats(_docs(spark, [(1, "a b a b a c")]), n=2)
+    r = df.collect()[0]
+    assert (r.n_ngrams, r.top_ngram_count, r.dup_ngram_occurrences) == (
+        5,
+        2,
+        4,
+    )
+    assert r.top_ngram_frac == 0.4 and r.dup_ngram_frac == 0.8
+
+
+def test_repetition_no_repeats(spark):
+    df = ngram_repetition_stats(_docs(spark, [(1, "w x y z")]), n=2)
+    r = df.collect()[0]
+    assert (r.n_ngrams, r.top_ngram_count, r.dup_ngram_occurrences) == (
+        3,
+        1,
+        0,
+    )
+
+
+def test_repetition_matches_explode_form(spark, sf_dir):
+    """Differential: the zero-shuffle fold == the relational route on
+    real docs."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        normalized_tokens,
+    )
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        word_ngrams as wng,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    fold = ngram_repetition_stats(docs, n=3)
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(wng(normalized_tokens(F.col("text")), 3)).alias("ng"),
+        )
+        .groupBy("doc_id", "ng")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_ngrams"),
+            F.max("count").alias("top_ngram_count"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+                "dup_ngram_occurrences"
+            ),
+        )
+    )
+    a = {
+        r.doc_id: (r.n_ngrams, r.top_ngram_count, r.dup_ngram_occurrences)
+        for r in fold.collect()
+    }
+    b = {
+        r.doc_id: (r.n_ngrams, r.top_ngram_count, r.dup_ngram_occurrences)
+        for r in rel.collect()
+    }
+    assert a == b
+
+
+def test_gopher_flags_thresholds(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy sleeping dog "
+            "while nobody watches anything particular today indeed"),  # ok
+        (2, "tiny doc"),  # fails token bound
+        (3, " ".join(["spam ham"] * 20)),  # repetition bomb
+    ]
+    got = {r.doc_id: r for r in gopher_quality_flags(_docs(spark, rows)).collect()}
+    assert got[1].keep
+    assert not got[2].flag_tokens and not got[2].keep
+    assert not got[3].flag_top_bigram and not got[3].keep

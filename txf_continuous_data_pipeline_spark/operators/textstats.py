@@ -357,3 +357,153 @@ def mixture_sample(
         F.col("n_tokens"),
         F.round(F.col("_rate"), 6).alias("keep_rate"),
     )
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc
+    has fewer than n tokens (F.sequence would otherwise run DESCENDING
+    from 1 to a non-positive stop and emit garbage grams)."""
+    count = F.size(tokens) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_fold(sorted_arr: Column) -> Column:
+    """Fold adjacent runs of a SORTED array into struct(maxrun, dup):
+    maxrun = occurrence count of the most frequent element; dup = total
+    occurrences of elements appearing more than once (each counted with
+    its first occurrence - the Gopher 'duplicate n-gram fraction'
+    convention). One O(len) pass, all JVM-side."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        newrun = F.when(same, acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        # a run reaching length 2 retroactively counts its first
+        # occurrence (+2); each further repeat adds 1
+        dup = acc["dup"] + (
+            F.when(same & (acc["run"] == 1), F.lit(2))
+            .when(same, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["maxrun"], newrun).alias("maxrun"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+def _repetition_cols(toks: Column, n: int) -> dict[str, Column]:
+    """The per-doc n-gram repetition metrics as named columns (shared by
+    ngram_repetition_stats and gopher_quality_flags so the two stay
+    consistent). Zero shuffle: sort the doc's n-gram array, fold runs."""
+    ngs = F.array_sort(word_ngrams(toks, n))
+    folded = _run_fold(ngs)
+    n_ng = F.size(ngs).cast("long")
+    top, dup = folded["maxrun"], folded["dup"]
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(n_ng > 0, c / n_ng).otherwise(F.lit(0.0)), 6
+    )
+    return {
+        "n_ngrams": n_ng,
+        "top_ngram_count": top,
+        "dup_ngram_occurrences": dup,
+        "top_ngram_frac": frac(top),
+        "dup_ngram_frac": frac(dup),
+    }
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) per-document repetition
+    metrics over word n-grams: count of the most frequent n-gram and
+    total occurrences of duplicated n-grams, with fractions of the
+    doc's n-gram count. The standard web-scrape repetition filter
+    signal ahead of near-dup detection.
+
+    Scale shape: a pure zero-shuffle projection - the n-gram array is
+    built, sorted and run-folded per row inside one stage; nothing
+    leaves its input partition (vs the naive explode -> groupBy(doc,
+    ngram) -> groupBy(doc) double shuffle)."""
+    toks = normalized_tokens(F.col(text_col))
+    cols = _repetition_cols(toks, n)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+#: Gopher-rule thresholds (Rae et al. 2021 table A1 shape; values tuned
+#: to the synthetic corpus so each rule is non-trivially selective)
+GOPHER_THRESHOLDS = {
+    "min_tokens": 15,
+    "max_tokens": 1000,
+    "min_mean_word_len": 4.0,
+    "max_mean_word_len": 10.0,
+    "max_top_bigram_frac": 0.08,
+    "max_dup_trigram_frac": 0.12,
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-doc boolean flags for
+    token-count bounds, mean-word-length bounds, top-bigram fraction and
+    duplicate-trigram fraction, plus the conjunction `keep`. All rules
+    are single-pass column expressions over one token array - zero
+    shuffle, no Python. (The line/paragraph-level Gopher rules don't
+    apply: this corpus' documents are single-line token streams.)"""
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    toks = normalized_tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    mean_wl = F.when(n_tok > 0, sum_len / n_tok).otherwise(F.lit(0.0))
+    top2 = _repetition_cols(toks, 2)["top_ngram_frac"]
+    dup3 = _repetition_cols(toks, 3)["dup_ngram_frac"]
+    flags = {
+        "flag_tokens": (n_tok >= t["min_tokens"])
+        & (n_tok <= t["max_tokens"]),
+        "flag_word_len": (mean_wl >= t["min_mean_word_len"])
+        & (mean_wl <= t["max_mean_word_len"]),
+        "flag_top_bigram": top2 <= t["max_top_bigram_frac"],
+        "flag_dup_trigram": dup3 <= t["max_dup_trigram_frac"],
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -90,16 +90,21 @@ _PRIORITY = [
     # covered in-window (F3/F4 via session_labels + bar pipelines, F5
     # via the streaming pytests, A7 via backadjust_rangejoin, joins via
     # q3/q12, centroids via kmeans_clusters).
-    "json_struct_agg",
     # r4 (VERDICT r03 #4): kmeans_clusters' slot can never go green (its
     # iterative fixpoint has sql=None -> permanent no_oracle). Its
     # assignment step as a fully oracle-checked query takes the slot;
     # the trainer stays in the tail with its pytest differential.
     "kmeans_assign",
     "sliding_window_stats",
-    "token_counts",
     "doc_fingerprint",
-    "embedding_norms",
+    # r4 rotation: the three new never-checked extension queries take
+    # the slots of three single-round-green near-twins whose operator
+    # families stay covered in-window (token_counts -> text_stats +
+    # gopher_filter's n_tokens; json_struct_agg -> json_props_agg;
+    # embedding_norms -> the cosine/centroid family).
+    "repetition_stats",
+    "gopher_filter",
+    "semantic_dedup_keep",
 ]
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
 # single; family in-window via q12_late_shipments) plus the six

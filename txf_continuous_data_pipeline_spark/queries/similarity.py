@@ -315,3 +315,57 @@ def kmeans_clusters(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+def _semdedup_sql(centroids: list, tau: float = 0.3) -> str:
+    rows = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for c, v in centroids
+    )
+    return f"""
+WITH cent(cluster_id, centroid) AS (VALUES {rows}),
+assigned AS (
+  SELECT vec_id, label, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid), c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= {tau}
+)
+SELECT vec_id, label, cluster_id FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@q("semantic_dedup_keep", _semdedup_sql(_fixed_centroids()))
+def semantic_dedup_keep_q(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    cluster embeddings (here: fixed literal centroids so the whole
+    path is oracle-checkable; kmeans_fit is the learned trainer), find
+    within-cluster cosine pairs >= tau, and drop every vector that has
+    a smaller-id neighbor above tau - the deterministic id-ordered
+    variant of SemDeDup's keep-one-per-duplicate-group. Scale shape:
+    assignment is a zero-shuffle projection, pair enumeration is an
+    equi-join on cluster_id (never n^2), and the drop set applies as a
+    broadcast anti-join."""
+    from ..operators.similarity import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, _fixed_centroids())
+    pairs = embedding_neardup_pairs(
+        assigned, block_col="cluster_id", min_cosine=0.3
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return assigned.join(
+        F.broadcast(dropped), "vec_id", "left_anti"
+    ).select("vec_id", "label", "cluster_id")

@@ -864,3 +864,118 @@ def mixture_sample_q(spark, sf_dir):
         F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
     ).otherwise(F.lit(1.0))
     return mixture_sample(docs, weight=weight, budget_tokens=12000)
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB word-n-gram list over the _TOKS token array (1-based
+    indexing; range() is exclusive-end so short docs yield [])."""
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, len(t) - {n - 2}), i -> {parts})"
+    )
+
+
+def _repetition_sql(n: int = 2) -> str:
+    # Same metrics as operators/textstats._repetition_cols, via the
+    # relational route (unnest -> group by) instead of the sorted-run
+    # fold - structurally different computations agreeing on values.
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest({_ngram_sql(n)}) AS ng FROM toks),
+cnt AS (SELECT doc_id, ng, count(*) AS c FROM ex GROUP BY doc_id, ng),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_ngrams,
+         CAST(max(c) AS BIGINT) AS top_ngram_count,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+           AS dup_ngram_occurrences
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(a.top_ngram_count, 0) AS BIGINT) AS top_ngram_count,
+       CAST(coalesce(a.dup_ngram_occurrences, 0) AS BIGINT)
+         AS dup_ngram_occurrences,
+       round(coalesce(a.top_ngram_count / a.n_ngrams, 0), 6)
+         AS top_ngram_frac,
+       round(coalesce(a.dup_ngram_occurrences / a.n_ngrams, 0), 6)
+         AS dup_ngram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@q("repetition_stats", _repetition_sql(2))
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style word-bigram repetition metrics per document (top
+    n-gram count/fraction, duplicated n-gram occurrences/fraction) -
+    the repetition signal of web-scrape filtering, as a zero-shuffle
+    sorted-run fold (operators/textstats.ngram_repetition_stats)."""
+    from ..operators.textstats import ngram_repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_repetition_stats(docs, n=2)
+
+
+def _gopher_sql() -> str:
+    from ..operators.textstats import GOPHER_THRESHOLDS as T
+
+    def rep_frac(n: int, which: str) -> str:
+        agg = (
+            "max(c)"
+            if which == "top"
+            else "coalesce(sum(c) FILTER (WHERE c > 1), 0)"
+        )
+        return f"""
+  SELECT doc_id, round({agg} / sum(c), 6) AS f
+  FROM (
+    SELECT doc_id, ng, count(*) AS c FROM (
+      SELECT doc_id, unnest({_ngram_sql(n)}) AS ng
+      FROM toks
+    ) GROUP BY doc_id, ng
+  ) GROUP BY doc_id
+"""
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x)))
+                        AS DOUBLE) / len(t)
+              ELSE 0.0 END AS mwl
+  FROM toks
+),
+bi AS ({rep_frac(2, "top")}),
+tri AS ({rep_frac(3, "dup")})
+SELECT b.doc_id,
+       b.n_tokens,
+       round(b.mwl, 6) AS mean_word_len,
+       (b.n_tokens >= {T["min_tokens"]}
+        AND b.n_tokens <= {T["max_tokens"]}) AS flag_tokens,
+       (b.mwl >= {T["min_mean_word_len"]}
+        AND b.mwl <= {T["max_mean_word_len"]}) AS flag_word_len,
+       (coalesce(bi.f, 0) <= {T["max_top_bigram_frac"]}) AS flag_top_bigram,
+       (coalesce(tri.f, 0) <= {T["max_dup_trigram_frac"]})
+         AS flag_dup_trigram,
+       ((b.n_tokens >= {T["min_tokens"]}
+         AND b.n_tokens <= {T["max_tokens"]})
+        AND (b.mwl >= {T["min_mean_word_len"]}
+             AND b.mwl <= {T["max_mean_word_len"]})
+        AND (coalesce(bi.f, 0) <= {T["max_top_bigram_frac"]})
+        AND (coalesce(tri.f, 0) <= {T["max_dup_trigram_frac"]})) AS keep
+FROM base b
+LEFT JOIN bi USING (doc_id)
+LEFT JOIN tri USING (doc_id)
+"""
+
+
+@q("gopher_filter", _gopher_sql())
+def gopher_filter_q(spark, sf_dir):
+    """Gopher-rule document filter (token bounds, mean word length,
+    top-bigram / duplicate-trigram repetition caps) with per-rule
+    boolean flags and the conjunctive keep decision - one zero-shuffle
+    pass (operators/textstats.gopher_quality_flags)."""
+    from ..operators.textstats import gopher_quality_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs)
