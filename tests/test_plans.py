@@ -88,3 +88,31 @@ def test_asof_join_small_dim_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_join_config")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    # Sorted-run fold per row: any Exchange is a regression toward the
+    # explode->groupBy double shuffle this operator exists to avoid.
+    plan = _plan(spark, sf_dir, "repetition_stats")
+    assert "Exchange" not in plan
+
+
+def test_gopher_filter_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "gopher_filter")
+    assert "Exchange" not in plan
+
+
+def test_kmeans_assign_is_shuffle_free(spark, sf_dir):
+    # Literal centroids ride inside the plan; assignment is a pure
+    # projection - no join, no broadcast variable, no exchange.
+    plan = _plan(spark, sf_dir, "kmeans_assign")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    # Pair enumeration must stay an equi-join on cluster_id and the
+    # drop set a broadcast anti-join - never an n^2 product.
+    plan = _plan(spark, sf_dir, "semantic_dedup_keep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
