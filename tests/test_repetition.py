@@ -98,3 +98,26 @@ def test_gopher_flags_thresholds(spark):
     assert got[1].keep
     assert not got[2].flag_tokens and not got[2].keep
     assert not got[3].flag_top_bigram and not got[3].keep
+
+
+def test_split_assign_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split never changes when the corpus grows - the property
+    rand()-based splits lack and the reason the assignment is
+    hash-based."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        split_assign,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        r.doc_id: r.split for r in split_assign(docs).select("doc_id", "split").collect()
+    }
+    subset = {
+        r.doc_id: r.split
+        for r in split_assign(docs.where(F.col("doc_id") % 3 == 0))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert subset == {k: v for k, v in full.items() if k % 3 == 0}
+    assert set(full.values()) == {"train", "val", "test"}

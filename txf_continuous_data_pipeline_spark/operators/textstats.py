@@ -507,3 +507,42 @@ def gopher_quality_flags(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+#: default corpus split fractions (must sum to <= 1; remainder -> train)
+SPLIT_FRACTIONS = (("test", 0.05), ("val", 0.05))
+
+
+def split_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: tuple = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: the first 8 hex
+    digits of md5(id) place each row on [0, 1); cumulative fraction
+    bands assign the split (e.g. test = [0, .05), val = [.05, .10),
+    train = the rest). Hash-based rather than rand(): assignments are
+    reproducible across engines/runs/partitionings, stable under corpus
+    growth (a doc never migrates between splits when new docs arrive),
+    and leak-proof by id. Zero shuffle - a pure projection, the split
+    becomes a pushdown-friendly predicate downstream."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # 16^8 buckets; band edges as exact integer thresholds
+    edges: list = []
+    acc = 0.0
+    for name, frac in fractions:
+        acc += frac
+        edges.append((name, int(acc * 4294967296)))
+    expr = None
+    for name, hi in edges:
+        cond = bucket < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    split = expr.otherwise(F.lit("train"))
+    return df.withColumn("split", split)

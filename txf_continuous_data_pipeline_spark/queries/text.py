@@ -979,3 +979,29 @@ def gopher_filter_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return gopher_quality_flags(docs)
+
+
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       CASE WHEN bucket < 214748364 THEN 'test'
+            WHEN bucket < 429496729 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+@q("split_assign", _SPLIT_SQL)
+def split_assign_q(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (5%/5%/90%) -
+    reproducible across engines and stable under corpus growth, unlike
+    rand() splits (operators/textstats.split_assign; zero shuffle)."""
+    from ..operators.textstats import split_assign
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "lang", "source", "split")
