@@ -369,3 +369,57 @@ def semantic_dedup_keep_q(spark, sf_dir):
     return assigned.join(
         F.broadcast(dropped), "vec_id", "left_anti"
     ).select("vec_id", "label", "cluster_id")
+
+
+_IVF_P2_SQL = """
+WITH cent AS (
+  SELECT cluster_id, list(v ORDER BY pos) AS centroid
+  FROM (
+    SELECT label AS cluster_id, i - 1 AS pos, avg(CAST(x AS DOUBLE)) AS v
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+  )
+  GROUP BY cluster_id
+),
+q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 5
+),
+qa AS (
+  SELECT q_id, q_vec, cluster_id FROM (
+    SELECT q.q_id, q.q_vec, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, c.centroid), 6)
+                        DESC, c.cluster_id DESC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT qa.q_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      qa.q_vec), 6) AS cos_sim
+  FROM embeddings e JOIN qa ON e.label = qa.cluster_id
+  WHERE e.vec_id >= 5
+)
+SELECT q_id, vec_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
+@q("ivf_topk_probe2", _IVF_P2_SQL)
+def ivf_topk_probe2_q(spark, sf_dir):
+    """ivf_topk with nprobe=2 - each query scores its TWO nearest
+    cells' vectors (the recall/cost dial the r3 verdict asked for),
+    still deterministic and fully oracle-checked: the probe set is a
+    top-2 window over the same centroid ranking, the candidate join
+    stays an equi-join."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_pred=lambda c: c < 5, k=3, nprobe=2)
