@@ -121,3 +121,40 @@ def test_split_assign_stable_under_corpus_growth(spark, sf_dir):
     }
     assert subset == {k: v for k, v in full.items() if k % 3 == 0}
     assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_funnel_dropoff_and_ordering(spark):
+    """Funnel semantics: steps must occur in order; out-of-order events
+    don't count; a user stalls at their last reached step."""
+    import datetime as dt
+
+    from txf_continuous_data_pipeline_spark.operators.relational import (
+        funnel_counts,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, t(1), 1, "signup"), (2, t(2), 1, "view"),
+        (3, t(3), 1, "click"), (4, t(4), 1, "purchase"),
+        # u2: purchase BEFORE click -> stalls at view
+        (5, t(1), 2, "signup"), (6, t(2), 2, "view"),
+        (7, t(3), 2, "purchase"), (8, t(4), 2, "click"),
+        # u3: never signs up -> reaches nothing
+        (9, t(1), 3, "view"), (10, t(2), 3, "click"),
+        # u4: signup only
+        (11, t(5), 4, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.step: r.users
+        for r in funnel_counts(
+            df, ("signup", "view", "click", "purchase")
+        ).collect()
+    }
+    # u2's click at t4 comes after the stall? no: funnel needs click
+    # after view (t2) -> the t4 click DOES advance u2 to click. But the
+    # purchase at t3 precedes the click, so u2 never purchases.
+    assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}

@@ -290,3 +290,68 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached step k, where a
+    user advances from step k to k+1 on their first step-(k+1) event
+    strictly after their step-k position (the standard product-analytics
+    funnel, greedy first-match semantics).
+
+    Shape: ONE shuffle total - per-user time-sorted event list (only
+    events whose type appears in the funnel are collected), then a pure
+    JVM fold advances a step cursor per user; counts come off a
+    broadcast-sized per-user frame. The k-way sequential min-after-join
+    formulation (the relational route, used by the oracle SQL) costs
+    k-1 extra shuffles at fact scale. Events are ordered by (ts, id) so
+    the fold is deterministic even under timestamp ties."""
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("_evs")
+        )
+    )
+    reached = per_user.select(
+        F.aggregate(
+            F.col("_evs"),
+            F.lit(0),
+            lambda acc, ev: F.when(
+                (acc < F.lit(len(steps)))
+                & (ev["e"] == F.element_at(steps_arr, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        ).alias("_reached")
+    )
+    level = F.explode(
+        F.sequence(F.lit(1), F.col("_reached"))
+    ).alias("step_idx")
+    return (
+        reached.where(F.col("_reached") >= 1)
+        .select(level)
+        .groupBy("step_idx")
+        .agg(F.count("*").alias("users"))
+        .select(
+            F.element_at(steps_arr, F.col("step_idx")).alias("step"),
+            "step_idx",
+            "users",
+        )
+        .orderBy("step_idx")
+    )

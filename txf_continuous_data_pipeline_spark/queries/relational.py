@@ -842,3 +842,46 @@ def dense_rank_parts_by_price(spark, sf_dir):
         )
         .where(F.col("rk") <= 5)
     )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'signup' AS step, 1 AS step_idx, count(*) AS users FROM s1
+UNION ALL SELECT 'view', 2, count(*) FROM s2
+UNION ALL SELECT 'click', 3, count(*) FROM s3
+UNION ALL SELECT 'purchase', 4, count(*) FROM s4
+"""
+
+
+@q("funnel_counts", _FUNNEL_SQL)
+def funnel_counts_q(spark, sf_dir):
+    """signup -> view -> click -> purchase funnel over events: users
+    reaching each step under greedy first-match ordering. The engine
+    computes it with ONE shuffle (per-user sorted fold,
+    operators/relational.funnel_counts); the oracle takes the k-way
+    sequential min-after-join route - structurally different plans
+    agreeing on values."""
+    from ..operators.relational import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        ("signup", "view", "click", "purchase"),
+    )
