@@ -355,3 +355,38 @@ def funnel_counts(
         )
         .orderBy("step_idx")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    cohort's users active in that later week - the standard retention
+    triangle.
+
+    Shape: activity is first reduced to distinct (user, week) pairs
+    (the fact-scale shuffle, and the LAST time row volume matters),
+    cohorts derive from the same frame with the same user partitioning
+    (AQE reuses the exchange), and the cohort join is co-partitioned on
+    user - no broadcast needed however large the user dimension grows."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    active = (
+        df.select(F.col(user_col).alias("u"), wk.alias("wk")).distinct()
+    )
+    cohorts = active.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    return (
+        active.join(cohorts, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("users"))
+        .orderBy("cohort_week", "week_offset")
+    )

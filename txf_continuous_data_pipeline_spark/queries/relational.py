@@ -885,3 +885,29 @@ def funnel_counts_q(spark, sf_dir):
         _t(spark, sf_dir, "events"),
         ("signup", "view", "click", "purchase"),
     )
+
+
+_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohorts AS (SELECT u, min(wk) AS cohort_week FROM active GROUP BY u)
+SELECT c.cohort_week,
+       CAST((a.wk - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+       count(*) AS users
+FROM active a JOIN cohorts c USING (u)
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+@q("cohort_retention", _RETENTION_SQL)
+def cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention triangle over events (cohort = ISO week
+    of first activity; cells = cohort users active at each later week).
+    One fact-scale shuffle to distinct (user, week); everything after
+    is user-dimension sized (operators/relational.cohort_retention)."""
+    from ..operators.relational import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
