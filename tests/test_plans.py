@@ -116,3 +116,20 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "semantic_dedup_keep")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_fact_shuffle(spark, sf_dir):
+    # The per-user fold costs ONE fact-scale shuffle; later exchanges
+    # operate on user-sized frames. No join at all.
+    plan = _plan(spark, sf_dir, "funnel_counts")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_reuses_distinct(spark, sf_dir):
+    # The distinct (user, week) frame is persisted: the cohort
+    # aggregate and the retention join must read the InMemoryRelation,
+    # not re-derive the fact-scale distinct twice.
+    plan = _plan(spark, sf_dir, "cohort_retention")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

@@ -369,13 +369,17 @@ def cohort_retention(
     triangle.
 
     Shape: activity is first reduced to distinct (user, week) pairs
-    (the fact-scale shuffle, and the LAST time row volume matters),
-    cohorts derive from the same frame with the same user partitioning
-    (AQE reuses the exchange), and the cohort join is co-partitioned on
-    user - no broadcast needed however large the user dimension grows."""
+    (the fact-scale shuffle, and the LAST time row volume matters) and
+    PERSISTED - the cohort aggregate and the retention join both
+    consume it, and without materialization the broadcast join side
+    re-derives the whole fact-scale distinct (the same
+    double-compute pathology as the LSH band self-joins). Everything
+    after the persist is user-dimension sized."""
     wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
     active = (
-        df.select(F.col(user_col).alias("u"), wk.alias("wk")).distinct()
+        df.select(F.col(user_col).alias("u"), wk.alias("wk"))
+        .distinct()
+        .persist()
     )
     cohorts = active.groupBy("u").agg(F.min("wk").alias("cohort_week"))
     return (
