@@ -394,3 +394,31 @@ def cohort_retention(
         .agg(F.count("*").alias("users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts between consecutive events of the
+    same user (the Markov-chain summary behind path/flow analysis):
+    (from_type, to_type, n) over per-user (ts, id)-ordered streams.
+
+    One shuffle on user for the lead() window (deterministic order via
+    the id tie-break), then a map-side-combinable count on the tiny
+    type-pair key."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    return (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_type", "to_type")
+    )

@@ -911,3 +911,24 @@ def cohort_retention_q(spark, sf_dir):
     from ..operators.relational import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_TRANSITIONS_SQL = """
+SELECT from_type, to_type, count(*) AS n FROM (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+) WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+@q("event_transitions", _TRANSITIONS_SQL)
+def event_transitions_q(spark, sf_dir):
+    """First-order event-type transition matrix over per-user ordered
+    event streams (operators/relational.event_transitions): one shuffle
+    for the lead() window, then a 25-key count."""
+    from ..operators.relational import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
