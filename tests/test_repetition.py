@@ -158,3 +158,39 @@ def test_funnel_dropoff_and_ordering(spark):
     # after view (t2) -> the t4 click DOES advance u2 to click. But the
     # purchase at t3 precedes the click, so u2 never purchases.
     assert got == {"signup": 3, "view": 2, "click": 2, "purchase": 1}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from(["a", "b", "ab", "ba", "x"])
+_doc = st.lists(_token, min_size=0, max_size=12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_fold_matches_counter(spark, docs):
+    """Property: the sorted-run fold equals a Python Counter reference
+    on arbitrary token streams (ties, empties, single-token docs)."""
+    from collections import Counter
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_ngrams, r.top_ngram_count, r.dup_ngram_occurrences)
+        for r in ngram_repetition_stats(df, n=2).collect()
+    }
+    for i, d in enumerate(docs):
+        # mirror normalized_tokens: split on whitespace AFTER join, so
+        # an empty doc yields the single empty token, like Spark/DuckDB
+        toks = " ".join(d).split(" ")
+        grams = [
+            " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+        ]
+        c = Counter(grams)
+        expect = (
+            len(grams),
+            max(c.values()) if c else 0,
+            sum(v for v in c.values() if v > 1),
+        )
+        assert got[i] == expect, (i, d, got[i], expect)
