@@ -89,3 +89,93 @@ def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
         final.select("user_id", "session_start").distinct().count() == n
     ), "duplicate sessions emitted"
     assert {tuple(r) for r in final.select(*COLS).collect()} <= batch
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FCOLS = ["user_id", "step_idx", "step", "ts"]
+
+
+def _batch_funnel(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.relational import (
+        funnel_step_times,
+    )
+
+    return funnel_step_times(
+        read_table(spark, sf_dir, "events"), FUNNEL_STEPS
+    ).select(*FCOLS)
+
+
+def _run_funnel(spark, feed, sink, ckpt):
+    from txf_continuous_data_pipeline_spark.streaming.stateful import (
+        stateful_funnel_stream,
+    )
+
+    adv = stateful_funnel_stream(
+        stream_events(spark, feed, max_files_per_trigger=1),
+        FUNNEL_STEPS,
+        delay=DELAY,
+    )
+    q = (
+        adv.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("funnel stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "fsink")
+    ckpt = str(tmp_path / "fckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "ffeed"), n_files=4)
+
+    _run_funnel(spark, feed, sink, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(sink).select(*FCOLS).collect()}
+    assert got, "no advances emitted"
+
+    batch = {tuple(r) for r in _batch_funnel(spark, sf_dir).collect()}
+    assert got <= batch, "stream emitted advances that disagree with batch"
+
+    # advances finalized by the last data batch's watermark must be out
+    parts = sorted(glob.glob(os.path.join(feed, "part-*")))
+    wm = spark.read.parquet(*parts[:-1]).agg(F.max("ts")).collect()[0][0]
+    want = {
+        tuple(r)
+        for r in _batch_funnel(spark, sf_dir)
+        .where(F.col("ts") < F.lit(wm) - F.expr(f"INTERVAL {DELAY}"))
+        .collect()
+    }
+    assert want <= got, f"missing {len(want - got)} finalized advances"
+
+    # exactly-once: no (user, step_idx) twice, even after a re-run
+    _run_funnel(spark, feed, sink, ckpt)
+    final = spark.read.parquet(sink)
+    n = final.count()
+    assert final.select("user_id", "step_idx").distinct().count() == n
+    assert {tuple(r) for r in final.select(*FCOLS).collect()} <= batch
+
+
+def test_funnel_step_times_consistent_with_counts(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.relational import (
+        funnel_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    counts = {
+        r.step_idx: r.users
+        for r in funnel_counts(ev, FUNNEL_STEPS).collect()
+    }
+    times = (
+        _batch_funnel(spark, sf_dir)
+        .groupBy("step_idx")
+        .count()
+        .collect()
+    )
+    assert {r.step_idx: r["count"] for r in times} == counts

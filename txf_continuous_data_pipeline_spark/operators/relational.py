@@ -422,3 +422,74 @@ def event_transitions(
         .agg(F.count("*").alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+def funnel_step_times(
+    df: DataFrame,
+    steps: tuple,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user step-advance times for the ordered funnel (the batch
+    twin of streaming/stateful.stateful_funnel_stream): one row per
+    (user, step_idx) actually reached, with the timestamp of the event
+    that advanced the cursor. Same single-shuffle sorted-fold shape as
+    funnel_counts, with the accumulator additionally carrying the
+    advance list."""
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("_evs")
+        )
+    )
+    zero = F.struct(
+        F.lit(0).alias("idx"),
+        F.array().cast("array<struct<i:int,t:timestamp>>").alias("adv"),
+    )
+    folded = per_user.select(
+        F.col(user_col),
+        F.aggregate(
+            F.col("_evs"),
+            zero,
+            lambda acc, ev: F.when(
+                (acc["idx"] < F.lit(len(steps)))
+                & (ev["e"] == F.element_at(steps_arr, acc["idx"] + 1)),
+                F.struct(
+                    (acc["idx"] + 1).alias("idx"),
+                    F.concat(
+                        acc["adv"],
+                        F.array(
+                            F.struct(
+                                (acc["idx"] + 1)
+                                .cast("int")
+                                .alias("i"),
+                                ev["t"].alias("t"),
+                            )
+                        ),
+                    ).alias("adv"),
+                ),
+            ).otherwise(acc),
+        )["adv"].alias("_adv"),
+    )
+    return (
+        folded.select(user_col, F.explode("_adv").alias("_a"))
+        .select(
+            F.col(user_col),
+            F.col("_a.i").alias("step_idx"),
+            F.element_at(steps_arr, F.col("_a.i")).alias("step"),
+            F.col("_a.t").alias("ts"),
+        )
+    )

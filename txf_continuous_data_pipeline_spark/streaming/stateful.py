@@ -123,3 +123,120 @@ def stateful_session_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, step_idx int, step string, ts timestamp"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "cursor int, buf_ts array<long>, buf_id array<long>, "
+    "buf_type array<string>"
+)
+
+
+def _funnel_fold(steps: tuple):
+    n_steps = len(steps)
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            cursor, bts, bid, btyp = state.get
+            buf = list(zip(list(bts), list(bid), list(btyp)))
+        else:
+            cursor, buf = 0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    zip(
+                        (int(t) for t in _to_us(pdf["ts"])),
+                        (int(i) for i in pdf["event_id"]),
+                        pdf["event_type"],
+                    )
+                )
+        # Only events the watermark has finalized may advance the
+        # cursor: they can be folded in exact (ts, id) order because no
+        # earlier on-time event can still arrive.
+        ready = sorted(e for e in buf if e[0] <= wm_us)
+        rest = [e for e in buf if e[0] > wm_us]
+        advances: list[tuple[int, str, int]] = []
+        for t, _i, ty in ready:
+            if cursor < n_steps and ty == steps[cursor]:
+                cursor += 1
+                advances.append((cursor, steps[cursor - 1], t))
+        if cursor >= n_steps and not rest:
+            # funnel complete: no further advance is possible - drop
+            # the state entirely
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    cursor,
+                    [e[0] for e in rest],
+                    [e[1] for e in rest],
+                    [e[2] for e in rest],
+                )
+            )
+            if rest:
+                # re-fire as soon as the watermark moves so buffered
+                # events get folded even if this key sees no new data
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + 1
+                )
+        if advances:
+            out = pd.DataFrame(
+                advances, columns=["step_idx", "step", "t_us"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "step_idx": out["step_idx"].astype("int32"),
+                    "step": out["step"],
+                    "ts": pd.to_datetime(out["t_us"], unit="us"),
+                }
+            )
+
+    return fold
+
+
+def stateful_funnel_stream(
+    stream: DataFrame,
+    steps: tuple,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ordered funnel: emit one row per step ADVANCE per user
+    (user, step_idx, step, ts), exactly once, in step order - the
+    streaming twin of operators/relational.funnel_step_times.
+
+    Correctness contract: events are buffered in state until the
+    event-time watermark finalizes them, then folded in exact (ts, id)
+    order - so emitted advances match the batch fold for every event
+    below the final watermark, with intra-batch AND bounded cross-batch
+    disorder handled (anything within the watermark delay). Events
+    arriving later than the watermark fold on arrival (best effort),
+    the standard late-data trade.
+
+    Scale shape: state per key = one int cursor + the buffered tail
+    newer than the watermark (bounded by rate x delay, same bound as
+    any watermarked agg); a COMPLETED funnel's state is dropped
+    entirely. The shuffle is the hash-by-key exchange any per-user
+    operator needs."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _funnel_fold(tuple(steps)),
+            FUNNEL_OUT_SCHEMA,
+            _FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
