@@ -137,11 +137,16 @@ def lsh_ann_pairs(
     min_cosine: float = 0.0,
 ) -> DataFrame:
     """Approximate nearest-neighbor candidate pairs: vectors sharing any
-    signature band collide; candidates re-ranked with exact cosine."""
+    signature band collide; candidates re-ranked with exact cosine.
+
+    The signature frame is persisted before the band self-join: the
+    broadcast side carries no exchange, so without materialization BOTH
+    sides re-run the Arrow matrix multiply (same pathology as the
+    MinHash/SimHash band joins)."""
     width = n_planes // bands
     sigs = hyperplane_signatures(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim, seed=seed
-    )
+    ).persist()
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),

@@ -317,13 +317,16 @@ def kmeans_clusters(spark, sf_dir):
     )
 
 
-def _semdedup_sql(centroids: list, tau: float = 0.3) -> str:
-    rows = ", ".join(
-        f"({c}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
-        for c, v in centroids
-    )
+N_SEM_CELLS = 16
+_SEM_TAU = 0.3
+
+
+def _semdedup_sql(k: int = N_SEM_CELLS, tau: float = _SEM_TAU) -> str:
     return f"""
-WITH cent(cluster_id, centroid) AS (VALUES {rows}),
+WITH cent AS (
+  SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < {k}
+),
 assigned AS (
   SELECT vec_id, label, embedding, cluster_id FROM (
     SELECT e.vec_id, e.label, e.embedding, c.cluster_id,
@@ -347,23 +350,39 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
-@q("semantic_dedup_keep", _semdedup_sql(_fixed_centroids()))
+@q("semantic_dedup_keep", _semdedup_sql())
 def semantic_dedup_keep_q(spark, sf_dir):
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
-    cluster embeddings (here: fixed literal centroids so the whole
-    path is oracle-checkable; kmeans_fit is the learned trainer), find
-    within-cluster cosine pairs >= tau, and drop every vector that has
-    a smaller-id neighbor above tau - the deterministic id-ordered
-    variant of SemDeDup's keep-one-per-duplicate-group. Scale shape:
-    assignment is a zero-shuffle projection, pair enumeration is an
-    equi-join on cluster_id (never n^2), and the drop set applies as a
-    broadcast anti-join."""
+    cluster embeddings, find within-cluster cosine pairs >= tau, and
+    drop every vector that has a smaller-id neighbor above tau - the
+    deterministic id-ordered variant of SemDeDup's
+    keep-one-per-duplicate-group.
+
+    The coarse cells are seeded by the first N_SEM_CELLS data vectors
+    (collected k*dim values - the same trick as kmeans_fit's init), so
+    the cells actually partition the data (random literal centroids
+    degenerate to ONE cell on this corpus - an unblocked n^2) while
+    staying exactly expressible in SQL. Assignment uses the
+    sequential-sum expression form (kmeans_assign): its fold order
+    matches DuckDB's list_distance exactly, where numpy's pairwise
+    summation (kmeans_assign_fast) flips near-tie argmins. Scale
+    shape: assignment is a zero-shuffle projection, PERSISTED for its
+    three consumers; pair enumeration is an equi-join on cluster_id;
+    the drop set applies as a broadcast anti-join."""
     from ..operators.similarity import kmeans_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, _fixed_centroids())
+    seeds = (
+        emb.where(F.col("vec_id") < N_SEM_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
+    )
+    assigned = kmeans_assign(emb, cents).persist()
     pairs = embedding_neardup_pairs(
-        assigned, block_col="cluster_id", min_cosine=0.3
+        assigned, block_col="cluster_id", min_cosine=_SEM_TAU
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return assigned.join(
