@@ -95,3 +95,33 @@ def test_ivf_learned_nprobe_full_probe_is_exact(spark, sf_dir):
         nprobe=4,
     )
     assert _recall_at_k(full, exact) == 1.0
+
+
+def test_minhash_delta_equals_restricted_selfjoin(spark, sf_dir):
+    """Incremental dedup must find exactly the full self-join's pairs
+    that cross the batch/corpus boundary - indexing the corpus once
+    loses nothing vs re-running the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    index = build_minhash_index(corpus)
+    got = {
+        (r.delta_id, r.corpus_id, round(r.jaccard, 6))
+        for r in minhash_delta_pairs(delta, index, threshold=0.3).collect()
+    }
+    full = minhash_neardup_pairs(docs, threshold=0.3)
+    want = {
+        ((r.id_a if r.id_a % 2 == 1 else r.id_b),
+         (r.id_b if r.id_a % 2 == 1 else r.id_a),
+         round(r.jaccard, 6))
+        for r in full.collect()
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert got == want and got, f"delta={len(got)} full-cross={len(want)}"

@@ -490,3 +490,110 @@ def stop_shingle_filter(
         .select(shingle_col)
     )
     return inverted.join(F.broadcast(hot), shingle_col, "left_anti")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+):
+    """Materialize the corpus-side MinHash index an INCREMENTAL dedup
+    consumes: {"bands": (id, band_id, band_hash), "shingles": (id, sh)}
+    - both persisted. At 100 TB these are the two tables you write to
+    storage once and re-read per arriving batch, so new data never
+    triggers a corpus-wide recompute; band buckets use the same
+    h60-of-joined-lanes derivation as the self-join path, so a batch
+    indexed today collides correctly with a corpus indexed last month."""
+    rows_per_band = num_hashes // bands
+    shingles = df.select(
+        F.col(id_col),
+        shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
+    ).persist()
+    sig = minhash_signature(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, shingle_sets=shingles,
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    h60(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).persist()
+    return {"bands": banded, "shingles": shingles}
+
+
+def minhash_delta_pairs(
+    delta: DataFrame,
+    index: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: which corpus docs does each DELTA doc
+    duplicate? Only the delta is signed (cost = O(batch)); candidates
+    come from an equi-join of delta band buckets against the stored
+    index; exact Jaccard verifies candidates using the stored corpus
+    shingle sets. Returns (delta_id, corpus_id, jaccard >= threshold).
+
+    This is the production dedup shape at scale: per-batch cost is
+    batch-size + collisions, independent of corpus size."""
+    d_index = build_minhash_index(
+        delta, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, bands=bands,
+    )
+    cand = (
+        d_index["bands"]
+        .select(
+            F.col(id_col).alias("delta_id"), "band_id", "band_hash"
+        )
+        .join(
+            index["bands"].select(
+                F.col(id_col).alias("corpus_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    jac = (
+        cand.join(
+            d_index["shingles"].select(
+                F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_d")
+            ),
+            "delta_id",
+        )
+        .join(
+            index["shingles"].select(
+                F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_d", "sh_c"))
+            / F.size(F.array_union("sh_d", "sh_c")),
+        )
+        .drop("sh_d", "sh_c")
+    )
+    return jac.where(F.col("jaccard") >= threshold)

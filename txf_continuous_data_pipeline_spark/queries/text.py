@@ -1005,3 +1005,78 @@ def split_assign_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return split_assign(docs).select("doc_id", "lang", "source", "split")
+
+
+def _minhash_delta_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """Incremental-dedup oracle: the same signature/band derivation as
+    _minhash_sql, but candidates are (delta doc x corpus doc) band
+    collisions instead of a corpus self-join. Delta = odd doc_ids
+    (near-dups in this corpus are within-source, so a source split
+    would cross zero pairs; the parity split crosses ~half of them)."""
+    a_lane, b_lane = minhash_lane_constants(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"CAST(min((CAST({int(a_lane[i])} AS HUGEINT) * h + {int(b_lane[i])})"
+        f" % {H60_MOD}) AS BIGINT) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_list = ",\n           ".join(
+        _h60_sql(
+            "concat(" + ", ',', ".join(f"s{bi * rows + r}" for r in range(rows)) + ")"
+        )
+        for bi in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sd.shl, sc.shl)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sd.shl, sc.shl)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_H} AS shl FROM documents
+),
+eh AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM eh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest(range(0, {bands})) AS band_id,
+         unnest([{band_list}]) AS band_hash
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM banded d JOIN banded c
+    ON d.band_id = c.band_id AND d.band_hash = c.band_hash
+  WHERE d.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+)
+SELECT cand.delta_id, cand.corpus_id, round({jac}, 6) AS jaccard
+FROM cand
+JOIN sh sd ON sd.doc_id = cand.delta_id
+JOIN sh sc ON sc.doc_id = cand.corpus_id
+WHERE {jac} >= {threshold}
+"""
+
+
+@q("minhash_delta_dedup", _minhash_delta_sql(threshold=0.3))
+def minhash_delta_dedup_q(spark, sf_dir):
+    """Incremental near-dup: odd doc_ids play an arriving batch,
+    even doc_ids the already-indexed corpus. Only the batch is
+    signed; candidates come from an equi-join of batch band buckets
+    against the stored index (operators/dedup.build_minhash_index /
+    minhash_delta_pairs) - per-batch cost is O(batch + collisions),
+    independent of corpus size: the production dedup shape at 100 TB."""
+    from ..operators.dedup import build_minhash_index, minhash_delta_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    index = build_minhash_index(corpus)
+    return minhash_delta_pairs(delta, index, threshold=0.3).select(
+        "delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
