@@ -47,9 +47,7 @@ _PRIORITY = [
     "pack_sequences",
     "mixture_sample",
     "ngram_jaccard_pairs",
-    "token_histogram_top20",
     "regex_top_words",
-    "stratified_sample_docs",
     "training_data_curation",
     "dedup_exact_groups",
     "minhash_neardup",
@@ -64,7 +62,6 @@ _PRIORITY = [
     "knn_join_bruteforce",
     "lsh_ann_pairs",
     "ivf_topk",
-    "embedding_neardup_pairs",
     # relational/window/JSON core — fills to 50. Dropped to the tail to
     # make room for the four extension flagships above (neardup_keep,
     # tfidf_top_terms, multimodal_features, contamination_pairs):
@@ -75,9 +72,6 @@ _PRIORITY = [
     # argmax_nation -> min_by/max_by via the OHLCV queries).
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q12_late_shipments",
-    "topk_orders_per_priority",
-    "group_having",
     "rollup_acctbal",
     "json_props_agg",
     "asof_join_config",
@@ -105,6 +99,23 @@ _PRIORITY = [
     "repetition_stats",
     "gopher_filter",
     "semantic_dedup_keep",
+    # r4 second rotation: the six operators built later in the round,
+    # never driver-checked, in place of six multi-round-stable greens
+    # whose families keep an in-window or pytest sibling:
+    #   token_histogram_top20 -> explode+count via tfidf_top_terms
+    #   stratified_sample_docs -> md5-threshold sampling via
+    #     mixture_sample (and split_assign itself)
+    #   embedding_neardup_pairs -> blocked cosine pairs via
+    #     semantic_dedup_keep + lsh_ann_pairs
+    #   q12_late_shipments -> join+conditional agg via q3 + asof
+    #   topk_orders_per_priority -> rank windows via knn_join's rn
+    #   group_having -> agg+filter via q1 + session_counts
+    "funnel_counts",
+    "cohort_retention",
+    "event_transitions",
+    "split_assign",
+    "minhash_delta_dedup",
+    "ivf_topk_probe2",
 ]
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
 # single; family in-window via q12_late_shipments) plus the six
