@@ -36,7 +36,13 @@ def test_resize_only_touches_images(spark, media):
     out = resize_images(media, width=32, height=32).collect()
     n_images = media.where(F.col("kind") == "image").count()
     assert len(out) == n_images
-    assert all(len(r["payload"]) == 32 * 32 // 64 for r in out)
+    # synthetic images are real PPMs: the resized payload is a valid
+    # P6 of the requested dimensions (header + 32*32*3 raster)
+    assert all(
+        bytes(r["payload"]).startswith(b"P6")
+        and len(r["payload"]) >= 32 * 32 * 3
+        for r in out
+    )
     assert all(r["width"] == 32 and r["height"] == 32 for r in out)
 
 
@@ -58,3 +64,57 @@ def test_metadata_predicate_prunes_before_python(spark, media):
     assert plan.index("Filter") > plan.index("MapInPandas"), plan
     # (optimizedPlan prints top-down: Filter below MapInPandas == pruned
     # before Python)
+
+
+def test_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (12, 16, 3), dtype=np.uint8).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment + multi-whitespace header forms decode too
+    hdr = b"P6\n# a comment\n16   12\n255\n" + img.tobytes()
+    assert (decode_ppm(hdr) == img).all()
+    small = resize_nearest(img, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert set(map(tuple, small.reshape(-1, 3))) <= set(
+        map(tuple, img.reshape(-1, 3))
+    )
+
+
+def test_real_ppm_path_through_spark(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        extract_features,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    imgs = {r.media_id: r for r in media.where("kind = 'image'").collect()}
+    assert imgs and all(bytes(r.payload).startswith(b"P6") for r in imgs.values())
+
+    # features: PPM rows must decode REAL pixels (first FEATURE_DIM
+    # raster values / 255), not the sha256 stub
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media).where("kind = 'image'").collect()
+    }
+    for mid, row in imgs.items():
+        px = decode_ppm(bytes(row.payload)).astype(np.float64).ravel() / 255.0
+        assert feats[mid] == pytest.approx(px[:16])
+
+    # resize: output payloads are valid PPMs of the requested dims
+    out = {r.media_id: r for r in resize_images(media, width=8, height=6).collect()}
+    for mid, row in imgs.items():
+        arr = decode_ppm(bytes(out[mid].payload))
+        assert arr.shape == (6, 8, 3)

@@ -4,10 +4,13 @@ Beyond-the-reference extension: a 100-TB training-data pipeline carries
 media as opaque `binary` columns with typed metadata, and runs decode /
 feature-extract / resize / frame-sample as Arrow-batched Pandas
 functions over mapInPandas. The Spark-side plumbing here - schemas,
-batch shape, partition sizing - is real and tested; the pixel/sample
-decode itself is STUBBED (this environment ships no codec libraries)
-behind `_decode_stub`, a deterministic fake keyed on the payload bytes,
-with the real implementation's seam marked by NotImplementedError.
+batch shape, partition sizing - is real and tested. The decode seam is
+REAL for uncompressed PPM (P6) images - a pure-numpy codec
+(decode_ppm/encode_ppm) with nearest-neighbor resize, no external
+libraries - and STUBBED for compressed codecs (png/flac/h264: this
+environment ships no codec libraries) behind `_decode_stub`, a
+deterministic fake keyed on the payload bytes, with the library seam
+marked by NotImplementedError.
 
 Scale design:
   - media rows are heavy (MBs); operators repartition by byte budget,
@@ -85,13 +88,71 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in for the real codec decode.
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL codec: binary PPM (P6, maxval 255) -> uint8 array (h, w, 3).
+    Pure numpy - header token parse (comments allowed) + frombuffer;
+    no external library."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary P6 PPM payload")
+    # Header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment to end-of-line. One byte of
+    # whitespace separates the header from the raster.
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i : i + 1] == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
 
-    REAL IMPLEMENTATION SEAM: replace the body with e.g. PIL/libvips
-    (image), soundfile/ffmpeg (audio/video) when the codec libraries are
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) -> binary P6 PPM bytes."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array - the classic
+    index-map gather, pure numpy."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return arr[rows][:, cols]
+
+
+def _decode(payload: bytes, kind: str, codec: str | None) -> np.ndarray:
+    """Decode dispatch: REAL pure-numpy path for PPM images, the
+    deterministic stub for compressed codecs. Returns a flat float64
+    vector in [0, 1] either way, so every consumer (features, resize)
+    is codec-agnostic."""
+    if kind == "image" and codec == "ppm":
+        return decode_ppm(payload).astype(np.float64).ravel() / 255.0
+    return _decode_stub(payload, kind)
+
+
+def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for the compressed-codec decode.
+
+    LIBRARY SEAM: replace the body with e.g. PIL/libvips (image),
+    soundfile/ffmpeg (audio/video) when the codec libraries are
     available; everything around this function - batching, schemas,
-    partition sizing - is production-shaped and stays unchanged.
+    partition sizing, the `_decode` dispatch - is production-shaped and
+    stays unchanged (the PPM path above shows the finished shape).
 
     The fake derives a repeatable float vector from a sha256 of the
     payload so tests can assert end-to-end determinism without codecs.
@@ -114,15 +175,31 @@ def synthetic_media(
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(payload_bytes + (i % 5) * 32)
+        if kind == "image":
+            # REAL payload: a deterministic gradient+noise PPM, decoded
+            # by the pure-numpy codec (not the stub)
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            grad = (
+                np.arange(h)[:, None, None] * 7
+                + np.arange(w)[None, :, None] * 3
+                + np.arange(3)[None, None, :] * 41
+            )
+            img = ((grad + rng.randint(0, 32, (h, w, 3))) % 256).astype(
+                np.uint8
+            )
+            payload = encode_ppm(img)
+        else:
+            payload = rng.bytes(payload_bytes + (i % 5) * 32)
         rows.append(
             (
                 i,
                 kind,
                 payload,
-                {"image": "png", "audio": "flac", "video": "h264"}[kind],
-                64 + (i % 8) * 16 if kind != "audio" else None,
-                48 + (i % 8) * 16 if kind != "audio" else None,
+                {"image": "ppm", "audio": "flac", "video": "h264"}[kind],
+                (16 + (i % 4) * 8) if kind == "image"
+                else (64 + (i % 8) * 16 if kind == "video" else None),
+                (12 + (i % 3) * 8) if kind == "image"
+                else (48 + (i % 8) * 16 if kind == "video" else None),
                 1 if kind == "image" else 24 + (i % 10),
                 16000 if kind == "audio" else None,
                 int(1000 + 250 * (i % 13)),
@@ -159,9 +236,12 @@ def extract_features(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            codecs = (
+                pdf["codec"] if "codec" in pdf else [None] * len(pdf)
+            )
             feats = [
-                _decode_stub(p, k)[:FEATURE_DIM].tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
+                _decode(p, k, c)[:FEATURE_DIM].tolist()
+                for p, k, c in zip(pdf["payload"], pdf["kind"], codecs)
             ]
             yield pd.DataFrame(
                 {
@@ -174,7 +254,10 @@ def extract_features(
                 }
             )
 
-    pruned = media.select("media_id", "kind", "payload")
+    cols = ["media_id", "kind", "payload"] + (
+        ["codec"] if "codec" in media.columns else []
+    )
+    pruned = media.select(*cols)
     sized = repartition_by_bytes(
         pruned, target_partition_bytes=target_partition_bytes
     )
@@ -186,16 +269,25 @@ def resize_images(
 ) -> DataFrame:
     """Resize pass over image rows only. The kind filter is a JVM-side
     predicate (pushed to the scan); Python sees just the survivors.
-    Stub 'resize' re-hashes payload to width*height/64 bytes."""
+    PPM payloads take the REAL path (decode -> nearest-neighbor resize
+    -> re-encode); compressed codecs fall back to the stub re-hash."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_len = max(1, width * height // 64)
         for pdf in it:
+            codecs = (
+                pdf["codec"] if "codec" in pdf else [None] * len(pdf)
+            )
             resized = []
-            for p in pdf["payload"]:
-                v = _decode_stub(p, "image")
-                reps = int(np.ceil(out_len / len(v)))
-                resized.append((np.tile(v, reps)[:out_len] * 255).astype(np.uint8).tobytes())
+            for p, c in zip(pdf["payload"], codecs):
+                if c == "ppm":
+                    resized.append(
+                        encode_ppm(resize_nearest(decode_ppm(p), width, height))
+                    )
+                else:
+                    v = _decode_stub(p, "image")
+                    reps = int(np.ceil(out_len / len(v)))
+                    resized.append((np.tile(v, reps)[:out_len] * 255).astype(np.uint8).tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -205,7 +297,10 @@ def resize_images(
                 }
             )
 
-    images = media.where(F.col("kind") == "image").select("media_id", "payload")
+    cols = ["media_id", "payload"] + (
+        ["codec"] if "codec" in media.columns else []
+    )
+    images = media.where(F.col("kind") == "image").select(*cols)
     return images.mapInPandas(_batches, RESIZED_SCHEMA)
 
 
