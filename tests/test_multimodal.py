@@ -118,3 +118,32 @@ def test_real_ppm_path_through_spark(spark):
     for mid, row in imgs.items():
         arr = decode_ppm(bytes(out[mid].payload))
         assert arr.shape == (6, 8, 3)
+
+
+def test_wav_roundtrip_and_spark_path(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        extract_features,
+        synthetic_media,
+    )
+
+    rng = np.random.RandomState(5)
+    wave = rng.uniform(-0.9, 0.9, (200, 2))
+    out, rate = decode_wav(encode_wav(wave, 8000))
+    assert rate == 8000 and out.shape == (200, 2)
+    # 16-bit quantization + the 32767-encode/32768-decode scale pair
+    assert np.abs(out - wave).max() < 1.0 / 10000
+
+    media = synthetic_media(spark, n=12)
+    auds = {r.media_id: r for r in media.where("kind = 'audio'").collect()}
+    assert auds and all(bytes(r.payload).startswith(b"RIFF") for r in auds.values())
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media).where("kind = 'audio'").collect()
+    }
+    for mid, row in auds.items():
+        samples, _ = decode_wav(bytes(row.payload))
+        assert feats[mid] == pytest.approx(samples.ravel()[:16])

@@ -126,6 +126,60 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL codec: RIFF/WAVE with 16-bit PCM -> (float64 samples in
+    [-1, 1] shaped (n, channels), sample_rate). Pure numpy chunk walk;
+    no external library."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            channels, rate = fmt
+            samples = np.frombuffer(
+                body, dtype="<i2", count=size // 2
+            ).astype(np.float64) / 32768.0
+            return samples.reshape(-1, channels), rate
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk found")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float in [-1, 1] -> 16-bit PCM RIFF/WAVE bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = (
+        np.clip(samples, -1.0, 1.0) * 32767.0
+    ).astype("<i2").tobytes()
+    channels = samples.shape[1]
+    byte_rate = sample_rate * channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize of an (h, w, c) array - the classic
     index-map gather, pure numpy."""
@@ -142,6 +196,8 @@ def _decode(payload: bytes, kind: str, codec: str | None) -> np.ndarray:
     is codec-agnostic."""
     if kind == "image" and codec == "ppm":
         return decode_ppm(payload).astype(np.float64).ravel() / 255.0
+    if kind == "audio" and codec == "wav":
+        return decode_wav(payload)[0].ravel()
     return _decode_stub(payload, kind)
 
 
@@ -175,7 +231,13 @@ def synthetic_media(
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        if kind == "image":
+        if kind == "audio":
+            # REAL payload: a deterministic sine+noise 16-bit PCM WAV
+            t = np.arange(256 + (i % 4) * 64) / 16000.0
+            wave = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            wave += rng.uniform(-0.05, 0.05, len(t))
+            payload = encode_wav(wave, 16000)
+        elif kind == "image":
             # REAL payload: a deterministic gradient+noise PPM, decoded
             # by the pure-numpy codec (not the stub)
             w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
@@ -195,7 +257,7 @@ def synthetic_media(
                 i,
                 kind,
                 payload,
-                {"image": "ppm", "audio": "flac", "video": "h264"}[kind],
+                {"image": "ppm", "audio": "wav", "video": "h264"}[kind],
                 (16 + (i % 4) * 8) if kind == "image"
                 else (64 + (i % 8) * 16 if kind == "video" else None),
                 (12 + (i % 3) * 8) if kind == "image"
