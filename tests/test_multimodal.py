@@ -147,3 +147,34 @@ def test_wav_roundtrip_and_spark_path(spark):
     for mid, row in auds.items():
         samples, _ = decode_wav(bytes(row.payload))
         assert feats[mid] == pytest.approx(samples.ravel()[:16])
+
+
+def test_video_container_real_frame_sampling(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        decode_ppm_video_frame,
+        encode_ppm_video,
+        sample_frames,
+        synthetic_media,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = rng.randint(0, 256, (10, 6, 8, 3), dtype=np.uint8).astype(np.uint8)
+    payload = encode_ppm_video(frames)
+    # random access: any frame decodes without touching the others
+    for idx in (0, 3, 9):
+        assert (decode_ppm_video_frame(payload, idx) == frames[idx]).all()
+    with pytest.raises(IndexError):
+        decode_ppm_video_frame(payload, 10)
+
+    media = synthetic_media(spark, n=12)
+    vids = {r.media_id: r for r in media.where("kind = 'video'").collect()}
+    out = sample_frames(media, every_nth=8, max_frames=3).collect()
+    assert out
+    for r in out:
+        # sampled frames are standalone decodable PPMs matching the
+        # container's frame at that index
+        want = decode_ppm_video_frame(bytes(vids[r.media_id].payload), r.frame_idx)
+        assert (decode_ppm(bytes(r.payload)) == want).all()

@@ -5,12 +5,14 @@ media as opaque `binary` columns with typed metadata, and runs decode /
 feature-extract / resize / frame-sample as Arrow-batched Pandas
 functions over mapInPandas. The Spark-side plumbing here - schemas,
 batch shape, partition sizing - is real and tested. The decode seam is
-REAL for uncompressed PPM (P6) images - a pure-numpy codec
-(decode_ppm/encode_ppm) with nearest-neighbor resize, no external
-libraries - and STUBBED for compressed codecs (png/flac/h264: this
-environment ships no codec libraries) behind `_decode_stub`, a
+REAL for one uncompressed format per modality - PPM (P6) images with
+nearest-neighbor resize, 16-bit PCM WAV audio, and a concatenated-P6
+video container with random-access frame seek - all pure numpy, no
+external libraries. Compressed codecs (png/flac/h264: this environment
+ships no codec libraries) stay STUBBED behind `_decode_stub`, a
 deterministic fake keyed on the payload bytes, with the library seam
-marked by NotImplementedError.
+marked by NotImplementedError; the three real paths demonstrate the
+finished shape a library drop-in inherits.
 
 Scale design:
   - media rows are heavy (MBs); operators repartition by byte budget,
@@ -180,6 +182,31 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+def encode_ppm_video(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w, 3) uint8 -> raw video container: concatenated
+    P6 frames (every frame same dims, so offsets are computable without
+    an index). A toy but fully real container - the video analogue of
+    the PPM/WAV codecs."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Random-access decode of frame `frame_idx` from a concatenated-P6
+    container WITHOUT decoding the preceding frames: parse frame 0's
+    header for dims, compute the fixed frame stride, seek, decode one
+    frame. This is the property real frame-samplers rely on (keyframe /
+    index seeking) - per-frame cost independent of position."""
+    first = decode_ppm(payload)
+    h, w = first.shape[:2]
+    # fixed stride: encode_ppm writes the canonical "P6\n<w> <h>\n255\n"
+    # header, so every frame occupies header + w*h*3 bytes
+    frame_len = len(b"P6\n%d %d\n255\n" % (w, h)) + w * h * 3
+    start = frame_idx * frame_len
+    if start + frame_len > len(payload):
+        raise IndexError(f"frame {frame_idx} out of range")
+    return decode_ppm(payload[start : start + frame_len])
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize of an (h, w, c) array - the classic
     index-map gather, pure numpy."""
@@ -231,7 +258,21 @@ def synthetic_media(
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        if kind == "audio":
+        if kind == "video":
+            # REAL payload: a concatenated-P6 container of small moving
+            # gradient frames (decodable per-frame by index)
+            nf = 24 + (i % 10)
+            fh, fw = 6, 8
+            base = (
+                np.arange(fh)[:, None, None] * 11
+                + np.arange(fw)[None, :, None] * 5
+                + np.arange(3)[None, None, :] * 29
+            )
+            frames = np.stack(
+                [((base + 13 * f) % 256).astype(np.uint8) for f in range(nf)]
+            )
+            payload = encode_ppm_video(frames)
+        elif kind == "audio":
             # REAL payload: a deterministic sine+noise 16-bit PCM WAV
             t = np.arange(256 + (i % 4) * 64) / 16000.0
             wave = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
@@ -257,11 +298,11 @@ def synthetic_media(
                 i,
                 kind,
                 payload,
-                {"image": "ppm", "audio": "wav", "video": "h264"}[kind],
+                {"image": "ppm", "audio": "wav", "video": "ppmv"}[kind],
                 (16 + (i % 4) * 8) if kind == "image"
-                else (64 + (i % 8) * 16 if kind == "video" else None),
+                else (8 if kind == "video" else None),
                 (12 + (i % 3) * 8) if kind == "image"
-                else (48 + (i % 8) * 16 if kind == "video" else None),
+                else (6 if kind == "video" else None),
                 1 if kind == "image" else 24 + (i % 10),
                 16000 if kind == "audio" else None,
                 int(1000 + 250 * (i % 13)),
@@ -371,28 +412,40 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     (row explosion happens inside the Arrow batch, so the JVM never
-    holds the full frame set of a partition at once). Stub frames are
-    per-index re-hashes of the payload."""
+    holds the full frame set of a partition at once). Concatenated-P6
+    containers take the REAL path - random-access per-frame decode
+    (cost independent of frame position) re-encoded as standalone PPM
+    frames; unknown codecs fall back to per-index payload re-hashes."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            codecs = (
+                pdf["codec"] if "codec" in pdf else [None] * len(pdf)
+            )
             ids, idxs, payloads = [], [], []
-            for mid, p, n_frames in zip(
-                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            for mid, p, n_frames, c in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"], codecs
             ):
                 total = int(n_frames) if pd.notna(n_frames) else 0
                 for j, frame_idx in enumerate(range(0, total, every_nth)):
                     if j >= max_frames:
                         break
-                    seed = (p or b"") + frame_idx.to_bytes(4, "big")
+                    if c == "ppmv":
+                        frame = encode_ppm(
+                            decode_ppm_video_frame(bytes(p), frame_idx)
+                        )
+                    else:
+                        seed = (p or b"") + frame_idx.to_bytes(4, "big")
+                        frame = hashlib.sha256(seed).digest()
                     ids.append(mid)
                     idxs.append(frame_idx)
-                    payloads.append(hashlib.sha256(seed).digest())
+                    payloads.append(frame)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "payload": payloads}
             )
 
-    videos = media.where(F.col("kind") == "video").select(
-        "media_id", "payload", "n_frames"
+    cols = ["media_id", "payload", "n_frames"] + (
+        ["codec"] if "codec" in media.columns else []
     )
+    videos = media.where(F.col("kind") == "video").select(*cols)
     return videos.mapInPandas(_batches, FRAMES_SCHEMA)
