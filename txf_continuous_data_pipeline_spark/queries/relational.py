@@ -932,3 +932,160 @@ def event_transitions_q(spark, sf_dir):
     from ..operators.relational import event_transitions
 
     return event_transitions(_t(spark, sf_dir, "events"))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@q("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to this schema: 'late' = shipped >60
+    days after order date): EXISTS decorrelates to a left-semi join on
+    orderkey - only keys shuffle, the lineitem payload never moves."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l["l_orderkey"] == o["o_orderkey"])
+        & (l["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01'
+    AND l_shipdate < DATE '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@q("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue. The max-revenue
+    scalar derives from the SAME aggregate (exchange reuse) and joins
+    back as a broadcast single-row frame - no second lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("_max"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q18_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       CAST(big.sum_qty AS BIGINT) AS sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+) big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@q("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders - nested aggregate (per-
+    order quantity, having) joined back to orders + customer. The
+    having-filtered aggregate is orderkey-partitioned like the join
+    that consumes it, so AQE plans the join-back without a second
+    fact exchange; customer broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 180)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2001-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@q("q22_idle_customers", _Q22_SQL)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers gone RECENTLY idle (no
+    order in the final data year; every customer has some order, so
+    the classic never-ordered form is vacuous here) - scalar-subquery
+    threshold (broadcast single row) + anti-join on custkey against
+    the date-pruned recent slice (only keys shuffle), then a segment
+    rollup."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
