@@ -178,3 +178,29 @@ def test_video_container_real_frame_sampling(spark):
         # container's frame at that index
         want = decode_ppm_video_frame(bytes(vids[r.media_id].payload), r.frame_idx)
         assert (decode_ppm(bytes(r.payload)) == want).all()
+
+
+def test_audio_spectrogram_matches_numpy_reference(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        audio_spectrogram,
+        decode_wav,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    out = {r.media_id: r for r in audio_spectrogram(media).collect()}
+    auds = {r.media_id: r for r in media.where("kind = 'audio'").collect()}
+    assert set(out) == set(auds) and out
+    for mid, row in auds.items():
+        mono = decode_wav(bytes(row.payload))[0].mean(axis=1)
+        starts = range(0, len(mono) - 64 + 1, 32)
+        frames = np.stack([mono[s : s + 64] for s in starts])
+        want = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)[:16]
+        assert out[mid].n_frames == len(frames)
+        assert out[mid].spectrum == pytest.approx(want.tolist())
+        # a pure tone must concentrate energy: the peak bin dominates
+        # the mean magnitude
+        spec = np.array(out[mid].spectrum[1:])
+        assert spec.max() > 3 * np.median(spec)

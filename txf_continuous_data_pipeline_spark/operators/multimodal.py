@@ -449,3 +449,69 @@ def sample_frames(
     )
     videos = media.where(F.col("kind") == "video").select(*cols)
     return videos.mapInPandas(_batches, FRAMES_SCHEMA)
+
+
+SPECTRUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("spectrum", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_spectrogram(
+    media: DataFrame,
+    *,
+    frame_len: int = 64,
+    hop: int = 32,
+    n_bins: int = FEATURE_DIM,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """REAL audio feature extraction: per audio row, mix to mono, frame
+    with `hop` overlap, |rfft| per frame, average magnitudes over
+    frames, keep the first `n_bins` frequency bins - a mean magnitude
+    spectrum (the standard spectrogram-pooling feature), computed with
+    numpy's FFT inside one Arrow batch per partition. Only rows whose
+    codec the engine can really decode (wav) are processed - the kind
+    filter and codec predicate stay JVM-side, so Catalyst prunes before
+    any Python runs."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, counts, specs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(p))
+                mono = samples.mean(axis=1)
+                starts = range(0, max(len(mono) - frame_len + 1, 1), hop)
+                frames = np.stack(
+                    [
+                        np.pad(
+                            mono[s : s + frame_len],
+                            (0, max(0, frame_len - len(mono[s : s + frame_len]))),
+                        )
+                        for s in starts
+                    ]
+                )
+                mags = np.abs(np.fft.rfft(frames, axis=1))
+                ids.append(mid)
+                rates.append(rate)
+                counts.append(len(frames))
+                specs.append(mags.mean(axis=0)[:n_bins].tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": rates,
+                    "n_frames": counts,
+                    "spectrum": specs,
+                }
+            )
+
+    audio = media.where(
+        (F.col("kind") == "audio") & (F.col("codec") == "wav")
+    ).select("media_id", "payload")
+    sized = repartition_by_bytes(
+        audio, target_partition_bytes=target_partition_bytes
+    )
+    return sized.mapInPandas(_batches, SPECTRUM_SCHEMA)
