@@ -56,3 +56,52 @@ def test_strict_mode_accepts_clean_config(spark, tmp_path):
         "202402,2,1,2024-01-20 00:05:00,2024-02-20 00:00:00\n"
     )
     assert read_settle_config(spark, str(p), strict=True).count() == 2
+
+
+def test_upsert_date_partitioned_merge_semantics(spark, tmp_path):
+    """Latest-per-key merge: updates win over sink rows, re-running the
+    same batch changes nothing, untouched partitions stay untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        upsert_date_partitioned,
+    )
+
+    path = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    t1 = dt.datetime(2024, 1, 2, 10)
+    base = spark.createDataFrame(
+        [(1, t0, 10.0), (2, t0, 20.0), (3, t1, 30.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    assert upsert_date_partitioned(base, path) == 3
+
+    # update key 1 (newer ts), insert key 4; day-2 partition untouched
+    upd = spark.createDataFrame(
+        [(1, t0.replace(hour=12), 11.0), (4, t0, 40.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    upsert_date_partitioned(upd, path)
+    got = {
+        r.event_id: (r.value, r.ts)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 11.0 and got[2][0] == 20.0 and got[3][0] == 30.0
+
+    # idempotent re-run: same winners, same row count
+    upsert_date_partitioned(upd, path)
+    again = {
+        r.event_id: r.value for r in spark.read.parquet(path).collect()
+    }
+    assert again == {1: 11.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+    # same-version conflict: incoming row wins (source rank tie-break)
+    conflict = spark.createDataFrame(
+        [(2, t0, 21.0)], "event_id long, ts timestamp, value double"
+    )
+    upsert_date_partitioned(conflict, path)
+    final = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
+    assert final[2] == 21.0

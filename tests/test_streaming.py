@@ -68,3 +68,57 @@ def test_stream_matches_batch_and_rerun_is_idempotent(spark, sf_dir, tmp_path):
     n = final.count()
     assert final.select("bar_ts").distinct().count() == n, "duplicate windows"
     assert {tuple(r) for r in final.collect()} <= all_batch
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: the streaming back-adjusted bars must agree
+    row-for-row with the batch pipeline's enrichment for every bar the
+    watermark finalized."""
+    from txf_continuous_data_pipeline_spark.operators.adjust import backadjust
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        tumbling_ohlcv,
+    )
+    from txf_continuous_data_pipeline_spark.plans.pipeline import (
+        weekly_settle_config,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        stage_events_dir,
+        streaming_enriched_bars,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+    sink = str(tmp_path / "sink")
+
+    q = (
+        streaming_enriched_bars(spark, feed, cfg, delay="10 minutes")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+    cols = ["bar_ts", "close", "accumulated_contract_diff",
+            "contract_year_month"]
+    got = {
+        tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
+    }
+    assert got, "no enriched bars emitted"
+    batch = backadjust(
+        tumbling_ohlcv(events), cfg, ts_col="bar_ts", end_inclusive=False
+    )
+    want = {tuple(r) for r in batch.select(*cols).collect()}
+    assert got <= want, "stream enrichment disagrees with batch"
+    # and most finalized bars must be present (only the watermark tail
+    # may be missing)
+    assert len(got) >= len(want) * 0.8

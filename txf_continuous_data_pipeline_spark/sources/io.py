@@ -247,3 +247,71 @@ def append_idempotent(
     finally:
         out.unpersist()
     return n
+
+
+def upsert_date_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    key_cols: tuple = ("event_id",),
+    ts_col: str = "ts",
+    version_col: str | None = None,
+) -> int:
+    """MERGE-style upsert into a date-partitioned parquet sink without a
+    transactional table format: latest row per key wins.
+
+    Mechanics (the classic dynamic-partition-overwrite merge):
+      1. derive the _date partition value for every incoming row;
+      2. read ONLY the sink partitions those dates touch (partition
+         pruning - the sink can be petabytes, the read is bounded by
+         the batch's date spread);
+      3. unionByName + keep the winner per key (max version_col, or
+         ts_col when no explicit version; ties break toward the
+         incoming row via a source-rank column);
+      4. overwrite exactly the affected partitions
+         (partitionOverwriteMode=dynamic leaves every other partition
+         untouched).
+
+    Returns the number of rows written. Re-running the same batch is a
+    no-op in effect (same winners). Not atomic across partitions - a
+    table format (Delta/Iceberg/Hudi) buys that; the operator keeps the
+    engine dependency-free while matching the semantics.
+    """
+    from pyspark.sql import Window
+
+    version = version_col or ts_col
+    spark = df.sparkSession
+    incoming = df.withColumn("_date", F.to_date(F.col(ts_col))).withColumn(
+        "_src_rank", F.lit(1)
+    )
+    dates = [r["_date"] for r in incoming.select("_date").distinct().collect()]
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .where(F.col("_date").isin(dates))
+            .withColumn("_src_rank", F.lit(0))
+        )
+        merged = incoming.unionByName(existing)
+    except Exception:
+        merged = incoming
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version), F.desc("_src_rank")
+    )
+    winners = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src_rank")
+        .persist()
+    )
+    try:
+        n = winners.count()
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            winners.write.mode("overwrite").partitionBy("_date").parquet(path)
+        finally:
+            spark.conf.set(mode_key, prev)
+    finally:
+        winners.unpersist()
+    return n

@@ -260,3 +260,34 @@ def dedup_stream(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_enriched_bars(
+    spark: SparkSession,
+    feed_dir: str,
+    config: DataFrame,
+    *,
+    width: str = "5 minutes",
+    delay: str = "10 minutes",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Stream-static enrichment: the watermarked OHLCV bar stream
+    back-adjusted against the STATIC settle-config dimension - the
+    streaming form of the batch pipeline's J1+A7 stage, and the shape
+    every streaming fact-vs-dimension enrichment takes.
+
+    Structured Streaming re-plans the static side per micro-batch, so
+    the broadcast interval join inside `backadjust` works unchanged on
+    a stream; the watermarked aggregate upstream keeps state bounded
+    and append-mode legal. Returns the unsunk enriched stream (caller
+    picks the sink/trigger)."""
+    from ..operators.adjust import backadjust
+
+    bars = streaming_ohlcv(
+        stream_events(
+            spark, feed_dir, max_files_per_trigger=max_files_per_trigger
+        ),
+        width=width,
+        delay=delay,
+    )
+    return backadjust(bars, config, ts_col="bar_ts", end_inclusive=False)
