@@ -35,3 +35,57 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
         if p.split("=")[-1] >= "2024-01-10"
     }
     assert 0 < len(kept_dirs) < n_dirs
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """The bucketing claim made real: two tables bucketed on the join
+    key at write time join with ZERO Exchange nodes - the shuffle was
+    paid once in the layout."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources import read_table
+    from txf_continuous_data_pipeline_spark.sources.io import write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders, "orders_b", bucket_col="o_orderkey", n_buckets=8,
+        sort_col="o_orderkey",
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", bucket_col="l_orderkey", n_buckets=8,
+        sort_col="l_orderkey",
+    )
+    try:
+        o_b = spark.table("orders_b")
+        l_b = spark.table("lineitem_b")
+        # disable broadcast so the join would otherwise shuffle both sides
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o_b.join(
+                l_b, o_b["o_orderkey"] == l_b["l_orderkey"]
+            ).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the join itself must carry no exchange; the only exchange
+            # allowed is the final single-key aggregate's
+            join_part = plan[plan.index("SortMergeJoin"):]
+            assert "Exchange" not in join_part, join_part
+            # and values match the unbucketed plan
+            want = {
+                tuple(r)
+                for r in orders.join(
+                    lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"],
+                )
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            got = {tuple(r) for r in joined.collect()}
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

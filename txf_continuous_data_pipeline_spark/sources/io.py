@@ -315,3 +315,27 @@ def upsert_date_partitioned(
     finally:
         winners.unpersist()
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) parquet table into the
+    session catalog - the storage layout that makes repeated big-big
+    joins on `bucket_col` exchange-free: both sides pre-partitioned by
+    the same hash at WRITE time, so the join needs no shuffle at all
+    (and with sort_col, no sort either). This is the 100-TB answer for
+    a fact-fact join too large to broadcast that runs every day:
+    pay the partitioning once in the layout, not per query."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
