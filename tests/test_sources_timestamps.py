@@ -67,3 +67,39 @@ def test_micros_of_day_accepts_ntz(spark):
         "SELECT TIMESTAMP_NTZ '2024-03-15 08:45:30.5' AS ts"
     ).select(micros_of_day(F.col("ts")).alias("us"))
     assert df.collect()[0].us == ((8 * 60 + 45) * 60 + 30) * 1_000_000 + 500_000
+
+
+def test_read_events_any_formats_agree(spark, sf_dir, tmp_path):
+    """The same events rows through parquet, CSV and JSON storage must
+    produce identical normalized frames (schema and values)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources import read_table
+    from txf_continuous_data_pipeline_spark.sources.io import read_events_any
+
+    base = read_table(spark, sf_dir, "events").limit(200)
+    pq_dir = str(tmp_path / "pq")
+    csv_dir = str(tmp_path / "csv")
+    json_dir = str(tmp_path / "json")
+    base.write.parquet(pq_dir)
+    base.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    ).write.option("header", True).csv(csv_dir)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    base.write.option("timestampFormat", ts_fmt).json(json_dir)
+
+    frames = {
+        "parquet": read_events_any(spark, pq_dir, fmt="parquet"),
+        "csv": read_events_any(spark, csv_dir, fmt="csv"),
+        "json": read_events_any(
+            spark, json_dir, fmt="json", timestampFormat=ts_fmt
+        ),
+    }
+    want = sorted(tuple(r) for r in base.collect())
+    for fmt, df in frames.items():
+        assert isinstance(df.schema["ts"].dataType, TimestampType), fmt
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in base.schema.fields
+        ], fmt
+        got = sorted(tuple(r) for r in df.select(*base.columns).collect())
+        assert got == want, f"{fmt}: values drifted"

@@ -339,3 +339,54 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def read_events_any(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    **reader_options,
+) -> DataFrame:
+    """Events-shaped scan from any supported storage format (parquet /
+    csv / json), normalized to the engine's canonical schema: same
+    column set, ts as TIMESTAMP, long keys, double value - so every
+    downstream operator is storage-agnostic. CSV/JSON read with the
+    explicit schema (no sampling inference job; json infers the full
+    file otherwise) and go through the same timestamp normalization as
+    parquet. Parquet stays the performance path (pushdown + pruning);
+    the text formats are the interchange path."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    if fmt == "parquet":
+        return _normalize_timestamps(spark.read.parquet(path))
+    # NB: Spark's default JSON/CSV timestampFormat carries millisecond
+    # precision; pass timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    # (or however the files were written) through reader_options to
+    # round-trip micros losslessly.
+    if fmt == "csv":
+        df = spark.read.options(**reader_options).csv(
+            path, header=True, schema=schema
+        )
+    elif fmt == "json":
+        df = spark.read.options(**reader_options).schema(schema).json(path)
+    else:
+        raise ValueError(f"unsupported events format: {fmt!r}")
+    return _normalize_timestamps(df)
