@@ -240,20 +240,23 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def band_signature(
     signatures: DataFrame,
     *,
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band hash become a candidate pair.
-    The self-join runs on (band_id, band_hash) - only colliding buckets
-    produce work, so the n^2 pair space is never enumerated."""
-    # band bucket = h60 of the comma-joined lane values: both engines
-    # format int64 as plain decimal, so the bucket ids (not just the
-    # resulting pairs) are cross-checkable.
-    banded = signatures.select(
+    """Signature frame -> exploded (id, band_id, band_hash) band-bucket
+    rows. THE single derivation both the self-join path and the stored
+    incremental index use - band compatibility across time (a batch
+    indexed today colliding correctly with a corpus indexed last month)
+    depends on this function never forking.
+
+    Band bucket = h60 of the comma-joined lane values: both engines
+    format int64 as plain decimal, so the bucket ids (not just the
+    resulting pairs) are cross-checkable."""
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -271,6 +274,21 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band_id", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become a candidate pair.
+    The self-join runs on (band_id, band_hash) - only colliding buckets
+    produce work, so the n^2 pair space is never enumerated."""
+    banded = band_signature(
+        signatures, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -500,42 +518,35 @@ def build_minhash_index(
     num_hashes: int = 32,
     shingle_n: int = 3,
     bands: int = 8,
+    persist: bool = True,
 ):
     """Materialize the corpus-side MinHash index an INCREMENTAL dedup
-    consumes: {"bands": (id, band_id, band_hash), "shingles": (id, sh)}
-    - both persisted. At 100 TB these are the two tables you write to
-    storage once and re-read per arriving batch, so new data never
-    triggers a corpus-wide recompute; band buckets use the same
-    h60-of-joined-lanes derivation as the self-join path, so a batch
-    indexed today collides correctly with a corpus indexed last month."""
-    rows_per_band = num_hashes // bands
+    consumes: {"bands": (id, band_id, band_hash), "shingles": (id, sh)}.
+    At 100 TB these are the two tables you write to storage once and
+    re-read per arriving batch, so new data never triggers a
+    corpus-wide recompute; band buckets come from band_signature - the
+    SAME derivation as the self-join path, so a batch indexed today
+    collides correctly with a corpus indexed last month.
+
+    persist=True caches both frames (the corpus side, read every
+    batch); pass persist=False for a frame consumed exactly once (the
+    delta side) so per-batch calls don't leak cache entries."""
     shingles = df.select(
         F.col(id_col),
         shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
-    ).persist()
+    )
+    if persist:
+        shingles = shingles.persist()
     sig = minhash_signature(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, shingle_sets=shingles,
     )
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    h60(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    ).persist()
+    banded = band_signature(
+        sig, id_col=id_col, bands=bands,
+        rows_per_band=num_hashes // bands,
+    )
+    if persist:
+        banded = banded.persist()
     return {"bands": banded, "shingles": shingles}
 
 
@@ -560,7 +571,7 @@ def minhash_delta_pairs(
     batch-size + collisions, independent of corpus size."""
     d_index = build_minhash_index(
         delta, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, bands=bands,
+        shingle_n=shingle_n, bands=bands, persist=False,
     )
     cand = (
         d_index["bands"]

@@ -247,9 +247,7 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return raw / 255.0
 
 
-def synthetic_media(
-    spark, n: int = 64, *, payload_bytes: int = 256, seed: int = 7
-) -> DataFrame:
+def synthetic_media(spark, n: int = 64, *, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests/demos (no testdata table
     carries binary payloads). Payload bytes are seeded-random; metadata
     is derived so predicates have something to push down."""
@@ -272,12 +270,6 @@ def synthetic_media(
                 [((base + 13 * f) % 256).astype(np.uint8) for f in range(nf)]
             )
             payload = encode_ppm_video(frames)
-        elif kind == "audio":
-            # REAL payload: a deterministic sine+noise 16-bit PCM WAV
-            t = np.arange(256 + (i % 4) * 64) / 16000.0
-            wave = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
-            wave += rng.uniform(-0.05, 0.05, len(t))
-            payload = encode_wav(wave, 16000)
         elif kind == "image":
             # REAL payload: a deterministic gradient+noise PPM, decoded
             # by the pure-numpy codec (not the stub)
@@ -291,8 +283,12 @@ def synthetic_media(
                 np.uint8
             )
             payload = encode_ppm(img)
-        else:
-            payload = rng.bytes(payload_bytes + (i % 5) * 32)
+        else:  # audio
+            # REAL payload: a deterministic sine+noise 16-bit PCM WAV
+            t = np.arange(256 + (i % 4) * 64) / 16000.0
+            wave = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+            wave += rng.uniform(-0.05, 0.05, len(t))
+            payload = encode_wav(wave, 16000)
         rows.append(
             (
                 i,
@@ -508,9 +504,10 @@ def audio_spectrogram(
                 }
             )
 
-    audio = media.where(
-        (F.col("kind") == "audio") & (F.col("codec") == "wav")
-    ).select("media_id", "payload")
+    audio_pred = F.col("kind") == "audio"
+    if "codec" in media.columns:
+        audio_pred = audio_pred & (F.col("codec") == "wav")
+    audio = media.where(audio_pred).select("media_id", "payload")
     sized = repartition_by_bytes(
         audio, target_partition_bytes=target_partition_bytes
     )

@@ -303,8 +303,11 @@ def funnel_counts(
 ) -> DataFrame:
     """Ordered funnel analysis: how many users reached step k, where a
     user advances from step k to k+1 on their first step-(k+1) event
-    strictly after their step-k position (the standard product-analytics
-    funnel, greedy first-match semantics).
+    with ts STRICTLY GREATER than their step-k event's ts (the standard
+    product-analytics funnel, greedy first-match semantics; strict-ts
+    advancement matches the relational min-after-join formulation the
+    oracle runs, so same-timestamp events of consecutive steps do NOT
+    chain - they are simultaneous, not ordered).
 
     Shape: ONE shuffle total - per-user time-sorted event list (only
     events whose type appears in the funnel are collected), then a pure
@@ -312,7 +315,8 @@ def funnel_counts(
     broadcast-sized per-user frame. The k-way sequential min-after-join
     formulation (the relational route, used by the oracle SQL) costs
     k-1 extra shuffles at fact scale. Events are ordered by (ts, id) so
-    the fold is deterministic even under timestamp ties."""
+    the fold is deterministic even under timestamp ties. Steps nobody
+    reaches emit no row (matching the oracle's HAVING)."""
     steps_arr = F.array(*[F.lit(s) for s in steps])
     per_user = (
         df.where(F.col(type_col).isin(list(steps)))
@@ -329,16 +333,23 @@ def funnel_counts(
             ).alias("_evs")
         )
     )
+    zero = F.struct(
+        F.lit(0).alias("idx"),
+        F.lit(None).cast("timestamp").alias("last_t"),
+    )
     reached = per_user.select(
         F.aggregate(
             F.col("_evs"),
-            F.lit(0),
+            zero,
             lambda acc, ev: F.when(
-                (acc < F.lit(len(steps)))
-                & (ev["e"] == F.element_at(steps_arr, acc + 1)),
-                acc + 1,
+                (acc["idx"] < F.lit(len(steps)))
+                & (ev["e"] == F.element_at(steps_arr, acc["idx"] + 1))
+                & (acc["last_t"].isNull() | (ev["t"] > acc["last_t"])),
+                F.struct(
+                    (acc["idx"] + 1).alias("idx"), ev["t"].alias("last_t")
+                ),
             ).otherwise(acc),
-        ).alias("_reached")
+        )["idx"].alias("_reached")
     )
     level = F.explode(
         F.sequence(F.lit(1), F.col("_reached"))
@@ -459,6 +470,10 @@ def funnel_step_times(
         F.lit(0).alias("idx"),
         F.array().cast("array<struct<i:int,t:timestamp>>").alias("adv"),
     )
+
+    def _last_t(acc):
+        return F.element_at(acc["adv"], -1)["t"]
+
     folded = per_user.select(
         F.col(user_col),
         F.aggregate(
@@ -466,7 +481,8 @@ def funnel_step_times(
             zero,
             lambda acc, ev: F.when(
                 (acc["idx"] < F.lit(len(steps)))
-                & (ev["e"] == F.element_at(steps_arr, acc["idx"] + 1)),
+                & (ev["e"] == F.element_at(steps_arr, acc["idx"] + 1))
+                & ((acc["idx"] == 0) | (ev["t"] > _last_t(acc))),
                 F.struct(
                     (acc["idx"] + 1).alias("idx"),
                     F.concat(

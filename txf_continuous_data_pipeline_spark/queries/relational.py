@@ -865,9 +865,10 @@ s4 AS (
   WHERE e.event_type = 'purchase' GROUP BY e.user_id
 )
 SELECT 'signup' AS step, 1 AS step_idx, count(*) AS users FROM s1
-UNION ALL SELECT 'view', 2, count(*) FROM s2
-UNION ALL SELECT 'click', 3, count(*) FROM s3
-UNION ALL SELECT 'purchase', 4, count(*) FROM s4
+  HAVING count(*) > 0
+UNION ALL SELECT 'view', 2, count(*) FROM s2 HAVING count(*) > 0
+UNION ALL SELECT 'click', 3, count(*) FROM s3 HAVING count(*) > 0
+UNION ALL SELECT 'purchase', 4, count(*) FROM s4 HAVING count(*) > 0
 """
 
 

@@ -285,14 +285,24 @@ def upsert_date_partitioned(
         "_src_rank", F.lit(1)
     )
     dates = [r["_date"] for r in incoming.select("_date").distinct().collect()]
-    try:
+    # NULL-safe partition predicate: isin() evaluates NULL for the
+    # null partition, which would exclude existing null-ts rows from
+    # the merge while the write still overwrites their partition.
+    date_pred = F.col("_date").isin([d for d in dates if d is not None])
+    if any(d is None for d in dates):
+        date_pred = date_pred | F.col("_date").isNull()
+    if os.path.exists(path):
+        # Only a genuinely missing sink may fall back to incoming-only:
+        # any OTHER read/union failure (corrupt footer, schema drift)
+        # must raise, or the dynamic overwrite would silently delete
+        # every pre-existing row in the touched partitions.
         existing = (
             spark.read.parquet(path)
-            .where(F.col("_date").isin(dates))
+            .where(date_pred)
             .withColumn("_src_rank", F.lit(0))
         )
         merged = incoming.unionByName(existing)
-    except Exception:
+    else:
         merged = incoming
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(version), F.desc("_src_rank")
@@ -301,8 +311,14 @@ def upsert_date_partitioned(
         merged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_src_rank")
-        .persist()
     )
+    # localCheckpoint (eager) CUTS LINEAGE before the overwrite: the
+    # write plan must not reference the files it is replacing. persist()
+    # alone only swaps in the cache via CacheManager - a lost executor
+    # would recompute from partitions mid-deletion and silently corrupt
+    # the sink; with checkpointed blocks the job instead fails loudly
+    # and the retry re-reads a consistent sink.
+    winners = winners.localCheckpoint(eager=True)
     try:
         n = winners.count()
         mode_key = "spark.sql.sources.partitionOverwriteMode"

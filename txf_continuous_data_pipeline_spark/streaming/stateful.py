@@ -129,7 +129,7 @@ FUNNEL_OUT_SCHEMA = (
     "user_id long, step_idx int, step string, ts timestamp"
 )
 _FUNNEL_STATE_SCHEMA = (
-    "cursor int, buf_ts array<long>, buf_id array<long>, "
+    "cursor int, last_t long, buf_ts array<long>, buf_id array<long>, "
     "buf_type array<string>"
 )
 
@@ -145,10 +145,10 @@ def _funnel_fold(steps: tuple):
         user = key[0]
         wm_us = state.getCurrentWatermarkMs() * 1000
         if state.exists:
-            cursor, bts, bid, btyp = state.get
+            cursor, last_t_us, bts, bid, btyp = state.get
             buf = list(zip(list(bts), list(bid), list(btyp)))
         else:
-            cursor, buf = 0, []
+            cursor, last_t_us, buf = 0, -1, []
         if not state.hasTimedOut:
             for pdf in pdfs:
                 buf.extend(
@@ -158,15 +158,22 @@ def _funnel_fold(steps: tuple):
                         pdf["event_type"],
                     )
                 )
-        # Only events the watermark has finalized may advance the
-        # cursor: they can be folded in exact (ts, id) order because no
-        # earlier on-time event can still arrive.
-        ready = sorted(e for e in buf if e[0] <= wm_us)
-        rest = [e for e in buf if e[0] > wm_us]
+        # Only events STRICTLY below the watermark are final (an
+        # on-time event with ts == watermark can still arrive); fold
+        # them in exact (ts, id) order. Advance requires ts strictly
+        # greater than the previous step's - the batch twin's
+        # (and the oracle's) strict-ts semantics.
+        ready = sorted(e for e in buf if e[0] < wm_us)
+        rest = [e for e in buf if e[0] >= wm_us]
         advances: list[tuple[int, str, int]] = []
         for t, _i, ty in ready:
-            if cursor < n_steps and ty == steps[cursor]:
+            if (
+                cursor < n_steps
+                and ty == steps[cursor]
+                and (cursor == 0 or t > last_t_us)
+            ):
                 cursor += 1
+                last_t_us = t
                 advances.append((cursor, steps[cursor - 1], t))
         if cursor >= n_steps and not rest:
             # funnel complete: no further advance is possible - drop
@@ -177,6 +184,7 @@ def _funnel_fold(steps: tuple):
             state.update(
                 (
                     cursor,
+                    last_t_us,
                     [e[0] for e in rest],
                     [e[1] for e in rest],
                     [e[2] for e in rest],
