@@ -28,7 +28,7 @@ from .registry import REGISTRY, q
 # (set-ops, pivot/cube variants, scalar TPC-H singles) whose operators
 # remain covered by an in-window or pytest sibling.
 _PRIORITY = [
-    # reference pipeline core (SURVEY §2) — 17
+    # reference pipeline core (SURVEY §2) — 13
     "ohlcv_5m",
     "ohlcv_60m_offset45",
     "session_labels",
@@ -42,7 +42,7 @@ _PRIORITY = [
     "session_ohlcv",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 16
+    # text / dedup / curation flagships — 14
     "text_stats",
     "pack_sequences",
     "mixture_sample",
@@ -57,7 +57,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "multimodal_features",
     "contamination_pairs",
-    # similarity search suite — 6
+    # similarity search suite — 4
     "cosine_topk_bruteforce",
     "knn_join_bruteforce",
     "lsh_ann_pairs",

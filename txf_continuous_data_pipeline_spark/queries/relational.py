@@ -443,9 +443,14 @@ def asof_join_config(spark, sf_dir):
             (F.row_number().over(w) * F.lit(10.0)).alias("next_contract_diff"),
         )
     )
+    # plan='broadcast' explicitly: the weeks-of-events dim is
+    # structurally tiny, and 'auto' would run an eager dim.count() job
+    # at query-construction time (deriving the whole distinct-weeks
+    # subplan once extra).
     return asof_join(
         events, cfg, fact_ts="ts", dim_ts="start_k",
         keep=("contract_year_month", "next_contract_diff"),
+        plan="broadcast",
     )
 
 

@@ -18,10 +18,10 @@ Convention notes shared by both sides:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import date_market_type, session_id, session_kind, third_wednesday, tod_between
+from ..functions import date_market_type, session_id
 from ..operators.adjust import backadjust, derive_accumulated_gap
 from ..operators.calendar import settlement_schedule
 from ..operators.quality import EXPECTED_5MIN, completeness_violations, session_counts
@@ -182,7 +182,9 @@ WITH k AS (
      OR (ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00')
 ),
 counts AS (
-  SELECT strftime(sess_date, '%Y-%m-%d') || '_' || kind AS session_id,
+  SELECT CASE WHEN kind = 'UNKNOWN' THEN 'UNKNOWN'
+              ELSE strftime(sess_date, '%Y-%m-%d') || '_' || kind
+         END AS session_id,
          kind, count(*) AS cnt
   FROM k GROUP BY 1, 2
 ),
@@ -498,7 +500,7 @@ def predict_next_contract_q(spark, sf_dir):
     start (P7/P8), third-Wednesday 13:25 settle (P9), start = last
     settle + 5 min, accumulated gap rolled forward (A7/A6)."""
     from ..operators.adjust import derive_accumulated_gap
-    from ..operators.calendar import predict_next_contract, settlement_schedule
+    from ..operators.calendar import predict_next_contract
 
     months = (
         read_table(spark, sf_dir, "orders")

@@ -291,19 +291,25 @@ def upsert_date_partitioned(
     date_pred = F.col("_date").isin([d for d in dates if d is not None])
     if any(d is None for d in dates):
         date_pred = date_pred | F.col("_date").isNull()
-    if os.path.exists(path):
-        # Only a genuinely missing sink may fall back to incoming-only:
-        # any OTHER read/union failure (corrupt footer, schema drift)
-        # must raise, or the dynamic overwrite would silently delete
-        # every pre-existing row in the touched partitions.
-        existing = (
-            spark.read.parquet(path)
-            .where(date_pred)
-            .withColumn("_src_rank", F.lit(0))
+    # Only a genuinely missing sink may fall back to incoming-only: any
+    # OTHER read/union failure (corrupt footer, schema drift) must
+    # raise, or the dynamic overwrite would silently delete every
+    # pre-existing row in the touched partitions. Probed via the read
+    # itself (not os.path.exists - false for every URI-form or remote
+    # path Spark can actually serve).
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        existing_all = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        merged = incoming
+    else:
+        existing = existing_all.where(date_pred).withColumn(
+            "_src_rank", F.lit(0)
         )
         merged = incoming.unionByName(existing)
-    else:
-        merged = incoming
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(version), F.desc("_src_rank")
     )
@@ -318,18 +324,18 @@ def upsert_date_partitioned(
     # would recompute from partitions mid-deletion and silently corrupt
     # the sink; with checkpointed blocks the job instead fails loudly
     # and the retry re-reads a consistent sink.
+    # (checkpoint blocks are released when the driver GCs the RDD;
+    # unpersist() would be a no-op - it only clears CacheManager
+    # entries, and a localCheckpoint is not one.)
     winners = winners.localCheckpoint(eager=True)
+    n = winners.count()
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
     try:
-        n = winners.count()
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(mode_key, "static")
-        spark.conf.set(mode_key, "dynamic")
-        try:
-            winners.write.mode("overwrite").partitionBy("_date").parquet(path)
-        finally:
-            spark.conf.set(mode_key, prev)
+        winners.write.mode("overwrite").partitionBy("_date").parquet(path)
     finally:
-        winners.unpersist()
+        spark.conf.set(mode_key, prev)
     return n
 
 
