@@ -1104,3 +1104,74 @@ def _corpus_half_index(spark, sf_dir):
             for name, frame in raw.items()
         }
     return _MINHASH_INDEX_CACHE[key]
+
+
+def _hashed_shingles_sql(n: int) -> str:
+    """DuckDB mirror of shingle_array(n=n, hashed=True): distinct h60
+    hashes of word n-gram spans, whole-text fallback for short docs."""
+    grams = (
+        f"list_transform(range(0, greatest(len({_TOKS}) - {n}, 0) + 1),"
+        f" i -> array_to_string(({_TOKS})[i + 1:i + {n}], ' '))"
+    )
+    return f"list_distinct(list_transform({grams}, s -> {_h60_sql('s')}))"
+
+
+_DUP_SPAN_SQL = f"""
+WITH s AS (SELECT doc_id, {_hashed_shingles_sql(5)} AS sh FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS h FROM s),
+hot AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+dup AS (
+  SELECT doc_id, count(*) AS dup_spans
+  FROM ex JOIN hot USING (h) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.sh) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       round(coalesce(d.dup_spans, 0) / len(s.sh), 6) AS dup_span_frac
+FROM s LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@q("dup_span_stats", _DUP_SPAN_SQL)
+def dup_span_stats_q(spark, sf_dir):
+    """Cross-document duplicated-span statistics (the signal behind
+    substring-level training-data dedup, Lee et al. 2022): per doc, how
+    many of its distinct 5-token spans appear in at least one OTHER
+    doc (span identity = h60 hash; a doc's repeats of its own span
+    count once). Plan: the shared zero-exchange shingle inverted index
+    -> span document frequency -> semi-join back -> per-doc rollup;
+    cost tracks corpus + span collisions, never doc-pairs."""
+    from ..operators.dedup import shingles_exploded
+
+    docs = read_table(spark, sf_dir, "documents")
+    # ONE interpreted shingle build feeds all three consumers (df
+    # aggregate, semi-join probe, per-doc span counts): persist the
+    # exploded index; count_col rides along for free.
+    ex = shingles_exploded(
+        docs, n=5, hashed=True, count_col="n_spans"
+    ).persist()
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("shingle")
+    )
+    dup = (
+        ex.join(hot, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    base = ex.select(
+        "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+    ).distinct()
+    return (
+        base.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_spans", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_span_frac"),
+        )
+    )
