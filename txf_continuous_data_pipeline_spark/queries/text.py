@@ -1175,3 +1175,61 @@ def dup_span_stats_q(spark, sf_dir):
             ).alias("dup_span_frac"),
         )
     )
+
+
+#: literal weights of the linear quality classifier (a trained
+#: fasttext/logreg-style filter's deployment shape: the model ships as
+#: plan literals, scoring is a pure projection)
+_QC_WEIGHTS = {
+    "bias": -1.2,
+    "n_tokens": 0.03,
+    "stopword_ratio": 4.0,
+    "punct_ratio": -6.0,
+}
+
+_QC_Z = (
+    f"({_QC_WEIGHTS['bias']} + {_QC_WEIGHTS['n_tokens']} * len({_TOKS})"
+    f" + {_QC_WEIGHTS['stopword_ratio']}"
+    f" * (CAST(len(list_filter({_TOKS},"
+    f" t -> list_contains({_sql_marker_list(_ALL_MARKERS)}, t))) AS DOUBLE)"
+    f" / greatest(len({_TOKS}), 1))"
+    f" + {_QC_WEIGHTS['punct_ratio']}"
+    f" * (CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)"
+    f" / greatest(length(text), 1)))"
+)
+
+_QC_SQL = f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-{_QC_Z})), 6) AS quality_prob,
+       ({_QC_Z} >= 0.0) AS keep
+FROM documents
+"""
+
+
+@q("quality_classifier", _QC_SQL)
+def quality_classifier_q(spark, sf_dir):
+    """Model-based quality filtering in its deployment shape: a linear
+    classifier over cheap text features (token count, stopword ratio,
+    punctuation ratio) with LITERAL weights riding in the plan - the
+    way a trained fasttext/logistic quality model actually runs inside
+    a 100-TB pipeline (pure projection, zero shuffle, no model server).
+    The keep decision compares the logit against 0 (exact on both
+    engines); the probability is reported at 6 dp."""
+    from ..operators.textstats import punct_ratio, stopword_ratio, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    w = _QC_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["n_tokens"]) * token_count(text)
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(text)
+        + F.lit(w["punct_ratio"]) * punct_ratio(text)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(
+            "quality_prob"
+        ),
+        (z >= 0.0).alias("keep"),
+    )
