@@ -120,6 +120,31 @@ def test_real_ppm_path_through_spark(spark):
         assert arr.shape == (6, 8, 3)
 
 
+def test_video_features_decode_first_frame(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_video_frame,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    vids = {r.media_id: r for r in media.where("kind = 'video'").collect()}
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(media).where("kind = 'video'").collect()
+    }
+    for mid, row in vids.items():
+        px = (
+            decode_ppm_video_frame(bytes(row.payload), 0)
+            .astype(np.float64)
+            .ravel()
+            / 255.0
+        )
+        assert feats[mid] == pytest.approx(px[:16])
+
+
 def test_wav_roundtrip_and_spark_path(spark):
     import numpy as np
 

@@ -127,9 +127,10 @@ def test_funnel_single_fact_shuffle(spark, sf_dir):
 
 
 def test_cohort_retention_reuses_distinct(spark, sf_dir):
-    # The distinct (user, week) frame is persisted: the cohort
-    # aggregate and the retention join must read the InMemoryRelation,
-    # not re-derive the fact-scale distinct twice.
+    # The distinct (user, week) frame is checkpointed: the cohort
+    # aggregate and the retention join must both read the materialized
+    # RDD (Scan ExistingRDD x2), not re-derive the fact-scale distinct
+    # twice from the source.
     plan = _plan(spark, sf_dir, "cohort_retention")
-    assert "InMemoryTableScan" in plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
     assert "CartesianProduct" not in plan

@@ -179,3 +179,87 @@ def test_funnel_step_times_consistent_with_counts(spark, sf_dir):
         .collect()
     )
     assert {r.step_idx: r["count"] for r in times} == counts
+
+
+def test_stateful_sessions_handle_disordered_feed(spark, tmp_path):
+    """Cross-batch disorder within the watermark delay must not split
+    sessions or freeze session_start: a late-but-on-time event arriving
+    one batch later still lands in its session (the fold-on-arrival
+    form this replaced emitted a wrong early fragment here)."""
+    import datetime as dt
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from txf_continuous_data_pipeline_spark.operators.relational import (
+        session_stats,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.stateful import (
+        stateful_session_stream,
+    )
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        [(1, t(10, 0), 7, "view", 1.0, "{}"), (2, t(10, 5), 7, "view", 1.0, "{}")],
+        # 10:02 is OLDER than batch 1's max but on time (delay 10m);
+        # 10:40 opens the next session (gap 30m)
+        [(3, t(10, 2), 7, "view", 1.0, "{}"), (4, t(10, 40), 7, "view", 1.0, "{}")],
+        # pushes the watermark past 10:05 + gap so session 1 finalizes
+        [(5, t(11, 30), 7, "view", 1.0, "{}")],
+    ]
+    feed = str(tmp_path / "dfeed")
+    _os.makedirs(feed)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    all_rows = [r for b in batches for r in b]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{feed}/b{i}"
+        )
+    # flatten into one dir with arrival-ordered mtimes
+    now = _time.time()
+    k = 0
+    for i in range(len(batches)):
+        for f in sorted(_glob.glob(f"{feed}/b{i}/part-*")):
+            dst = f"{feed}/part-{k:03d}.parquet"
+            _os.rename(f, dst)
+            _os.utime(dst, (now + 2 * k, now + 2 * k))
+            k += 1
+
+    sink, ckpt = str(tmp_path / "dsink"), str(tmp_path / "dckpt")
+    q = (
+        stateful_session_stream(
+            stream_events(spark, feed, max_files_per_trigger=1),
+            gap=GAP, delay=DELAY,
+        )
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("disordered stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+    got = {tuple(r) for r in spark.read.parquet(sink).select(*COLS).collect()}
+    batch_df = spark.createDataFrame(all_rows, schema)
+    want_all = {
+        tuple(r)
+        for r in session_stats(batch_df, key_col="user_id", ts_col="ts", gap=GAP)
+        .select(*COLS)
+        .collect()
+    }
+    # every emitted session must be batch-exact (the late 10:02 event
+    # inside session 1, not a split fragment)...
+    assert got <= want_all, f"stream={got} batch={want_all}"
+    # ...and session 1 (finalized by the 11:30 watermark) must be out,
+    # with all 3 events
+    s1 = next(s for s in want_all if s[3] == 3)
+    assert s1 in got, f"finalized 3-event session missing: {got}"

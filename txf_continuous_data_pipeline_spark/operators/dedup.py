@@ -359,12 +359,13 @@ def minhash_neardup_pairs(
     given, feeds BOTH the signature and verify stages - one shingle
     build per corpus instead of two per query."""
     rows_per_band = num_hashes // bands
-    # persist: the LSH band self-join scans the signature frame twice
-    # with no exchange to reuse (same rationale as simhash_neardup_pairs)
+    # lazy localCheckpoint: the LSH band self-join scans the signature
+    # frame twice with no exchange to reuse (same rationale and
+    # lifecycle note as simhash_neardup_pairs)
     sig = minhash_signature(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, shingle_sets=shingle_sets,
-    ).persist()
+    ).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(
         sig, id_col=id_col, bands=bands, rows_per_band=rows_per_band
     )
@@ -437,12 +438,17 @@ def simhash_neardup_pairs(
     pairs sharing any chunk (pigeonhole guarantee for hamming <= bands-1)
     are verified with an exact popcount distance.
 
-    The fingerprint frame is persisted before the band self-join: the
-    join's broadcast side carries no exchange, so without
-    materialization BOTH sides recompute the token-hash transform and
-    the Arrow vote (measured 4.6s -> 2.9s at sf0.1). Fingerprints are
-    id + 8 bytes - linear, the table you'd write to storage at 100 TB."""
-    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits).persist()
+    The fingerprint frame is materialized (lazy localCheckpoint)
+    before the band self-join: the join's broadcast side carries no
+    exchange, so without materialization BOTH sides recompute the
+    token-hash transform and the Arrow vote (measured 4.6s -> 2.9s at
+    sf0.1). localCheckpoint, not persist: blocks release when the
+    frame is GC'd instead of accumulating CacheManager entries across
+    repeated calls. Fingerprints are id + 8 bytes - linear, the table
+    you'd write to storage at 100 TB."""
+    sh = simhash(
+        df, id_col=id_col, text_col=text_col, bits=bits
+    ).localCheckpoint(eager=False)
     width = bits // bands
     chunks = F.array(
         *[
@@ -529,8 +535,10 @@ def build_minhash_index(
     collides correctly with a corpus indexed last month.
 
     persist=True caches both frames (the corpus side, read every
-    batch); pass persist=False for a frame consumed exactly once (the
-    delta side) so per-batch calls don't leak cache entries."""
+    batch); persist=False skips CacheManager entirely - the caller
+    decides the delta side's materialization (minhash_delta_pairs
+    checkpoints it for the call, since the shingle frame feeds BOTH
+    the signature build and the jaccard verify)."""
     shingles = df.select(
         F.col(id_col),
         shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
@@ -573,6 +581,15 @@ def minhash_delta_pairs(
         delta, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, bands=bands, persist=False,
     )
+    # The delta shingle frame feeds two stages (signature already
+    # consumed it inside build; the verify join below reads it again)
+    # and the band frame feeds the candidate join: checkpoint lazily -
+    # materialized once on first use, NOT CacheManager-tracked, blocks
+    # released when the per-batch frames are GC'd (no cross-batch leak).
+    d_index = {
+        name: frame.localCheckpoint(eager=False)
+        for name, frame in d_index.items()
+    }
     cand = (
         d_index["bands"]
         .select(

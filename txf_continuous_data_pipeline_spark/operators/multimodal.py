@@ -225,6 +225,13 @@ def _decode(payload: bytes, kind: str, codec: str | None) -> np.ndarray:
         return decode_ppm(payload).astype(np.float64).ravel() / 255.0
     if kind == "audio" and codec == "wav":
         return decode_wav(payload)[0].ravel()
+    if kind == "video" and codec == "ppmv":
+        # features from the container's FIRST frame (the keyframe
+        # convention); random-access seek means no other frame decodes
+        return (
+            decode_ppm_video_frame(payload, 0).astype(np.float64).ravel()
+            / 255.0
+        )
     return _decode_stub(payload, kind)
 
 
@@ -312,15 +319,24 @@ def repartition_by_bytes(
     *,
     payload_col: str = "payload",
     target_partition_bytes: int = 128 << 20,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Size partitions by payload bytes, not row count: media rows vary
     by orders of magnitude, so row-count partitioning over/undershoots
-    executor memory. One cheap length() aggregate decides the partition
-    count; the exchange is a round-robin repartition (no key skew)."""
-    total = df.agg(
-        F.sum(F.coalesce(F.length(payload_col), F.lit(0)))
-    ).collect()[0][0] or 0
-    n_parts = max(1, int(total // target_partition_bytes) + 1)
+    executor memory. The exchange is a round-robin repartition (no key
+    skew).
+
+    When total_bytes is None the count comes from a length() aggregate
+    over the payload column - an EAGER job that reads the (columnar)
+    payload once before the real pass reads it again. At true media
+    scale pass total_bytes from metadata the caller already has
+    (file-listing sizes, a size column, catalog stats) to keep the
+    operator lazy and single-scan."""
+    if total_bytes is None:
+        total_bytes = df.agg(
+            F.sum(F.coalesce(F.length(payload_col), F.lit(0)))
+        ).collect()[0][0] or 0
+    n_parts = max(1, int(total_bytes // target_partition_bytes) + 1)
     return df.repartition(n_parts)
 
 

@@ -234,7 +234,19 @@ def salted_join(
     this explicit form is for plans AQE cannot split (e.g. a skewed
     aggregate feeding the join, or pre-AQE engines) and as the documented
     recipe for the 100-TB case.
+
+    Supported hows: inner and left (big-side preserving) - both
+    row-identical to the plain join. right/full would emit each
+    UNMATCHED small-side row once per salt replica (n_salts copies
+    instead of one null-padded row), so they are rejected rather than
+    silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would duplicate unmatched small-side "
+            "rows once per salt replica"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)).cast("int")
     )
@@ -387,10 +399,12 @@ def cohort_retention(
     double-compute pathology as the LSH band self-joins). Everything
     after the persist is user-dimension sized."""
     wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    # lazy localCheckpoint (GC lifecycle) rather than persist: repeated
+    # calls must not accumulate CacheManager entries
     active = (
         df.select(F.col(user_col).alias("u"), wk.alias("wk"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cohorts = active.groupBy("u").agg(F.min("wk").alias("cohort_week"))
     return (

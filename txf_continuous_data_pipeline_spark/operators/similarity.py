@@ -139,14 +139,15 @@ def lsh_ann_pairs(
     """Approximate nearest-neighbor candidate pairs: vectors sharing any
     signature band collide; candidates re-ranked with exact cosine.
 
-    The signature frame is persisted before the band self-join: the
-    broadcast side carries no exchange, so without materialization BOTH
-    sides re-run the Arrow matrix multiply (same pathology as the
+    The signature frame is materialized (lazy localCheckpoint - GC
+    lifecycle, no CacheManager accumulation) before the band self-join:
+    the broadcast side carries no exchange, so without materialization
+    BOTH sides re-run the Arrow matrix multiply (same pathology as the
     MinHash/SimHash band joins)."""
     width = n_planes // bands
     sigs = hyperplane_signatures(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim, seed=seed
-    ).persist()
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),

@@ -178,6 +178,10 @@ def gated_idempotent_sink(
             lo, hi = batch_df.agg(
                 F.min(ts_col), F.max(ts_col)
             ).collect()[0]
+            from pyspark.errors.exceptions.captured import (
+                AnalysisException,
+            )
+
             try:
                 # Only sink keys inside the batch's own key range can
                 # collide; the range predicate reaches the parquet scan
@@ -189,7 +193,14 @@ def gated_idempotent_sink(
                     .select(ts_col)
                 )
                 out = batch_df.join(F.broadcast(existing), ts_col, "left_anti")
-            except Exception:
+            except AnalysisException as e:
+                # ONLY an empty/missing sink may skip dedup; any other
+                # read failure (partial file from a crashed attempt)
+                # must raise - swallowing it would re-append the
+                # crashed attempt's committed windows, the exact
+                # duplication Gate 2 exists to prevent.
+                if "PATH_NOT_FOUND" not in str(e) and                         "Path does not exist" not in str(e):
+                    raise
                 out = batch_df
             if not out.isEmpty():
                 out.write.mode("append").parquet(sink_path)

@@ -30,7 +30,9 @@ SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
 )
-_STATE_SCHEMA = "start long, last long, n long"
+_STATE_SCHEMA = (
+    "start long, last long, n long, buf_ts array<long>"
+)
 
 
 def _to_us(series: pd.Series) -> pd.Series:
@@ -40,46 +42,56 @@ def _to_us(series: pd.Series) -> pd.Series:
 
 
 def _session_fold(gap_us: int):
-    gap_ms = gap_us // 1000
-
     def fold(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         user = key[0]
-        closed: list[tuple[int, int, int]] = []  # (start_us, last_us, n)
-
-        if state.hasTimedOut:
-            # Watermark passed last+gap with no new data for this key:
-            # the open session can no longer be extended - final.
-            start, last, n = state.get
-            state.remove()
-            closed.append((start, last, n))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            start, last, n, bts = state.get
+            cur = (start, last, n) if start >= 0 else None
+            buf = list(bts)
         else:
-            cur = tuple(state.get) if state.exists else None
+            cur, buf = None, []
+        if not state.hasTimedOut:
             for pdf in pdfs:
-                for t in _to_us(pdf["ts"]).sort_values():
-                    t = int(t)
-                    if cur is None:
-                        cur = (t, t, 1)
-                    elif t - cur[1] > gap_us:
-                        closed.append(cur)
-                        cur = (t, t, 1)
-                    else:
-                        cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            if cur is not None:
-                state.update(cur)
-                # Fire once no on-time event can extend the session.
-                # Must be strictly above the current watermark or Spark
-                # rejects the timestamp (a session already expired at
-                # fold time still needs a tick to come back and emit).
-                state.setTimeoutTimestamp(
-                    max(
-                        cur[1] // 1000 + gap_ms + 1,
-                        state.getCurrentWatermarkMs() + 1,
-                    )
-                )
+                buf.extend(int(t) for t in _to_us(pdf["ts"]))
+
+        # Fold ONLY events the watermark has finalized (ts strictly
+        # below it - an on-time event with ts == watermark can still
+        # arrive), in sorted event-time order: cross-batch disorder
+        # within the delay can therefore never split a session or
+        # freeze session_start too late, which the previous
+        # fold-on-arrival form got wrong on disordered feeds.
+        ready = sorted(t for t in buf if t < wm_us)
+        rest = [t for t in buf if t >= wm_us]
+        closed: list[tuple[int, int, int]] = []
+        for t in ready:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        # The open session is final only once the watermark passes its
+        # close condition: every event that could still extend it has
+        # ts >= wm > last + gap, which would start a NEW session.
+        if cur is not None and cur[1] + gap_us < wm_us:
+            closed.append(cur)
+            cur = None
+
+        if cur is None and not rest:
+            if state.exists:
+                state.remove()
+        else:
+            start, last, n = cur if cur is not None else (-1, -1, 0)
+            state.update((start, last, n, rest))
+            # Re-fire when the watermark moves: either buffered events
+            # become final or the open session's close condition passes.
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
 
         if closed:
             out = pd.DataFrame(
