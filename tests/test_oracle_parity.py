@@ -29,3 +29,19 @@ def test_rows_only_queries_run(spark, sf_dir):
     for name, (fn, sql) in REGISTRY.items():
         if sql is None:
             assert fn(spark, sf_dir).count() >= 0, name
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    """The HLL++ sketch (rows-only forever) must track its exact twin:
+    |approx - exact| / exact <= 0.05 per event_type (VERDICT r04 #4)."""
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in REGISTRY["distinct_users"][0](spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"][0](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)

@@ -28,26 +28,21 @@ from .registry import REGISTRY, q
 # (set-ops, pivot/cube variants, scalar TPC-H singles) whose operators
 # remain covered by an in-window or pytest sibling.
 _PRIORITY = [
-    # reference pipeline core (SURVEY §2) — 13
+    # reference pipeline core (SURVEY §2) — 10
     "ohlcv_5m",
-    "ohlcv_60m_offset45",
     "session_labels",
     "session_counts",
     "completeness_gate",
     "settle_config_file",
     "backadjust_rangejoin",
     "bar_pipeline_5m",
-    "bar_pipeline_5m_cfgfile",
     "bar_pipeline_60m",
-    "session_ohlcv",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 14
+    # text / dedup / curation flagships — 12
     "text_stats",
-    "pack_sequences",
     "mixture_sample",
     "ngram_jaccard_pairs",
-    "regex_top_words",
     "training_data_curation",
     "dedup_exact_groups",
     "minhash_neardup",
@@ -57,8 +52,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "multimodal_features",
     "contamination_pairs",
-    # similarity search suite — 4
-    "cosine_topk_bruteforce",
+    # similarity search suite — 3
     "knn_join_bruteforce",
     "lsh_ann_pairs",
     "ivf_topk",
@@ -115,10 +109,31 @@ _PRIORITY = [
     "event_transitions",
     "split_assign",
     "minhash_delta_dedup",
-    "ivf_topk_probe2",
+    # r5 rotation (VERDICT r04 #1): the six finished-but-never-driver-
+    # checked queries plus the new exact distinct_users twin (VERDICT
+    # r04 #4) take the slots of seven multi-round-stable greens whose
+    # operator families keep an in-window or pytest sibling:
+    #   ohlcv_60m_offset45 -> A2 phase-offset resample via
+    #     bar_pipeline_60m (same operator, end-to-end)
+    #   bar_pipeline_5m_cfgfile -> S3 config scan via settle_config_file
+    #     + pipeline via bar_pipeline_5m
+    #   session_ohlcv -> O2 union D+N via bar_pipeline_60m
+    #   pack_sequences -> per-shard running windows via
+    #     training_data_curation + tests/test_packing.py
+    #   regex_top_words -> regex tokenize/explode via tfidf_top_terms
+    #   cosine_topk_bruteforce -> brute-force cosine via
+    #     knn_join_bruteforce
+    #   ivf_topk_probe2 -> ivf_topk + the recall-monotonicity pytest
+    "q4_order_priority",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q22_idle_customers",
+    "dup_span_stats",
+    "quality_classifier",
+    "distinct_users",
 ]
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
-# single; family in-window via q12_late_shipments) plus the six
+# single; family in-window via q12_late_shipments) plus the
 # rotated-out stable greens listed above.
 
 

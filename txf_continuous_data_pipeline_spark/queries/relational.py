@@ -502,6 +502,28 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@q("distinct_users", _DISTINCT_USERS_SQL)
+def distinct_users(spark, sf_dir):
+    """Exact distinct-user count per event_type - the oracle-checkable
+    twin of approx_distinct_users (VERDICT r04 #4). Spark plans this as
+    a two-stage aggregate (partial distinct per partition, then merge),
+    so the shuffle carries only distinct (event_type, user_id) pairs,
+    not raw events; at 100 TB cardinality of the pair set bounds the
+    exchange. The HLL++ variant stays registered for the cases where
+    that pair set itself is too large."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
        round(sum(o_totalprice), 2) AS total
