@@ -20,12 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from txf_continuous_data_pipeline_spark.queries import REGISTRY
 from txf_continuous_data_pipeline_spark.session import get_spark
+from txf_continuous_data_pipeline_spark.sources.io import timestamp_flavors
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Testdata drift tripwire (round-3 lesson: the driver silently
+    # regenerated /root/testdata with a different parquet timestamp
+    # flavor and six queries crashed before any timing). read_table
+    # normalizes every flavor; this manifest makes the NEXT flavor
+    # change a visible diff line instead of a surprise.
+    print(json.dumps({"ts_flavors": timestamp_flavors(sf_dir)}))
     spark = get_spark("txf_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,12 +53,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout and
-    # json-parses the final line (BENCH_r02 lost its total to front
-    # truncation: 75 queries made the line longer than the window).
-    # Emit the complete per-query detail on a preceding line for human
-    # readers, then a final line guaranteed to fit the capture window:
-    # drop the fastest queries from its "queries" dict until it fits,
-    # recording how many were omitted. The total always survives.
+    # json-parses the final line; a 92-query dict is ~2.4k chars, so it
+    # can never fit whole (BENCH_r02 lost its total to front
+    # truncation). The COMPLETE per-query detail therefore goes to a
+    # committed repo file every run — that is the public record — and
+    # the stdout line keeps the slowest queries plus the total, trimmed
+    # to fit the capture window, with a pointer to the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_registry_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
     print(json.dumps({"queries_detail": timings, "sf": sf}))
 
     budget = 1900
@@ -63,6 +88,7 @@ def main() -> None:
         payload: dict = {"queries": {k: round(v, 2) for k, v in qs.items()}}
         if omitted:
             payload["omitted"] = omitted
+            payload["full_detail"] = "BENCH_DETAIL.json"
         payload.update(
             sf=sf, unit="sec", metric="total_registry_runtime", value=total
         )

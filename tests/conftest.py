@@ -22,3 +22,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_sessionstart(session):
+    # Testdata drift tripwire (round-3 lesson): print each table's
+    # parquet timestamp flavor so a driver-side regeneration of
+    # /root/testdata shows up as a diff line, not a crash hunt.
+    import json
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        timestamp_flavors,
+    )
+
+    print(f"ts_flavors[{SF_DIR}]: " + json.dumps(timestamp_flavors(SF_DIR)))

@@ -54,6 +54,29 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return _NS_COLS_CACHE[path]
 
 
+def timestamp_flavors(sf_dir: str) -> dict[str, str]:
+    """Manifest of every timestamp column's parquet flavor across the
+    testdata tables, e.g. {"events.ts": "us-naive"}. Cheap (footer reads
+    only). Printed at bench/test startup as a drift tripwire: the driver
+    regenerated /root/testdata between rounds 2 and 3 with a different
+    flavor (ns -> us-naive) and the change was invisible until six
+    queries crashed; with this manifest in the output it is a diff line.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    out: dict[str, str] = {}
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        for f in pq.read_schema(p):
+            if pt.is_timestamp(f.type):
+                tz = "utc" if f.type.tz else "naive"
+                out[f"{t}.{f.name}"] = f"{f.type.unit}-{tz}"
+    return out
+
+
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
     """Cast every TIMESTAMP_NTZ column to TIMESTAMP.
 
