@@ -97,6 +97,57 @@ def test_ivf_learned_nprobe_full_probe_is_exact(spark, sf_dir):
     assert _recall_at_k(full, exact) == 1.0
 
 
+def test_neardup_lsh_block_parity_with_label_block(spark):
+    """embedding_neardup_pairs' default LSH-bucket blocking must find
+    exactly the pairs the old label-blocked form found when the label IS
+    the ground-truth duplicate group (VERDICT r04 #3): planted near-dup
+    groups (tiny perturbations, cos ~ 0.999) among random noise vectors.
+    Deterministic given the seeds, so exact set equality is a stable
+    regression property."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for g in range(12):  # planted groups of 3 near-identical vectors
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(scale=1e-3, size=64)
+            rows.append((vid, g, [float(x) for x in v]))
+            vid += 1
+    for i in range(100):  # noise: random directions, unique labels
+        v = rng.normal(size=64)
+        rows.append((vid, 100 + i, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+
+    def pairset(df):
+        return {(r.id_a, r.id_b) for r in df.collect()}
+
+    lsh = pairset(embedding_neardup_pairs(emb, min_cosine=0.9))
+    by_label = pairset(
+        embedding_neardup_pairs(emb, block_col="label", min_cosine=0.9)
+    )
+    assert by_label == {  # sanity: the plant produced every in-group pair
+        (a, b)
+        for g in range(12)
+        for a in range(g * 3, g * 3 + 3)
+        for b in range(a + 1, g * 3 + 3)
+    }
+    assert lsh == by_label, (
+        f"missed={sorted(by_label - lsh)} extra={sorted(lsh - by_label)}"
+    )
+    # and the plan is a bucket equi-join, not a cartesian sweep
+    plan = embedding_neardup_pairs(emb, min_cosine=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_delta_equals_restricted_selfjoin(spark, sf_dir):
     """Incremental dedup must find exactly the full self-join's pairs
     that cross the batch/corpus boundary - indexing the corpus once

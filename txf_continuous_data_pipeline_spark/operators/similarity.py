@@ -319,12 +319,41 @@ def embedding_neardup_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    block_col: str | None = None,
     min_cosine: float = 0.8,
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked on `block_col`
-    (at 100 TB the block would be an LSH bucket or IVF cluster; the
-    equi-join on the block key keeps pair enumeration out of n^2)."""
+    """Embedding-cosine near-duplicate pairs.
+
+    Blocking (what keeps pair enumeration out of n^2):
+      - block_col=None (default): random-hyperplane LSH band buckets -
+        bucket count GROWS with corpus entropy, so no single block can
+        degrade toward n^2 the way a fixed-cardinality key can. A hot
+        LABEL at 100 TB means n_label^2 work inside that label; a hot
+        LSH bucket just means those vectors genuinely point the same
+        way, which is exactly the candidate set a near-dup pass must
+        score. (bands, n_planes/bands) is the recall/cost dial: more,
+        narrower bands -> higher recall at a given cosine, bigger
+        candidate set (tests/test_recall.py pins recall=1.0 on planted
+        near-dups at the default config).
+      - block_col='cluster_id' (semantic_dedup_keep): caller-supplied
+        data-seeded cells, when assignments already exist and the exact
+        SemDeDup within-cell semantics is wanted.
+    """
+    if block_col is None:
+        return lsh_ann_pairs(
+            emb,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            bands=bands,
+            dim=dim,
+            seed=seed,
+            min_cosine=min_cosine,
+        )
     sides = emb.select(id_col, vec_col, block_col)
     a, b = sides.alias("a"), sides.alias("b")
     return (
