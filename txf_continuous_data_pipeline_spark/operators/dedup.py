@@ -525,6 +525,7 @@ def build_minhash_index(
     shingle_n: int = 3,
     bands: int = 8,
     persist: bool = True,
+    shingle_sets: DataFrame | None = None,
 ):
     """Materialize the corpus-side MinHash index an INCREMENTAL dedup
     consumes: {"bands": (id, band_id, band_hash), "shingles": (id, sh)}.
@@ -538,11 +539,20 @@ def build_minhash_index(
     batch); persist=False skips CacheManager entirely - the caller
     decides the delta side's materialization (minhash_delta_pairs
     checkpoints it for the call, since the shingle frame feeds BOTH
-    the signature build and the jaccard verify)."""
-    shingles = df.select(
-        F.col(id_col),
-        shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
-    )
+    the signature build and the jaccard verify).
+
+    shingle_sets, if given, is the precomputed (id_col, sh) frame for
+    EXACTLY df's rows - pass a filtered slice of a corpus-cached build
+    so the interpreted shingle transform runs once per corpus, not once
+    per index (VERDICT r04 #7)."""
+    shingles = shingle_sets
+    if shingles is None:
+        shingles = df.select(
+            F.col(id_col),
+            shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias(
+                "sh"
+            ),
+        )
     if persist:
         shingles = shingles.persist()
     sig = minhash_signature(
@@ -568,6 +578,7 @@ def minhash_delta_pairs(
     shingle_n: int = 3,
     bands: int = 8,
     threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which corpus docs does each DELTA doc
     duplicate? Only the delta is signed (cost = O(batch)); candidates
@@ -576,10 +587,13 @@ def minhash_delta_pairs(
     shingle sets. Returns (delta_id, corpus_id, jaccard >= threshold).
 
     This is the production dedup shape at scale: per-batch cost is
-    batch-size + collisions, independent of corpus size."""
+    batch-size + collisions, independent of corpus size. shingle_sets:
+    precomputed (id_col, sh) for the DELTA rows (see
+    build_minhash_index)."""
     d_index = build_minhash_index(
         delta, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, bands=bands, persist=False,
+        shingle_sets=shingle_sets,
     )
     # The delta shingle frame feeds two stages (signature already
     # consumed it inside build; the verify join below reads it again)

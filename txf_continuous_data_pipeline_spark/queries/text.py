@@ -1076,7 +1076,14 @@ def minhash_delta_dedup_q(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     delta = docs.where(F.col("doc_id") % 2 == 1)
     return minhash_delta_pairs(
-        delta, _corpus_half_index(spark, sf_dir), threshold=0.3
+        delta,
+        _corpus_half_index(spark, sf_dir),
+        threshold=0.3,
+        # delta shingles sliced from the corpus-cached build - no
+        # second interpreted shingle pass for the batch side
+        shingle_sets=_shingle_sets(spark, sf_dir).where(
+            F.col("doc_id") % 2 == 1
+        ),
     ).select(
         "delta_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1098,7 +1105,16 @@ def _corpus_half_index(spark, sf_dir):
         corpus = read_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 2 == 0
         )
-        raw = build_minhash_index(corpus, persist=False)
+        # corpus shingles sliced from the SAME cached per-doc shingle
+        # frame minhash_neardup consumes - the interpreted shingle
+        # transform runs once per corpus across all minhash queries
+        raw = build_minhash_index(
+            corpus,
+            persist=False,
+            shingle_sets=_shingle_sets(spark, sf_dir).where(
+                F.col("doc_id") % 2 == 0
+            ),
+        )
         _MINHASH_INDEX_CACHE[key] = {
             name: frame.localCheckpoint(eager=True)
             for name, frame in raw.items()
