@@ -105,3 +105,62 @@ def test_upsert_date_partitioned_merge_semantics(spark, tmp_path):
     upsert_date_partitioned(conflict, path)
     final = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
     assert final[2] == 21.0
+
+
+def test_upsert_key_moves_partitions(spark, tmp_path):
+    """key_moves_partitions=True: a key whose new version lands on a
+    DIFFERENT date leaves exactly one winner (the old partition's twin
+    is removed, even when that empties the partition), and a stale
+    incoming row loses to a newer version in another partition."""
+    import datetime as dt
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        upsert_date_partitioned,
+    )
+
+    path = str(tmp_path / "sink")
+    d1 = dt.datetime(2024, 1, 1, 10)
+    d2 = dt.datetime(2024, 1, 2, 10)
+    d3 = dt.datetime(2024, 1, 3, 10)
+    base = spark.createDataFrame(
+        [(1, d1, 10.0), (2, d2, 20.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    upsert_date_partitioned(base, path, key_moves_partitions=True)
+
+    # key 1 moves day1 -> day3 (day1 partition becomes empty)
+    upsert_date_partitioned(
+        spark.createDataFrame(
+            [(1, d3, 11.0)], "event_id long, ts timestamp, value double"
+        ),
+        path,
+        key_moves_partitions=True,
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {(r.event_id, r.ts, r.value) for r in rows}
+    assert got == {(1, d3, 11.0), (2, d2, 20.0)}, got
+
+    # stale incoming for key 1 (ts before the d3 version): loses even
+    # though it lands on a partition that holds no newer twin
+    upsert_date_partitioned(
+        spark.createDataFrame(
+            [(1, d1, 9.0)], "event_id long, ts timestamp, value double"
+        ),
+        path,
+        key_moves_partitions=True,
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {(r.event_id, r.ts, r.value) for r in rows}
+    assert got == {(1, d3, 11.0), (2, d2, 20.0)}, got
+
+    # documented default-contract failure shape: without the flag the
+    # pruned merge cannot see the other partition, so the moved key
+    # gains a duplicate - the reason the contract exists
+    upsert_date_partitioned(
+        spark.createDataFrame(
+            [(2, d1, 22.0)], "event_id long, ts timestamp, value double"
+        ),
+        path,
+    )
+    ids = [r.event_id for r in spark.read.parquet(path).collect()]
+    assert sorted(ids) == [1, 2, 2]

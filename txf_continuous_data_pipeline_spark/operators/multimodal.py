@@ -219,8 +219,11 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 def _decode(payload: bytes, kind: str, codec: str | None) -> np.ndarray:
     """Decode dispatch: REAL pure-numpy path for PPM images, the
     deterministic stub for compressed codecs. Returns a flat float64
-    vector in [0, 1] either way, so every consumer (features, resize)
-    is codec-agnostic."""
+    vector: pixel paths are scaled to [0, 1]; the wav path returns the
+    raw PCM samples in [-1, 1] (audio features like mean/RMS/FFT want
+    the signed signal; rescaling would shift DC terms). Consumers
+    comparing feature vectors ACROSS modalities must account for the
+    audio range difference."""
     if kind == "image" and codec == "ppm":
         return decode_ppm(payload).astype(np.float64).ravel() / 255.0
     if kind == "audio" and codec == "wav":

@@ -1161,11 +1161,14 @@ def dup_span_stats_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     # ONE interpreted shingle build feeds all three consumers (df
-    # aggregate, semi-join probe, per-doc span counts): persist the
-    # exploded index; count_col rides along for free.
+    # aggregate, semi-join probe, per-doc span counts). Lazy
+    # localCheckpoint, NOT persist: the blocks are released when the
+    # frame is GC'd, so repeated invocations in one session (driver
+    # verify + bench) don't accumulate CacheManager entries - the same
+    # lifecycle as every other multi-consumer frame here.
     ex = shingles_exploded(
         docs, n=5, hashed=True, count_col="n_spans"
-    ).persist()
+    ).localCheckpoint(eager=False)
     hot = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))

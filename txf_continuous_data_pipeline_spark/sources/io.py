@@ -279,6 +279,7 @@ def upsert_date_partitioned(
     key_cols: tuple = ("event_id",),
     ts_col: str = "ts",
     version_col: str | None = None,
+    key_moves_partitions: bool = False,
 ) -> int:
     """MERGE-style upsert into a date-partitioned parquet sink without a
     transactional table format: latest row per key wins.
@@ -295,10 +296,27 @@ def upsert_date_partitioned(
          (partitionOverwriteMode=dynamic leaves every other partition
          untouched).
 
+    CONTRACT (default, key_moves_partitions=False): a key's ts_col date
+    must be immutable - the key determines its partition, as with
+    event-time facts keyed by event id. Per-key latest-wins is then
+    global. If a new version of a key CAN land on a different date,
+    the pruned merge never sees the key's rows in untouched partitions:
+    the old version would survive elsewhere (duplicate key) and a stale
+    incoming row could win its own partition.
+
+    key_moves_partitions=True lifts the contract: the sink is probed
+    (semi-join on the incoming keys, all partitions) and every
+    partition holding any incoming key joins the merge + overwrite set,
+    so moved keys leave exactly one winner behind and a stale incoming
+    row loses to a newer row from any partition. Cost: a full-sink key
+    probe per batch (min/max footer stats on the key column still prune
+    row groups) - at true 100-TB scale prefer a table format with a key
+    index (Delta/Iceberg MERGE) or an immutable partition key.
+
     Returns the number of rows written. Re-running the same batch is a
     no-op in effect (same winners). Not atomic across partitions - a
-    table format (Delta/Iceberg/Hudi) buys that; the operator keeps the
-    engine dependency-free while matching the semantics.
+    table format buys that; the operator keeps the engine
+    dependency-free while matching the semantics.
     """
     from pyspark.sql import Window
 
@@ -322,6 +340,7 @@ def upsert_date_partitioned(
     # path Spark can actually serve).
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    key_dates: list = []
     try:
         existing_all = spark.read.parquet(path)
     except AnalysisException as e:
@@ -329,6 +348,27 @@ def upsert_date_partitioned(
             raise
         merged = incoming
     else:
+        if key_moves_partitions:
+            # Partitions holding any incoming key join the merge AND
+            # the overwrite set, so a key whose date changed leaves no
+            # stale twin behind. collect() is partition-date-bounded.
+            key_dates = [
+                r["_date"]
+                for r in existing_all.join(
+                    incoming.select(*key_cols).distinct(),
+                    list(key_cols),
+                    "left_semi",
+                )
+                .select("_date")
+                .distinct()
+                .collect()
+            ]
+            extra = F.col("_date").isin(
+                [d for d in key_dates if d is not None]
+            )
+            if any(d is None for d in key_dates):
+                extra = extra | F.col("_date").isNull()
+            date_pred = date_pred | extra
         existing = existing_all.where(date_pred).withColumn(
             "_src_rank", F.lit(0)
         )
@@ -359,6 +399,28 @@ def upsert_date_partitioned(
         winners.write.mode("overwrite").partitionBy("_date").parquet(path)
     finally:
         spark.conf.set(mode_key, prev)
+    if key_moves_partitions:
+        # Dynamic overwrite only rewrites partitions PRESENT in the
+        # written data: a partition emptied entirely by key moves has
+        # no winner rows, so its stale files must be deleted
+        # explicitly or the moved keys' old versions would survive.
+        touched = set(dates) | set(key_dates)
+        remaining = {
+            r["_date"] for r in winners.select("_date").distinct().collect()
+        }
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        for d in touched - remaining:
+            part = (
+                f"_date={d.isoformat()}"
+                if d is not None
+                else "_date=__HIVE_DEFAULT_PARTITION__"
+            )
+            pdir = jvm.org.apache.hadoop.fs.Path(path, part)
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
     return n
 
 

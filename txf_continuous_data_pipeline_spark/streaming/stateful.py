@@ -89,9 +89,20 @@ def _session_fold(gap_us: int):
         else:
             start, last, n = cur if cur is not None else (-1, -1, 0)
             state.update((start, last, n, rest))
-            # Re-fire when the watermark moves: either buffered events
-            # become final or the open session's close condition passes.
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            wm_ms = state.getCurrentWatermarkMs()
+            if rest:
+                # Buffered events become final on the next watermark
+                # advance - re-fire as soon as it moves.
+                state.setTimeoutTimestamp(wm_ms + 1)
+            else:
+                # Idle open session (no buffered tail): nothing can
+                # finalize before the watermark passes last + gap, so
+                # sleep until that close instant. Waking every key on
+                # every watermark advance made per-micro-batch cost
+                # O(all live keys) instead of O(keys with finalizable
+                # work).
+                close_ms = (last + gap_us) // 1000 + 1
+                state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
 
         if closed:
             out = pd.DataFrame(
