@@ -52,3 +52,86 @@ def test_replayed_file_adds_no_duplicates(spark, sf_dir, tmp_path):
     # twice
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_documents_feed_stream_keepset_equals_batch(spark, sf_dir, tmp_path):
+    """Stream==batch discipline for the LLM-ingestion dedup (VERDICT
+    r04 #8): a documents feed with content-duplicate clones arriving in
+    a later file must keep exactly the batch first-arrival keep-set -
+    the originals - with every clone dropped by content digest."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        dedup_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "arrival_ts",
+            F.lit(base) + F.make_interval(secs=F.col("doc_id")),
+        )
+    )
+    # clones: same text, new ids, arriving AFTER every original
+    clones = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text",
+        (F.col("arrival_ts") + F.expr("INTERVAL 1000 SECONDS")).alias(
+            "arrival_ts"
+        ),
+    ).where(F.col("doc_id") < 10050)
+    feed = str(tmp_path / "docfeed")
+    half = docs.count() // 2
+    order = [
+        docs.where(F.col("doc_id") < half),
+        docs.where(F.col("doc_id") >= half),
+        clones,
+    ]
+    import os
+    import time
+
+    os.makedirs(feed)
+    now = time.time()
+    for i, frame in enumerate(order):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, arrival_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .withColumn("digest", F.md5("text"))
+    )
+    deduped = dedup_stream(
+        stream, key_cols=("digest",), ts_col="arrival_ts", delay="2 hours"
+    )
+    sink = str(tmp_path / "docsink")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "docckpt"))
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+        raise TimeoutError("streaming doc dedup exceeded 120s")
+    assert q.exception() is None
+
+    # batch twin: first arrival per digest == exactly the originals
+    batch_keep = {r.doc_id for r in docs.collect()}
+    stream_keep = {
+        r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()
+    }
+    assert stream_keep == batch_keep
