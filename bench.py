@@ -44,6 +44,19 @@ def main() -> None:
         REGISTRY[warm][0](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+    # ... and the Python-worker/Arrow lane: the first pandas-UDF stage
+    # in a session pays ~3s of worker spawn + Arrow serde init, which
+    # otherwise lands on whichever similarity/dedup query runs first.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm_arrow(v):
+        return v
+
+    spark.range(64).select(
+        _warm_arrow(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, (fn, _) in REGISTRY.items():

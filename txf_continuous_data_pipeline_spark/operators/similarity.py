@@ -321,8 +321,8 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     min_cosine: float = 0.8,
-    n_planes: int = 32,
-    bands: int = 8,
+    n_planes: int = 56,
+    bands: int = 7,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
@@ -335,10 +335,17 @@ def embedding_neardup_pairs(
         LABEL at 100 TB means n_label^2 work inside that label; a hot
         LSH bucket just means those vectors genuinely point the same
         way, which is exactly the candidate set a near-dup pass must
-        score. (bands, n_planes/bands) is the recall/cost dial: more,
-        narrower bands -> higher recall at a given cosine, bigger
-        candidate set (tests/test_recall.py pins recall=1.0 on planted
-        near-dups at the default config).
+        score. (bands, n_planes/bands) is the recall/cost dial: more
+        bands -> higher recall at a given cosine, narrower (fewer-bit)
+        bands -> bigger candidate set. Default 7 bands x 8 bits (56
+        planes - the max 8-bit bands one SIGNED int64 signature holds
+        without touching the sign bit, which the oracle's INT128 sum
+        cannot reproduce): random-direction pairs collide in a band
+        with p ~ 2^-8, so the candidate fraction stays ~bands/2^8 ~ 3%
+        on uncorrelated data
+        while recall on true near-dups (cos >= ~0.95) is ~1.0
+        (pinned by tests/test_recall.py; a 4-bit band width measured a
+        40% candidate fraction at sf0.1 - too narrow to block).
       - block_col='cluster_id' (semantic_dedup_keep): caller-supplied
         data-seeded cells, when assignments already exist and the exact
         SemDeDup within-cell semantics is wanted.

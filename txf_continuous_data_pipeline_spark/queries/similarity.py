@@ -192,19 +192,22 @@ def ivf_topk_q(spark, sf_dir):
 
 @q(
     "embedding_neardup_pairs",
-    _lsh_oracle_sql(n_planes=32, bands=8, min_cosine=0.2),
+    _lsh_oracle_sql(n_planes=56, bands=7, min_cosine=0.2),
 )
 def embedding_neardup_pairs_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked on LSH band buckets
     (VERDICT r04 #3: the earlier label block was fixed-cardinality, so
     one hot label degraded toward n^2 within the label at 100 TB; the
-    bucket key's cardinality grows with the corpus). 32 planes in 8
-    bands of 4 bits - narrower bands than lsh_ann_pairs' 4x8 because
-    near-dup wants recall over candidate thrift. Deterministic given
-    the seeded planes, so fully oracle-checked."""
+    bucket key's cardinality grows with the corpus). 56 planes in 7
+    bands of 8 bits - more bands than lsh_ann_pairs at the same width,
+    because near-dup wants recall over candidate thrift, but never
+    narrower bands: 8-bit buckets keep the random-pair candidate
+    fraction ~bands/256 ~ 3% (and the 56-bit signature never touches
+    the int64 sign bit either engine). Deterministic given the planes,
+    so fully oracle-checked."""
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        emb, min_cosine=0.2, n_planes=32, bands=8
+        emb, min_cosine=0.2, n_planes=56, bands=7
     )
 
 
