@@ -594,3 +594,47 @@ def split_assign(
         )
     split = expr.otherwise(F.lit("train"))
     return df.withColumn("split", split)
+
+
+#: PII surface patterns (name, pattern, replacement). Patterns restrict
+#: to the regex subset Java (Spark) and RE2 (DuckDB/Go scanners) agree
+#: on - no backrefs, no lookaround - so counts are oracle-checkable and
+#: the same rules run anywhere. Counts are per-pattern on the RAW text
+#: (an email containing a dotted quad counts as both); redaction
+#: applies in listed order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII surface counts (emails, dotted-quad IPs,
+    phone-shaped numbers) + a has_pii flag - the detection half of the
+    standard pretraining redaction pass. Pure regexp_count projection:
+    JVM-side, zero shuffle, codegen-friendly; at 100 TB this is a
+    scan-rate map stage like the other text filters."""
+    cols = [F.col(id_col)]
+    total = None
+    for name, pat, _ in PII_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        cols.append(c.cast("long").alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append((total > 0).alias("has_pii"))
+    return df.select(*cols)
+
+
+def redact_pii(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace every PII match with its placeholder, in PII_PATTERNS
+    order (emails first, so an address containing a dotted quad redacts
+    as one [EMAIL]). Chained regexp_replace - still one projection.
+    Idempotent: placeholders contain no pattern-matchable text."""
+    out = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)

@@ -135,6 +135,9 @@ _PRIORITY = [
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
 # single; family in-window via q12_late_shipments) plus the
 # rotated-out stable greens listed above.
+# NEXT ROTATION (rule: never-green queries enter ahead of multi-round
+# stable greens): pii_stats (added r5, oracle-ready, pytest-proven on
+# planted PII) has no driver row yet - swap it in next round.
 
 
 def _ordered():

@@ -1252,3 +1252,41 @@ def quality_classifier_q(spark, sf_dir):
         ),
         (z >= 0.0).alias("keep"),
     )
+
+
+def _pii_sql() -> str:
+    """DuckDB mirror of operators.textstats.pii_stats: RE2 count via
+    len(regexp_extract_all). Patterns are shared literals from
+    PII_PATTERNS, so the two engines can never drift apart."""
+    from ..operators.textstats import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{esc(pat)}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{esc(pat)}'))"
+        for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       ({total}) > 0 AS has_pii
+FROM documents
+"""
+
+
+@q("pii_stats", _pii_sql())
+def pii_stats_q(spark, sf_dir):
+    """PII surface detection per document (emails / dotted-quad IPs /
+    phone-shaped numbers) - the detection half of the standard
+    pretraining redaction pass; the redaction half (redact_pii) is
+    pytest-proven on planted PII since the synthetic corpus contains
+    none. Zero-shuffle regexp projection."""
+    from ..operators.textstats import pii_stats
+
+    return pii_stats(read_table(spark, sf_dir, "documents"))
