@@ -135,3 +135,115 @@ def test_documents_feed_stream_keepset_equals_batch(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(sink).select("doc_id").collect()
     }
     assert stream_keep == batch_keep
+
+
+def test_neardup_ingest_stream_equals_sequential_batch(
+    spark, sf_dir, tmp_path
+):
+    """Online near-dup ingestion (neardup_ingest_run) must keep exactly
+    the set a sequential batch fold keeps: per file, drop docs with a
+    smaller-id near-dup batchmate, then docs near-dup'ing anything
+    already kept; survivors join the corpus + index. Planted near-dups
+    (suffix-token clones, Jaccard >> 0.5) span files so the cross-batch
+    index path is actually exercised."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_pairs,
+        minhash_neardup_pairs,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        neardup_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    # suffix-token clones -> true near-dups of their source docs.
+    # Set A clones file-0 docs (source arrives BEFORE the clone: clone
+    # must drop via the stored index). Set B clones file-2 docs (clone
+    # arrives FIRST: clone kept, the later original drops).
+    def clone(pred):
+        return docs.where(pred).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit("clonemark")).alias(
+                "text"
+            ),
+        )
+
+    clones_a = clone(F.col("doc_id") < 20)
+    b_lo = 2 * n // 3
+    clones_b = clone((F.col("doc_id") >= b_lo) & (F.col("doc_id") < b_lo + 20))
+    files = [
+        docs.where(F.col("doc_id") < n // 3),
+        docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        )
+        .unionByName(clones_a)
+        .unionByName(clones_b),
+        docs.where(F.col("doc_id") >= 2 * n // 3),
+    ]
+    feed = str(tmp_path / "nd_feed")
+    os.makedirs(feed)
+    import time as _time
+
+    now = _time.time()
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "nd_work")
+    neardup_ingest_run(spark, feed, work, threshold=0.5)
+    stream_kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(work, "kept")).collect()
+    }
+
+    # sequential batch fold, same per-file rule
+    kept_frames = []
+    index = None
+    for frame in files:
+        self_pairs = minhash_neardup_pairs(frame, threshold=0.5)
+        survivors = frame.join(
+            self_pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        if index is not None:
+            hits = (
+                minhash_delta_pairs(survivors, index, threshold=0.5)
+                .select(F.col("delta_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        kept_frames.append(survivors)
+        add = build_minhash_index(survivors, persist=False)
+        if index is None:
+            index = add
+        else:
+            index = {
+                k: index[k].unionByName(add[k]).localCheckpoint(eager=True)
+                for k in index
+            }
+    batch_kept = {
+        r.doc_id for kf in kept_frames for r in kf.select("doc_id").collect()
+    }
+
+    assert stream_kept == batch_kept
+    # the planted dups actually exercised both paths: every set-A clone
+    # (source already in the corpus) dropped via the stored index...
+    assert not any(10000 <= d < 10020 for d in stream_kept), sorted(
+        d for d in stream_kept if 10000 <= d < 10020
+    )
+    # ...and first-arrival wins across files: some set-B clones were
+    # kept (their sources had not arrived), and each kept clone's
+    # later-arriving source was then dropped against the index
+    kept_b = {d for d in stream_kept if d >= 10000 + b_lo}
+    assert kept_b, "no cross-file first-arrival case exercised"
+    for d in kept_b:
+        assert d - 10000 not in stream_kept

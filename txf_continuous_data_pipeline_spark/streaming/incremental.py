@@ -302,3 +302,92 @@ def streaming_enriched_bars(
         delay=delay,
     )
     return backadjust(bars, config, ts_col="bar_ts", end_inclusive=False)
+
+
+def neardup_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    threshold: float = 0.5,
+    timeout_s: int = 240,
+) -> None:
+    """Continuous LLM-corpus ingestion with ONLINE near-dup: each
+    arriving micro-batch of documents is (1) deduped within itself
+    (drop any doc matching a smaller-id batchmate), (2) checked against
+    the STORED MinHash index of every previously-kept doc
+    (minhash_delta_pairs - O(batch + collisions), independent of corpus
+    size), and (3) survivors are appended to the kept-corpus sink AND
+    their band/shingle rows appended to the index, so the next batch
+    dedups against them. Greedy first-arrival-wins semantics - the
+    standard production shape for crawl ingestion (a new near-dup of
+    anything already kept is dropped; kept docs are never revisited).
+
+    Layout under work_dir: kept/ (the corpus), index_bands/,
+    index_shingles/ (the stored index - at 100 TB these are the two
+    tables on shared storage), ckpt/ (stream checkpoint). AvailableNow
+    + checkpoint make re-runs pick up where they left off; the batch
+    twin in tests/test_streaming_dedup.py pins stream == sequential
+    batch fold exactly.
+    """
+    from ..operators.dedup import (
+        build_minhash_index,
+        minhash_delta_pairs,
+        minhash_neardup_pairs,
+    )
+
+    kept_dir = os.path.join(work_dir, "kept")
+    bands_dir = os.path.join(work_dir, "index_bands")
+    sh_dir = os.path.join(work_dir, "index_shingles")
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark_b = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        # (1) within-batch greedy dedup: smaller id wins
+        self_pairs = minhash_neardup_pairs(batch, threshold=threshold)
+        drop_self = self_pairs.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+        survivors = batch.join(drop_self, "doc_id", "left_anti")
+        # (2) against the stored index of previously-kept docs
+        try:
+            index = {
+                "bands": spark_b.read.parquet(bands_dir),
+                "shingles": spark_b.read.parquet(sh_dir),
+            }
+        except Exception:
+            index = None
+        if index is not None:
+            hits = minhash_delta_pairs(
+                survivors, index, threshold=threshold
+            ).select(F.col("delta_id").alias("doc_id")).distinct()
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        if not survivors.head(1):
+            return
+        # (3) commit: corpus rows + index rows for the survivors
+        survivors.write.mode("append").parquet(kept_dir)
+        new_index = build_minhash_index(survivors, persist=False)
+        new_index["bands"].write.mode("append").parquet(bands_dir)
+        new_index["shingles"].write.mode("append").parquet(sh_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"neardup ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
