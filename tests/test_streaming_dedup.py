@@ -247,3 +247,18 @@ def test_neardup_ingest_stream_equals_sequential_batch(
     assert kept_b, "no cross-file first-arrival case exercised"
     for d in kept_b:
         assert d - 10000 not in stream_kept
+
+    # crash-retry idempotency: wipe the stream checkpoint so every file
+    # replays as a fresh batch - the committed-batch marker must make
+    # the replay a no-op (at-least-once foreachBatch, exactly-once sink)
+    import shutil
+
+    shutil.rmtree(os.path.join(work, "ckpt"))
+    neardup_ingest_run(spark, feed, work, threshold=0.5)
+    again = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(work, "kept")).collect()
+    }
+    kept_rows = spark.read.parquet(os.path.join(work, "kept")).count()
+    assert again == stream_kept
+    assert kept_rows == len(stream_kept)

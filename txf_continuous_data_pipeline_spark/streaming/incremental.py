@@ -339,8 +339,23 @@ def neardup_ingest_run(
     kept_dir = os.path.join(work_dir, "kept")
     bands_dir = os.path.join(work_dir, "index_bands")
     sh_dir = os.path.join(work_dir, "index_shingles")
+    committed_marker = os.path.join(work_dir, "_committed_batches")
 
-    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+    def _read_committed() -> set:
+        try:
+            with open(committed_marker) as f:
+                return {int(x) for x in f.read().split()}
+        except FileNotFoundError:
+            return set()
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a retry after a partial commit
+        # would append the batch's rows twice. The marker file records
+        # committed batch ids; replays become no-ops. (Single-writer
+        # loop; a multi-writer deployment would use a transactional
+        # table format instead.)
+        if batch_id in _read_committed():
+            return
         if not batch.head(1):
             return
         spark_b = batch.sparkSession
@@ -351,13 +366,23 @@ def neardup_ingest_run(
             F.col("id_b").alias("doc_id")
         ).distinct()
         survivors = batch.join(drop_self, "doc_id", "left_anti")
-        # (2) against the stored index of previously-kept docs
+        # (2) against the stored index of previously-kept docs. ONLY a
+        # genuinely missing index may fall back to none: any other
+        # read failure (corrupt footer, schema drift) must raise, or
+        # every incoming duplicate would be silently re-kept (same
+        # rule as upsert_date_partitioned's sink probe).
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             index = {
                 "bands": spark_b.read.parquet(bands_dir),
                 "shingles": spark_b.read.parquet(sh_dir),
             }
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and (
+                "Path does not exist" not in str(e)
+            ):
+                raise
             index = None
         if index is not None:
             hits = minhash_delta_pairs(
@@ -365,13 +390,14 @@ def neardup_ingest_run(
             ).select(F.col("delta_id").alias("doc_id")).distinct()
             survivors = survivors.join(hits, "doc_id", "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        if not survivors.head(1):
-            return
-        # (3) commit: corpus rows + index rows for the survivors
-        survivors.write.mode("append").parquet(kept_dir)
-        new_index = build_minhash_index(survivors, persist=False)
-        new_index["bands"].write.mode("append").parquet(bands_dir)
-        new_index["shingles"].write.mode("append").parquet(sh_dir)
+        if survivors.head(1):
+            # (3) commit: corpus rows + index rows for the survivors
+            survivors.write.mode("append").parquet(kept_dir)
+            new_index = build_minhash_index(survivors, persist=False)
+            new_index["bands"].write.mode("append").parquet(bands_dir)
+            new_index["shingles"].write.mode("append").parquet(sh_dir)
+        with open(committed_marker, "a") as f:
+            f.write(f"{batch_id}\n")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
