@@ -121,10 +121,16 @@ def main() -> None:
     for mode, reps in (("clean", 1), ("clean", replicas), ("neardup", replicas)):
         c = corpus(emb, reps, mode).localCheckpoint(eager=True)
         n = c.count()
+        wide_cand = None
         for n_planes, bands in ((56, 7), (48, 4)):
             w = n_planes // bands
             t0 = time.perf_counter()
-            n_cand = candidates(c, n_planes, bands).count()
+            cand = candidates(c, n_planes, bands).localCheckpoint(
+                eager=False
+            )
+            n_cand = cand.count()
+            if (n_planes, bands) == (48, 4):
+                wide_cand = cand
             dt = round(time.perf_counter() - t0, 1)
             frac = round(n_cand / (n * (n - 1) / 2), 4)
             rows.append(
@@ -136,9 +142,9 @@ def main() -> None:
             print(json.dumps(rows[-1]))
         if mode == "neardup":
             # recall of planted near-identical pairs at the WIDE config
-            # (w=12): every (orig, replica) pair must collide
-            cand = candidates(c, 48, 4)
-            planted = cand.where(
+            # (w=12): every (orig, replica) pair must collide. Reuses
+            # the checkpointed candidate frame counted above.
+            planted = wide_cand.where(
                 (F.col("id_a") % ID_OFFSET) == (F.col("id_b") % ID_OFFSET)
             ).count()
             want = n0 * (reps * (reps - 1) // 2)

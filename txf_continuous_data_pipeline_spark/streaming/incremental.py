@@ -323,81 +323,108 @@ def neardup_ingest_run(
     standard production shape for crawl ingestion (a new near-dup of
     anything already kept is dropped; kept docs are never revisited).
 
-    Layout under work_dir: kept/ (the corpus), index_bands/,
-    index_shingles/ (the stored index - at 100 TB these are the two
-    tables on shared storage), ckpt/ (stream checkpoint). AvailableNow
-    + checkpoint make re-runs pick up where they left off; the batch
-    twin in tests/test_streaming_dedup.py pins stream == sequential
-    batch fold exactly.
+    Layout under work_dir: kept/batch=<id>/, index_bands/batch=<id>/,
+    index_shingles/batch=<id>/ (at 100 TB the index dirs are the two
+    tables on shared storage), ckpt/ (stream checkpoint). Each batch
+    writes its OWN subdirectory with overwrite semantics and reads only
+    index subdirectories of strictly earlier batches - so a foreachBatch
+    replay (at-least-once delivery, crash after a partial commit)
+    recomputes against the same index snapshot and overwrites its own
+    partial output instead of double-appending: deterministic
+    exactly-once effect without a transactional table format. The
+    checkpoint assigns batch ids, so ckpt/ and the output dirs are one
+    unit: reset both together (rerunning the same feed with a fresh
+    checkpoint reproduces identical content; a CHANGED feed needs a
+    fresh work_dir). The batch twin in tests/test_streaming_dedup.py
+    pins stream == sequential batch fold exactly.
     """
     from ..operators.dedup import (
         build_minhash_index,
         minhash_delta_pairs,
         minhash_neardup_pairs,
+        shingle_array,
     )
 
     kept_dir = os.path.join(work_dir, "kept")
     bands_dir = os.path.join(work_dir, "index_bands")
     sh_dir = os.path.join(work_dir, "index_shingles")
-    committed_marker = os.path.join(work_dir, "_committed_batches")
 
-    def _read_committed() -> set:
-        try:
-            with open(committed_marker) as f:
-                return {int(x) for x in f.read().split()}
-        except FileNotFoundError:
-            return set()
+    def _earlier_batches(base: str, bid: int) -> list[str]:
+        """Subdirs of strictly earlier batches that hold data files
+        (an all-dropped batch writes only _SUCCESS - no schema to read,
+        and nothing to join against)."""
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if not (d.startswith("batch=") and int(d.split("=", 1)[1]) < bid):
+                continue
+            full = os.path.join(base, d)
+            if any(f.startswith("part-") for f in os.listdir(full)):
+                out.append(full)
+        return out
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a retry after a partial commit
-        # would append the batch's rows twice. The marker file records
-        # committed batch ids; replays become no-ops. (Single-writer
-        # loop; a multi-writer deployment would use a transactional
-        # table format instead.)
-        if batch_id in _read_committed():
-            return
         if not batch.head(1):
             return
         spark_b = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
+        # ONE interpreted shingle build serves all four consumers
+        # (within-batch signature + verify, delta signature + verify,
+        # index build) - the shingle_sets discipline from the batch
+        # dedup paths (VERDICT r04 #7).
+        sets = batch.select(
+            F.col("doc_id"),
+            shingle_array(F.col("text"), n=3, hashed=True).alias("sh"),
+        ).localCheckpoint(eager=True)
         # (1) within-batch greedy dedup: smaller id wins
-        self_pairs = minhash_neardup_pairs(batch, threshold=threshold)
+        self_pairs = minhash_neardup_pairs(
+            batch, threshold=threshold, shingle_sets=sets
+        )
         drop_self = self_pairs.select(
             F.col("id_b").alias("doc_id")
         ).distinct()
         survivors = batch.join(drop_self, "doc_id", "left_anti")
-        # (2) against the stored index of previously-kept docs. ONLY a
-        # genuinely missing index may fall back to none: any other
-        # read failure (corrupt footer, schema drift) must raise, or
-        # every incoming duplicate would be silently re-kept (same
-        # rule as upsert_date_partitioned's sink probe).
-        from pyspark.errors.exceptions.captured import AnalysisException
-
-        try:
+        # (2) against the stored index of docs kept by STRICTLY EARLIER
+        # batches - a replayed batch therefore sees the exact snapshot
+        # its first attempt saw, never its own partial output.
+        band_paths = _earlier_batches(bands_dir, batch_id)
+        if band_paths:
             index = {
-                "bands": spark_b.read.parquet(bands_dir),
-                "shingles": spark_b.read.parquet(sh_dir),
+                "bands": spark_b.read.parquet(*band_paths),
+                "shingles": spark_b.read.parquet(
+                    *_earlier_batches(sh_dir, batch_id)
+                ),
             }
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e) and (
-                "Path does not exist" not in str(e)
-            ):
-                raise
-            index = None
-        if index is not None:
+            surv_sets = sets.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
             hits = minhash_delta_pairs(
-                survivors, index, threshold=threshold
+                survivors, index, threshold=threshold,
+                shingle_sets=surv_sets,
             ).select(F.col("delta_id").alias("doc_id")).distinct()
             survivors = survivors.join(hits, "doc_id", "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        if survivors.head(1):
-            # (3) commit: corpus rows + index rows for the survivors
-            survivors.write.mode("append").parquet(kept_dir)
-            new_index = build_minhash_index(survivors, persist=False)
-            new_index["bands"].write.mode("append").parquet(bands_dir)
-            new_index["shingles"].write.mode("append").parquet(sh_dir)
-        with open(committed_marker, "a") as f:
-            f.write(f"{batch_id}\n")
+        # (3) commit into this batch's own subdirectories; mode
+        # overwrite makes a crash-retry rewrite, not double-append.
+        # An all-dropped batch still writes (empty) dirs so the
+        # batch=<id> layout records it as processed.
+        part = f"batch={batch_id}"
+        kept_sets = sets.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, part)
+        )
+        new_index = build_minhash_index(
+            survivors, persist=False, shingle_sets=kept_sets
+        )
+        new_index["bands"].write.mode("overwrite").parquet(
+            os.path.join(bands_dir, part)
+        )
+        new_index["shingles"].write.mode("overwrite").parquet(
+            os.path.join(sh_dir, part)
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -100,9 +100,13 @@ def _session_fold(gap_us: int):
                 # sleep until that close instant. Waking every key on
                 # every watermark advance made per-micro-batch cost
                 # O(all live keys) instead of O(keys with finalizable
-                # work).
+                # work). Spark fires an event-time timeout when
+                # watermark > timeout (strict), and the close condition
+                # is wm_ms >= close_ms - so arm close_ms - 1, or a
+                # watermark landing exactly on close_ms and then
+                # freezing would leave a closable session unemitted.
                 close_ms = (last + gap_us) // 1000 + 1
-                state.setTimeoutTimestamp(max(close_ms, wm_ms + 1))
+                state.setTimeoutTimestamp(max(close_ms - 1, wm_ms + 1))
 
         if closed:
             out = pd.DataFrame(
