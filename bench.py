@@ -39,11 +39,17 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch classloading. bar_pipeline_5m touches
     # the broad machinery (window agg, createDataFrame dims, broadcast
-    # exchange) a bare scan query would leave cold.
+    # exchange) a bare scan query would leave cold. Warm-up failures
+    # are non-fatal: a broken warm query costs accuracy, not the run
+    # (round-3 lesson: one analysis-time crash here zeroed EVERY
+    # timing for the round).
     for warm in ("ohlcv_5m", "bar_pipeline_5m"):
-        REGISTRY[warm][0](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            REGISTRY[warm][0](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001 - reported, not hidden
+            print(json.dumps({"warmup_error": f"{warm}: {e}"[:300]}))
     # ... and the Python-worker/Arrow lane: the first pandas-UDF stage
     # in a session pays ~3s of worker spawn + Arrow serde init, which
     # otherwise lands on whichever similarity/dedup query runs first.
@@ -58,11 +64,18 @@ def main() -> None:
         _warm_arrow(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 
+    # Per-query isolation: one failing query records an error and the
+    # other ~92 still get timed (a single exception previously killed
+    # the whole bench with zero timings).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, (fn, _) in REGISTRY.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - reported per query
+            errors[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout and
@@ -84,6 +97,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
                 "queries": timings,
+                **({"errors": errors} if errors else {}),
             },
             f,
             indent=1,
@@ -91,6 +105,8 @@ def main() -> None:
         )
         f.write("\n")
     print(json.dumps({"queries_detail": timings, "sf": sf}))
+    if errors:
+        print(json.dumps({"errors": errors}))
 
     budget = 1900
     kept = dict(
@@ -99,6 +115,8 @@ def main() -> None:
 
     def _line(qs: dict[str, float], omitted: int) -> str:
         payload: dict = {"queries": {k: round(v, 2) for k, v in qs.items()}}
+        if errors:
+            payload["errors"] = len(errors)
         if omitted:
             payload["omitted"] = omitted
             payload["full_detail"] = "BENCH_DETAIL.json"
