@@ -41,7 +41,11 @@ _PRIORITY = [
     "settlement_schedule",
     # text / dedup / curation flagships — 12
     "text_stats",
-    "mixture_sample",
+    # r5 late swap: pii_stats (built this round, never driver-green)
+    # takes mixture_sample's slot per the rotation rule; the
+    # md5-threshold sampling family stays in-window via split_assign
+    # and training_data_curation.
+    "pii_stats",
     "ngram_jaccard_pairs",
     "training_data_curation",
     "dedup_exact_groups",
@@ -135,9 +139,6 @@ _PRIORITY = [
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
 # single; family in-window via q12_late_shipments) plus the
 # rotated-out stable greens listed above.
-# NEXT ROTATION (rule: never-green queries enter ahead of multi-round
-# stable greens): pii_stats (added r5, oracle-ready, pytest-proven on
-# planted PII) has no driver row yet - swap it in next round.
 
 
 def _ordered():
