@@ -89,3 +89,46 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_compact_date_partitioned(spark, sf_dir, tmp_path):
+    """Small-file compaction: a sink left with many per-batch files per
+    partition collapses to the byte-target file count, content
+    unchanged, already-compact partitions untouched, re-run a no-op."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources import read_table
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        compact_date_partitioned,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "sink")
+    events = read_table(spark, sf_dir, "events")
+    # simulate many tiny per-batch appends: 8 files per partition
+    write_date_partitioned(events.repartition(8), path)
+    before = sorted(
+        r for r in spark.read.parquet(path).collect()
+    )
+    parts = glob.glob(os.path.join(path, "_date=*"))
+    files_per_part = {
+        p: len(glob.glob(os.path.join(p, "part-*"))) for p in parts
+    }
+    assert all(n > 1 for n in files_per_part.values()), files_per_part
+
+    stats = compact_date_partitioned(spark, path)
+    assert stats["partitions_compacted"] == len(parts)
+    assert stats["files_after"] == len(parts)  # tiny data -> 1 file each
+    for p in parts:
+        assert len(glob.glob(os.path.join(p, "part-*"))) == 1, p
+        assert not glob.glob(os.path.join(os.path.dirname(p), "._date=*"))
+    after = sorted(r for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # idempotent: nothing left to compact
+    again = compact_date_partitioned(spark, path)
+    assert again["partitions_compacted"] == 0
+    assert again["files_before"] == again["files_after"] == len(parts)

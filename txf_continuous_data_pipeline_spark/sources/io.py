@@ -497,3 +497,82 @@ def read_events_any(
     else:
         raise ValueError(f"unsupported events format: {fmt!r}")
     return _normalize_timestamps(df)
+
+
+def compact_date_partitioned(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction for a date-partitioned parquet sink - the
+    maintenance pass every incremental pipeline needs at scale: steady
+    appends (append_idempotent / upsert / streaming foreachBatch) leave
+    each partition with one file per micro-batch, and a year of 5-minute
+    batches is ~10^5 files per partition; scan planning, footer reads
+    and NameNode/object-store listing all degrade with file count long
+    before data size matters.
+
+    Per partition directory: if it holds >= min_files_to_compact files
+    AND more files than ceil(bytes / target_file_bytes), rewrite it to
+    that many files (coalesce - no shuffle, just fewer output tasks).
+    Partitions already at their target are left untouched, so the pass
+    is incremental and re-runnable; each rewrite goes through a
+    temporary sibling directory + atomic-ish rename swap so a crashed
+    compaction never leaves a partition half-deleted. Run it as a
+    single-writer maintenance step (no concurrent appends to the
+    partitions being rewritten) - the same discipline every
+    non-transactional compactor requires; a table format's OPTIMIZE is
+    the managed alternative.
+
+    Returns {"partitions_compacted": n, "files_before": a, "files_after": b}.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    for st in fs.listStatus(root):
+        if not st.isDirectory() or not st.getPath().getName().startswith("_date="):
+            continue
+        part_dir = st.getPath()
+        files = [
+            f
+            for f in fs.listStatus(part_dir)
+            if f.isFile() and f.getPath().getName().startswith("part-")
+        ]
+        n_files = len(files)
+        total_bytes = sum(f.getLen() for f in files)
+        n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+        stats["files_before"] += n_files
+        if n_files < min_files_to_compact or n_files <= n_target:
+            stats["files_after"] += n_files
+            continue
+        src = part_dir.toString()
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            part_dir.getParent(), "." + part_dir.getName() + ".compacting"
+        )
+        if fs.exists(tmp):
+            fs.delete(tmp, True)  # leftover from a crashed pass
+        (
+            spark.read.parquet(src)
+            .coalesce(n_target)
+            .write.mode("overwrite")
+            .parquet(tmp.toString())
+        )
+        old = jvm.org.apache.hadoop.fs.Path(
+            part_dir.getParent(), "." + part_dir.getName() + ".old"
+        )
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(part_dir, old)
+        fs.rename(tmp, part_dir)
+        fs.delete(old, True)
+        stats["partitions_compacted"] += 1
+        stats["files_after"] += n_target
+    return stats
