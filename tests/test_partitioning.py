@@ -132,3 +132,78 @@ def test_compact_date_partitioned(spark, sf_dir, tmp_path):
     again = compact_date_partitioned(spark, path)
     assert again["partitions_compacted"] == 0
     assert again["files_before"] == again["files_after"] == len(parts)
+
+
+def test_date_partitioned_row_groups_are_time_clustered(
+    spark, sf_dir, tmp_path
+):
+    """sort_within: with row groups forced small, each parquet file's
+    groups must carry non-overlapping, ascending ts min/max stats -
+    the footer evidence that an intra-day time predicate prunes row
+    groups instead of decoding the partition."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "sorted_sink")
+    # one calendar day, 200k rows in SHUFFLED ts order - big enough
+    # that a 64KB block size forces several row groups per file, and
+    # disordered enough that only sortWithinPartitions can produce
+    # clustered stats
+    events = (
+        spark.range(200_000)
+        .select(
+            F.timestamp_micros(
+                F.lit(1704067200000000)  # 2024-01-01 00:00:00 UTC
+                + (F.col("id") * 37 % 86_400_000) * 1000
+            ).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    # runtime spark.conf hadoop keys do not reach in-flight writers;
+    # set the hadoop conf directly and restore after
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    # INT96 (the default parquet timestamp encoding) carries no
+    # min/max statistics at all - micros is also what a stats-pruning
+    # production layout must write
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        write_date_partitioned(events.repartition(2), path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+
+    files = glob.glob(os.path.join(path, "_date=*", "part-*"))
+    assert files
+    multi_group = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ts_idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "ts"
+        )
+        ranges = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_idx).statistics
+            ranges.append((st.min, st.max))
+        if len(ranges) > 1:
+            multi_group += 1
+        for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b, (f, ranges)  # sorted, non-overlapping
+    assert multi_group, "block size override produced no multi-group file"
+    # content unchanged by the sort
+    assert (
+        spark.read.parquet(path).count() == events.count()
+    )

@@ -232,19 +232,30 @@ def sink_watermark(spark: SparkSession, sink_path: str, ts_col: str = "ts"):
 
 
 def write_date_partitioned(
-    df: DataFrame, path: str, *, ts_col: str = "ts", mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    *,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+    sort_within: bool = True,
 ) -> None:
     """Write a fact table partitioned by calendar date of ts_col - the
     layout every 100-TB scan depends on: a date predicate then prunes
     whole directories before any IO (PartitionFilters in the scan), and
     the reference's 7-day-lookback fetch (S1, main.py:236-238) becomes
-    pure partition pruning instead of a full scan."""
-    (
-        df.withColumn("_date", F.to_date(F.col(ts_col)))
-        .write.mode(mode)
-        .partitionBy("_date")
-        .parquet(path)
-    )
+    pure partition pruning instead of a full scan.
+
+    sort_within (default): rows are additionally sorted by ts WITHIN
+    each write task (sortWithinPartitions - a per-task sort, no
+    exchange), so every parquet row group covers a tight,
+    non-overlapping time range and an intra-day time predicate prunes
+    row groups off footer min/max stats instead of decoding the whole
+    partition - the second pruning tier after directory pruning
+    (pinned by tests/test_partitioning.py on forced-small row groups)."""
+    out = df.withColumn("_date", F.to_date(F.col(ts_col)))
+    if sort_within:
+        out = out.sortWithinPartitions("_date", ts_col)
+    out.write.mode(mode).partitionBy("_date").parquet(path)
 
 
 def append_idempotent(
