@@ -83,3 +83,49 @@ def test_mixture_upweighted_sources_get_higher_rate(spark, sf_dir):
     down = [v for s, v in rates.items() if int(s[3:]) >= 5]
     if up and down:
         assert min(up) > max(down) * 1.2  # 2x weight, similar sizes
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Chunking invariants: stride reconstruction (dropping each
+    chunk's first `overlap` tokens after chunk 0 and concatenating
+    reproduces the token stream exactly), size bounds, and the
+    single-chunk short-doc case."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(200))),  # multi-chunk
+        (1, " ".join(f"s{i}" for i in range(64))),  # exactly one chunk
+        (2, "short doc"),  # far below one chunk
+        (3, " ".join(f"u{i}" for i in range(65))),  # one past the edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text.split(" "), r.n_tokens)
+        for r in out.collect()
+    }
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        chunks = sorted(
+            (cid, v) for (d, cid), v in got.items() if d == doc_id
+        )
+        # reconstruction
+        rebuilt = list(chunks[0][1][0])
+        for _, (ctoks, _n) in chunks[1:]:
+            rebuilt.extend(ctoks[16:])
+        assert rebuilt == toks, doc_id
+        # bounds: every chunk <= 64 tokens, all but the last full
+        for _, (ctoks, n) in chunks[:-1]:
+            assert len(ctoks) == 64 and n == 64
+        assert len(chunks[-1][1][0]) <= 64
+        # consecutive overlap is literal
+        for (_, (a, _)), (_, (b, _)) in zip(chunks, chunks[1:]):
+            assert a[48:] == b[: len(a[48:])]
+    assert max(cid for (_, cid) in got) >= 3  # doc 0 really multi-chunk
+    assert sum(1 for (d, _) in got if d == 1) == 1
+    assert sum(1 for (d, _) in got if d == 2) == 1
+    assert sum(1 for (d, _) in got if d == 3) == 2

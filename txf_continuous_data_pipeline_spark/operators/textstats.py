@@ -638,3 +638,55 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(out_col, out)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows - the
+    standard pre-tokenization chunking for long-context training data
+    and retrieval corpora: chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens), stride = chunk_tokens -
+    overlap, so consecutive chunks share `overlap` tokens and no token
+    is lost. Short docs produce exactly one (possibly short) chunk.
+
+    Pure JVM expressions (tokenize -> sequence -> posexplode -> slice):
+    zero shuffle, cost linear in corpus tokens x (1 + overlap/stride).
+    Output: (id, chunk_id, chunk_text, n_tokens).
+    """
+    from .dedup import normalized_tokens
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = normalized_tokens(F.col(text_col))
+    size = F.size(toks)
+    # ceil((size - overlap) / stride) chunks, min 1 (integer math so
+    # the SQL mirror is exact)
+    n_chunks = F.greatest(
+        F.floor((size - F.lit(overlap) + F.lit(stride - 1)) / stride).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id", "_i"
+        ),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("_i") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

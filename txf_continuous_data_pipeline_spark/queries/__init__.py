@@ -55,7 +55,11 @@ _PRIORITY = [
     "neardup_keep",
     "tfidf_top_terms",
     "multimodal_features",
-    "contamination_pairs",
+    # r5 late swap #2: chunk_documents (built this round, never
+    # driver-green) takes contamination_pairs' slot; the shared
+    # shingle-inverted-index family stays in-window via
+    # ngram_jaccard_pairs (and the containment pytest).
+    "chunk_documents",
     # similarity search suite — 3
     "knn_join_bruteforce",
     "lsh_ann_pairs",

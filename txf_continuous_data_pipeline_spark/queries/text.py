@@ -1290,3 +1290,39 @@ def pii_stats_q(spark, sf_dir):
     from ..operators.textstats import pii_stats
 
     return pii_stats(read_table(spark, sf_dir, "documents"))
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         greatest((len(toks) - 16 + 47) // 48, 1) AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+       CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
+@q("chunk_documents", _CHUNK_SQL)
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) - the pre-tokenization split for long-context training
+    data / retrieval corpora, dual to pack_sequences' concat-and-pack.
+    Zero-shuffle explode+slice projection."""
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(
+        read_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
+    )
