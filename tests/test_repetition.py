@@ -194,3 +194,29 @@ def test_repetition_fold_matches_counter(spark, docs):
             sum(v for v in c.values() if v > 1),
         )
         assert got[i] == expect, (i, d, got[i], expect)
+
+
+def test_bigram_logprob_hand_example(spark):
+    """Add-one-smoothed bigram scores on a corpus small enough to
+    compute by hand: corpus tokens = 'a b a b', 'a b', 'solo' so
+    V=3, c(a,b)=3, c(b,a)=1, c1(a)=3, c1(b)=3.
+    lp(a,b)=ln((3+1)/(3+3)); lp(b,a)=ln((1+1)/(3+3))."""
+    import math
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.avg_logprob, r.n_bigrams)
+        for r in bigram_logprob(df).collect()
+    }
+    lp_ab = math.log(4 / 6)
+    lp_ba = math.log(2 / 6)
+    assert got[0] == (round((2 * lp_ab + lp_ba) / 3, 6), 3)
+    assert got[1] == (round(lp_ab, 6), 1)
+    assert 2 not in got  # single-token doc: no bigrams, no row

@@ -690,3 +690,57 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-
+    smoothed LM trained on the corpus itself - the CCNet-style
+    "perplexity bucket" signal for pretraining data quality (docs
+    scoring far below the corpus norm are boilerplate/gibberish; far
+    above are likely duplicates of common text).
+
+    score(d) = mean over bigrams (w1,w2) of
+               ln( (c(w1,w2) + 1) / (c(w1) + V) )
+    with counts over ALL occurrences corpus-wide and V = |vocab|.
+
+    Plan shape: bigrams come from zipping the token array with its
+    own tail (no window, no per-doc shuffle); one aggregate each for
+    the bigram and unigram tables; the scalar V rides a 1-row
+    broadcast; scoring is a join of doc-bigram occurrences against
+    the model keyed by the bigram - shuffle cost tracks corpus token
+    count, model size tracks OBSERVED bigrams, never V^2."""
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+    size = F.size(toks)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(size - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(size - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)  # feeds model AND scoring
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    unis = df.select(F.explode(toks).alias("w"))
+    uni = unis.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = unis.agg(F.countDistinct("w").alias("v"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )

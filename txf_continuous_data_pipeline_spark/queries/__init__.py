@@ -92,7 +92,11 @@ _PRIORITY = [
     # the trainer stays in the tail with its pytest differential.
     "kmeans_assign",
     "sliding_window_stats",
-    "doc_fingerprint",
+    # r5 late swap #3: doc_bigram_logprob (built this round, never
+    # driver-green) takes doc_fingerprint's slot; the h60 rolling-hash
+    # family stays exercised by every minhash/simhash/jaccard query
+    # in-window plus the fingerprint pytests.
+    "doc_bigram_logprob",
     # r4 rotation: the three new never-checked extension queries take
     # the slots of three single-round-green near-twins whose operator
     # families stay covered in-window (token_counts -> text_stats +

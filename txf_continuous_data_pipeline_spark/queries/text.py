@@ -1326,3 +1326,38 @@ def chunk_documents_q(spark, sf_dir):
         "chunk_text",
         "n_tokens",
     )
+
+
+_BIGRAM_LP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(toks[1 : len(toks) - 1]) AS w1,
+         unnest(toks[2 : len(toks)]) AS w2
+  FROM t
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+u AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM u)
+SELECT p.doc_id,
+       round(avg(ln((c2 + 1.0) / (c1 + v.v))), 6) AS avg_logprob,
+       count(*) AS n_bigrams
+FROM p
+JOIN bi USING (w1, w2)
+JOIN uni ON uni.w = p.w1
+CROSS JOIN v
+GROUP BY p.doc_id
+"""
+
+
+@q("doc_bigram_logprob", _BIGRAM_LP_SQL)
+def doc_bigram_logprob_q(spark, sf_dir):
+    """Per-doc average bigram log-probability under the corpus's own
+    add-one-smoothed LM - the CCNet-style perplexity-bucket quality
+    signal (model-based, beyond the literal-weight classifier). Docs
+    with fewer than two tokens have no bigrams and no row, on both
+    engines."""
+    from ..operators.textstats import bigram_logprob
+
+    return bigram_logprob(read_table(spark, sf_dir, "documents"))
