@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from txf_continuous_data_pipeline_spark.operators.similarity import (
+    band_bucket_expr,
     hyperplane_signatures,
 )
 from txf_continuous_data_pipeline_spark.session import get_spark
@@ -81,22 +82,12 @@ def corpus(emb, replicas: int, mode: str):
 
 
 def candidates(emb, n_planes: int, bands: int):
-    width = n_planes // bands
     sigs = hyperplane_signatures(emb, n_planes=n_planes).localCheckpoint(
         eager=False
     )
+    # production banding derivation, not a probe-local copy
     banded = sigs.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("lsh_sig"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        "vec_id", band_bucket_expr(n_planes, bands).alias("band", "bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -207,3 +207,42 @@ def test_date_partitioned_row_groups_are_time_clustered(
     assert (
         spark.read.parquet(path).count() == events.count()
     )
+
+
+def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """The startup recovery pass heals every crash point: a partition
+    stranded as '.<part>.old' (crash mid-swap) is restored, stray
+    '.compacting' and post-swap '.old' dirs are dropped, and no rows
+    are lost."""
+    import glob
+    import os
+    import shutil
+
+    from txf_continuous_data_pipeline_spark.sources import read_table
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        compact_date_partitioned,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "sink")
+    events = read_table(spark, sf_dir, "events")
+    write_date_partitioned(events.repartition(4), path)
+    before = spark.read.parquet(path).count()
+    parts = sorted(glob.glob(os.path.join(path, "_date=*")))
+
+    # crash mid-swap: partition exists only as hidden .old
+    victim = parts[0]
+    vname = os.path.basename(victim)
+    os.rename(victim, os.path.join(path, f".{vname}.old"))
+    # crash mid-rewrite elsewhere: leftover .compacting junk
+    junk = os.path.join(path, f".{os.path.basename(parts[1])}.compacting")
+    os.makedirs(junk)
+    # crash after swap: .old twin alongside a live partition
+    shutil.copytree(parts[2], os.path.join(path, f".{os.path.basename(parts[2])}.old"))
+
+    stats = compact_date_partitioned(spark, path)
+    assert not glob.glob(os.path.join(path, ".*old"))
+    assert not glob.glob(os.path.join(path, ".*compacting"))
+    assert sorted(glob.glob(os.path.join(path, "_date=*"))) == parts
+    assert spark.read.parquet(path).count() == before
+    assert stats["partitions_compacted"] == len(parts)

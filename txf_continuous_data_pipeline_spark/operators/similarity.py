@@ -125,6 +125,25 @@ def hyperplane_signatures(
     )
 
 
+def band_bucket_expr(n_planes: int, bands: int):
+    """THE band-bucket derivation: split the packed `lsh_sig` long into
+    `bands` chunks of n_planes/bands bits, posexploded to (band,
+    bucket) rows. Single definition shared by lsh_ann_pairs /
+    embedding_neardup_pairs AND scripts/embedding_scale_probe.py, so
+    the probe always measures the production banding scheme."""
+    width = n_planes // bands
+    return F.posexplode(
+        F.array(
+            *[
+                F.shiftright(F.col("lsh_sig"), i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for i in range(bands)
+            ]
+        )
+    )
+
+
 def lsh_ann_pairs(
     emb: DataFrame,
     *,
@@ -144,23 +163,13 @@ def lsh_ann_pairs(
     the broadcast side carries no exchange, so without materialization
     BOTH sides re-run the Arrow matrix multiply (same pathology as the
     MinHash/SimHash band joins)."""
-    width = n_planes // bands
     sigs = hyperplane_signatures(
         emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim, seed=seed
     ).localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("lsh_sig"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        band_bucket_expr(n_planes, bands).alias("band", "bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

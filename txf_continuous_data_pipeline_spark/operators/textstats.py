@@ -728,7 +728,11 @@ def bigram_logprob(
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     unis = df.select(F.explode(toks).alias("w"))
     uni = unis.groupBy("w").agg(F.count("*").alias("c1"))
-    vocab = unis.agg(F.countDistinct("w").alias("v"))
+    uni = uni.localCheckpoint(eager=False)  # feeds V AND the score join
+    # V = row count of the unigram table - NOT a second countDistinct
+    # over the full token stream (that would repeat the whole
+    # unigram-side aggregate at corpus scale)
+    vocab = uni.agg(F.count("*").alias("v"))
     scored = (
         pairs.join(bi, ["w1", "w2"])
         .join(uni, pairs["w1"] == uni["w"])

@@ -516,6 +516,7 @@ def compact_date_partitioned(
     *,
     target_file_bytes: int = 128 << 20,
     min_files_to_compact: int = 2,
+    ts_col: str = "ts",
 ) -> dict:
     """Small-file compaction for a date-partitioned parquet sink - the
     maintenance pass every incremental pipeline needs at scale: steady
@@ -527,13 +528,24 @@ def compact_date_partitioned(
 
     Per partition directory: if it holds >= min_files_to_compact files
     AND more files than ceil(bytes / target_file_bytes), rewrite it to
-    that many files (coalesce - no shuffle, just fewer output tasks).
+    at most that many files (coalesce - no shuffle, just fewer output
+    tasks; the read's split bin-packing may produce even fewer, so the
+    returned counts come from listing the directory after the swap,
+    not from the target). The rewrite re-sorts by ts_col when present
+    and pins TIMESTAMP_MICROS output, so the row-group time-clustering
+    tier from write_date_partitioned(sort_within=True) survives
+    compaction (INT96, the session default, carries no stats at all).
     Partitions already at their target are left untouched, so the pass
-    is incremental and re-runnable; each rewrite goes through a
-    temporary sibling directory + atomic-ish rename swap so a crashed
-    compaction never leaves a partition half-deleted. Run it as a
+    is incremental and re-runnable.
+
+    Crash safety: each rewrite goes through hidden sibling dirs
+    ('.<part>.compacting' then a '<part>' -> '.<part>.old' -> delete
+    swap), and a RECOVERY pass at startup completes any interrupted
+    swap (an '.old' with no live partition is renamed back; leftover
+    '.compacting' dirs are dropped), so a crash at any point leaves
+    the partition recoverable and the next run heals it. Run as a
     single-writer maintenance step (no concurrent appends to the
-    partitions being rewritten) - the same discipline every
+    partitions being rewritten) - the discipline every
     non-transactional compactor requires; a table format's OPTIMIZE is
     the managed alternative.
 
@@ -547,43 +559,61 @@ def compact_date_partitioned(
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
-    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    def _hpath(name: str):
+        return jvm.org.apache.hadoop.fs.Path(root, name)
+
+    # Recovery pass: heal any swap a previous crashed run left behind
+    # BEFORE compacting, so readers never keep missing a partition.
     for st in fs.listStatus(root):
-        if not st.isDirectory() or not st.getPath().getName().startswith("_date="):
-            continue
-        part_dir = st.getPath()
-        files = [
+        name = st.getPath().getName()
+        if name.startswith(".") and name.endswith(".old"):
+            live = _hpath(name[1:-4])
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)  # crash after swap
+            else:
+                fs.rename(st.getPath(), live)  # crash mid-swap: restore
+        elif name.startswith(".") and name.endswith(".compacting"):
+            fs.delete(st.getPath(), True)  # incomplete rewrite
+
+    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    def _part_files(d) -> list:
+        return [
             f
-            for f in fs.listStatus(part_dir)
+            for f in fs.listStatus(d)
             if f.isFile() and f.getPath().getName().startswith("part-")
         ]
-        n_files = len(files)
-        total_bytes = sum(f.getLen() for f in files)
-        n_target = max(1, math.ceil(total_bytes / target_file_bytes))
-        stats["files_before"] += n_files
-        if n_files < min_files_to_compact or n_files <= n_target:
-            stats["files_after"] += n_files
-            continue
-        src = part_dir.toString()
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            part_dir.getParent(), "." + part_dir.getName() + ".compacting"
-        )
-        if fs.exists(tmp):
-            fs.delete(tmp, True)  # leftover from a crashed pass
-        (
-            spark.read.parquet(src)
-            .coalesce(n_target)
-            .write.mode("overwrite")
-            .parquet(tmp.toString())
-        )
-        old = jvm.org.apache.hadoop.fs.Path(
-            part_dir.getParent(), "." + part_dir.getName() + ".old"
-        )
-        if fs.exists(old):
+
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        for st in fs.listStatus(root):
+            if not st.isDirectory() or not st.getPath().getName().startswith(
+                "_date="
+            ):
+                continue
+            part_dir = st.getPath()
+            files = _part_files(part_dir)
+            n_files = len(files)
+            total_bytes = sum(f.getLen() for f in files)
+            n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+            stats["files_before"] += n_files
+            if n_files < min_files_to_compact or n_files <= n_target:
+                stats["files_after"] += n_files
+                continue
+            tmp = _hpath("." + part_dir.getName() + ".compacting")
+            frame = spark.read.parquet(part_dir.toString()).coalesce(n_target)
+            if ts_col in frame.columns:
+                frame = frame.sortWithinPartitions(ts_col)
+            frame.write.mode("overwrite").parquet(tmp.toString())
+            old = _hpath("." + part_dir.getName() + ".old")
+            fs.rename(part_dir, old)
+            fs.rename(tmp, part_dir)
             fs.delete(old, True)
-        fs.rename(part_dir, old)
-        fs.rename(tmp, part_dir)
-        fs.delete(old, True)
-        stats["partitions_compacted"] += 1
-        stats["files_after"] += n_target
+            stats["partitions_compacted"] += 1
+            stats["files_after"] += len(_part_files(part_dir))
+    finally:
+        spark.conf.set(ts_key, prev_ts)
     return stats

@@ -105,8 +105,11 @@ def _session_fold(gap_us: int):
                 # is wm_ms >= close_ms - so arm close_ms - 1, or a
                 # watermark landing exactly on close_ms and then
                 # freezing would leave a closable session unemitted.
+                # Floor at wm_ms (equality is allowed by the API): a
+                # wm_ms + 1 floor would re-open the same freeze gap
+                # when the fold runs at wm_ms == close_ms - 1.
                 close_ms = (last + gap_us) // 1000 + 1
-                state.setTimeoutTimestamp(max(close_ms - 1, wm_ms + 1))
+                state.setTimeoutTimestamp(max(close_ms - 1, wm_ms))
 
         if closed:
             out = pd.DataFrame(
