@@ -129,3 +129,40 @@ def test_chunk_documents_reconstruction(spark):
     assert sum(1 for (d, _) in got if d == 1) == 1
     assert sum(1 for (d, _) in got if d == 2) == 1
     assert sum(1 for (d, _) in got if d == 3) == 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tok = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(_tok, min_size=1, max_size=150), min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=0, max_value=10),
+)
+def test_chunking_reconstruction_property(spark, docs, chunk, overlap):
+    """Property: for ANY doc lengths and any 0 <= overlap < chunk, the
+    stride reconstruction reproduces the exact token stream and every
+    chunk respects the size bound."""
+    if overlap >= chunk:
+        overlap = chunk - 1
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, d in enumerate(docs):
+        chunks = [t for _, t in sorted(got[i])]
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt.extend(c.split(" ")[overlap:])
+        assert rebuilt == d, (i, chunk, overlap)
+        assert all(len(c.split(" ")) <= chunk for c in chunks)

@@ -63,3 +63,47 @@ def test_redaction_complete_and_idempotent(spark):
     )
     for r in again.collect():
         assert r.text_redacted == by_id[r.doc_id]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_fragment = st.sampled_from(
+    [
+        "plain words here",
+        "bob@x.io",
+        "10.0.0.1",
+        "555-123-4567",
+        "a.b@sub.domain.org",
+        "1.2.3.4@host.com",
+        "not..an@@email",
+        "999.999.999.999",
+        "12-34",
+    ]
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_fragment, min_size=0, max_size=6))
+def test_redaction_idempotent_and_clean_property(spark, frags):
+    """Property: for any concatenation of PII-ish fragments, redaction
+    leaves zero residual matches and a second pass changes nothing."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(0, " ".join(frags))], "doc_id long, text string")
+    once = redact_pii(df).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    row1 = once.collect()[0]
+    checks = once
+    for name, pat, _ in PII_PATTERNS:
+        checks = checks.withColumn(name, F.regexp_count("text", F.lit(pat)))
+    c = checks.collect()[0]
+    assert c.email == 0 and c.ipv4 == 0 and c.phone == 0, c
+    row2 = redact_pii(once).collect()[0]
+    assert row2.text_redacted == row1.text
