@@ -164,3 +164,48 @@ def test_upsert_key_moves_partitions(spark, tmp_path):
     )
     ids = [r.event_id for r in spark.read.parquet(path).collect()]
     assert sorted(ids) == [1, 2, 2]
+
+
+def test_upsert_key_moves_random_differential(spark, tmp_path):
+    """Sequential randomized differential: four batches of (key, ts,
+    value) with keys freely moving between dates, applied with
+    key_moves_partitions=True, must end exactly at a dict fold's
+    latest-wins state (max ts per key; on an exact ts tie the incoming
+    row wins)."""
+    import datetime as dt
+    import random
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        upsert_date_partitioned,
+    )
+
+    rng = random.Random(11)
+    days = [dt.datetime(2024, 1, d, 12) for d in (1, 2, 3, 4)]
+    path = str(tmp_path / "sink")
+    expect: dict = {}
+    for batch_i in range(4):
+        rows = []
+        seen = set()
+        for _ in range(rng.randint(5, 15)):
+            k = rng.randint(0, 9)
+            if k in seen:  # one row per key per batch keeps the
+                continue  # reference fold order-independent
+            seen.add(k)
+            ts = rng.choice(days) + dt.timedelta(
+                minutes=rng.randint(0, 5)
+            )
+            v = round(rng.random() * 100, 2)
+            rows.append((k, ts, v))
+            cur = expect.get(k)
+            if cur is None or ts >= cur[0]:  # tie -> incoming wins
+                expect[k] = (ts, v)
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, value double"
+        )
+        upsert_date_partitioned(df, path, key_moves_partitions=True)
+
+    got = {
+        r.event_id: (r.ts, r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect
