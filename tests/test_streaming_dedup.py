@@ -262,3 +262,67 @@ def test_neardup_ingest_stream_equals_sequential_batch(
     kept_rows = spark.read.parquet(os.path.join(work, "kept")).count()
     assert again == stream_kept
     assert kept_rows == len(stream_kept)
+
+
+def test_ingest_with_derived_curation_sinks(spark, sf_dir, tmp_path):
+    """The full curation pipeline rides the ingest loop: per batch,
+    survivors are quality-filtered, PII-redacted, and chunked into a
+    training-shard sink under the same exactly-once layout. The
+    derived sink must equal applying the same transforms to the final
+    kept corpus in batch."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        chunk_documents,
+        gopher_quality_flags,
+        redact_pii,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        neardup_ingest_run,
+    )
+
+    def curate(df):
+        keep_ids = (
+            gopher_quality_flags(df).where(F.col("keep")).select("doc_id")
+        )
+        ok = df.join(keep_ids, "doc_id", "left_semi")
+        red = redact_pii(ok).select(
+            "doc_id", F.col("text_redacted").alias("text")
+        )
+        return chunk_documents(red, chunk_tokens=64, overlap=16)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    files = [
+        docs.where(F.col("doc_id") < n // 2),
+        docs.where(F.col("doc_id") >= n // 2),
+    ]
+    feed = str(tmp_path / "cur_feed")
+    os.makedirs(feed)
+    now = _time.time()
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "cur_work")
+    neardup_ingest_run(
+        spark, feed, work, threshold=0.5, derived_sinks={"chunks": curate}
+    )
+    kept = spark.read.parquet(os.path.join(work, "kept")).select(
+        "doc_id", "text"
+    )
+    stream_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in spark.read.parquet(os.path.join(work, "chunks")).collect()
+    }
+    batch_chunks = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in curate(kept).collect()
+    }
+    assert stream_chunks == batch_chunks
+    assert stream_chunks  # the pipeline actually produced shards

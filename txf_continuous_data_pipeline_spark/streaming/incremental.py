@@ -311,6 +311,7 @@ def neardup_ingest_run(
     *,
     threshold: float = 0.5,
     timeout_s: int = 240,
+    derived_sinks: dict | None = None,
 ) -> None:
     """Continuous LLM-corpus ingestion with ONLINE near-dup: each
     arriving micro-batch of documents is (1) deduped within itself
@@ -337,6 +338,13 @@ def neardup_ingest_run(
     checkpoint reproduces identical content; a CHANGED feed needs a
     fresh work_dir). The batch twin in tests/test_streaming_dedup.py
     pins stream == sequential batch fold exactly.
+
+    derived_sinks: optional {name: fn} of per-batch transforms over the
+    SURVIVORS frame; each fn(survivors_df) is written to
+    work_dir/<name>/batch=<id>/ under the same exactly-once overwrite
+    layout - this is how the full curation pipeline rides the ingest
+    loop (e.g. quality-filter -> PII-redact -> chunk into training
+    shards) with one stream, one checkpoint, one replay story.
     """
     from ..operators.dedup import (
         build_minhash_index,
@@ -425,6 +433,10 @@ def neardup_ingest_run(
         new_index["shingles"].write.mode("overwrite").parquet(
             os.path.join(sh_dir, part)
         )
+        for name, fn in (derived_sinks or {}).items():
+            fn(survivors).write.mode("overwrite").parquet(
+                os.path.join(work_dir, name, part)
+            )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
