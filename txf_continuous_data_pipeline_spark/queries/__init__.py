@@ -147,6 +147,13 @@ _PRIORITY = [
 # Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
 # single; family in-window via q12_late_shipments) plus the
 # rotated-out stable greens listed above.
+# NEXT ROTATION (rule: never-green queries enter ahead of multi-round
+# stable greens): the six late-r5 optimizer shapes q7_volume_shipping,
+# q10_returned_items, q13_customer_distribution,
+# q16_parts_supplier_counts, q19_disjunctive_revenue,
+# q21_waiting_supplier (oracle-ready, sf0.01-green locally) have no
+# driver row yet - swap them in next round for six multi-round-stable
+# greens with in-window siblings.
 
 
 def _ordered():
