@@ -151,8 +151,9 @@ _PRIORITY = [
 # stable greens): the six late-r5 optimizer shapes q7_volume_shipping,
 # q10_returned_items, q13_customer_distribution,
 # q16_parts_supplier_counts, q19_disjunctive_revenue,
-# q21_waiting_supplier (oracle-ready, sf0.01-green locally) have no
-# driver row yet - swap them in next round for six multi-round-stable
+# q21_waiting_supplier, plus q8_market_share, q11_important_stock,
+# q20_heavy_shippers (all oracle-ready, sf0.01-green locally) have no
+# driver row yet - swap them in next round for multi-round-stable
 # greens with in-window siblings.
 
 

@@ -1408,3 +1408,122 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1
+"""
+
+
+@q("q8_market_share", _Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a conditional-sum / total-sum ratio per year
+    (one nation's share of all shipped revenue) - both numerator and
+    denominator come out of ONE aggregate pass via a CASE inside the
+    sum, never two scans."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_3", rev).otherwise(0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q11_SQL = """
+WITH grp AS (
+  SELECT s.s_nationkey, l.l_partkey,
+         sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_nationkey, l_partkey, round(qty, 2) AS qty
+FROM grp
+WHERE qty > (SELECT sum(qty) * 0.0001 FROM grp)
+"""
+
+
+@q("q11_important_stock", _Q11_SQL)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: group aggregates filtered against a SCALAR
+    derived from the SAME aggregate (a fraction of the global total).
+    The grouped frame is checkpointed and consumed twice - once for
+    the global scalar (1-row broadcast), once for the filter - so the
+    fact join/aggregate runs exactly once."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    grp = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .localCheckpoint(eager=False)
+    )
+    threshold = grp.agg((F.sum("qty") * 0.0001).alias("_thr"))
+    return (
+        grp.crossJoin(F.broadcast(threshold))
+        .where(F.col("qty") > F.col("_thr"))
+        .select("s_nationkey", "l_partkey", F.round("qty", 2).alias("qty"))
+    )
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+  )
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 100
+)
+"""
+
+
+@q("q20_heavy_shippers", _Q20_SQL)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: a nested semi-join chain with a correlated
+    aggregate in the middle - suppliers who shipped >100 units of any
+    matching-name part. Inner semi (parts by name) broadcasts; the
+    per-(supplier, part) aggregate reduces the fact before the outer
+    semi against the supplier dim."""
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    l = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        l.join(
+            F.broadcast(p.select("p_partkey")),
+            l["l_partkey"] == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(heavy, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
