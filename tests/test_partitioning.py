@@ -246,3 +246,67 @@ def test_compaction_crash_recovery(spark, sf_dir, tmp_path):
     assert sorted(glob.glob(os.path.join(path, "_date=*"))) == parts
     assert spark.read.parquet(path).count() == before
     assert stats["partitions_compacted"] == len(parts)
+
+
+def test_compaction_preserves_time_clustering(spark, sf_dir, tmp_path):
+    """Compacting a time-clustered sink must keep row-group ts stats
+    sorted and non-overlapping (the compactor re-sorts and pins
+    TIMESTAMP_MICROS - a naive concat-rewrite would interleave runs
+    and drop the stats tier)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        compact_date_partitioned,
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path / "sink")
+    events = (
+        spark.range(120_000)
+        .select(
+            F.timestamp_micros(
+                F.lit(1704067200000000)
+                + (F.col("id") * 37 % 86_400_000) * 1000
+            ).alias("ts"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        # 6 small files in the one partition -> compaction will rewrite
+        write_date_partitioned(events.repartition(6), path)
+        stats = compact_date_partitioned(
+            spark, path, target_file_bytes=1 << 30
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+    assert stats["partitions_compacted"] == 1
+    files = glob.glob(os.path.join(path, "_date=*", "part-*"))
+    assert len(files) == 1
+    md = pq.ParquetFile(files[0]).metadata
+    ts_idx = next(
+        i for i in range(len(md.schema)) if md.schema.column(i).name == "ts"
+    )
+    ranges = [
+        (
+            md.row_group(g).column(ts_idx).statistics.min,
+            md.row_group(g).column(ts_idx).statistics.max,
+        )
+        for g in range(md.num_row_groups)
+    ]
+    assert len(ranges) > 1, "need multiple row groups to prove clustering"
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, ranges
+    assert spark.read.parquet(path).count() == 120_000
