@@ -134,3 +134,26 @@ def test_cohort_retention_reuses_distinct(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cohort_retention")
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products_registry_wide(spark, sf_dir):
+    """Every registry query's physical plan must be free of
+    CartesianProduct except the explicitly-labeled exact baselines -
+    the automatic net that keeps future queries from silently
+    regressing into all-pairs plans."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    ALLOW = {"knn_join_bruteforce"}  # the labeled exact oracle
+    offenders = []
+    for name, (fn, _) in REGISTRY.items():
+        if name in ALLOW:
+            continue
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
