@@ -1527,3 +1527,75 @@ def q20_heavy_shippers(spark, sf_dir):
     return s.join(heavy, "s_suppkey", "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+_UNPIVOT_SQL = """
+SELECT s_suppkey, metric, round(val, 2) AS val
+FROM (
+  SELECT s_suppkey,
+         unnest(['acctbal', 'nationkey']) AS metric,
+         unnest([s_acctbal, CAST(s_nationkey AS DOUBLE)]) AS val
+  FROM supplier
+)
+"""
+
+
+@q("unpivot_supplier_metrics", _UNPIVOT_SQL)
+def unpivot_supplier_metrics(spark, sf_dir):
+    """UNPIVOT (melt): wide supplier columns to (key, metric, value)
+    rows - the inverse of the pivot query, via Spark's native unpivot
+    (STACK in codegen; zero shuffle, rows = cols x input rows)."""
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "_v")
+        .select("s_suppkey", "metric", F.round("_v", 2).alias("val"))
+    )
+
+
+_HEAVY_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+SELECT c.user_id, c.n,
+       round(c.n / t.total, 6) AS share,
+       round(c.n * t.n_keys / t.total, 4) AS skew_x
+FROM counts c CROSS JOIN tot t
+ORDER BY c.n DESC, c.user_id
+LIMIT 15
+"""
+
+
+@q("heavy_hitter_users", _HEAVY_SQL)
+def heavy_hitter_users(spark, sf_dir):
+    """Skew diagnosis: the top-15 hottest keys with their share of all
+    rows and their multiple of the mean key load (skew_x) - the first
+    report to run before choosing salting / AQE skew-join handling for
+    a key. One aggregate + a 1-row broadcast scalar + top-k."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("_keys") / F.col("_total"), 4).alias(
+                "skew_x"
+            ),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(15)
+    )
