@@ -137,23 +137,26 @@ def test_cohort_retention_reuses_distinct(spark, sf_dir):
 
 
 def test_no_cartesian_products_registry_wide(spark, sf_dir):
-    """Every registry query's physical plan must be free of
-    CartesianProduct except the explicitly-labeled exact baselines -
-    the automatic net that keeps future queries from silently
-    regressing into all-pairs plans."""
+    """Every registry query's physical plan must be free of (a)
+    CartesianProduct except the explicitly-labeled exact baseline and
+    (b) row-at-a-time Python UDFs (BatchEvalPython) anywhere - Arrow
+    stages (ArrowEvalPython / MapInPandas) are the only sanctioned
+    Python surface. The automatic net that keeps future queries from
+    silently regressing into all-pairs plans or the slow Python path."""
     from txf_continuous_data_pipeline_spark.queries import REGISTRY
 
     ALLOW = {"knn_join_bruteforce"}  # the labeled exact oracle
-    offenders = []
+    cartesian, row_python = [], []
     for name, (fn, _) in REGISTRY.items():
-        if name in ALLOW:
-            continue
         plan = (
             fn(spark, sf_dir)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+        if "CartesianProduct" in plan and name not in ALLOW:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+    assert not cartesian, cartesian
+    assert not row_python, row_python
