@@ -278,16 +278,15 @@ def test_compaction_preserves_time_clustering(spark, sf_dir, tmp_path):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     prev = hconf.get("parquet.block.size")
     hconf.set("parquet.block.size", str(64 * 1024))
-    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        # 6 small files in the one partition -> compaction will rewrite
+        # 6 small files in the one partition -> compaction will rewrite.
+        # No session timestamp-type pin here: the point is that the
+        # COMPACTOR pins TIMESTAMP_MICROS itself for the rewrite.
         write_date_partitioned(events.repartition(6), path)
         stats = compact_date_partitioned(
             spark, path, target_file_bytes=1 << 30
         )
     finally:
-        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
         if prev is None:
             hconf.unset("parquet.block.size")
         else:

@@ -1265,8 +1265,9 @@ FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#1'
   AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-  AND l.l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier s
+    WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey
   )
 GROUP BY 1, 2, 3
 """
@@ -1275,8 +1276,11 @@ GROUP BY 1, 2, 3
 @q("q16_parts_supplier_counts", _Q16_SQL)
 def q16_parts_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
-    brand exclusion, an IN-list size filter, and a NOT IN
-    (null-hostile anti-join) against a supplier blacklist. The
+    brand exclusion, an IN-list size filter, and a NOT EXISTS
+    anti-join against a supplier blacklist (phrased NOT EXISTS rather
+    than NOT IN on BOTH sides: anti-join == NOT EXISTS exactly, while
+    NOT IN is null-hostile and would diverge if a key were ever
+    NULL). The
     blacklist is dim-sized, so the anti-join broadcasts; the distinct
     aggregate shuffles once on the group key."""
     l = _t(spark, sf_dir, "lineitem")

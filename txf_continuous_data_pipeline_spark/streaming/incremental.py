@@ -353,6 +353,13 @@ def neardup_ingest_run(
         shingle_array,
     )
 
+    reserved = {"kept", "index_bands", "index_shingles", "ckpt"}
+    for name in derived_sinks or {}:
+        if name in reserved or "/" in name or os.sep in name:
+            raise ValueError(
+                f"derived sink name {name!r} collides with the loop's "
+                f"own layout ({sorted(reserved)}) or escapes work_dir"
+            )
     kept_dir = os.path.join(work_dir, "kept")
     bands_dir = os.path.join(work_dir, "index_bands")
     sh_dir = os.path.join(work_dir, "index_shingles")
