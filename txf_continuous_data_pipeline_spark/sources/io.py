@@ -617,3 +617,58 @@ def compact_date_partitioned(
     finally:
         spark.conf.set(ts_key, prev_ts)
     return stats
+
+
+def zorder_key(cols: list, *, bits: int = 16) -> F.Column:
+    """Morton (Z-order) key over 2+ numeric columns, each first
+    normalized to `bits`-bit rank space via percent_rank - so columns
+    of wildly different scales/distributions interleave fairly. Pure
+    column expressions (the bit interleave unrolls to shifts/ors), no
+    UDF."""
+    from pyspark.sql import Window
+
+    ranked = [
+        (
+            F.percent_rank().over(Window.orderBy(F.col(c)))
+            * ((1 << bits) - 1)
+        ).cast("long")
+        for c in cols
+    ]
+    n = len(ranked)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, r in enumerate(ranked):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: list,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by a Z-order curve over `cols` - the
+    multi-dimensional layout tier: where the time-sorted layout prunes
+    one column's row groups, Z-ordering keeps EVERY listed column's
+    per-row-group min/max range tight simultaneously, so selective
+    predicates on any (or several) of them skip most groups off footer
+    stats. Mechanics: rank-normalize each column to `bits`-bit space,
+    interleave bits into one Morton key, range-partition + sort by it.
+    The percent_rank ranking is one global sort at WRITE time - the
+    classic pay-once layout cost (same trade as bucketing); OPTIMIZE
+    ZORDER in lakehouse formats is this exact operation."""
+    keyed = df.withColumn("_z", zorder_key(cols, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
