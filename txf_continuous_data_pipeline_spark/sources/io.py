@@ -619,30 +619,46 @@ def compact_date_partitioned(
     return stats
 
 
-def zorder_key(cols: list, *, bits: int = 16) -> F.Column:
-    """Morton (Z-order) key over 2+ numeric columns, each first
-    normalized to `bits`-bit rank space via percent_rank - so columns
-    of wildly different scales/distributions interleave fairly. Pure
-    column expressions (the bit interleave unrolls to shifts/ors), no
-    UDF."""
-    from pyspark.sql import Window
+def zorder_key(df: DataFrame, cols: list, *, bits: int = 8) -> F.Column:
+    """Morton (Z-order) key over 2+ numeric columns.
 
-    ranked = [
-        (
-            F.percent_rank().over(Window.orderBy(F.col(c)))
-            * ((1 << bits) - 1)
-        ).cast("long")
-        for c in cols
+    Each column is first normalized to `bits`-bit RANK space so
+    columns of wildly different scales/skews interleave fairly. The
+    normalization boundaries come from df.stat.approxQuantile
+    (Greenwald-Khanna sketch: one distributed pass, driver receives
+    2^bits scalars) - NOT from a percent_rank window, whose empty
+    partitionBy would funnel the whole table through one task. The
+    per-row bucketization + bit interleave runs in one Arrow batch
+    (np.searchsorted), so the only extra cost at write time is the
+    sketch pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = len(cols)
+    probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+    casted = [F.col(c).cast("double").alias(c) for c in cols]
+    bounds = [
+        np.asarray(q, dtype=np.float64)
+        for q in df.select(*casted).stat.approxQuantile(
+            cols, probes, 0.001
+        )
     ]
-    n = len(ranked)
-    key = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, r in enumerate(ranked):
-            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
-            key = key.bitwiseOR(
-                F.shiftleft(bit, b * n + i).cast("long")
-            )
-    return key
+
+    def _z(*series):
+        key = np.zeros(len(series[0]), dtype=np.int64)
+        for i, (s, b) in enumerate(zip(series, bounds)):
+            ranks = np.searchsorted(
+                b, s.to_numpy(dtype=np.float64), side="right"
+            ).astype(np.int64)
+            for bit in range(bits):
+                key |= ((ranks >> bit) & 1) << (bit * n + i)
+        return pd.Series(key)
+
+    # functional pandas_udf form: the varargs signature defeats
+    # type-hint inference
+    zf = pandas_udf(_z, "long")
+    return zf(*[F.col(c).cast("double") for c in cols])
 
 
 def write_zordered(
@@ -651,7 +667,7 @@ def write_zordered(
     *,
     cols: list,
     n_files: int = 8,
-    bits: int = 16,
+    bits: int = 8,
     mode: str = "overwrite",
 ) -> None:
     """Write parquet clustered by a Z-order curve over `cols` - the
@@ -659,12 +675,12 @@ def write_zordered(
     one column's row groups, Z-ordering keeps EVERY listed column's
     per-row-group min/max range tight simultaneously, so selective
     predicates on any (or several) of them skip most groups off footer
-    stats. Mechanics: rank-normalize each column to `bits`-bit space,
-    interleave bits into one Morton key, range-partition + sort by it.
-    The percent_rank ranking is one global sort at WRITE time - the
-    classic pay-once layout cost (same trade as bucketing); OPTIMIZE
-    ZORDER in lakehouse formats is this exact operation."""
-    keyed = df.withColumn("_z", zorder_key(cols, bits=bits))
+    stats. Mechanics: sketch-sampled quantile boundaries normalize
+    each column to `bits`-bit rank space, bits interleave into one
+    Morton key (Arrow batch), range-partition + sort by it - every
+    stage distributed; the pay-once layout trade bucketing also makes.
+    OPTIMIZE ZORDER in lakehouse formats is this exact operation."""
+    keyed = df.withColumn("_z", zorder_key(df, cols, bits=bits))
     (
         keyed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
