@@ -636,6 +636,13 @@ def zorder_key(df: DataFrame, cols: list, *, bits: int = 8) -> F.Column:
     from pyspark.sql.functions import pandas_udf
 
     n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if not 1 <= n * bits <= 63:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} key bits; a signed "
+            "int64 key holds at most 63"
+        )
     probes = [i / (1 << bits) for i in range(1, 1 << bits)]
     casted = [F.col(c).cast("double").alias(c) for c in cols]
     bounds = [
