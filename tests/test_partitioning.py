@@ -374,3 +374,18 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     assert (
         spark.read.parquet(zord).count() == 256 * 256
     )
+
+
+def test_zorder_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources.io import zorder_key
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_key(df, ["a"])
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, ["a", "b"], bits=32)

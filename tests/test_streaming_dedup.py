@@ -326,3 +326,20 @@ def test_ingest_with_derived_curation_sinks(spark, sf_dir, tmp_path):
     }
     assert stream_chunks == batch_chunks
     assert stream_chunks  # the pipeline actually produced shards
+
+
+def test_derived_sink_reserved_names_rejected(spark, tmp_path):
+    import pytest
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        neardup_ingest_run,
+    )
+
+    for bad in ("kept", "index_bands", "ckpt", "x/y"):
+        with pytest.raises(ValueError, match="collides|escapes"):
+            neardup_ingest_run(
+                spark,
+                str(tmp_path / "feed"),
+                str(tmp_path / "work"),
+                derived_sinks={bad: lambda df: df},
+            )
