@@ -27,6 +27,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon(v):
     if v is None:
         return None
+    # array columns: Spark's toPandas yields numpy arrays, DuckDB's
+    # arrow yields python lists - canonize both to tuples so ordinary
+    # equality applies element-wise
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
     try:
         if v != v:  # NaN / NaT
             return None

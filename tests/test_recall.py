@@ -176,3 +176,37 @@ def test_minhash_delta_equals_restricted_selfjoin(spark, sf_dir):
         if (r.id_a % 2) != (r.id_b % 2)
     }
     assert got == want and got, f"delta={len(got)} full-cross={len(want)}"
+
+
+def test_text_to_vector_neardup_composition(spark):
+    """The featurization bridge composes end-to-end: hash-embed
+    documents, run the LSH-bucketed vector near-dup on the result -
+    planted exact-duplicate texts (identical vectors, cos = 1.0) must
+    surface as pairs; unrelated docs must not."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        hashing_trick_embed,
+    )
+
+    # token-DISJOINT docs (cross cosines only via chance hash-bucket
+    # collisions, far below threshold) + five exact-duplicate texts
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact dup texts
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashing_trick_embed(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, min_cosine=0.99).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs, (i, sorted(pairs))
+    assert all(b - a == 100 for a, b in pairs), sorted(pairs)

@@ -748,3 +748,50 @@ def bigram_logprob(
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.count("*").cast("long").alias("n_bigrams"),
     )
+
+
+def hashing_trick_embed(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text featurization via the hashing trick: token
+    counts bucketed by h60(token) mod dim, L2-normalized - the
+    model-free baseline that turns a document table into an embedding
+    table any vector operator downstream (LSH near-dup, IVF ANN,
+    k-means, SemDeDup) can consume. No vocabulary, no driver state,
+    reproducible across engines (the h60 family again), and at 100 TB
+    it is one explode + one (id, bucket) aggregate + one per-doc
+    rebuild - shuffle keyed on the doc id, vector width a constant.
+
+    Output: (id_col, embedding array<double> with 6dp components).
+    """
+    from .dedup import h60, normalized_tokens
+
+    buckets = df.select(
+        F.col(id_col),
+        F.explode(normalized_tokens(F.col(text_col))).alias("_tok"),
+    ).select(F.col(id_col), (h60(F.col("_tok")) % dim).alias("_pos"))
+    counts = buckets.groupBy(id_col, "_pos").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    dense = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_pos", "_n"))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i.cast("long")], F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dense.select(
+        F.col(id_col),
+        F.transform(vec, lambda x: F.round(x / norm, 6)).alias(
+            "embedding"
+        ),
+    )

@@ -152,7 +152,8 @@ _PRIORITY = [
 # q10_returned_items, q13_customer_distribution,
 # q16_parts_supplier_counts, q19_disjunctive_revenue,
 # q21_waiting_supplier, plus q8_market_share, q11_important_stock,
-# q20_heavy_shippers, unpivot_supplier_metrics, heavy_hitter_users
+# q20_heavy_shippers, unpivot_supplier_metrics, heavy_hitter_users,
+# text_hash_embeddings
 # (all oracle-ready, sf0.01-green locally) have no driver row yet -
 # swap them in next round for multi-round-stable greens with
 # in-window siblings.

@@ -1361,3 +1361,49 @@ def doc_bigram_logprob_q(spark, sf_dir):
     from ..operators.textstats import bigram_logprob
 
     return bigram_logprob(read_table(spark, sf_dir, "documents"))
+
+
+def _hash_embed_sql(dim: int = 64) -> str:
+    """DuckDB mirror of hashing_trick_embed: per-bucket occurrence
+    counts over the h60-hashed token stream, L2-normalized."""
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks_h} AS hs FROM documents),
+v AS (SELECT doc_id, {raw} AS raw FROM t),
+n AS (SELECT doc_id, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v),
+emb AS (SELECT doc_id,
+               list_transform(raw, x -> round(x / nrm, 6)) AS embedding
+        FROM n)
+SELECT doc_id, i - 1 AS pos, e AS component
+FROM (SELECT doc_id, unnest(embedding) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM emb)
+WHERE e != 0
+"""
+
+
+@q("text_hash_embeddings", _hash_embed_sql())
+def text_hash_embeddings_q(spark, sf_dir):
+    """Hashing-trick featurization: documents -> 64-dim L2-normalized
+    count vectors (h60(token) mod dim buckets) - the model-free bridge
+    from the text table to every vector operator (LSH near-dup, IVF,
+    k-means, SemDeDup). Deterministic across engines via the h60
+    family, so even the embedding VALUES are oracle-checked - in long
+    (doc_id, pos, component) form with zeros elided, keeping the
+    driver comparison scalar-typed."""
+    from ..operators.textstats import hashing_trick_embed
+
+    emb = hashing_trick_embed(read_table(spark, sf_dir, "documents"), dim=64)
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("pos", "component")
+        )
+        .where(F.col("component") != 0)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
+    )
