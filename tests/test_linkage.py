@@ -1,0 +1,245 @@
+"""Record-linkage, interval-overlap, SCD2, and profiling operator tests.
+
+Strategy mirrors the suite's pattern: small hand-built frames with
+hand-computable answers, plus a testdata-scale recall measurement for
+the blocking contract (the part the oracle, which shares the blocking
+predicate, cannot see).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+    interval_overlap_pairs,
+    scd2_build,
+)
+from txf_continuous_data_pipeline_spark.operators.profiling import (
+    group_zscore_outliers,
+    profile_table,
+)
+from txf_continuous_data_pipeline_spark.sources import read_table
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(
+        minutes=m, seconds=s
+    )
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def test_fuzzy_pairs_blocked_and_verified(spark):
+    df = spark.createDataFrame(
+        [("red widget",), ("hot widget",), ("red widget",),
+         ("red gadget",), ("blue bolt",)],
+        ["name"],
+    )
+    got = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in blocked_fuzzy_pairs(df, name_col="name").collect()
+    }
+    # red/hot widget share the last token but distance 3 -> excluded at
+    # the default 2; red gadget/red widget (distance 2, shares BOTH the
+    # first token and no last token) appears exactly once.
+    assert got == {("red gadget", "red widget", 2)}
+    got3 = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in blocked_fuzzy_pairs(
+            df, name_col="name", max_distance=3
+        ).collect()
+    }
+    assert got3 == {
+        ("hot widget", "red widget", 3),
+        ("red gadget", "red widget", 2),
+    }
+
+
+def test_fuzzy_blocking_recall_bruteforce_python(spark, sf_dir):
+    """On testdata, first-or-last-token blocking loses NO pair of the
+    unblocked Levenshtein<=2 ground truth (the oracle shares the
+    blocking predicate, so this is the recall check it can't do)."""
+    part = read_table(spark, sf_dir, "part").select("p_name")
+    blocked = {
+        (r["name_a"], r["name_b"])
+        for r in blocked_fuzzy_pairs(part, name_col="p_name").collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = sorted({r["p_name"] for r in part.distinct().collect()})
+    truth = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= 2
+    }
+    # blocking is declared semantics, so blocked is a subset of truth;
+    # on this vocabulary it is exactly truth (100% recall).
+    assert blocked == truth
+
+
+# -------------------------------------------------------------- overlap
+
+
+def test_interval_overlap_matches_naive(spark):
+    rows = [
+        # (entity, seq, start, end)
+        (1, 1, _ts(0), _ts(10)),
+        (2, 1, _ts(5), _ts(15)),     # overlaps e1s1 by 5 min
+        (2, 2, _ts(20), _ts(25)),    # overlaps nothing of entity 1
+        (3, 1, _ts(24), _ts(90)),    # long: crosses 2 hour buckets,
+                                     # overlaps e2s2 by 1 min
+        (1, 2, _ts(10, 30), _ts(10, 30)),  # instant; touches e2s1
+    ]
+    iv = spark.createDataFrame(rows, ["ent", "seq", "s", "e"])
+    got = {
+        (r["entity_a"], r["seq_a"], r["entity_b"], r["seq_b"],
+         r["overlap_us"])
+        for r in interval_overlap_pairs(
+            iv, entity_col="ent", seq_col="seq",
+            start_col="s", end_col="e", bucket="hour",
+        ).collect()
+    }
+    naive = set()
+    for ea, qa, sa, xa in rows:
+        for eb, qb, sb, xb in rows:
+            if ea < eb and sa <= xb and sb <= xa:
+                us = int(
+                    (min(xa, xb) - max(sa, sb)).total_seconds() * 1e6
+                )
+                naive.add((ea, qa, eb, qb, us))
+    assert got == naive
+    assert (1, 2, 2, 1, 0) in got  # instant-touch edge: zero-length
+
+
+def test_interval_overlap_bucket_invariant(spark):
+    """Binning is lossless: hour and day buckets give identical pairs."""
+    rows = [
+        (i, 1, _ts(0) + dt.timedelta(minutes=7 * i),
+         _ts(0) + dt.timedelta(minutes=7 * i + 50))
+        for i in range(12)
+    ]
+    iv = spark.createDataFrame(rows, ["ent", "seq", "s", "e"])
+
+    def pairs(bucket):
+        return {
+            tuple(r)
+            for r in interval_overlap_pairs(
+                iv, entity_col="ent", seq_col="seq",
+                start_col="s", end_col="e", bucket=bucket,
+            ).collect()
+        }
+
+    assert pairs("hour") == pairs("day") != set()
+
+
+# ----------------------------------------------------------------- scd2
+
+
+def test_scd2_runs_collapse_and_close(spark):
+    rows = [
+        (7, _ts(0), "A", 1),
+        (7, _ts(1), "A", 2),   # same value -> same run
+        (7, _ts(2), "B", 3),   # change -> new interval, closes A
+        (7, _ts(3), "A", 4),   # back to A -> THIRD interval (SCD2, not
+        (8, _ts(0), "X", 5),   # a distinct-values table)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "i"])
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_build(
+            df, key_col="k", ts_col="ts", attr_col="v", tiebreak_col="i"
+        ).collect()
+    )
+    assert got == [
+        (7, "A", _ts(0), _ts(2), False),
+        (7, "A", _ts(3), None, True),
+        (7, "B", _ts(2), _ts(3), False),
+        (8, "X", _ts(0), None, True),
+    ]
+
+
+def test_scd2_tiebreak_determinism(spark):
+    # two changes at the SAME timestamp: tiebreak orders them, so the
+    # later id wins the open interval regardless of input order.
+    rows = [(1, _ts(0), "A", 1), (1, _ts(5), "C", 3), (1, _ts(5), "B", 2)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "i"]).repartition(3)
+    got = sorted(
+        (r["v"], r["is_current"])
+        for r in scd2_build(
+            df, key_col="k", ts_col="ts", attr_col="v", tiebreak_col="i"
+        ).collect()
+    )
+    assert got == [("A", False), ("B", False), ("C", True)]
+
+
+# -------------------------------------------------------------- profile
+
+
+def test_profile_table_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 4.0), (2, "y", None)],
+        ["a", "b", "c"],
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["a"]["n_nulls"] == 0 and prof["a"]["n_distinct"] == 2
+    assert prof["a"]["min_num"] == 1.0 and prof["a"]["max_num"] == 2.0
+    assert prof["b"]["n_nulls"] == 1 and prof["b"]["n_distinct"] == 2
+    assert prof["b"]["min_num"] is None  # non-numeric -> no min/max
+    assert prof["c"]["n_nulls"] == 1 and prof["c"]["max_num"] == 4.0
+
+
+def test_profile_table_approx_variant_same_shape(spark):
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(100)],
+                               ["a", "b"])
+    exact = {r["column"]: r for r in profile_table(df).collect()}
+    approx = {
+        r["column"]: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    assert exact.keys() == approx.keys()
+    # HLL at this cardinality is exact-ish; null counts always exact
+    assert approx["b"]["n_nulls"] == 0
+    assert abs(approx["a"]["n_distinct"] - 100) <= 5
+
+
+# ------------------------------------------------------------- outliers
+
+
+def test_zscore_outliers_planted(spark):
+    vals = [(i, "t", 10.0) for i in range(30)] + [(99, "t", 1000.0)]
+    df = spark.createDataFrame(vals, ["id", "g", "v"])
+    got = group_zscore_outliers(
+        df, group_col="g", value_col="v", id_cols=("id",), threshold=3.0
+    ).collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3
+
+
+def test_zscore_outliers_constant_group_no_rows(spark):
+    # sd == 0 -> z undefined (null) -> never flagged, no crash
+    df = spark.createDataFrame([(1, "g", 5.0), (2, "g", 5.0)],
+                               ["id", "g", "v"])
+    assert (
+        group_zscore_outliers(
+            df, group_col="g", value_col="v", id_cols=("id",)
+        ).count()
+        == 0
+    )

@@ -185,3 +185,4 @@ from . import relational  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import linkage  # noqa: E402,F401

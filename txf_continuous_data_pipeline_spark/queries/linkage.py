@@ -1,0 +1,218 @@
+"""Entity-resolution, interval-overlap, SCD2, and profiling queries.
+
+Driver-contract entries for the operators in operators/linkage.py and
+operators/profiling.py — the record-linkage and data-quality layer a
+training-data pipeline runs next to dedup (the reference's exact-key
+joins, `main.py:553`, generalized to fuzzy/temporal matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.linkage import (
+    blocked_fuzzy_pairs,
+    interval_overlap_pairs,
+    scd2_build,
+)
+from ..operators.profiling import group_zscore_outliers, profile_table
+from ..operators.relational import session_stats
+from ..sources import read_table
+from .registry import q
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name
+   AND (split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        OR list_extract(string_split(a.p_name, ' '), -1)
+           = list_extract(string_split(b.p_name, ' '), -1))
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
+@q("fuzzy_part_name_pairs", _FUZZY_SQL)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Blocked fuzzy entity resolution over part names: candidates from
+    first/last-token blocks, Levenshtein <= 2 verify. The oracle runs
+    DuckDB's independent levenshtein over the same declared blocking
+    contract; tests/test_linkage.py separately measures blocking recall
+    against the unblocked ground truth (100% on testdata)."""
+    part = read_table(spark, sf_dir, "part").select("p_name")
+    return blocked_fuzzy_pairs(part, name_col="p_name").withColumn(
+        "edit_dist", F.col("edit_dist").cast("long")
+    )
+
+
+_OVERLAP_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, seq, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, seq
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_overlaps,
+       CAST(sum(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)))
+            AS BIGINT) AS total_overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY a.user_id, b.user_id
+"""
+
+
+@q("session_overlap_stats", _OVERLAP_SQL)
+def session_overlap_stats(spark, sf_dir):
+    """Cross-user concurrent-session stats: gap sessionization, then the
+    binned interval-overlap self-join (hour buckets turn the inequality
+    join into an equi-join + residual — no cartesian), aggregated per
+    user pair. Overlap length in exact integer microseconds so the
+    comparison is FP-free. Oracle: DuckDB's native IEJoin on the same
+    session CTE — a genuinely different range-join algorithm."""
+    events = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    sess = session_stats(events, key_col="user_id", ts_col="ts",
+                         gap="30 minutes")
+    pairs = interval_overlap_pairs(
+        sess,
+        entity_col="user_id",
+        seq_col="session_seq",
+        start_col="session_start",
+        end_col="session_end",
+        bucket="hour",
+    )
+    return pairs.groupBy(
+        F.col("entity_a").alias("user_a"),
+        F.col("entity_b").alias("user_b"),
+    ).agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("overlap_us").alias("total_overlap_us"),
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM runs
+"""
+
+
+@q("user_type_scd2", _SCD2_SQL)
+def user_type_scd2(spark, sf_dir):
+    """Type-2 SCD history of each user's event_type: consecutive equal
+    values collapse to one validity interval, closed by the next run's
+    start (valid_to NULL on the live row). Deterministic under ts
+    collisions via the event_id tiebreak."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return scd2_build(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    ).drop("event_id")
+
+
+_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+"""
+
+
+@q("orders_profile", _PROFILE_SQL)
+def orders_profile(spark, sf_dir):
+    """Single-pass column profile of orders: null counts, exact
+    distinct cardinalities, numeric min/max — all metrics in ONE
+    aggregate over one scan, unpivoted to per-column rows by exploding
+    a literal struct array (no second scan, no driver loop). The
+    exact_distinct=False variant is the 100-TB path (HLL partials, no
+    Expand)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(orders).withColumnRenamed("column", "col_name")
+
+
+_OUTLIER_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type, value,
+       round((value - m) / sd, 4) AS zscore
+FROM events JOIN stats USING (event_type)
+WHERE abs((value - m) / sd) > 3
+"""
+
+
+@q("value_outliers", _OUTLIER_SQL)
+def value_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 3). Group stats come from
+    a groupBy (map-side partials, one tiny row per group) broadcast
+    back onto the facts — the fact table itself never shuffles, unlike
+    the window formulation."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return group_zscore_outliers(
+        events,
+        group_col="event_type",
+        value_col="value",
+        id_cols=("event_id",),
+        threshold=3.0,
+    )
