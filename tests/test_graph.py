@@ -116,3 +116,17 @@ def test_random_graph_matches_union_find(spark):
 
     got = _labels(connected_components(_edges(spark, pairs)))
     assert got == want
+
+
+def test_adversarial_id_layout_converges_logarithmically(spark):
+    # Descending ids along a chain: min-label propagation (the previous
+    # implementation here) needs O(n) rounds on this layout because a
+    # node's stale label never learns a smaller value to jump through.
+    # The star rounds must close a 300-node chain in ~log2(n) rounds.
+    pairs = [(300 - i, 300 - i - 1) for i in range(299)]
+    stats = {}
+    got = _labels(
+        connected_components(_edges(spark, pairs), stats=stats)
+    )
+    assert got == {i: 1 for i in range(1, 301)}
+    assert stats["rounds"] <= 12, stats

