@@ -130,3 +130,59 @@ def test_adversarial_id_layout_converges_logarithmically(spark):
     )
     assert got == {i: 1 for i in range(1, 301)}
     assert stats["rounds"] <= 12, stats
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.graph import pagerank
+
+    rng = random.Random(42)
+    n = 40
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            _edges(spark, pairs), damping=0.85, n_iter=10
+        ).collect()
+    }
+
+    nodes = sorted({x for ab in pairs for x in ab})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    A = np.zeros((m, m))
+    for a, b in pairs:
+        A[idx[b], idx[a]] = 1.0
+        A[idx[a], idx[b]] = 1.0
+    A /= A.sum(axis=0, keepdims=True)
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        r = (1 - 0.85) / m + 0.85 * (A @ r)
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_directed_dangling_mass(spark):
+    from txf_continuous_data_pipeline_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3, node 3 dangling: mass must be conserved.
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, undirected=False, n_iter=20).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[3] > got[2] > got[1]

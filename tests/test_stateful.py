@@ -263,3 +263,87 @@ def test_stateful_sessions_handle_disordered_feed(spark, tmp_path):
     # with all 3 events
     s1 = next(s for s in want_all if s[3] == 3)
     assert s1 in got, f"finalized 3-event session missing: {got}"
+
+
+SCD2_COLS = ["user_id", "event_type", "valid_from", "valid_to"]
+
+
+def _batch_scd2(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.linkage import scd2_build
+
+    return scd2_build(
+        read_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "event_id"
+        ),
+        key_col="user_id", ts_col="ts", attr_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+def _run_scd2(spark, feed, sink, ckpt):
+    from txf_continuous_data_pipeline_spark.streaming.stateful import (
+        stateful_scd2_stream,
+    )
+
+    hist = stateful_scd2_stream(
+        stream_events(spark, feed, max_files_per_trigger=1),
+        key_col="user_id", delay=DELAY,
+    )
+    q = (
+        hist.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("scd2 stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def test_stateful_scd2_matches_batch(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+
+    _run_scd2(spark, feed, sink, ckpt)
+    got = {
+        tuple(r) for r in spark.read.parquet(sink).select(*SCD2_COLS).collect()
+    }
+    assert got, "no intervals emitted"
+
+    closed_batch = {
+        tuple(r)
+        for r in _batch_scd2(spark, sf_dir)
+        .where(F.col("valid_to").isNotNull())
+        .select(*SCD2_COLS)
+        .collect()
+    }
+    assert got <= closed_batch, "stream emitted intervals batch disagrees with"
+
+    # Lower bound: intervals whose CLOSING event fell below the last
+    # data batch's watermark must all be out.
+    parts = sorted(glob.glob(os.path.join(feed, "part-*")))
+    wm = spark.read.parquet(*parts[:-1]).agg(F.max("ts")).collect()[0][0]
+    want = {
+        tuple(r)
+        for r in _batch_scd2(spark, sf_dir)
+        .where(F.col("valid_to") < F.lit(wm) - F.expr(f"INTERVAL {DELAY}"))
+        .select(*SCD2_COLS)
+        .collect()
+    }
+    assert want <= got, f"missing {len(want - got)} finalized intervals"
+
+    # Re-run from the same checkpoint: no duplicate intervals, still
+    # batch-consistent.
+    _run_scd2(spark, feed, sink, ckpt)
+    final = spark.read.parquet(sink)
+    n = final.count()
+    assert (
+        final.select("user_id", "valid_from").distinct().count() == n
+    ), "duplicate intervals emitted"
+    assert {tuple(r) for r in final.select(*SCD2_COLS).collect()} <= closed_batch

