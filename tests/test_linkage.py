@@ -243,3 +243,74 @@ def test_zscore_outliers_constant_group_no_rows(spark):
         ).count()
         == 0
     )
+
+
+# ----------------------------------------------------------- snapshot
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0), (5, 50.0)], ["k", "v"]
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(
+            old, new, key_cols=("k",), compare_cols=("v",)
+        ).collect()
+    }
+    # 1 removed, 2 changed, 3 unchanged (null == null, null-safe),
+    # 4 unchanged, 5 added
+    assert got == {
+        1: ("removed", 10.0, None),
+        2: ("changed", 20.0, 25.0),
+        5: ("added", None, 50.0),
+    }
+
+
+# ------------------------------------------------------- expectations
+
+
+def test_expect_counts_violations_per_rule(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        expect,
+        expect_unique_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 3.0), (2, 0.0)], ["k", "v"]
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["n_rows"], r["pass_rate"])
+        for r in expect(
+            df,
+            [
+                ("non_null:k", F.col("k").isNull()),
+                ("positive:v", F.col("v") <= 0),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "non_null:k": (1, 4, 0.75),
+        "positive:v": (2, 4, 0.5),
+    }
+    uq = expect_unique_key(df, ("k",)).collect()[0]
+    # k=2 appears twice -> 2 violating rows of 4
+    assert (uq["rule"], uq["n_violations"], uq["n_rows"]) == (
+        "unique_key:k", 2, 4,
+    )
+
+
+def test_expect_empty_frame_no_division_crash(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import expect
+
+    df = spark.createDataFrame([], "k long, v double")
+    rows = expect(df, [("non_null:k", F.col("k").isNull())]).collect()
+    assert rows[0]["n_violations"] == 0 and rows[0]["n_rows"] == 0
+    assert rows[0]["pass_rate"] is None  # 0/0 -> undefined, not a crash

@@ -114,3 +114,125 @@ def group_zscore_outliers(
         .where(F.abs(z) > F.lit(threshold))
         .select(*id_cols, group_col, value_col, "zscore")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per key that was
+    added, removed, or changed (any compare_col differs, null-safe),
+    tagged with change_type in {'added','removed','changed'}. Unchanged
+    keys are dropped - the output is the delta a downstream incremental
+    consumer applies.
+
+    Plan: one full outer join on the key columns (the single shuffle
+    both sides need anyway), change classification as a pure column
+    expression over the joined row - no second pass, no driver-side
+    diffing. At 100 TB both snapshots bucket/partition by the same key,
+    making the join exchange-free on bucketed sinks.
+    """
+    keys = list(key_cols)
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in keys:
+        eq = F.col(f"_o_{c}") == F.col(f"_n_{c}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{keys[0]}").isNotNull()
+    in_new = F.col(f"_n_{keys[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(in_new & ~in_old, F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+                for c in keys
+            ],
+            "change_type",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )
+
+
+def expect(
+    df: DataFrame,
+    rules: Sequence[tuple],
+) -> DataFrame:
+    """Declarative single-pass expectation suite: rules are
+    (rule_name, violation_condition Column) pairs; output is one row
+    per rule — (rule, n_violations, n_rows, pass_rate) — computed in
+    ONE aggregate over ONE scan however many rules there are (each rule
+    is a conditional-count aggregate; the per-rule rows come from the
+    same literal-struct unpivot as profile_table).
+
+    A uniqueness rule can't be a row predicate; use expect_unique_key
+    for that. Rule conditions are VIOLATION predicates (true = bad row),
+    so `F.col("x").isNull()` means "expect x non-null".
+    """
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, (_name, cond) in enumerate(rules):
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"_v_{i}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"_v_{i}").cast("long").alias("n_violations"),
+                F.col("_total").cast("long").alias("n_rows"),
+                F.round(
+                    F.lit(1.0)
+                    - F.try_divide(F.col(f"_v_{i}"), F.col("_total")),
+                    6,
+                ).alias("pass_rate"),
+            )
+            for i, (name, _cond) in enumerate(rules)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def expect_unique_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Key-uniqueness expectation: (rule, n_violations, n_rows,
+    pass_rate) where n_violations counts ROWS participating in a
+    duplicated key (0 = key is unique). One groupBy on the key — the
+    shuffle any duplicate detection needs — then a two-value fold."""
+    keys = list(key_cols)
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    agg = per_key.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n"))), F.lit(0)
+        ).alias("_viol"),
+        F.sum("_n").alias("_total"),
+    )
+    return agg.select(
+        F.lit("unique_key:" + ",".join(keys)).alias("rule"),
+        F.col("_viol").cast("long").alias("n_violations"),
+        F.col("_total").cast("long").alias("n_rows"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
+        ).alias("pass_rate"),
+    )

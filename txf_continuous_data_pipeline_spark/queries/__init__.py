@@ -28,7 +28,8 @@ from .registry import REGISTRY, q
 # (set-ops, pivot/cube variants, scalar TPC-H singles) whose operators
 # remain covered by an in-window or pytest sibling.
 _PRIORITY = [
-    # reference pipeline core (SURVEY §2) — 10
+    # --- reference pipeline core (SURVEY §2) — 10. Always in-window:
+    # these are the operators the reference itself ships.
     "ohlcv_5m",
     "session_labels",
     "session_counts",
@@ -39,103 +40,15 @@ _PRIORITY = [
     "bar_pipeline_60m",
     "predict_next_contract",
     "settlement_schedule",
-    # text / dedup / curation flagships — 12
-    "text_stats",
-    # r5 late swap: pii_stats (built this round, never driver-green)
-    # takes mixture_sample's slot per the rotation rule; the
-    # md5-threshold sampling family stays in-window via split_assign
-    # and training_data_curation.
+    # --- r5 full-debt rotation (VERDICT r04 #1 generalized): EVERY
+    # oracle-paired query without a green driver row in r1-r4 enters
+    # the window this round — 29 entries — so no correctness debt
+    # carries into r6. The 19 stable greens they displace each keep an
+    # in-window or pytest sibling (mapping at the end of this list).
+    # (a) carried from the r4-tail rotation, still unchecked — 10
     "pii_stats",
-    "ngram_jaccard_pairs",
-    "training_data_curation",
-    "dedup_exact_groups",
-    "minhash_neardup",
-    "simhash_neardup",
-    "neardup_groups",
-    "neardup_keep",
-    "tfidf_top_terms",
-    "multimodal_features",
-    # r5 late swap #2: chunk_documents (built this round, never
-    # driver-green) takes contamination_pairs' slot; the shared
-    # shingle-inverted-index family stays in-window via
-    # ngram_jaccard_pairs (and the containment pytest).
     "chunk_documents",
-    # similarity search suite — 3
-    "knn_join_bruteforce",
-    "lsh_ann_pairs",
-    "ivf_topk",
-    # relational/window/JSON core — fills to 50. Dropped to the tail to
-    # make room for the four extension flagships above (neardup_keep,
-    # tfidf_top_terms, multimodal_features, contamination_pairs):
-    # r01-green near-twins whose operator family stays represented
-    # in-window (running_total -> the cum-sum windows in
-    # user_sessions/curation; grouping_sets -> rollup_acctbal;
-    # rolling_7d -> the window family via order_price_lag_quartile;
-    # argmax_nation -> min_by/max_by via the OHLCV queries).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "rollup_acctbal",
-    "json_props_agg",
-    "asof_join_config",
-    "user_sessions",
-    "config_with_prediction",
-    # round-3 rotation (VERDICT r02 #1): the six queries that never had
-    # a green driver row, swapped in for six multi-round-stable greens
-    # (session_split_day/night, watermark_filter, settle_config_derived,
-    # q5_region_revenue, label_centroids) whose operator families remain
-    # covered in-window (F3/F4 via session_labels + bar pipelines, F5
-    # via the streaming pytests, A7 via backadjust_rangejoin, joins via
-    # q3/q12, centroids via kmeans_clusters).
-    # r4 (VERDICT r03 #4): kmeans_clusters' slot can never go green (its
-    # iterative fixpoint has sql=None -> permanent no_oracle). Its
-    # assignment step as a fully oracle-checked query takes the slot;
-    # the trainer stays in the tail with its pytest differential.
-    "kmeans_assign",
-    "sliding_window_stats",
-    # r5 late swap #3: doc_bigram_logprob (built this round, never
-    # driver-green) takes doc_fingerprint's slot; the h60 rolling-hash
-    # family stays exercised by every minhash/simhash/jaccard query
-    # in-window plus the fingerprint pytests.
     "doc_bigram_logprob",
-    # r4 rotation: the three new never-checked extension queries take
-    # the slots of three single-round-green near-twins whose operator
-    # families stay covered in-window (token_counts -> text_stats +
-    # gopher_filter's n_tokens; json_struct_agg -> json_props_agg;
-    # embedding_norms -> the cosine/centroid family).
-    "repetition_stats",
-    "gopher_filter",
-    "semantic_dedup_keep",
-    # r4 second rotation: the six operators built later in the round,
-    # never driver-checked, in place of six multi-round-stable greens
-    # whose families keep an in-window or pytest sibling:
-    #   token_histogram_top20 -> explode+count via tfidf_top_terms
-    #   stratified_sample_docs -> md5-threshold sampling via
-    #     mixture_sample (and split_assign itself)
-    #   embedding_neardup_pairs -> blocked cosine pairs via
-    #     semantic_dedup_keep + lsh_ann_pairs
-    #   q12_late_shipments -> join+conditional agg via q3 + asof
-    #   topk_orders_per_priority -> rank windows via knn_join's rn
-    #   group_having -> agg+filter via q1 + session_counts
-    "funnel_counts",
-    "cohort_retention",
-    "event_transitions",
-    "split_assign",
-    "minhash_delta_dedup",
-    # r5 rotation (VERDICT r04 #1): the six finished-but-never-driver-
-    # checked queries plus the new exact distinct_users twin (VERDICT
-    # r04 #4) take the slots of seven multi-round-stable greens whose
-    # operator families keep an in-window or pytest sibling:
-    #   ohlcv_60m_offset45 -> A2 phase-offset resample via
-    #     bar_pipeline_60m (same operator, end-to-end)
-    #   bar_pipeline_5m_cfgfile -> S3 config scan via settle_config_file
-    #     + pipeline via bar_pipeline_5m
-    #   session_ohlcv -> O2 union D+N via bar_pipeline_60m
-    #   pack_sequences -> per-shard running windows via
-    #     training_data_curation + tests/test_packing.py
-    #   regex_top_words -> regex tokenize/explode via tfidf_top_terms
-    #   cosine_topk_bruteforce -> brute-force cosine via
-    #     knn_join_bruteforce
-    #   ivf_topk_probe2 -> ivf_topk + the recall-monotonicity pytest
     "q4_order_priority",
     "q15_top_supplier",
     "q18_large_orders",
@@ -143,20 +56,70 @@ _PRIORITY = [
     "dup_span_stats",
     "quality_classifier",
     "distinct_users",
+    # (b) late-r4 optimizer shapes + layout/skew queries — 12
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_parts_supplier_counts",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    "q20_heavy_shippers",
+    "unpivot_supplier_metrics",
+    "heavy_hitter_users",
+    "text_hash_embeddings",
+    # (c) built this round — 7
+    "fuzzy_part_name_pairs",
+    "session_overlap_stats",
+    "user_type_scd2",
+    "orders_profile",
+    "value_outliers",
+    "orders_snapshot_diff",
+    "bpe_pair_counts",
+    # --- strongest multi-round-green flagships, one per operator
+    # family — 11 (notably neardup_groups: the CC stage was REWRITTEN
+    # this round and must re-earn a driver row)
+    "text_stats",
+    "ngram_jaccard_pairs",
+    "minhash_neardup",
+    "neardup_groups",
+    "semantic_dedup_keep",
+    "multimodal_features",
+    "training_data_curation",
+    "lsh_ann_pairs",
+    "ivf_topk",
+    "user_sessions",
+    "asof_join_config",
 ]
-# Displaced to the tail: q6_forecast_revenue (scalar filtered-sum
-# single; family in-window via q12_late_shipments) plus the
-# rotated-out stable greens listed above.
-# NEXT ROTATION (rule: never-green queries enter ahead of multi-round
-# stable greens): the six late-r5 optimizer shapes q7_volume_shipping,
-# q10_returned_items, q13_customer_distribution,
-# q16_parts_supplier_counts, q19_disjunctive_revenue,
-# q21_waiting_supplier, plus q8_market_share, q11_important_stock,
-# q20_heavy_shippers, unpivot_supplier_metrics, heavy_hitter_users,
-# text_hash_embeddings
-# (all oracle-ready, sf0.01-green locally) have no driver row yet -
-# swap them in next round for multi-round-stable greens with
-# in-window siblings.
+# Displaced stable greens -> their in-window/pytest siblings:
+#   dedup_exact_groups -> exact-dup family via training_data_curation;
+#   simhash_neardup/neardup_keep/minhash_delta_dedup -> banded dedup via
+#     minhash_neardup + neardup_groups (+ delta pytest);
+#   tfidf_top_terms -> explode+agg via bpe_pair_counts + text_stats;
+#   knn_join_bruteforce -> exact cosine via lsh_ann_pairs/ivf_topk
+#     (+ recall pytests);
+#   q1/q3/rollup_acctbal/json_props_agg -> scan-agg/join/rollup/JSON via
+#     the in-window TPC-H shapes (q7-q22) + heavy_hitter/unpivot;
+#   config_with_prediction -> calendar ops via predict_next_contract +
+#     settlement_schedule;
+#   kmeans_assign -> fixed-centroid assignment via semantic_dedup_keep;
+#   sliding_window_stats -> window family via session_overlap_stats +
+#     user_sessions;
+#   repetition_stats/gopher_filter -> textstats family via text_stats +
+#     quality_classifier (+ differential pytests);
+#   funnel_counts/cohort_retention/event_transitions -> event analytics
+#     via user_sessions + user_type_scd2 + event_type_pagerank's
+#     transition build (+ stateful-funnel pytest);
+#   split_assign -> md5-threshold family via training_data_curation.
+# After this round every oracle-paired query in the registry has had a
+# driver row; the r6 rotation only needs to cover queries ADDED in r6
+# (rule: never-green enters ahead of multi-round-stable greens) and
+# should return displaced operator-family flagships to the window as
+# slots allow. event_type_pagerank and the other rows-only entries
+# (approx_distinct_users, kmeans_clusters) stay in the tail: their
+# correctness lives in pytest differentials, and a window slot spent on
+# a rows-only check verifies nothing the tail doesn't.
 
 
 def _ordered():

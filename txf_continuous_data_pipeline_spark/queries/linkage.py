@@ -249,3 +249,136 @@ def event_type_pagerank(spark, sf_dir):
     return pagerank(
         trans, "src", "dst", undirected=True, n_iter=8
     ).select("id", F.round("rank", 8).alias("rank"))
+
+
+_DIFF_SQL = """
+WITH old_s AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 0
+),
+j AS (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN in_old AND NOT in_new THEN 'removed'
+            WHEN in_new AND NOT in_old THEN 'added'
+            WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+       END AS change_type,
+       old_price, new_price
+FROM j
+WHERE CASE WHEN in_old AND NOT in_new THEN 'removed'
+           WHEN in_new AND NOT in_old THEN 'added'
+           WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+@q("orders_snapshot_diff", _DIFF_SQL)
+def orders_snapshot_diff(spark, sf_dir):
+    """CDC diff of two deterministic orders snapshots (rows dropped on
+    each side by modulus, prices bumped on a third modulus): one full
+    outer join on the key, change classification as a column
+    expression, unchanged keys elided. The production shape for 'what
+    changed between yesterday's and today's extract'."""
+    from ..operators.profiling import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 7 != 0)
+    new = orders.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        # no round() on the bump: the raw double product is
+        # bit-identical across engines, while round-half ties on
+        # doubles are NOT (Spark HALF_UP vs DuckDB's binary-double
+        # rounding differed by a cent on real data).
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, key_cols=("o_orderkey",), compare_cols=("o_totalprice",)
+    ).select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_o_totalprice").alias("old_price"),
+        F.col("new_o_totalprice").alias("new_price"),
+    )
+
+
+_EXPECT_SQL = """
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v_key_null,
+         count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v_price_pos,
+         count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+           AS v_status_domain,
+         count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                      OR o_orderdate >= TIMESTAMP '2030-01-01'
+                    THEN 1 END) AS v_date_range
+  FROM orders
+),
+uniq AS (
+  SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS v_dup,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+)
+SELECT 'non_null:o_orderkey' AS rule, v_key_null AS n_violations,
+       n_rows, round(1.0 - v_key_null / CAST(n_rows AS DOUBLE), 6)
+         AS pass_rate FROM base
+UNION ALL
+SELECT 'positive:o_totalprice', v_price_pos, n_rows,
+       round(1.0 - v_price_pos / CAST(n_rows AS DOUBLE), 6) FROM base
+UNION ALL
+SELECT 'domain:o_orderstatus', v_status_domain, n_rows,
+       round(1.0 - v_status_domain / CAST(n_rows AS DOUBLE), 6) FROM base
+UNION ALL
+SELECT 'range:o_orderdate', v_date_range, n_rows,
+       round(1.0 - v_date_range / CAST(n_rows AS DOUBLE), 6) FROM base
+UNION ALL
+SELECT 'unique_key:o_orderkey', v_dup, n_rows,
+       round(1.0 - v_dup / CAST(n_rows AS DOUBLE), 6) FROM uniq
+"""
+
+
+@q("orders_expectations", _EXPECT_SQL)
+def orders_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite over orders: four row
+    predicates evaluated in ONE aggregate pass (non-null key, positive
+    price, status domain, date range) plus the key-uniqueness check
+    (one groupBy). The contract-testing layer a pipeline runs before
+    publishing a snapshot — the generic form of the reference's
+    hard-coded completeness gate (main.py's Gate 1)."""
+    from ..operators.profiling import expect, expect_unique_key
+
+    orders = read_table(spark, sf_dir, "orders")
+    rules = [
+        ("non_null:o_orderkey", F.col("o_orderkey").isNull()),
+        ("positive:o_totalprice", F.col("o_totalprice") <= 0),
+        (
+            "domain:o_orderstatus",
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        (
+            "range:o_orderdate",
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (
+                F.col("o_orderdate")
+                >= F.lit("2030-01-01").cast("timestamp")
+            ),
+        ),
+    ]
+    return expect(orders, rules).unionByName(
+        expect_unique_key(orders, ("o_orderkey",))
+    )
