@@ -314,3 +314,43 @@ def test_expect_empty_frame_no_division_crash(spark):
     rows = expect(df, [("non_null:k", F.col("k").isNull())]).collect()
     assert rows[0]["n_violations"] == 0 and rows[0]["n_rows"] == 0
     assert rows[0]["pass_rate"] is None  # 0/0 -> undefined, not a crash
+
+
+def test_scd2_intervals_partition_timeline_random(spark):
+    """Property on seeded random data: per key, SCD2 intervals are
+    disjoint, contiguous (each valid_to equals the next valid_from),
+    start at the key's first event, and exactly one row is open."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = [
+        (
+            rng.randrange(6),
+            _ts(rng.randrange(0, 600), rng.randrange(60)),
+            rng.choice("ABC"),
+            i,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "i"]).repartition(5)
+    got = scd2_build(
+        df, key_col="k", ts_col="ts", attr_col="v", tiebreak_col="i"
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], []).append(r)
+    first_ts = {}
+    for k, ts, _v, _i in rows:
+        if k not in first_ts or ts < first_ts[k]:
+            first_ts[k] = ts
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert ivs[0]["valid_from"] == first_ts[k]
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1 and ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+        # runs alternate: consecutive intervals never share a value
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["event_type" if "event_type" in a else "v"] != \
+                b["event_type" if "event_type" in b else "v"]
