@@ -210,3 +210,69 @@ def test_text_to_vector_neardup_composition(spark):
     for i in range(5):
         assert (i, 100 + i) in pairs, (i, sorted(pairs))
     assert all(b - a == 100 for a, b in pairs), sorted(pairs)
+
+
+def test_int8_roundtrip_error_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qt = quantize_int8(emb)
+    back = dequantize_int8(qt).withColumnRenamed("embedding", "approx")
+    j = emb.join(back, "vec_id").join(qt.select("vec_id", "scale"), "vec_id")
+    # max per-component |x - q*scale| <= scale/2 (+ eps for fp)
+    worst = j.select(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "approx",
+                lambda x, y: F.abs(x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("err"),
+        "scale",
+    ).where(F.col("err") > F.col("scale") / 2 + 1e-12)
+    assert worst.count() == 0
+
+
+def test_int8_topk_recall_vs_full_precision(spark, sf_dir):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mq = np.array(
+        [r["embedding"] for r in dequantize_int8(quantize_int8(emb)).collect()]
+    )
+    # same row order is not guaranteed across the two collects
+    qids = np.array(
+        [r["vec_id"] for r in quantize_int8(emb).select("vec_id").collect()]
+    )
+    order = {v: i for i, v in enumerate(qids)}
+    Mq = Mq[[order[v] for v in ids]]
+
+    def topk(mat, q, k=10):
+        sims = mat @ q / (
+            np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-12
+        )
+        return set(ids[np.argsort(-sims)[:k]])
+
+    recalls = []
+    for qi in range(0, 50):
+        full = topk(M, M[qi])
+        approx = topk(Mq, Mq[qi])
+        recalls.append(len(full & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, sum(recalls) / len(recalls)

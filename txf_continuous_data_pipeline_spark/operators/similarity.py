@@ -712,3 +712,63 @@ def ivf_topk_learned(
         .where(F.col("rn") <= k)
         .select("q_id", id_col, "cos_sim", "rn")
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-vector
+    symmetric scale = max(|x|)/127, components stored as
+    round(x/scale) in [-127, 127]. 4x (vs float32) / 8x (vs float64)
+    storage reduction - at 100 TB the difference between an ANN corpus
+    that fits executor memory and one that doesn't; IVF/LSH probes run
+    on the int8 codes and only the final top-k rescores against the
+    full-precision vectors.
+
+    Output: (id_col, scale double, qvec array<int>); an all-zero
+    vector gets scale 0 and zero codes (try_divide keeps 0/0 NULL ->
+    coalesced to 0). Pure column expressions - transform/aggregate fold
+    JVM-side, no UDF, no shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / F.lit(127.0)
+    )
+    out = emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.coalesce(
+                F.round(F.try_divide(x, F.col("scale"))), F.lit(0.0)
+            ).cast("int"),
+        ).alias("qvec"),
+    )
+    # `scale` inside the qvec transform is a LATERAL column alias
+    # reference (resolves to the alias two lines up, Spark >= 3.4) -
+    # the whole quantization is one projection, no self-join.
+    return out
+
+
+def dequantize_int8(
+    qdf: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Inverse of quantize_int8: (id, embedding array<double>) with
+    component error bounded by scale/2."""
+    return qdf.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col),
+            lambda q: q.cast("double") * F.col(scale_col),
+        ).alias("embedding"),
+    )

@@ -90,7 +90,11 @@ _PRIORITY = [
     "lsh_ann_pairs",
     "ivf_topk",
     "user_sessions",
-    "asof_join_config",
+    # int8 quantization: built late in r5, never checked - takes
+    # asof_join_config's slot (green r1-r4; the point-in-interval
+    # family stays in-window via backadjust_rangejoin, and the DuckDB
+    # native-ASOF oracle re-enters with the r6 rotation).
+    "embedding_int8_quantize",
 ]
 # Displaced stable greens -> their in-window/pytest siblings:
 #   dedup_exact_groups -> exact-dup family via training_data_curation;

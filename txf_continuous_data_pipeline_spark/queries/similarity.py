@@ -471,3 +471,55 @@ def ivf_topk_probe2_q(spark, sf_dir):
     stays an equi-join."""
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_pred=lambda c: c < 5, k=3, nprobe=2)
+
+
+_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vv,
+         list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(vv, x -> CAST(coalesce(round(x / nullif(scale, 0)),
+                                               0) AS INT)) AS qvec
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(i - 1 AS BIGINT) AS pos, qv AS qval
+FROM (SELECT vec_id, scale, unnest(qvec) AS qv,
+             generate_subscripts(qvec, 1) AS i
+      FROM q)
+WHERE qv != 0
+"""
+
+
+@q("embedding_int8_quantize", _INT8_SQL)
+def embedding_int8_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embeddings table, long form
+    (vec_id, scale, pos, qval) with zero codes elided - the same
+    scalar-typed driver-compare shape as text_hash_embeddings. Integer
+    codes compare exactly; only the per-vector scale is a float
+    (isclose). The 100-TB story: 4x storage cut for the ANN corpus,
+    probes on codes, top-k rescored at full precision."""
+    from ..operators.similarity import quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qt = quantize_int8(emb)
+    return (
+        qt.select(
+            "vec_id",
+            "scale",
+            F.posexplode("qvec").alias("pos", "qval"),
+        )
+        .where(F.col("qval") != 0)
+        .select(
+            "vec_id", "scale", F.col("pos").cast("long").alias("pos"),
+            "qval",
+        )
+    )
