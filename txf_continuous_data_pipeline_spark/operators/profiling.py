@@ -49,13 +49,15 @@ def profile_table(
     )
     aggs = []
     for c in cols:
+        # df[c], not F.col(c): a literal column name containing dots or
+        # spaces must not be re-parsed as a nested-field path.
         aggs.append(
-            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_nn_{c}")
+            F.count(F.when(df[c].isNull(), F.lit(1))).alias(f"_nn_{c}")
         )
-        aggs.append(distinct_fn(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(distinct_fn(df[c]).alias(f"_nd_{c}"))
         if isinstance(fields[c], _NUMERIC):
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+            aggs.append(F.min(df[c]).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(df[c]).cast("double").alias(f"_mx_{c}"))
     wide = df.agg(*aggs)
     rows = F.array(
         *[
