@@ -229,3 +229,68 @@ def test_audio_spectrogram_matches_numpy_reference(spark):
         # the mean magnitude
         spec = np.array(out[mid].spectrum[1:])
         assert spec.max() > 3 * np.median(spec)
+
+
+def test_image_phash_finds_planted_neardups(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(20):
+        base = (
+            np.arange(24)[:, None, None] * 9
+            + np.arange(32)[None, :, None] * 5
+            + rng.randint(0, 180, (24, 32, 3))
+        ) % 256
+        img = base.astype(np.uint8)
+        rows.append((2 * i, bytearray(encode_ppm(img))))
+        # twin: +6 brightness (clipped) - near-dup for a perceptual
+        # hash, a completely different byte stream for an exact hash
+        twin = np.clip(img.astype(int) + 6, 0, 255).astype(np.uint8)
+        rows.append((2 * i + 1, bytearray(encode_ppm(twin))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_phash(media).localCheckpoint(eager=True)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(hashes, max_hamming=4).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= got, f"missed {planted - got}"
+    # precision: no cross-image pair sneaks under the budget
+    assert got == planted, f"false pairs {got - planted}"
+
+
+def test_phash_band_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 1 << 62, 30, dtype=np.int64)
+    rows = [(int(i), int(h)) for i, h in enumerate(base)]
+    # planted: id 100 within 3 bits of id 0
+    rows.append((100, int(base[0] ^ 0b1011)))
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup_pairs(df, max_hamming=4).collect()
+    }
+    brute = set()
+    all_rows = rows
+    for i, (ia, ha) in enumerate(all_rows):
+        for ib, hb in all_rows[i + 1:]:
+            lo, hi = min(ia, ib), max(ia, ib)
+            la = ha if ia == lo else hb
+            lb = hb if ia == lo else ha
+            d = bin(la ^ lb).count("1")
+            if d <= 4:
+                brute.add((lo, hi, d))
+    assert got == brute and (0, 100, 3) in got

@@ -531,3 +531,118 @@ def audio_spectrogram(
         audio, target_partition_bytes=target_partition_bytes
     )
     return sized.mapInPandas(_batches, SPECTRUM_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the scipy-free 8x8/32x32 sizes a
+    perceptual hash needs; a matrix product beats importing a codec
+    library the container does not ship)."""
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c[0] /= np.sqrt(2)
+    return c * np.sqrt(2.0 / n)
+
+
+def _phash_one(payload: bytes, *, size: int = 32, hash_size: int = 8) -> int:
+    """64-bit pHash of one PPM payload: grayscale -> 32x32 nearest
+    resize -> 2D DCT -> top-left 8x8 block (minus DC) thresholded at
+    its median. Classic DCT perceptual hash; robust to brightness and
+    high-frequency noise, which is exactly what byte-level hashes are
+    not."""
+    img = decode_ppm(payload).astype(np.float64)
+    gray = img.mean(axis=2)
+    gray = resize_nearest(gray[:, :, None], size, size)[:, :, 0]
+    c = _dct_matrix(size)
+    spec = c @ gray @ c.T
+    block = spec[:hash_size, :hash_size].ravel()[1:]  # drop DC
+    bits = block > np.median(block)
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
+def image_phash(
+    media: DataFrame, *, id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual 63-bit image hash per PPM row via one Arrow
+    mapInPandas stage (payload + id cross into Python, nothing else).
+    Output: (media_id, phash long). Composes with phash_neardup_pairs
+    for image-level near-duplicate detection - the multimodal twin of
+    the text MinHash/SimHash stack."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "phash": [
+                        _phash_one(p) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    pruned = media.select(F.col(id_col), "payload")
+    return repartition_by_bytes(pruned).mapInPandas(
+        _batches, PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs: Hamming distance over the 63-bit pHash,
+    blocked by the pigeonhole band trick (max_hamming+1 bands of the
+    hash - a pair within the budget must agree EXACTLY on at least one
+    band, so candidates come from band equi-joins, never all-pairs; the
+    same banding argument as simhash_neardup_pairs). Verification is a
+    JVM bit_count(xor) - no Python in the pair path."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands + 1
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        (
+                            F.shiftright(F.col(hash_col), b * width)
+                            % F.lit(1 << width)
+                        ).alias("_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_h", "_bk._band", "_bk._key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+    ).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

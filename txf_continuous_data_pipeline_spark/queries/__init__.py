@@ -89,7 +89,11 @@ _PRIORITY = [
     "training_data_curation",
     "lsh_ann_pairs",
     "ivf_topk",
-    "user_sessions",
+    # image_phash_neardup: built late in r5, never checked - takes
+    # user_sessions' slot (green r1-r4; the gap-sessionization family
+    # stays in-window via session_overlap_stats, which is built on the
+    # same session_stats operator).
+    "image_phash_neardup",
     # int8 quantization: built late in r5, never checked - takes
     # asof_join_config's slot (green r1-r4; the point-in-interval
     # family stays in-window via backadjust_rangejoin, and the DuckDB

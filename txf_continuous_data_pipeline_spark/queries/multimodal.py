@@ -53,3 +53,86 @@ def multimodal_features(spark, sf_dir):
         "decoded_bytes",
         F.size("feature").alias("feature_dim"),
     )
+
+
+_PHASH_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+"""
+
+
+@q("image_phash_neardup", _PHASH_SQL)
+def image_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection end to end through the REAL codec
+    path: deterministic PPM images synthesized per doc pair (content
+    seeded by doc_id//2; the odd twin gets a +6 brightness shift, a
+    different byte stream but the same percept) -> DCT pHash
+    (mapInPandas) -> pigeonhole band join + JVM bit_count verify.
+
+    The oracle is the PLANTED STRUCTURE: exactly the (even, odd) twin
+    pairs must come back - full recall of true near-dups AND zero false
+    pairs across all cross-image candidates. It cannot re-derive the
+    DCT (no SQL oracle could); it verifies the recall/precision
+    contract the operator exists for. Hash values themselves are pinned
+    by tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        _dct_matrix,
+        encode_ppm,
+        image_phash,
+        phash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _make(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                # Low-frequency content must be DISTINCT per seed AND
+                # spectrally DENSE: a sparse spectrum (e.g. 3 pure
+                # sinusoids) leaves most of the hash's 63 DCT
+                # coefficients at numerical zero, where the median
+                # threshold flips on FP noise. Generating the image
+                # FROM a seeded dense 8x8 coefficient block guarantees
+                # every hash bit is decisive; validated pair-exact at
+                # sf0.1 (2500 seeds), not just the driver's sf0.01.
+                seed = int(d) // 2
+                S = np.zeros((32, 32))
+                for i in range(8):
+                    for j in range(8):
+                        h = (
+                            seed * 73856093
+                            ^ i * 19349663
+                            ^ j * 83492791
+                        ) % (1 << 31)
+                        amp = float(h % 161) - 80.0
+                        if -20.0 < amp < 20.0:
+                            amp = 20.0 if amp >= 0 else -20.0
+                        S[i, j] = amp
+                S[0, 0] = 0.0
+                c32 = _dct_matrix(32)
+                field = c32.T @ S @ c32
+                field = field / (np.abs(field).max() + 1e-9) * 90.0
+                img = (128.0 + field[:24, :])[:, :, None] + np.arange(
+                    3
+                )[None, None, :]
+                if int(d) % 2 == 1:
+                    img = np.clip(img + 6, 0, 255)
+                payloads.append(
+                    bytearray(encode_ppm(img.astype(np.uint8)))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        _make, "media_id long, payload binary"
+    )
+    hashes = image_phash(media).localCheckpoint(eager=False)
+    return phash_neardup_pairs(hashes, max_hamming=4).select(
+        "id_a", "id_b"
+    )
