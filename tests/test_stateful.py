@@ -347,3 +347,73 @@ def test_stateful_scd2_matches_batch(spark, sf_dir, tmp_path):
         final.select("user_id", "valid_from").distinct().count() == n
     ), "duplicate intervals emitted"
     assert {tuple(r) for r in final.select(*SCD2_COLS).collect()} <= closed_batch
+
+
+def test_stateful_heavy_hitters_mg_bounds(spark, sf_dir, tmp_path):
+    """Misra-Gries streaming sketch vs exact batch counts: per shard,
+    est <= true <= est + dec for every surfaced item, and every item
+    with true shard count > n_shard/(capacity+1) is surfaced."""
+    from txf_continuous_data_pipeline_spark.streaming.stateful import (
+        stateful_heavy_hitters_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+
+    N_SHARDS, CAP = 4, 8
+    hh = stateful_heavy_hitters_stream(
+        stream_events(spark, feed, max_files_per_trigger=1),
+        item_col="user_id", n_shards=N_SHARDS, capacity=CAP,
+    )
+    q = (
+        hh.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("heavy-hitter stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+    out = spark.read.parquet(sink)
+    latest = out.join(
+        out.groupBy("shard").agg(F.max("version").alias("version")),
+        ["shard", "version"],
+    )
+    sketch = {
+        (r["shard"], r["item"]): (r["est"], r["dec"])
+        for r in latest.collect()
+    }
+    assert sketch, "no sketch rows emitted"
+
+    events = read_table(spark, sf_dir, "events").select(
+        F.pmod(F.xxhash64("user_id"), F.lit(N_SHARDS))
+        .cast("int")
+        .alias("shard"),
+        F.col("user_id").alias("item"),
+    )
+    true_counts = {
+        (r["shard"], r["item"]): r["n"]
+        for r in events.groupBy("shard", "item").count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    shard_totals = {}
+    for (sh, _it), n in true_counts.items():
+        shard_totals[sh] = shard_totals.get(sh, 0) + n
+
+    for (sh, it), (est, dec) in sketch.items():
+        true = true_counts[(sh, it)]
+        assert est <= true <= est + dec, (sh, it, est, dec, true)
+    for (sh, it), true in true_counts.items():
+        if true > shard_totals[sh] / (CAP + 1):
+            assert (sh, it) in sketch, (
+                f"guaranteed heavy hitter {(sh, it)} missing "
+                f"(true={true}, bound={shard_totals[sh] / (CAP + 1):.1f})"
+            )

@@ -394,3 +394,93 @@ def stateful_scd2_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+HH_OUT_SCHEMA = (
+    "shard int, version long, item long, est long, dec long"
+)
+_HH_STATE_SCHEMA = (
+    "version long, items array<long>, counts array<long>, dec long"
+)
+
+
+def _mg_fold(capacity: int):
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+        if state.exists:
+            version, items, counts, dec = state.get
+            sketch = dict(zip(items, counts))
+        else:
+            version, sketch, dec = 0, {}, 0
+        for pdf in pdfs:
+            for it in pdf["item"]:
+                it = int(it)
+                if it in sketch:
+                    sketch[it] += 1
+                elif len(sketch) < capacity:
+                    sketch[it] = 1
+                else:
+                    # Misra-Gries decrement step: every tracked count
+                    # drops by one in lieu of admitting the new item;
+                    # `dec` accumulates the total undercount bound.
+                    dec += 1
+                    sketch = {
+                        k: c - 1 for k, c in sketch.items() if c > 1
+                    }
+        version += 1
+        state.update(
+            (version, list(sketch), [sketch[k] for k in sketch], dec)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "version": version,
+                "item": list(sketch),
+                "est": [sketch[k] for k in sketch],
+                "dec": dec,
+            }
+        )
+
+    return fold
+
+
+def stateful_heavy_hitters_stream(
+    stream: DataFrame,
+    *,
+    item_col: str,
+    n_shards: int = 8,
+    capacity: int = 16,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: items shard by hash,
+    each shard folds a Misra-Gries sketch of fixed capacity k in
+    applyInPandasWithState — state is k (item, count) pairs + one
+    decrement counter per shard, independent of stream length. The
+    classic guarantee holds per shard: est <= true <= est + dec, and
+    every item with true count > n_shard/(k+1) is present. Each batch
+    emits the shard's full sketch stamped with a monotone version; the
+    LATEST version per shard is the current answer (append sinks keep
+    history, the consumer max-filters — the same pattern as the
+    watermark sinks).
+
+    The exact batch twin is the heavy_hitter_users query; the sketch is
+    what replaces it when the key cardinality no longer fits a
+    groupBy."""
+    from pyspark.sql import functions as F
+
+    sharded = stream.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).alias("item"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _mg_fold(capacity),
+        HH_OUT_SCHEMA,
+        _HH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
