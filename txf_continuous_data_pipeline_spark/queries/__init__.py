@@ -85,9 +85,16 @@ _PRIORITY = [
     "minhash_neardup",
     "neardup_groups",
     "semantic_dedup_keep",
-    "multimodal_features",
+    # q9 shape: built late in r5, never checked - takes
+    # multimodal_features' slot (green r1-r4; the Arrow multimodal
+    # plumbing stays in-window via image_phash_neardup, which drives
+    # the REAL codec path end to end).
+    "q9_product_profit_shape",
     "training_data_curation",
-    "lsh_ann_pairs",
+    # winsorized stats: built late in r5, never checked - takes
+    # lsh_ann_pairs' slot (green r1-r4; the ANN family stays in-window
+    # via ivf_topk + embedding_int8_quantize + the recall pytests).
+    "winsorized_price_stats",
     "ivf_topk",
     # image_phash_neardup: built late in r5, never checked - takes
     # user_sessions' slot (green r1-r4; the gap-sessionization family

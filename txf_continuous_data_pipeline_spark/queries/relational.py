@@ -1603,3 +1603,104 @@ def heavy_hitter_users(spark, sf_dir):
         .orderBy(F.desc("n"), "user_id")
         .limit(15)
     )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+@q("q9_product_profit_shape", _Q9_SQL)
+def q9_product_profit_shape(spark, sf_dir):
+    """TPC-H Q9's plan shape adapted to this schema (no partsupp table
+    ships, so the supplycost term is dropped; the optimizer-relevant
+    structure — a LIKE-filtered part dim pruning the fact, four
+    broadcast dims, nation×year rollup — is intact). The substring
+    filter lands on the part scan (pushed), shrinking the only
+    fact-side join input."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+_WINSOR_SQL = """
+WITH bounds AS (
+  SELECT l_returnflag,
+         CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo,
+         CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+         AS winsorized_mean,
+       round(avg(l_extendedprice), 4) AS raw_mean,
+       CAST(count(CASE WHEN l_extendedprice < lo
+                         OR l_extendedprice > hi THEN 1 END) AS BIGINT)
+         AS n_clamped
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+@q("winsorized_price_stats", _WINSOR_SQL)
+def winsorized_price_stats(spark, sf_dir):
+    """Robust (winsorized) mean per return flag: clamp to the group's
+    [p05, p95] then average — the outlier-resistant twin of
+    percentile_price_stats' raw moments. Two aggregates over the fact:
+    the bounds frame is one row per group and broadcasts back; both
+    percentile definitions interpolate identically (p*(n-1)), so values
+    match the oracle to FP precision."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    price = F.col("l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.array(F.lit(0.05), F.lit(0.95))).alias("_b")
+    ).select(
+        "l_returnflag",
+        F.col("_b")[0].alias("_lo"),
+        F.col("_b")[1].alias("_hi"),
+    )
+    clamped = F.least(F.greatest(price, F.col("_lo")), F.col("_hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg(price), 4).alias("raw_mean"),
+            F.count(
+                F.when(
+                    (price < F.col("_lo")) | (price > F.col("_hi")),
+                    F.lit(1),
+                )
+            ).alias("n_clamped"),
+        )
+    )
