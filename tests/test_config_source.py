@@ -209,3 +209,110 @@ def test_upsert_key_moves_random_differential(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == expect
+
+
+def test_merge_aggregate_sink_matches_full_recompute(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        merge_aggregate_sink,
+    )
+
+    path = str(tmp_path / "agg_sink")
+    rng = random.Random(5)
+    batches = [
+        [
+            (rng.randrange(40), rng.choice("xyz"), rng.uniform(0, 10))
+            for _ in range(200)
+        ]
+        for _ in range(3)
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k long, g string, v double")
+        merge_aggregate_sink(
+            df, path, keys=("k", "g"), sum_cols=("v",), batch_id=i
+        )
+
+    got = {
+        (r["k"], r["g"]): (r["_cnt"], round(r["_sum_v"], 9))
+        for r in spark.read.parquet(path).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    full = (
+        spark.createDataFrame(all_rows, "k long, g string, v double")
+        .groupBy("k", "g")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("v").alias("s"))
+    )
+    want = {
+        (r["k"], r["g"]): (r["c"], round(r["s"], 9)) for r in full.collect()
+    }
+    assert got == want
+
+
+def test_merge_aggregate_sink_replay_is_noop(spark, tmp_path):
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        merge_aggregate_sink,
+    )
+
+    path = str(tmp_path / "agg_sink2")
+    df1 = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 5.0)], "k long, v double"
+    )
+    df2 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    assert merge_aggregate_sink(
+        df1, path, keys=("k",), sum_cols=("v",), batch_id=0
+    ) > 0
+    assert merge_aggregate_sink(
+        df2, path, keys=("k",), sum_cols=("v",), batch_id=1
+    ) > 0
+    snapshot = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("k", "_cnt", "_sum_v").collect()
+    )
+    # at-least-once replay of batch 1: every touched bucket is at
+    # watermark already -> zero buckets merged, sink unchanged
+    assert merge_aggregate_sink(
+        df2, path, keys=("k",), sum_cols=("v",), batch_id=1
+    ) == 0
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("k", "_cnt", "_sum_v").collect()
+    ) == snapshot
+    assert snapshot == [(1, 3, 15.0), (2, 1, 5.0)]
+
+
+def test_merge_aggregate_sink_untouched_buckets_not_rewritten(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        merge_aggregate_sink,
+    )
+
+    path = str(tmp_path / "agg_sink3")
+    big = spark.createDataFrame(
+        [(k, float(k)) for k in range(200)], "k long, v double"
+    )
+    merge_aggregate_sink(big, path, keys=("k",), sum_cols=("v",),
+                         batch_id=0, n_buckets=8)
+    mtimes = {
+        d: os.path.getmtime(d)
+        for d in glob.glob(os.path.join(path, "_bucket=*"))
+    }
+    import time as _t
+
+    _t.sleep(1.1)
+    one = spark.createDataFrame([(7, 1.0)], "k long, v double")
+    merged = merge_aggregate_sink(one, path, keys=("k",), sum_cols=("v",),
+                                  batch_id=1, n_buckets=8)
+    assert merged == 1
+    changed = [
+        d
+        for d in glob.glob(os.path.join(path, "_bucket=*"))
+        if os.path.getmtime(d) != mtimes.get(d)
+    ]
+    assert len(changed) == 1, changed

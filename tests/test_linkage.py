@@ -354,3 +354,19 @@ def test_scd2_intervals_partition_timeline_random(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["event_type" if "event_type" in a else "v"] != \
                 b["event_type" if "event_type" in b else "v"]
+
+
+def test_expect_referential_counts_orphans(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        expect_referential,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = expect_referential(fact, dim, fk="fk", pk="pk").collect()[0]
+    # 99 is an orphan; the NULL fk is not (separate non-null rule)
+    assert (r["rule"], r["n_violations"], r["n_rows"], r["pass_rate"]) == (
+        "referential:fk->pk", 1, 4, 0.75,
+    )

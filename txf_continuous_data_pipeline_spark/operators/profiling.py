@@ -238,3 +238,36 @@ def expect_unique_key(
             F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
         ).alias("pass_rate"),
     )
+
+
+def expect_referential(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Referential-integrity expectation: fact rows whose `fk` has no
+    matching `pk` in the dimension are violations (NULL fks are not -
+    use a non-null rule in expect() to forbid them separately). One
+    broadcast left join + one aggregate, fully lazy; output shape
+    matches expect()/expect_unique_key for unionByName composition
+    into one suite."""
+    keys = dim.select(F.col(pk).alias("_pk")).distinct()
+    j = fact.join(
+        F.broadcast(keys), F.col(fk) == F.col("_pk"), "left"
+    )
+    viol = F.count(
+        F.when(F.col(fk).isNotNull() & F.col("_pk").isNull(), F.lit(1))
+    )
+    return j.agg(
+        viol.cast("long").alias("_viol"),
+        F.count(F.lit(1)).cast("long").alias("_total"),
+    ).select(
+        F.lit(f"referential:{fk}->{pk}").alias("rule"),
+        F.col("_viol").alias("n_violations"),
+        F.col("_total").alias("n_rows"),
+        F.round(
+            F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
+        ).alias("pass_rate"),
+    )

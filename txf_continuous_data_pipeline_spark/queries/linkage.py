@@ -349,6 +349,17 @@ SELECT 'range:o_orderdate', v_date_range, n_rows,
 UNION ALL
 SELECT 'unique_key:o_orderkey', v_dup, n_rows,
        round(1.0 - v_dup / CAST(n_rows AS DOUBLE), 6) FROM uniq
+UNION ALL
+SELECT 'referential:o_custkey->c_custkey',
+       CAST(count(CASE WHEN o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                  THEN 1 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(1.0 - count(CASE WHEN o_custkey IS NOT NULL
+                                AND c.c_custkey IS NULL THEN 1 END)
+                   / CAST(count(*) AS DOUBLE), 6)
+FROM orders o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
 """
 
 
@@ -379,6 +390,15 @@ def orders_expectations(spark, sf_dir):
             ),
         ),
     ]
-    return expect(orders, rules).unionByName(
-        expect_unique_key(orders, ("o_orderkey",))
+    from ..operators.profiling import expect_referential
+
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        expect(orders, rules)
+        .unionByName(expect_unique_key(orders, ("o_orderkey",)))
+        .unionByName(
+            expect_referential(
+                orders, customer, fk="o_custkey", pk="c_custkey"
+            )
+        )
     )

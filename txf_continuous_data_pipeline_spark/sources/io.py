@@ -695,3 +695,101 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_aggregate_sink(
+    batch: DataFrame,
+    path: str,
+    *,
+    keys: "Sequence[str]",
+    sum_cols: "Sequence[str]" = (),
+    batch_id: int = 0,
+    n_buckets: int = 32,
+) -> int:
+    """Incremental view maintenance for a per-key aggregate sink:
+    maintain count + sums per key under arriving batches WITHOUT
+    recomputing from history. The algebraic states (count, sum) merge
+    by re-aggregation, so each batch costs
+
+        O(batch) partial aggregation
+        + O(touched buckets) sink rewrite,
+
+    never O(sink): rows hash into `n_buckets` stable key buckets
+    (the partition column), and dynamic partition overwrite replaces
+    only buckets the batch touched. avg/rate derive downstream as
+    sum/count — store states, not quotients.
+
+    Idempotent per `batch_id` (streaming epoch semantics): every row in
+    a bucket carries the bucket's last merged batch id; a replayed
+    batch (foreachBatch retry) with batch_id <= that watermark skips
+    the bucket, so at-least-once delivery cannot double-count. The
+    lineage-cut + dynamic-overwrite mechanics mirror
+    upsert_date_partitioned (no emptied-partition pass needed: merges
+    only ever add or update rows, never empty a bucket).
+
+    Returns the number of buckets actually merged.
+    """
+    spark = batch.sparkSession
+    keys = list(keys)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_cnt")] + [
+        F.sum(F.col(c)).alias(f"_sum_{c}") for c in sum_cols
+    ]
+    partial = (
+        batch.groupBy(*keys)
+        .agg(*aggs)
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    touched = [
+        r["_bucket"] for r in partial.select("_bucket").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    state_cols = ["_cnt"] + [f"_sum_{c}" for c in sum_cols]
+    try:
+        old = spark.read.parquet(path).where(F.col("_bucket").isin(touched))
+        exists = True
+    except Exception:  # AnalysisException: first batch, no sink yet
+        exists = False
+    if exists:
+        done = {
+            r["_bucket"]
+            for r in old.groupBy("_bucket")
+            .agg(F.max("_last_batch").alias("_lb"))
+            .where(F.col("_lb") >= batch_id)
+            .collect()
+        }
+        todo = [b for b in touched if b not in done]
+        if not todo:
+            return 0
+        partial = partial.where(F.col("_bucket").isin(todo))
+        merged = (
+            old.where(F.col("_bucket").isin(todo))
+            .select(*keys, *state_cols, "_bucket")
+            .unionByName(partial)
+            .groupBy(*keys, "_bucket")
+            .agg(
+                F.sum("_cnt").cast("long").alias("_cnt"),
+                *[
+                    F.sum(f"_sum_{c}").alias(f"_sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        n_merged = len(todo)
+    else:
+        merged = partial
+        n_merged = len(touched)
+    out = merged.withColumn(
+        "_last_batch", F.lit(batch_id).cast("long")
+    ).localCheckpoint(eager=True)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    return n_merged
