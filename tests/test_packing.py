@@ -166,3 +166,55 @@ def test_chunking_reconstruction_property(spark, docs, chunk, overlap):
             rebuilt.extend(c.split(" ")[overlap:])
         assert rebuilt == d, (i, chunk, overlap)
         assert all(len(c.split(" ")) <= chunk for c in chunks)
+
+
+def test_bpe_train_matches_pure_python(spark):
+    """Differential: the distributed vocab-weighted BPE trainer must
+    produce the exact merge sequence (pairs, counts, order) of a
+    pure-Python reference with the same tie-break (count desc, pair
+    lexicographic)."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "widest newest low wider new news",
+        "lowest wide wide wide newer",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = bpe_train(df, n_merges=8)
+
+    # pure-Python reference on the same normalized token stream
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for tok in t.lower().strip().split():
+            vocab[tok] += 1
+    seqs = {tok: list(tok) for tok in vocab}
+    want = []
+    for step in range(8):
+        pairs = Counter()
+        for tok, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[tok]
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        want.append((step, a, b, a + b, n))
+        for tok, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[tok] = out
+    assert got == want, (got, want)

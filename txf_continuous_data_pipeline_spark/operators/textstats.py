@@ -818,3 +818,109 @@ def hashing_trick_embed(
             F.col("_raw"), lambda x: F.round(x / F.col("_nrm"), 6)
         ).alias("embedding"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> "list[tuple[int, str, str, str, int]]":
+    """Train `n_merges` BPE merge rules over the corpus; returns
+    [(step, left, right, merged, count)] — the driver-side artifact a
+    tokenizer ships (kilobytes), like kmeans_fit's centroids.
+
+    The scale-right formulation works on the DISTINCT token vocabulary
+    weighted by occurrence counts — the corpus-sized work is ONE
+    groupBy(token) count; every merge iteration then touches only the
+    vocab frame (thousands of rows at any corpus size, since weights
+    carry the frequencies):
+
+      pairs     explode adjacent symbol pairs weighted by token count
+                -> groupBy sum -> argmax (count desc, pair asc — the
+                deterministic tie-break the differential test pins)
+      merge     one fold over each vocab row's symbol array replacing
+                adjacent (left, right) with the merged symbol
+
+    Each iteration is one vocab-sized shuffle + a driver top-1 (a
+    k-rows-per-iteration scalar, the kmeans_fit discipline); lineage is
+    cut every third iteration."""
+    from .dedup import normalized_tokens
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select(
+            # split-on-every-boundary leaves a trailing "" element -
+            # drop it or the trainer happily "merges" (sym, "") pairs
+            F.filter(
+                F.split(F.col("_tok"), "(?!^)"),
+                lambda x: F.length(x) > 0,
+            ).alias("_sym"),
+            "_w",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = (
+            vocab.select(
+                "_w",
+                F.explode(
+                    F.zip_with(
+                        F.slice(
+                            F.col("_sym"), 1, F.size("_sym") - 1
+                        ),
+                        F.slice(F.col("_sym"), 2, F.size("_sym") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("_w").alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["_n"] < 2:
+            break
+        left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["_n"])
+        merges.append((step, left, right, left + right, n))
+        fold = F.aggregate(
+            F.col("_sym"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                acc["pend"].eqNullSafe(F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.lit(left + right))
+                    ).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["pend"].isNull(), acc["out"]
+                    )
+                    .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                    .alias("out"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        vocab = vocab.select(fold.alias("_sym"), "_w")
+        if step % 3 == 2 or step == n_merges - 1:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges

@@ -1460,3 +1460,22 @@ def bpe_pair_counts_q(spark, sf_dir):
         .where(F.col("rk") <= 50)
         .select("pair", "n", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@q("bpe_merge_rules", None)
+def bpe_merge_rules_q(spark, sf_dir):
+    """Ten BPE merge rules trained on the corpus (the iterative loop
+    over bpe_pair_counts' statistic: argmax pair -> merge -> recount).
+    Iterative with a driver-side scalar per step -> no SQL oracle
+    (rows-only, like kmeans_clusters); the merge sequence is pinned
+    exactly by the pure-Python differential in tests/test_packing.py.
+    Corpus-sized work is ONE token groupBy; every iteration touches
+    only the distinct-token vocabulary."""
+    from ..operators.textstats import bpe_train
+
+    merges = bpe_train(
+        read_table(spark, sf_dir, "documents"), n_merges=10
+    )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, n long"
+    )
