@@ -128,10 +128,10 @@ _PRIORITY = [
 #     transition build (+ stateful-funnel pytest);
 #   split_assign -> md5-threshold family via training_data_curation.
 # After this round every oracle-paired query in the registry has had a
-# driver row; the r6 rotation only needs to cover queries ADDED in r6
-# (rule: never-green enters ahead of multi-round-stable greens) and
-# should return displaced operator-family flagships to the window as
-# slots allow. event_type_pagerank and the other rows-only entries
+# driver row EXCEPT q2_min_supplier_shape (added after the r5 window
+# filled; first r6 rotation candidate, rule: never-green enters ahead
+# of multi-round-stable greens). The r6 rotation should also return
+# displaced operator-family flagships to the window as slots allow. event_type_pagerank and the other rows-only entries
 # (approx_distinct_users, kmeans_clusters) stay in the tail: their
 # correctness lives in pytest differentials, and a window slot spent on
 # a rows-only check verifies nothing the tail doesn't.

@@ -1704,3 +1704,46 @@ def winsorized_price_stats(spark, sf_dir):
             ).alias("n_clamped"),
         )
     )
+
+
+_Q2_SQL = """
+WITH min_bal AS (
+  SELECT n_regionkey, min(s_acctbal) AS mb
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_regionkey
+)
+SELECT r_name AS region, s_name, n_name AS nation,
+       round(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+JOIN min_bal ON min_bal.n_regionkey = r_regionkey
+WHERE s_acctbal = mb
+"""
+
+
+@q("q2_min_supplier_shape", _Q2_SQL)
+def q2_min_supplier_shape(spark, sf_dir):
+    """TPC-H Q2's optimizer shape adapted to this schema (no partsupp,
+    so the correlated scalar subquery runs over supplier balances per
+    region): the classic aggregate-then-join-back decorrelation - the
+    per-region minimum derives from the SAME supplier x nation frame
+    the outer query reads, and equality against it selects the winning
+    rows. Completes the TPC-H shape sweep (q1-q22, with q2/q9 adapted
+    for the missing partsupp table)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sn = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    min_bal = sn.groupBy("n_regionkey").agg(F.min("s_acctbal").alias("mb"))
+    return (
+        sn.join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .join(F.broadcast(min_bal), "n_regionkey")
+        .where(F.col("s_acctbal") == F.col("mb"))
+        .select(
+            F.col("r_name").alias("region"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
