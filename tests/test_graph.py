@@ -186,3 +186,52 @@ def test_pagerank_directed_dangling_mass(spark):
     }
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[3] > got[2] > got[1]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from txf_continuous_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    rng = random.Random(99)
+    n = 25
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    got = triangle_count(_edges(spark, pairs)).collect()[0]["n_triangles"]
+    es = set(pairs)
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(range(n), 3)
+        if (x, y) in es and (y, z) in es and (x, z) in es
+    )
+    assert got == want > 0
+
+
+def test_triangle_count_known_shapes(spark):
+    from txf_continuous_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 has 4 triangles; adding a pendant edge changes nothing
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert triangle_count(_edges(spark, k4)).collect()[0][0] == 4
+    assert (
+        triangle_count(_edges(spark, k4 + [(3, 9)])).collect()[0][0] == 4
+    )
+    # a path has none
+    assert (
+        triangle_count(
+            _edges(spark, [(i, i + 1) for i in range(5)])
+        ).collect()[0][0]
+        == 0
+    )

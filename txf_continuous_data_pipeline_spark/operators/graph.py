@@ -314,3 +314,58 @@ def pagerank(
         if it % 3 == 2 or it == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Global triangle count over an undirected edge table -> one row
+    (n_triangles long).
+
+    The naive 3-way self-join touches every wedge twice per triangle
+    and explodes on skewed (hub) nodes. The standard fix (Cohen's
+    MapReduce formulation) orients each edge from the lower-(degree,
+    id) endpoint to the higher: every triangle then has exactly ONE
+    wedge whose center precedes both ends, wedge enumeration is
+    bounded by sum(min-degree per edge) = O(m^1.5) on any graph, and a
+    hub of degree d generates wedges only toward its few
+    HIGHER-ordered neighbors instead of d^2 pairs. Plan: degree
+    aggregate + two equi-joins on node id, all hash-partitioned the
+    same way.
+    """
+    e = _canon_edges(edges, src, dst)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("a", "_na"),
+                 F.col("a") == F.col("_na"))
+        .drop("_na")
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("a", "_nb").withColumnRenamed(
+            "_d", "_db"), F.col("b") == F.col("_nb"))
+        .drop("_nb")
+    )
+    # orient low -> high in (degree, id) order; keep each edge once
+    fwd = ranked.where(
+        (F.col("_da") < F.col("_db"))
+        | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    ).select("a", "b")
+    w1 = fwd.alias("w1")
+    w2 = fwd.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.a") == F.col("w2.a")) & (F.col("w1.b") < F.col("w2.b")),
+    ).select(F.col("w1.b").alias("x"), F.col("w2.b").alias("y"))
+    closing = fwd.select(
+        F.least("a", "b").alias("_x"), F.greatest("a", "b").alias("_y")
+    ).distinct()
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("_x"))
+        & (F.greatest("x", "y") == F.col("_y")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

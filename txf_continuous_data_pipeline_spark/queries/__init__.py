@@ -81,7 +81,11 @@ _PRIORITY = [
     # family — 11 (notably neardup_groups: the CC stage was REWRITTEN
     # this round and must re-earn a driver row)
     "text_stats",
-    "ngram_jaccard_pairs",
+    # overlap_triangle_count: built late in r5, never checked - takes
+    # ngram_jaccard_pairs' slot (green r1-r4; the shared shingle
+    # inverted-index family stays in-window via dup_span_stats, which
+    # consumes the same persisted index).
+    "overlap_triangle_count",
     "minhash_neardup",
     "neardup_groups",
     "semantic_dedup_keep",

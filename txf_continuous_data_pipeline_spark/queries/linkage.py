@@ -402,3 +402,66 @@ def orders_expectations(spark, sf_dir):
             )
         )
     )
+
+
+_TRIANGLES_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, seq, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, seq
+),
+edges AS (
+  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges ab
+JOIN edges bc ON bc.a = ab.b
+JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b
+"""
+
+
+@q("overlap_triangle_count", _TRIANGLES_SQL)
+def overlap_triangle_count(spark, sf_dir):
+    """Triangles in the concurrent-user graph (users whose sessions
+    overlapped): the classic clustering-structure statistic, computed
+    with degree-ordered wedge enumeration (operators/graph.
+    triangle_count) so hub users generate wedges only toward
+    higher-ordered neighbors - O(m^1.5) worst case instead of the
+    naive join's hub-degree blowup. The oracle counts the same
+    triangles with a plain 3-way self-join, feasible at sf0.01."""
+    from ..operators.graph import triangle_count
+
+    # first-3-days window: a month of sessions makes the overlap graph
+    # nearly complete (avg degree ~190 at sf0.1) and the statistic
+    # meaningless; the pushed ts predicate bounds cost on BOTH engines
+    events = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .where(F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    )
+    sess = session_stats(events, key_col="user_id", ts_col="ts",
+                         gap="30 minutes")
+    pairs = interval_overlap_pairs(
+        sess,
+        entity_col="user_id",
+        seq_col="session_seq",
+        start_col="session_start",
+        end_col="session_end",
+        bucket="hour",
+    ).select("entity_a", "entity_b").distinct()
+    return triangle_count(pairs, "entity_a", "entity_b")
