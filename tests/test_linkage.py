@@ -370,3 +370,33 @@ def test_expect_referential_counts_orphans(spark):
     assert (r["rule"], r["n_violations"], r["n_rows"], r["pass_rate"]) == (
         "referential:fk->pk", 1, 4, 0.75,
     )
+
+
+def test_scd2_null_attribute_is_a_distinct_value(spark):
+    # a change TO null opens a null-valued interval; returning to the
+    # pre-null value opens a THIRD interval (null is an ordinary value,
+    # matching the streaming twin's Python != semantics)
+    rows = [(1, _ts(0), "A", 1), (1, _ts(1), None, 2), (1, _ts(2), "A", 3)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string, i long")
+    got = sorted(
+        [
+            (r["v"], r["valid_from"], r["valid_to"])
+            for r in scd2_build(
+                df, key_col="k", ts_col="ts", attr_col="v", tiebreak_col="i"
+            ).collect()
+        ],
+        key=lambda t: t[1],
+    )
+    assert got == [
+        ("A", _ts(0), _ts(1)),
+        (None, _ts(1), _ts(2)),
+        ("A", _ts(2), None),
+    ]
+
+
+def test_profile_table_dotted_column_name(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["x"]).withColumnRenamed(
+        "x", "a.b"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["a.b"]["n_distinct"] == 2 and prof["a.b"]["max_num"] == 2.0

@@ -294,3 +294,23 @@ def test_phash_band_join_matches_bruteforce(spark):
             if d <= 4:
                 brute.add((lo, hi, d))
     assert got == brute and (0, 100, 3) in got
+
+
+def test_phash_bands_cover_hamming8_budget(spark):
+    # max_hamming=8 -> 9 bands; the uniform-width formulation aliased
+    # the last band's shift past 63 and LOST pairs. Adversarial case:
+    # 8 flipped bits, one in each of 8 different bands.
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    base = 0x3FFF_FFFF_FFFF_FFFF
+    starts = [b * 64 // 9 for b in range(9)]
+    flipped = base
+    for st in starts[:8]:
+        flipped ^= 1 << st
+    df = spark.createDataFrame(
+        [(1, base), (2, flipped)], "media_id long, phash long"
+    )
+    got = phash_neardup_pairs(df, max_hamming=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 8)]

@@ -218,3 +218,15 @@ def test_bpe_train_matches_pure_python(spark):
                     i += 1
             seqs[tok] = out
     assert got == want, (got, want)
+
+
+def test_bpe_train_ignores_empty_documents(spark):
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [("low low lower",), ("",), ("   ",)], ["text"]
+    )
+    got = bpe_train(df, n_merges=2)
+    assert got and got[0][1:4] == ("l", "o", "lo")

@@ -201,6 +201,28 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
+        # The fixpoint may land exactly on the FINAL round (every
+        # in-loop signature compare saw a change). One exact
+        # label-consistency probe distinguishes "converged,
+        # unconfirmed" from genuinely unfinished - without it a correct
+        # result would raise (the r4 implementation had the same
+        # rescue).
+        lab = _labels(e)
+        la = lab.select(
+            F.col("id").alias("a"), F.col("component").alias("_ca")
+        )
+        lb = lab.select(
+            F.col("id").alias("b"), F.col("component").alias("_cb")
+        )
+        bad = (
+            e0.join(la, "a")
+            .join(lb, "b")
+            .where(F.col("_ca") != F.col("_cb"))
+            .limit(1)
+            .count()
+        )
+        converged = bad == 0
+    if not converged:
         msg = (
             f"connected_components did not converge within max_iter="
             f"{max_iter} star rounds (O(log n) rounds suffice, so this "
@@ -273,6 +295,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # no edges -> empty rank frame with the right schema (not a
+        # driver-side ZeroDivisionError)
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for it in range(n_iter):
         contribs = (
@@ -360,9 +386,13 @@ def triangle_count(
         w2,
         (F.col("w1.a") == F.col("w2.a")) & (F.col("w1.b") < F.col("w2.b")),
     ).select(F.col("w1.b").alias("x"), F.col("w2.b").alias("y"))
+    # no distinct: fwd keeps each canonical edge exactly once (e is
+    # distinct and the orientation picks one direction), so the
+    # re-canonicalization cannot create duplicates - a distinct here
+    # was a pure wasted exchange
     closing = fwd.select(
         F.least("a", "b").alias("_x"), F.greatest("a", "b").alias("_y")
-    ).distinct()
+    )
     tri = wedges.join(
         closing,
         (F.least("x", "y") == F.col("_x"))

@@ -55,7 +55,6 @@ def blocked_fuzzy_pairs(
     runs once per candidate. No cross join anywhere; a hot block costs
     O(block²) which is the irreducible candidate mass for that key.
     """
-    toks = F.split(F.col(name_col), r"\s+")
     names = df.select(F.col(name_col).alias("_name")).distinct()
     keyed = names.select(
         "_name",
@@ -184,10 +183,16 @@ def scd2_build(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(attr_col).over(w)
+    # Null-safe change detection: `prev != attr` is NULL (not true) for
+    # a change TO null, and `prev IS NULL` cannot distinguish "first
+    # row" from "previous value was null" - so a lag over a constant
+    # marks the first row, and eqNullSafe treats null as an ordinary
+    # distinct value (matching the streaming twin's Python `!=`).
+    first = F.lag(F.lit(1)).over(w).isNull()
     runs = (
         changes.withColumn(
             "_chg",
-            (prev.isNull() | (prev != F.col(attr_col))).cast("int"),
+            (first | ~prev.eqNullSafe(F.col(attr_col))).cast("int"),
         )
         .where(F.col("_chg") == 1)
         .drop("_chg")

@@ -605,7 +605,12 @@ def phash_neardup_pairs(
     same banding argument as simhash_neardup_pairs). Verification is a
     JVM bit_count(xor) - no Python in the pair path."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands + 1
+    # contiguous non-overlapping chunks covering all 64 bits: start
+    # offsets floor(b*64/n_bands) keep every shift < 64 (a uniform
+    # width of 64//n_bands+1 pushed the last shift to >= 64, which the
+    # JVM masks mod 64 - aliasing high bands onto low ones and BREAKING
+    # the pigeonhole guarantee for max_hamming >= 8)
+    starts = [b * 64 // n_bands for b in range(n_bands + 1)]
     banded = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
@@ -615,8 +620,8 @@ def phash_neardup_pairs(
                     F.struct(
                         F.lit(b).alias("_band"),
                         (
-                            F.shiftright(F.col(hash_col), b * width)
-                            % F.lit(1 << width)
+                            F.shiftright(F.col(hash_col), starts[b])
+                            % F.lit(1 << (starts[b + 1] - starts[b]))
                         ).alias("_key"),
                     )
                     for b in range(n_bands)

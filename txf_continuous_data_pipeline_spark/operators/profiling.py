@@ -49,29 +49,33 @@ def profile_table(
     )
     aggs = []
     for c in cols:
-        # df[c], not F.col(c): a literal column name containing dots or
-        # spaces must not be re-parsed as a nested-field path.
+        # backtick-quoted refs: a literal column name containing dots
+        # must not be re-parsed as a nested-field path (df[c] parses
+        # dots too, so quoting is the only safe form).
+        src = F.col(f"`{c}`")
         aggs.append(
-            F.count(F.when(df[c].isNull(), F.lit(1))).alias(f"_nn_{c}")
+            F.count(F.when(src.isNull(), F.lit(1))).alias(f"_nn_{c}")
         )
-        aggs.append(distinct_fn(df[c]).alias(f"_nd_{c}"))
+        aggs.append(distinct_fn(src).alias(f"_nd_{c}"))
         if isinstance(fields[c], _NUMERIC):
-            aggs.append(F.min(df[c]).cast("double").alias(f"_mn_{c}"))
-            aggs.append(F.max(df[c]).cast("double").alias(f"_mx_{c}"))
+            aggs.append(F.min(src).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(src).cast("double").alias(f"_mx_{c}"))
     wide = df.agg(*aggs)
     rows = F.array(
         *[
             F.struct(
+                # backtick-quoted: an alias built from a dotted column
+                # name must not be re-parsed as a struct-field path
                 F.lit(c).alias("column"),
-                F.col(f"_nn_{c}").cast("long").alias("n_nulls"),
-                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"`_nn_{c}`").cast("long").alias("n_nulls"),
+                F.col(f"`_nd_{c}`").cast("long").alias("n_distinct"),
                 (
-                    F.col(f"_mn_{c}")
+                    F.col(f"`_mn_{c}`")
                     if isinstance(fields[c], _NUMERIC)
                     else F.lit(None).cast("double")
                 ).alias("min_num"),
                 (
-                    F.col(f"_mx_{c}")
+                    F.col(f"`_mx_{c}`")
                     if isinstance(fields[c], _NUMERIC)
                     else F.lit(None).cast("double")
                 ).alias("max_num"),

@@ -847,7 +847,6 @@ def bpe_train(
     cut every third iteration."""
     from .dedup import normalized_tokens
 
-    spark = df.sparkSession
     vocab = (
         df.select(
             F.explode(normalized_tokens(F.col(text_col))).alias("_tok")
@@ -863,6 +862,11 @@ def bpe_train(
             ).alias("_sym"),
             "_w",
         )
+        # empty/whitespace-only documents tokenize to a lone "" whose
+        # filtered symbol array is empty - slice(_sym, 1, -1) in the
+        # pair step would throw; such rows carry no pairs and no
+        # mergeable content, so drop them here
+        .where(F.size("_sym") > 0)
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []

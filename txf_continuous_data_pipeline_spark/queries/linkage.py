@@ -110,12 +110,14 @@ _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev
+                               ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
   FROM events
 ),
 runs AS (
   SELECT user_id, event_type, ts, event_id
-  FROM ordered WHERE prev IS NULL OR prev <> event_type
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -742,17 +742,27 @@ def merge_aggregate_sink(
             F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int"),
         )
     )
+    # Checkpoint BEFORE the touched-bucket collect: the same partial
+    # feeds the merged write plan, and without materialization the
+    # batch groupBy shuffle would run twice per batch.
+    partial = partial.localCheckpoint(eager=True)
     touched = [
         r["_bucket"] for r in partial.select("_bucket").distinct().collect()
     ]
     if not touched:
         return 0
     state_cols = ["_cnt"] + [f"_sum_{c}" for c in sum_cols]
-    try:
+    # Existence must be an explicit filesystem probe, NOT a blanket
+    # except around the read: a transient read failure (FS hiccup,
+    # permissions, corrupt footer) misdiagnosed as "first batch" would
+    # dynamic-overwrite accumulated state with batch-only partials -
+    # silent data loss. A real read error now propagates.
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    exists = jpath.getFileSystem(hconf).exists(jpath)
+    if exists:
         old = spark.read.parquet(path).where(F.col("_bucket").isin(touched))
-        exists = True
-    except Exception:  # AnalysisException: first batch, no sink yet
-        exists = False
     if exists:
         done = {
             r["_bucket"]
