@@ -150,3 +150,48 @@ def test_asof_bucketed_facts_before_first_version_get_nulls(spark):
     out = asof_join_bucketed(facts, dim, fact_ts="ts", dim_ts="start_k")
     row = out.collect()[0]
     assert row["version"] is None and row["rate"] is None
+
+
+def test_asof_forward_broadcast_and_bucketed_identical(spark):
+    import datetime as dt
+
+    from txf_continuous_data_pipeline_spark.operators.relational import (
+        asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=7 * i), f"v{i}") for i in range(8)],
+        "start_k timestamp, tag string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (i, t0 + dt.timedelta(days=i * 1.37 - 3))
+            for i in range(60)
+        ],
+        "fact_id long, ts timestamp",
+    )
+
+    def rows(plan):
+        return sorted(
+            (r["fact_id"], r["start_k"], r["tag"])
+            for r in asof_join(
+                facts, dim, fact_ts="ts", dim_ts="start_k",
+                keep=("tag",), plan=plan, direction="forward",
+                bucket="week",
+            ).collect()
+        )
+
+    bc, bk = rows("broadcast"), rows("bucketed")
+    assert bc == bk
+
+    # naive reference: earliest dim >= ts; facts past the last version
+    # match nothing, facts before the first match it
+    dim_rows = sorted((r["start_k"], r["tag"]) for r in dim.collect())
+    want = []
+    for r in facts.collect():
+        nxt = next(
+            ((k, tag) for k, tag in dim_rows if k >= r["ts"]), (None, None)
+        )
+        want.append((r["fact_id"], nxt[0], nxt[1]))
+    assert bc == sorted(want)

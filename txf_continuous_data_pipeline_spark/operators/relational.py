@@ -60,26 +60,40 @@ def exists_filter(
 ASOF_BUCKETED_THRESHOLD = 64
 
 
-def _asof_intervals(dim, dim_ts, keep):
-    """Versioned dim -> non-overlapping validity intervals: version i
-    owns [dim_ts_i, dim_ts_{i+1}) (half-open; the strictness shift is
-    applied in the residual predicate). Single window over the small
-    dimension."""
+def _asof_intervals(dim, dim_ts, keep, direction="backward"):
+    """Versioned dim -> non-overlapping validity intervals. backward:
+    version i owns [dim_ts_i, dim_ts_{i+1}) (lead gives the exclusive
+    end). forward: version i owns (dim_ts_{i-1}, dim_ts_i] (lag gives
+    the exclusive start; stored in the same `_end` column, read by the
+    matching residual). Strictness shifts are applied in the residual
+    predicate. Single window over the small dimension."""
     w = Window.orderBy(dim_ts)
-    return dim.select(dim_ts, *keep).withColumn(
-        "_end", F.lead(dim_ts).over(w)
-    )
+    edge = F.lead(dim_ts) if direction == "backward" else F.lag(dim_ts)
+    return dim.select(dim_ts, *keep).withColumn("_end", edge.over(w))
 
 
-def _asof_residual(ts, intervals, dim_ts, strictness):
-    if strictness == "<=":
-        # version i owns [dim_ts_i, dim_ts_{i+1})
-        return (ts >= intervals[dim_ts]) & (
-            intervals["_end"].isNull() | (ts < intervals["_end"])
+def _asof_residual(ts, intervals, dim_ts, strictness,
+                   direction="backward"):
+    if direction == "backward":
+        if strictness == "<=":
+            # version i owns [dim_ts_i, dim_ts_{i+1})
+            return (ts >= intervals[dim_ts]) & (
+                intervals["_end"].isNull() | (ts < intervals["_end"])
+            )
+        # strict <: version i owns (dim_ts_i, dim_ts_{i+1}]
+        return (ts > intervals[dim_ts]) & (
+            intervals["_end"].isNull() | (ts <= intervals["_end"])
         )
-    # strict <: version i owns (dim_ts_i, dim_ts_{i+1}]
-    return (ts > intervals[dim_ts]) & (
-        intervals["_end"].isNull() | (ts <= intervals["_end"])
+    # forward: `_end` holds the PREVIOUS version's ts (exclusive start)
+    if strictness == "<=":
+        # fact matches the earliest version with dim_ts >= ts:
+        # version i owns (dim_ts_{i-1}, dim_ts_i]
+        return (ts <= intervals[dim_ts]) & (
+            intervals["_end"].isNull() | (ts > intervals["_end"])
+        )
+    # strict >: version i owns [dim_ts_{i-1}, dim_ts_i)
+    return (ts < intervals[dim_ts]) & (
+        intervals["_end"].isNull() | (ts >= intervals["_end"])
     )
 
 
@@ -94,9 +108,12 @@ def asof_join(
     plan: str = "auto",
     bucketed_threshold: int = ASOF_BUCKETED_THRESHOLD,
     bucket: str = "month",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: each fact row picks the dim row with the
-    LARGEST dim_ts satisfying dim_ts <= fact_ts (or < for strict) - the
+    """As-of join: direction='backward' (default) picks the dim row
+    with the LARGEST dim_ts satisfying dim_ts <= fact_ts (or < for
+    strict); direction='forward' the SMALLEST dim_ts with
+    dim_ts >= fact_ts (or >) - the next-scheduled-event lookup. The
     time-series operator Spark lacks natively (SURVEY.md "custom
     operators": composition of existing ops, no UDF).
 
@@ -125,6 +142,8 @@ def asof_join(
         raise ValueError(f"unknown asof_join plan: {plan!r}")
     if strictness not in ("<=", "<"):
         raise ValueError(f"unknown asof_join strictness: {strictness!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof_join direction: {direction!r}")
     keep = list(keep) or [c for c in dim.columns if c != dim_ts]
     if plan == "auto":
         plan = (
@@ -134,12 +153,13 @@ def asof_join(
         return asof_join_bucketed(
             facts, dim, fact_ts=fact_ts, dim_ts=dim_ts,
             strictness=strictness, keep=keep, bucket=bucket,
+            direction=direction,
         )
-    intervals = _asof_intervals(dim, dim_ts, keep)
+    intervals = _asof_intervals(dim, dim_ts, keep, direction)
     ts = facts[fact_ts]
     joined = facts.join(
         F.broadcast(intervals),
-        _asof_residual(ts, intervals, dim_ts, strictness),
+        _asof_residual(ts, intervals, dim_ts, strictness, direction),
         "left",
     )
     return joined.select(
@@ -161,31 +181,43 @@ def asof_join_bucketed(
     strictness: str = "<=",
     keep: Sequence[str] = (),
     bucket: str = "month",
+    direction: str = "backward",
 ) -> DataFrame:
     """The scale form of asof_join (see its docstring): derive validity
     intervals, explode to calendar buckets, equi-join + residual
     filter.
 
-    The last interval is open-ended, so instead of enumerating buckets
-    up to some fact-side maximum (which would need an eager job), the
-    FACT's bucket key is clamped to the latest dim bucket: every fact
-    past the last version's bucket belongs to the last version by
-    definition, and the max-dim-bucket scalar joins in as a broadcast
+    One interval per direction is open-ended (the last backward, the
+    first forward), so instead of enumerating buckets to some fact-side
+    extreme (which would need an eager job), the FACT's bucket key is
+    clamped to the latest (backward) / earliest (forward) dim bucket:
+    every fact beyond that bucket belongs to the open-ended version by
+    definition, and the extreme-bucket scalar joins in as a broadcast
     1-row frame, keeping plan construction fully lazy."""
     keep = list(keep) or [c for c in dim.columns if c != dim_ts]
     step = F.expr(f"INTERVAL {_BUCKET_STEP[bucket]}")
-    intervals = _asof_intervals(dim, dim_ts, keep)
+    intervals = _asof_intervals(dim, dim_ts, keep, direction)
     # Rename the dim-side columns: max_bucket below also derives from
     # `dim`, and two lineages of the same source make unqualified dim
     # columns ambiguous in the final select.
+    # interval endpoints in time order: backward intervals run
+    # dim_ts -> _end (lead), forward intervals _end (lag) -> dim_ts
+    lo = (
+        F.col(dim_ts)
+        if direction == "backward"
+        else F.coalesce(F.col("_end"), F.col(dim_ts))
+    )
+    hi = (
+        F.coalesce(F.col("_end"), F.col(dim_ts))
+        if direction == "backward"
+        else F.col(dim_ts)
+    )
     cfg_b = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.date_trunc(bucket, F.col(dim_ts)),
-                F.date_trunc(
-                    bucket, F.coalesce(F.col("_end"), F.col(dim_ts))
-                ),
+                F.date_trunc(bucket, lo),
+                F.date_trunc(bucket, hi),
                 step,
             )
         ),
@@ -195,16 +227,21 @@ def asof_join_bucketed(
         F.col("_bucket"),
         *[F.col(c).alias(f"_keep_{c}") for c in keep],
     )
-    max_bucket = dim.agg(
-        F.max(F.date_trunc(bucket, F.col(dim_ts))).alias("_max_bucket")
+    extreme = dim.agg(
+        (
+            F.max(F.date_trunc(bucket, F.col(dim_ts)))
+            if direction == "backward"
+            else F.min(F.date_trunc(bucket, F.col(dim_ts)))
+        ).alias("_ext_bucket")
     )
     ts = facts[fact_ts]
-    f = facts.join(F.broadcast(max_bucket))
-    fact_bucket = F.least(F.date_trunc(bucket, ts), f["_max_bucket"])
+    f = facts.join(F.broadcast(extreme))
+    clamp = F.least if direction == "backward" else F.greatest
+    fact_bucket = clamp(F.date_trunc(bucket, ts), f["_ext_bucket"])
     joined = f.join(
         cfg_b,
         (fact_bucket == cfg_b["_bucket"])
-        & _asof_residual(ts, cfg_b, "_dim_ts", strictness),
+        & _asof_residual(ts, cfg_b, "_dim_ts", strictness, direction),
         "left",
     )
     return joined.select(

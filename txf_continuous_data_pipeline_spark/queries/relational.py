@@ -1747,3 +1747,46 @@ def q2_min_supplier_shape(spark, sf_dir):
             F.round("s_acctbal", 2).alias("acctbal"),
         )
     )
+
+
+_ASOF_FWD_SQL = """
+WITH cfg AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS start_k
+  FROM events
+),
+named AS (
+  SELECT start_k,
+         strftime(start_k, '%Y%m%d') AS week_tag
+  FROM cfg
+),
+nxt AS (
+  SELECT e.event_id, min(n.start_k) AS start_k
+  FROM events e LEFT JOIN named n ON n.start_k >= e.ts
+  GROUP BY e.event_id
+)
+SELECT nxt.event_id, nxt.start_k, named.week_tag
+FROM nxt LEFT JOIN named ON named.start_k = nxt.start_k
+"""
+
+
+@q("asof_next_config", _ASOF_FWD_SQL)
+def asof_next_config(spark, sf_dir):
+    """FORWARD as-of join: each event picks the EARLIEST config version
+    with start_k >= ts (the next-scheduled-event lookup, mirror image
+    of asof_join_config). Same lag-derived validity intervals + at most
+    one match per fact; events after the last version match nothing
+    (left join keeps them with nulls). The oracle computes the same
+    winner with a correlated min over an inequality join."""
+    events = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    cfg = (
+        events.select(F.date_trunc("week", F.col("ts")).alias("start_k"))
+        .distinct()
+        .select(
+            "start_k",
+            F.date_format("start_k", "yyyyMMdd").alias("week_tag"),
+        )
+    )
+    return asof_join(
+        events, cfg, fact_ts="ts", dim_ts="start_k",
+        keep=("week_tag",), plan="broadcast", direction="forward",
+    ).select("event_id", "start_k", "week_tag")
