@@ -417,3 +417,64 @@ def test_stateful_heavy_hitters_mg_bounds(spark, sf_dir, tmp_path):
                 f"guaranteed heavy hitter {(sh, it)} missing "
                 f"(true={true}, bound={shard_totals[sh] / (CAP + 1):.1f})"
             )
+
+
+def test_stateful_group_stats_match_batch_moments(spark, sf_dir, tmp_path):
+    """Welford/Chan streaming moments: the latest version per group
+    must equal the batch avg/stddev_samp to FP tolerance."""
+    import math
+
+    from txf_continuous_data_pipeline_spark.streaming.stateful import (
+        stateful_group_stats_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+
+    st = stateful_group_stats_stream(
+        stream_events(spark, feed, max_files_per_trigger=1),
+        group_col="event_type", value_col="value",
+    )
+    q = (
+        st.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("group-stats stream exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+    out = spark.read.parquet(sink)
+    latest = out.join(
+        out.groupBy("group").agg(F.max("version").alias("version")),
+        ["group", "version"],
+    )
+    got = {
+        r["group"]: (r["n"], r["mean"], r["m2"]) for r in latest.collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["m"], r["sd"])
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("m"),
+            F.stddev_samp("value").alias("sd"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g, (n, mean, m2) in got.items():
+        wn, wm, wsd = want[g]
+        assert n == wn
+        assert math.isclose(mean, wm, rel_tol=1e-9)
+        assert math.isclose(
+            math.sqrt(m2 / (n - 1)), wsd, rel_tol=1e-9
+        ), g

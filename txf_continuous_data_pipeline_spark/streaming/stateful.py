@@ -484,3 +484,80 @@ def stateful_heavy_hitters_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+GSTATS_OUT_SCHEMA = (
+    "group string, version long, n long, mean double, m2 double"
+)
+_GSTATS_STATE_SCHEMA = "version long, n long, mean double, m2 double"
+
+
+def _welford_fold():
+    def fold(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        group = key[0]
+        if state.exists:
+            version, n, mean, m2 = state.get
+        else:
+            version, n, mean, m2 = 0, 0, 0.0, 0.0
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            nb = len(v)
+            if nb == 0:
+                continue
+            mb = float(v.mean())
+            m2b = float(((v - mb) ** 2).sum())
+            # Chan's parallel variance merge: exact combination of two
+            # (n, mean, M2) summaries - the same algebra a distributed
+            # partial aggregate uses, applied state (+) batch.
+            delta = mb - mean
+            tot = n + nb
+            mean = mean + delta * nb / tot
+            m2 = m2 + m2b + delta * delta * n * nb / tot
+            n = tot
+        version += 1
+        state.update((version, n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "group": [group],
+                "version": [version],
+                "n": [n],
+                "mean": [mean],
+                "m2": [m2],
+            }
+        )
+
+    return fold
+
+
+def stateful_group_stats_stream(
+    stream: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming per-group running moments with O(1) state per group:
+    (n, mean, M2) merged per micro-batch via Chan's parallel variance
+    formula — the streaming twin of the batch z-score outlier stats
+    (operators/profiling.group_zscore_outliers). Emits a versioned
+    summary per batch; consumers max-filter the append sink (the same
+    pattern as the heavy-hitter sketch). Sample variance = m2/(n-1)."""
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return src.groupBy("group").applyInPandasWithState(
+        _welford_fold(),
+        GSTATS_OUT_SCHEMA,
+        _GSTATS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
