@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET_STEP = {
+    "minute": "1 minute",
     "hour": "1 hour",
     "day": "1 day",
     "week": "1 week",

@@ -89,13 +89,19 @@ def session_overlap_stats(spark, sf_dir):
     events = read_table(spark, sf_dir, "events").select("user_id", "ts")
     sess = session_stats(events, key_col="user_id", ts_col="ts",
                          gap="30 minutes")
+    # minute buckets: sessions average 43s, and the measured bucket
+    # sweep at sf0.1 (SCALE.md) shows hour buckets admit 6.48M
+    # candidates for 151k true pairs (2.3% keep) vs 310k candidates at
+    # minute granularity (49% keep) - a 21x candidate cut for 1.7
+    # bucket rows per interval. Same output either way (binning is
+    # lossless; pinned by the bucket-invariance pytest).
     pairs = interval_overlap_pairs(
         sess,
         entity_col="user_id",
         seq_col="session_seq",
         start_col="session_start",
         end_col="session_end",
-        bucket="hour",
+        bucket="minute",
     )
     return pairs.groupBy(
         F.col("entity_a").alias("user_a"),
@@ -464,6 +470,6 @@ def overlap_triangle_count(spark, sf_dir):
         seq_col="session_seq",
         start_col="session_start",
         end_col="session_end",
-        bucket="hour",
+        bucket="minute",
     ).select("entity_a", "entity_b").distinct()
     return triangle_count(pairs, "entity_a", "entity_b")
