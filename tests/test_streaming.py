@@ -122,3 +122,68 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     # and most finalized bars must be present (only the watermark tail
     # may be missing)
     assert len(got) >= len(want) * 0.8
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click -> purchase within 10 min,
+    same user): the drained availableNow result must equal the batch
+    join exactly - inner join, so no watermark-dependent row loss."""
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        conversion_join_stream,
+        stage_events_dir,
+    )
+
+    feed = stage_events_dir(spark, sf_dir, str(tmp_path / "feed"), n_files=4)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    joined = conversion_join_stream(
+        spark, feed, max_files_per_trigger=1
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("stream-stream join exceeded 120s")
+    if q.exception() is not None:
+        raise q.exception()
+
+    cols = ["user_id", "first_id", "then_id"]
+    got = {
+        tuple(r) for r in spark.read.parquet(sink).select(*cols).collect()
+    }
+
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"),
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("then_id"),
+        F.col("ts").alias("then_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in clicks.join(
+            buys,
+            (F.col("u") == F.col("u2"))
+            & (F.col("then_ts") > F.col("first_ts"))
+            & (
+                F.col("then_ts")
+                <= F.col("first_ts") + F.expr("INTERVAL 10 minutes")
+            ),
+        )
+        .select(F.col("u").alias("user_id"), "first_id", "then_id")
+        .collect()
+    }
+    assert want, "batch twin found no conversions - test data changed?"
+    assert got == want

@@ -463,3 +463,63 @@ def neardup_ingest_run(
         raise TimeoutError(f"neardup ingest exceeded {timeout_s}s")
     if q.exception() is not None:
         raise q.exception()
+
+
+def conversion_join_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    *,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "10 minutes",
+    delay: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAM-STREAM interval join: pair each `first_type` event with
+    the same user's `then_type` events that follow within `within` -
+    the attribution/conversion join, and the one streaming join shape
+    stream-static enrichment can't express.
+
+    Both sides carry watermarks and the join condition bounds
+    then_ts - first_ts, so Spark derives a state-eviction horizon for
+    BOTH buffers: a first-side row is dropped once the then-side
+    watermark passes first_ts + within (+ delay), giving bounded state
+    on an unbounded feed. Inner join -> append mode, rows emitted as
+    soon as both sides arrive; row-equality with the batch twin is
+    pinned by tests/test_streaming.py."""
+    first = (
+        stream_events(
+            spark, feed_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .where(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("u"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", delay)
+    )
+    then = (
+        stream_events(
+            spark, feed_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .where(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", delay)
+    )
+    return first.join(
+        then,
+        (F.col("u") == F.col("u2"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (
+            F.col("then_ts")
+            <= F.col("first_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    ).select(
+        F.col("u").alias("user_id"), "first_id", "first_ts",
+        "then_id", "then_ts",
+    )
