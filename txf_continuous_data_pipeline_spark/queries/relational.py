@@ -1790,3 +1790,49 @@ def asof_next_config(spark, sf_dir):
         events, cfg, fact_ts="ts", dim_ts="start_k",
         keep=("week_tag",), plan="broadcast", direction="forward",
     ).select("event_id", "start_k", "week_tag")
+
+
+_CONVERSIONS_SQL = """
+SELECT c.user_id, c.event_id AS first_id, p.event_id AS then_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+"""
+
+
+@q("conversion_pairs", _CONVERSIONS_SQL)
+def conversion_pairs(spark, sf_dir):
+    """Attribution pairs: each click joined to the same user's
+    purchases within 10 minutes - the batch twin of the stream-stream
+    conversion_join_stream (whose drained result is pinned row-equal
+    in tests/test_streaming.py). Equi-join on user with the interval
+    residual; exact integer-µs lag."""
+    events = read_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("first_id"),
+        F.col("ts").alias("first_ts"),
+    )
+    buys = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("then_id"),
+        F.col("ts").alias("then_ts"),
+    )
+    return clicks.join(
+        buys,
+        (F.col("u") == F.col("u2"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (
+            F.col("then_ts")
+            <= F.col("first_ts") + F.expr("INTERVAL 10 minutes")
+        ),
+    ).select(
+        F.col("u").alias("user_id"),
+        "first_id",
+        "then_id",
+        (
+            F.unix_micros("then_ts") - F.unix_micros("first_ts")
+        ).alias("lag_us"),
+    )
