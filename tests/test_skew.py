@@ -70,3 +70,84 @@ def test_stop_shingle_filter_caps_injected_skew(spark):
     kept_pairs = _pairs_from_index(filtered, 0.01)
     found = {(r.id_a, r.id_b) for r in kept_pairs.collect()}
     assert (0, 1) in found, found
+
+
+# ------------------------------------------------------------ sketches
+
+
+def test_count_min_overestimates_and_bounds(spark):
+    import collections
+    import random
+
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rng = random.Random(6)
+    vals = [rng.randrange(200) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["k"])
+    DEPTH, WIDTH = 4, 256
+    sk = count_min_build(df, key_col="k", depth=DEPTH, width=WIDTH)
+    keys = df.distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sk, keys, key_col="k", depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    true = collections.Counter(vals)
+    n = len(vals)
+    assert est.keys() == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)  # never underestimates
+        assert est[k] <= t + 2 * n / WIDTH * 4, (k, est[k], t)
+    # with 200 keys over 256 buckets most estimates should be exact-ish
+    exact = sum(1 for k in true if est[k] == true[k])
+    assert exact >= len(true) * 0.3
+
+
+def test_count_min_merge_is_union_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        count_min_build,
+    )
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(i % 5,) for i in range(60)], ["k"])
+    merged = (
+        count_min_build(a, key_col="k")
+        .unionByName(count_min_build(b, key_col="k"))
+        .groupBy("lane", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = count_min_build(a.unionByName(b), key_col="k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(300)], ["k"])
+    others = spark.createDataFrame(
+        [(i,) for i in range(10_000, 10_300)], ["k"]
+    )
+    bloom = bloom_build(members, key_col="k").localCheckpoint(eager=True)
+    got_m = {
+        r["k"]: r["may_contain"]
+        for r in bloom_contains(bloom, members, key_col="k").collect()
+    }
+    assert all(got_m.values()), "bloom false negative"
+    got_o = {
+        r["k"]: r["may_contain"]
+        for r in bloom_contains(bloom, others, key_col="k").collect()
+    }
+    fp = sum(1 for v in got_o.values() if v)
+    # 5 hashes, 300 keys, 4096 bits -> fp ~ (1-e^-0.366)^5 ~ 0.25%
+    assert fp <= 15, fp

@@ -1,0 +1,151 @@
+"""Frequency / membership sketches in columnar (table) form.
+
+Production engines treat sketches as opaque binary blobs; here each
+sketch IS a small DataFrame of counters or bit positions built from the
+engine-wide h60 hash family (operators/dedup.h60) — which makes every
+cell value reproducible in ANSI SQL, so even the sketches carry full
+value-level oracles (the same property that made the MinHash lanes and
+SimHash votes hash-checkable). Row-oriented sketch state also merges
+for free: union + groupBy-sum IS the sketch merge.
+
+The streaming twin of the frequency sketch is the Misra-Gries
+heavy-hitter fold (streaming/stateful.py), which bounds per-key state;
+Count-Min bounds TOTAL state (d*w counters regardless of key count) and
+answers point queries with one-sided error: est >= true, and
+est <= true + 2N/w with probability 1 - (1/2)^d (Cormode & Muthukrishnan
+2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h60
+
+
+def _lane(col, lane: int):
+    """Per-lane hash: h60 over a lane-salted key ("L{i}:" prefix). No
+    arithmetic means no int64 overflow under ANSI mode (an affine mix
+    of a 60-bit value overflows at multiplier 9), and the SQL mirror is
+    just h60 of the same concatenation."""
+    return h60(F.concat(F.lit(f"L{lane}:"), col))
+
+
+def count_min_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of `key_col` occurrences as a (lane, bucket,
+    n) table — depth*width counters total, one groupBy over an
+    exploded (lane, bucket) projection. Empty buckets are absent
+    (semantically zero). Merging sketches across shards/batches =
+    unionByName + groupBy(lane, bucket).sum — no custom state."""
+    k = F.col(key_col).cast("string")
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(lane).alias("lane"),
+                (_lane(k, lane) % F.lit(width)).cast("int").alias("bucket"),
+            )
+            for lane in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(lanes).alias("_lb"))
+        .groupBy(
+            F.col("_lb.lane").alias("lane"),
+            F.col("_lb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each key's frequency from a count_min_build
+    sketch: min over the key's depth counters (absent counter = 0).
+    The sketch is depth*width rows at most — always broadcastable, so
+    the key side never shuffles."""
+    k = F.col(key_col).cast("string")
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(lane).alias("lane"),
+                (_lane(k, lane) % F.lit(width)).cast("int").alias("bucket"),
+            )
+            for lane in range(depth)
+        ]
+    )
+    probed = keys.select(
+        F.col(key_col), F.explode(lanes).alias("_lb")
+    ).select(
+        key_col,
+        F.col("_lb.lane").alias("lane"),
+        F.col("_lb.bucket").alias("bucket"),
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["lane", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Bloom filter as a table of SET bit positions (distinct ints in
+    [0, n_bits)) — the columnar form of the bit array. Build is one
+    explode + distinct; merge across shards is a union + distinct."""
+    k = F.col(key_col).cast("string")
+    bits = F.array(
+        *[
+            (_lane(k, lane) % F.lit(n_bits)).cast("int")
+            for lane in range(n_hashes)
+        ]
+    )
+    return (
+        df.select(F.explode(bits).alias("bit")).distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    n_hashes: int = 5,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Membership probe: a key 'may be present' iff ALL its bit
+    positions are set — no false negatives, false-positive rate
+    ~ (1 - e^(-kn/m))^k. The bit table (<= n_bits rows) broadcasts;
+    the probe side aggregates a hit count per key."""
+    k = F.col(key_col).cast("string")
+    bits = F.array(
+        *[
+            (_lane(k, lane) % F.lit(n_bits)).cast("int")
+            for lane in range(n_hashes)
+        ]
+    )
+    probed = keys.select(F.col(key_col), F.explode(bits).alias("bit"))
+    marked = probed.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(key_col).agg(
+        (F.count(F.when(F.col("_set").isNotNull(), 1)) == F.lit(n_hashes))
+        .alias("may_contain")
+    )

@@ -473,3 +473,67 @@ def overlap_triangle_count(spark, sf_dir):
         bucket="minute",
     ).select("entity_a", "entity_b").distinct()
     return triangle_count(pairs, "entity_a", "entity_b")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _lane_sql(expr: str, lane: int) -> str:
+    return _h60_sql(f"'L{lane}:' || {expr}")
+
+
+_CMS_SQL = f"""
+WITH lanes AS (
+  {" UNION ALL ".join(
+      f"SELECT {lane} AS lane, "
+      f"CAST({_lane_sql('CAST(user_id AS VARCHAR)', lane)} % 256 AS INT) "
+      f"AS bucket FROM events"
+      for lane in range(4)
+  )}
+)
+SELECT lane, bucket, count(*) AS n
+FROM lanes GROUP BY lane, bucket
+"""
+
+
+@q("user_count_min_sketch", _CMS_SQL)
+def user_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch of user_id frequencies in columnar form (lane,
+    bucket, n): 4x256 counters bound total sketch state regardless of
+    key cardinality, and because every bucket index comes from the
+    engine-wide h60 lane family the oracle reproduces EVERY counter
+    value - the sketch itself is value-checked, not just its shape.
+    Point-query error bound + merge-equals-rebuild are pinned in
+    tests/test_skew.py; the streaming per-key-bounded twin is the
+    Misra-Gries fold."""
+    from ..operators.sketches import count_min_build
+
+    events = read_table(spark, sf_dir, "events").select("user_id")
+    return count_min_build(events, key_col="user_id", depth=4, width=256)
+
+
+_BLOOM_SQL = f"""
+WITH bits AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({_lane_sql('CAST(o_custkey AS VARCHAR)', lane)} % 4096 "
+      f"AS INT) AS bit FROM orders"
+      for lane in range(5)
+  )}
+)
+SELECT DISTINCT bit FROM bits
+"""
+
+
+@q("customer_bloom_bits", _BLOOM_SQL)
+def customer_bloom_bits(spark, sf_dir):
+    """Bloom filter of the customers-with-orders key set as a table of
+    set bit positions (5 h60 lanes into 4096 bits) - the columnar bit
+    array a semi-join pre-filter ships to the fact side instead of the
+    full key list. Every set bit is oracle-reproduced; the
+    no-false-negative contract is pinned in tests/test_skew.py."""
+    from ..operators.sketches import bloom_build
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return bloom_build(orders, key_col="o_custkey", n_hashes=5,
+                       n_bits=4096)
