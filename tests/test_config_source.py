@@ -316,3 +316,23 @@ def test_merge_aggregate_sink_untouched_buckets_not_rewritten(
         if os.path.getmtime(d) != mtimes.get(d)
     ]
     assert len(changed) == 1, changed
+
+
+def test_merge_aggregate_sink_count_only(spark, tmp_path):
+    from txf_continuous_data_pipeline_spark.sources.io import (
+        merge_aggregate_sink,
+    )
+
+    path = str(tmp_path / "agg_counts")
+    merge_aggregate_sink(
+        spark.createDataFrame([(1,), (1,), (2,)], "k long"),
+        path, keys=("k",), batch_id=0,
+    )
+    merge_aggregate_sink(
+        spark.createDataFrame([(1,)], "k long"),
+        path, keys=("k",), batch_id=1,
+    )
+    got = sorted(
+        (r["k"], r["_cnt"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, 3), (2, 1)]

@@ -151,3 +151,30 @@ def test_bloom_no_false_negatives(spark):
     fp = sum(1 for v in got_o.values() if v)
     # 5 hashes, 300 keys, 4096 bits -> fp ~ (1-e^-0.366)^5 ~ 0.25%
     assert fp <= 15, fp
+
+
+def test_fuzzy_hot_block_cap_bounds_candidates(spark):
+    """A boilerplate token shared by many names (every name ends in
+    'corp') makes its block quadratic; the cap drops that block while
+    pairs sharing an UNCAPPED key survive."""
+    from txf_continuous_data_pipeline_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+
+    names = [(f"name{i:03d} corp",) for i in range(60)]
+    names += [("acme corp",), ("acmo corp",)]
+    df = spark.createDataFrame(names, ["name"])
+    capped = blocked_fuzzy_pairs(
+        df, name_col="name", max_distance=1, max_block_size=10
+    ).collect()
+    # the 'corp' block (62 names) is dropped entirely; acme/acmo share
+    # only that capped key, and the nameXXX first tokens are unique ->
+    # with the cap nothing remains
+    assert capped == []
+    uncapped = {
+        (r["name_a"], r["name_b"])
+        for r in blocked_fuzzy_pairs(
+            df, name_col="name", max_distance=1
+        ).collect()
+    }
+    assert ("acme corp", "acmo corp") in uncapped

@@ -35,6 +35,7 @@ def blocked_fuzzy_pairs(
     *,
     name_col: str,
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Fuzzy-duplicate name pairs via token blocking + edit-distance
     verify.
@@ -55,6 +56,11 @@ def blocked_fuzzy_pairs(
     pairs are made distinct BEFORE the Levenshtein verify — the verify
     runs once per candidate. No cross join anywhere; a hot block costs
     O(block²) which is the irreducible candidate mass for that key.
+    `max_block_size` (opt-in) is the hot-key mitigation for corpora
+    where one token dominates (the fuzzy twin of the dedup stack's
+    stop_shingle_filter): blocks larger than the cap are DROPPED, a
+    declared recall trade documented to the caller, bounding any
+    block's pair mass at cap².
     """
     names = df.select(F.col(name_col).alias("_name")).distinct()
     keyed = names.select(
@@ -76,6 +82,15 @@ def blocked_fuzzy_pairs(
             )
         ).alias("_bk"),
     ).select("_name", "_bk._kind", "_bk._key")
+    if max_block_size is not None:
+        sizes = keyed.groupBy("_kind", "_key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        keyed = (
+            keyed.join(F.broadcast(sizes), ["_kind", "_key"])
+            .where(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
