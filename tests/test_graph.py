@@ -235,3 +235,49 @@ def test_triangle_count_known_shapes(spark):
         ).collect()[0][0]
         == 0
     )
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    import random
+
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.graph import pagerank
+
+    rng = random.Random(17)
+    n = 20
+    edges = {}
+    for _ in range(60):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges[(a, b)] = edges.get((a, b), 0) + rng.randrange(1, 9)
+    df = spark.createDataFrame(
+        [(a, b, float(w)) for (a, b), w in edges.items()],
+        "id_a long, id_b long, w double",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            df, damping=0.85, n_iter=10, weight_col="w"
+        ).collect()
+    }
+
+    # numpy reference: symmetrized weighted transition matrix
+    sym = {}
+    for (a, b), w in edges.items():
+        sym[(a, b)] = sym.get((a, b), 0) + w
+        sym[(b, a)] = sym.get((b, a), 0) + w
+    nodes = sorted({x for ab in sym for x in ab})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    A = np.zeros((m, m))
+    for (a, b), w in sym.items():
+        A[idx[b], idx[a]] = w
+    A /= A.sum(axis=0, keepdims=True)
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        r = 0.15 / m + 0.85 * (A @ r)
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, v

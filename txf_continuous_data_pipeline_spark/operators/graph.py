@@ -257,11 +257,13 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     undirected: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge table -> (id, rank), sum(rank) == 1.
 
     The second iterative graph operator (next to connected_components):
-    rank mass spreads along edges with uniform out-weight, restarting
+    rank mass spreads along edges proportionally to `weight_col` (or
+    with uniform out-weight when None), restarting
     with probability 1-damping. Undirected inputs are symmetrized so
     every node has out-degree >= 1 (no dangling mass); for directed
     inputs, dangling-node mass is redistributed uniformly each
@@ -276,13 +278,23 @@ def pagerank(
     power iteration's error decays as damping^k, so 10 iterations ≈
     0.2% mass error — callers wanting tighter bounds raise n_iter.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    wcol = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), wcol.alias("_w")
+    )
     if undirected:
         e = e.unionByName(
-            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+            e.select(
+                F.col("d").alias("s"), F.col("s").alias("d"), F.col("_w")
+            )
         )
-    e = e.distinct()
-    out_deg = e.groupBy("s").agg(F.count("*").alias("_deg"))
+    e = e.groupBy("s", "d").agg(F.sum("_w").alias("_w"))
+    # _deg is the out-weight normalizer: edge share = w / sum(out w)
+    out_deg = e.groupBy("s").agg(F.sum("_w").alias("_deg"))
     ew = (
         e.join(out_deg, "s")
         .repartition(F.col("s"))
@@ -305,7 +317,7 @@ def pagerank(
             ew.join(ranks, ew["s"] == ranks["id"])
             .select(
                 F.col("d").alias("id"),
-                (F.col("rank") / F.col("_deg")).alias("_c"),
+                (F.col("rank") * F.col("_w") / F.col("_deg")).alias("_c"),
             )
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))

@@ -245,17 +245,19 @@ def event_type_pagerank(spark, sf_dir):
     trans = (
         events.withColumn("next_type", F.lead("event_type").over(w))
         .where(F.col("next_type").isNotNull())
-        .select(
+        .groupBy(
             F.col("event_type").alias("src"),
             F.col("next_type").alias("dst"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    # undirected co-transition graph for the registry entry: the
-    # directed/dangling path costs a per-iteration 1-row broadcast agg
-    # (pytest-covered); the undirected form is the cheap bench shape.
+    # undirected co-transition graph for the registry entry (the
+    # directed/dangling path costs a per-iteration 1-row broadcast agg;
+    # pytest-covered), WEIGHTED by transition counts so the ranks are
+    # the actual traffic stationary distribution, not the uniform
+    # vector a complete unweighted 5-node graph collapses to.
     return pagerank(
-        trans, "src", "dst", undirected=True, n_iter=8
+        trans, "src", "dst", undirected=True, n_iter=8, weight_col="n"
     ).select("id", F.round("rank", 8).alias("rank"))
 
 
