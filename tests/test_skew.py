@@ -178,3 +178,45 @@ def test_fuzzy_hot_block_cap_bounds_candidates(spark):
         ).collect()
     }
     assert ("acme corp", "acmo corp") in uncapped
+
+
+def test_hll_estimate_within_error_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], ["k"])
+    sk = hll_build(df, key_col="k", p=9)
+    est = hll_estimate(sk, p=9).collect()[0]["n_distinct_est"]
+    # standard error ~ 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.14, est
+
+    # merge = union + groupBy.max must equal the direct build
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(2000, n)], ["k"])
+    merged = (
+        hll_build(a, key_col="k")
+        .unionByName(hll_build(b, key_col="k"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_hll_linear_counting_small_range(spark):
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(30)], ["k"])
+    est = hll_estimate(hll_build(df, key_col="k")).collect()[0][
+        "n_distinct_est"
+    ]
+    assert abs(est - 30) <= 2, est

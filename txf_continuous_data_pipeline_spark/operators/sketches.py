@@ -149,3 +149,59 @@ def bloom_contains(
         (F.count(F.when(F.col("_set").isNotNull(), 1)) == F.lit(n_hashes))
         .alias("may_contain")
     )
+
+
+def hll_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog register table from the h60 family: bucket = low p
+    bits of h60(key), register = position of the highest set bit in
+    the remaining 60-p bits (rho = (60-p) - bitlength(w) + 1, with the
+    all-zeros window taking the max rho). One groupBy(bucket).max —
+    and because rho derives from integer/bin-string ops (no floating
+    log2, whose libm rounding could differ across engines), EVERY
+    register value is reproducible in oracle SQL. This makes the
+    engine's approximate-distinct family value-checkable end to end,
+    unlike the built-in HLL++ sketch (approx_count_distinct), which is
+    rows-only forever.
+
+    Merge across shards/batches = unionByName + groupBy(bucket).max —
+    the HLL merge IS max, no custom state.
+    """
+    wbits = 60 - p
+    h = h60(F.col(key_col).cast("string"))
+    bucket = (h % F.lit(1 << p)).cast("int")
+    w = F.shiftright(h, p)
+    rho = F.when(w == F.lit(0), F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, *, p: int = 9) -> DataFrame:
+    """Cardinality estimate from an hll_build register table: the
+    classic alpha_m * m^2 / sum(2^-rho) harmonic mean with the
+    small-range linear-counting correction (empty buckets are absent
+    rows = register 0). One driver-free aggregate -> 1-row frame."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.col("_s") + (F.lit(m) - F.col("_nz"))  # absent buckets: 2^-0
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(F.round(est).cast("long").alias("n_distinct_est"))

@@ -539,3 +539,36 @@ def customer_bloom_bits(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders").select("o_custkey")
     return bloom_build(orders, key_col="o_custkey", n_hashes=5,
                        n_bits=4096)
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM events
+),
+r AS (
+  SELECT CAST(hv % 512 AS INT) AS bucket,
+         CASE WHEN (hv >> 9) = 0 THEN 52
+              ELSE 52 - length(bin(hv >> 9)) END AS rho
+  FROM h
+)
+SELECT bucket, CAST(max(rho) AS INT) AS rho
+FROM r GROUP BY bucket
+"""
+
+
+@q("user_hll_registers", _HLL_SQL)
+def user_hll_registers(spark, sf_dir):
+    """HyperLogLog register table of distinct users (p=9, 512 buckets)
+    built from the h60 family with integer/bin-string rho extraction -
+    no floating log2, so EVERY register value is oracle-reproduced.
+    This closes the one permanently-rows-only gap in the approximate
+    family: approx_count_distinct's HLL++ blob can never hash-match,
+    but this engine-native HLL does, and hll_estimate reads the same
+    table (error + merge contracts pinned in tests/test_skew.py, exact
+    twin distinct_users)."""
+    from ..operators.sketches import hll_build
+
+    events = read_table(spark, sf_dir, "events").select("user_id")
+    return hll_build(events, key_col="user_id", p=9)
