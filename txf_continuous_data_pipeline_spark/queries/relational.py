@@ -1836,3 +1836,49 @@ def conversion_pairs(spark, sf_dir):
             F.unix_micros("then_ts") - F.unix_micros("first_ts")
         ).alias("lag_us"),
     )
+
+
+_COOCCUR_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS support
+FROM pairs GROUP BY part_a, part_b
+HAVING count(*) >= 3
+"""
+
+
+@q("frequent_part_pairs", _COOCCUR_SQL)
+def frequent_part_pairs(spark, sf_dir):
+    """Market-basket pairwise co-occurrence: parts ordered together in
+    at least 3 orders (the support-counting inner step of frequent-
+    itemset mining). The self-join is keyed on the ORDER - pair
+    enumeration per basket is bounded by basket size squared (baskets
+    here cap at 13 lines), so total candidate mass is
+    sum(basket_size^2), linear in order count at fixed basket size -
+    never a cross join over parts. Items deduped per order first so
+    multi-line repeats of one part don't inflate support."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
