@@ -791,3 +791,110 @@ def sliding_window_stats(spark, sf_dir):
             F.round(F.min("value"), 2).alias("min_value"),
         )
     )
+
+
+_EWMA_SQL = """
+WITH bars AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND)
+           AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT CAST(bar_ts AS DATE) AS bar_date,
+         list(close ORDER BY bar_ts) AS closes
+  FROM bars GROUP BY 1
+)
+SELECT CAST(bar_date AS TIMESTAMP) AS bar_date,
+       round(list_reduce(closes, (acc, x) -> acc * 0.8 + x * 0.2), 6)
+         AS ewma_close,
+       CAST(len(closes) AS BIGINT) AS n_bars
+FROM daily
+"""
+
+
+@q("ewma_close_daily", _EWMA_SQL)
+def ewma_close_daily(spark, sf_dir):
+    """Per-day EWMA (alpha=0.2) of 5-min bar closes - exponential
+    smoothing, the classic recursive time-series operator. The
+    recursion is a LEFT FOLD over the day's time-ordered closes
+    (sort_array of (ts, close) structs -> aggregate), seeded with the
+    first close to mirror DuckDB's list_reduce exactly, so both
+    engines execute the identical FP operation sequence and values
+    match to the bit before rounding. Per-day groups bound the folded
+    list (<= 288 closes); an unbounded-history EWMA would restate as
+    the same fold over windowed chunks with a carried seed."""
+    bars = tumbling_ohlcv(
+        read_table(spark, sf_dir, "events"),
+        ts_col="ts", price_col="value", width="5 minutes",
+    )
+    daily = bars.groupBy(
+        F.date_trunc("day", "bar_ts").alias("bar_date")
+    ).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bar_ts"), F.col("close")))
+        ).alias("_tc")
+    )
+    closes = F.transform(F.col("_tc"), lambda s: s["close"])
+    folded = F.aggregate(
+        F.slice(closes, 2, F.greatest(F.size(closes) - 1, F.lit(0))),
+        F.element_at(closes, 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return daily.select(
+        "bar_date",
+        F.round(folded, 6).alias("ewma_close"),
+        F.size(closes).cast("long").alias("n_bars"),
+    )
+
+
+_DRAWDOWN_SQL = """
+WITH bars AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts - INTERVAL 1 MICROSECOND)
+           AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1
+),
+dd AS (
+  SELECT CAST(bar_ts AS DATE) AS bar_date, bar_ts, close,
+         max(close) OVER (PARTITION BY CAST(bar_ts AS DATE)
+                          ORDER BY bar_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS peak
+  FROM bars
+)
+SELECT CAST(bar_date AS TIMESTAMP) AS bar_date,
+       round(max(peak - close), 6) AS max_drawdown,
+       round(max((peak - close) / peak), 8) AS max_drawdown_frac
+FROM dd GROUP BY bar_date
+"""
+
+
+@q("bar_max_drawdown", _DRAWDOWN_SQL)
+def bar_max_drawdown(spark, sf_dir):
+    """Per-day maximum drawdown of 5-min closes: running peak (cummax
+    window) minus close, maxed per day - the risk statistic every bar
+    consumer derives. One shuffle on the day key serves the cummax
+    window AND the final aggregate."""
+    bars = tumbling_ohlcv(
+        read_table(spark, sf_dir, "events"),
+        ts_col="ts", price_col="value", width="5 minutes",
+    ).select(
+        F.date_trunc("day", "bar_ts").alias("bar_date"),
+        "bar_ts",
+        "close",
+    )
+    w = (
+        Window.partitionBy("bar_date")
+        .orderBy("bar_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = bars.withColumn("peak", F.max("close").over(w))
+    return dd.groupBy("bar_date").agg(
+        F.round(F.max(F.col("peak") - F.col("close")), 6).alias(
+            "max_drawdown"
+        ),
+        F.round(
+            F.max((F.col("peak") - F.col("close")) / F.col("peak")), 8
+        ).alias("max_drawdown_frac"),
+    )
