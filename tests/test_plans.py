@@ -160,3 +160,44 @@ def test_no_cartesian_products_registry_wide(spark, sf_dir):
             row_python.append(name)
     assert not cartesian, cartesian
     assert not row_python, row_python
+
+
+def test_value_outliers_broadcasts_stats(spark, sf_dir):
+    # group stats must come back as a broadcast; the fact side never
+    # shuffles for the join (window formulation would).
+    plan = _plan(spark, sf_dir, "value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orders_profile_single_scan(spark, sf_dir):
+    # all column metrics from ONE aggregate over ONE scan: exactly one
+    # parquet scan node, no join.
+    plan = _plan(spark, sf_dir, "orders_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_snapshot_diff")
+    assert plan.count("SortMergeJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_int8_quantize")
+    assert "Exchange" not in plan.replace("ReusedExchange", "")
+
+
+def test_fuzzy_pairs_no_cartesian_blocked_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fuzzy_part_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_is_equi_join(spark, sf_dir):
+    # the binned range join must plan as an equi-join (SMJ/BHJ on the
+    # bucket key), never a nested-loop over the inequality
+    plan = _plan(spark, sf_dir, "session_overlap_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
