@@ -1882,3 +1882,38 @@ def frequent_part_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 3)
     )
+
+
+_CORR_SQL = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         date_trunc('hour', ts) AS h,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS buys
+  FROM events GROUP BY 1, 2
+)
+SELECT d AS bar_date, round(corr(clicks, buys), 4) AS click_buy_corr,
+       CAST(count(*) AS BIGINT) AS n_hours
+FROM hourly GROUP BY d
+"""
+
+
+@q("daily_click_buy_corr", _CORR_SQL)
+def daily_click_buy_corr(spark, sf_dir):
+    """Daily Pearson correlation between hourly click and purchase
+    counts — the cross-metric co-movement statistic an anomaly monitor
+    watches. Two nested aggregates share one time-key shuffle chain
+    (hour rollup -> day corr); F.corr and DuckDB's corr are both
+    sample correlation, matching under the driver's isclose at 4dp."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("day", "ts").alias("bar_date"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("buys"),
+    )
+    return hourly.groupBy("bar_date").agg(
+        F.round(F.corr("clicks", "buys"), 4).alias("click_buy_corr"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
