@@ -1917,3 +1917,87 @@ def daily_click_buy_corr(spark, sf_dir):
         F.round(F.corr("clicks", "buys"), 4).alias("click_buy_corr"),
         F.count(F.lit(1)).alias("n_hours"),
     )
+
+
+_RULES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+item_supp AS (
+  SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+),
+pair_supp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS s
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.s AS support,
+       round(p.s / CAST(sa.s AS DOUBLE), 6) AS confidence,
+       round(p.s * n.n / CAST(sa.s AS DOUBLE) / sb.s, 6) AS lift
+FROM pair_supp p
+JOIN item_supp sa ON sa.l_partkey = p.part_a
+JOIN item_supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n_orders n
+"""
+
+
+@q("part_association_rules", _RULES_SQL)
+def part_association_rules(spark, sf_dir):
+    """Association rules A -> B over the frequent part pairs:
+    confidence = P(B | A-basket), lift = confidence / P(B). Item
+    supports and the order count derive from the SAME deduped items
+    frame the pair join reads (one persisted lineage); supports and
+    the 1-row order count attach as broadcasts, so only the pair join
+    itself touches fact-scale data."""
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa")
+    )
+    sb = item_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("_sb")
+    )
+    return (
+        pair_supp.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("_sa"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support")
+                * F.lit(n_orders)
+                / F.col("_sa")
+                / F.col("_sb"),
+                6,
+            ).alias("lift"),
+        )
+    )
