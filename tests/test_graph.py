@@ -281,3 +281,14 @@ def test_weighted_pagerank_matches_numpy(spark):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-12, v
+
+
+def test_star_hub_graph_fast_and_correct(spark):
+    # one hub with 5000 leaves: the star algorithm's hot-key case.
+    # Must converge in ~2 rounds with every leaf labeled to the min id.
+    pairs = [(9999, i) for i in range(5000)]
+    stats = {}
+    got = _labels(connected_components(_edges(spark, pairs), stats=stats))
+    assert stats["rounds"] <= 3, stats
+    assert got[9999] == 0 and len(got) == 5001
+    assert all(v == 0 for v in got.values())
