@@ -73,10 +73,14 @@ def probe(spark, sf_dir: str, gran: str) -> dict:
         "bucket": gran,
         "sessions": n_sessions,
         "binned_rows": n_rows,
-        "rows_per_interval": round(n_rows / n_sessions, 2),
+        "rows_per_interval": (
+            round(n_rows / n_sessions, 2) if n_sessions else None
+        ),
         "candidates": candidates,
         "true_pairs": pairs,
-        "residual_keep": round(pairs / candidates, 4),
+        "residual_keep": (
+            round(pairs / candidates, 4) if candidates else None
+        ),
         "sec": round(time.perf_counter() - t0, 1),
     }
 

@@ -292,3 +292,14 @@ def test_star_hub_graph_fast_and_correct(spark):
     assert stats["rounds"] <= 3, stats
     assert got[9999] == 0 and len(got) == 5001
     assert all(v == 0 for v in got.values())
+
+
+def test_unweighted_pagerank_ignores_duplicate_edges(spark):
+    from txf_continuous_data_pipeline_spark.operators.graph import pagerank
+
+    base = _edges(spark, [(1, 2), (1, 3)])
+    dup = _edges(spark, [(1, 2), (1, 2), (1, 3)])
+    r1 = {r["id"]: r["rank"] for r in pagerank(base, n_iter=6).collect()}
+    r2 = {r["id"]: r["rank"] for r in pagerank(dup, n_iter=6).collect()}
+    for k in r1:
+        assert abs(r1[k] - r2[k]) < 1e-12, k

@@ -220,3 +220,66 @@ def test_hll_linear_counting_small_range(spark):
         "n_distinct_est"
     ]
     assert abs(est - 30) <= 2, est
+
+
+def test_bloom_duplicate_probe_keys_no_false_negative(spark):
+    # fact-side probe frames carry duplicate keys by nature; a member
+    # appearing twice must still probe True (regression: the hit-count
+    # fold saw 2*n_hashes rows and failed the == n_hashes test)
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    members = spark.createDataFrame([(1,), (2,)], ["k"])
+    bloom = bloom_build(members, key_col="k")
+    probe = spark.createDataFrame([(1,), (1,), (1,), (3,)], ["k"])
+    got = {
+        r["k"]: r["may_contain"]
+        for r in bloom_contains(bloom, probe, key_col="k").collect()
+    }
+    assert got[1] is True
+
+
+def test_sketches_handle_null_keys(spark):
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        count_min_build,
+        count_min_estimate,
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (None,)], "k long")
+    sk = count_min_build(df, key_col="k")
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(sk, df.distinct(), key_col="k").collect()
+    }
+    assert est[None] >= 2  # nulls counted AND matchable
+    bloom = bloom_build(df, key_col="k")
+    got = {
+        r["k"]: r["may_contain"]
+        for r in bloom_contains(bloom, df.distinct(), key_col="k").collect()
+    }
+    assert got[None] is True
+    n = hll_estimate(hll_build(df, key_col="k")).collect()[0][
+        "n_distinct_est"
+    ]
+    assert 1 <= n <= 3
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from txf_continuous_data_pipeline_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame([], "k long")
+    assert (
+        hll_estimate(hll_build(df, key_col="k")).collect()[0][
+            "n_distinct_est"
+        ]
+        == 0
+    )

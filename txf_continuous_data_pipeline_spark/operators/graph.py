@@ -293,6 +293,11 @@ def pagerank(
             )
         )
     e = e.groupBy("s", "d").agg(F.sum("_w").alias("_w"))
+    if weight_col is None:
+        # unweighted contract: duplicate input edges must NOT become
+        # implicit weights - each distinct edge carries weight 1 (the
+        # docstring's uniform out-weight promise)
+        e = e.withColumn("_w", F.lit(1.0))
     # _deg is the out-weight normalizer: edge share = w / sum(out w)
     out_deg = e.groupBy("s").agg(F.sum("_w").alias("_deg"))
     ew = (

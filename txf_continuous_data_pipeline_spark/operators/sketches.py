@@ -24,12 +24,22 @@ from pyspark.sql import functions as F
 from .dedup import h60
 
 
+def _key_str(col):
+    """Sketch key canonicalization: NULL hashes as a reserved NUL-byte
+    marker instead of propagating (concat of NULL is NULL, which would
+    land in unmatchable NULL buckets - count-min would then
+    UNDERestimate null keys and bloom would report false negatives for
+    a stored null). A real key cannot contain NUL in these datasets;
+    oracle SQL for null-bearing keys must apply the same coalesce."""
+    return F.coalesce(col.cast("string"), F.lit("\x00"))
+
+
 def _lane(col, lane: int):
     """Per-lane hash: h60 over a lane-salted key ("L{i}:" prefix). No
     arithmetic means no int64 overflow under ANSI mode (an affine mix
     of a 60-bit value overflows at multiplier 9), and the SQL mirror is
     just h60 of the same concatenation."""
-    return h60(F.concat(F.lit(f"L{lane}:"), col))
+    return h60(F.concat(F.lit(f"L{lane}:"), _key_str(col)))
 
 
 def count_min_build(
@@ -44,7 +54,7 @@ def count_min_build(
     exploded (lane, bucket) projection. Empty buckets are absent
     (semantically zero). Merging sketches across shards/batches =
     unionByName + groupBy(lane, bucket).sum — no custom state."""
-    k = F.col(key_col).cast("string")
+    k = F.col(key_col)
     lanes = F.array(
         *[
             F.struct(
@@ -76,7 +86,7 @@ def count_min_estimate(
     sketch: min over the key's depth counters (absent counter = 0).
     The sketch is depth*width rows at most — always broadcastable, so
     the key side never shuffles."""
-    k = F.col(key_col).cast("string")
+    k = F.col(key_col)
     lanes = F.array(
         *[
             F.struct(
@@ -110,7 +120,7 @@ def bloom_build(
     """Bloom filter as a table of SET bit positions (distinct ints in
     [0, n_bits)) — the columnar form of the bit array. Build is one
     explode + distinct; merge across shards is a union + distinct."""
-    k = F.col(key_col).cast("string")
+    k = F.col(key_col)
     bits = F.array(
         *[
             (_lane(k, lane) % F.lit(n_bits)).cast("int")
@@ -134,14 +144,20 @@ def bloom_contains(
     positions are set — no false negatives, false-positive rate
     ~ (1 - e^(-kn/m))^k. The bit table (<= n_bits rows) broadcasts;
     the probe side aggregates a hit count per key."""
-    k = F.col(key_col).cast("string")
+    # dedupe probe keys FIRST: a duplicated key would contribute
+    # 2*n_hashes matched rows and fail the == n_hashes test below -
+    # a false negative on a true member (fact-side probe frames carry
+    # duplicates by nature)
+    k = F.col(key_col)
     bits = F.array(
         *[
             (_lane(k, lane) % F.lit(n_bits)).cast("int")
             for lane in range(n_hashes)
         ]
     )
-    probed = keys.select(F.col(key_col), F.explode(bits).alias("bit"))
+    probed = keys.select(key_col).distinct().select(
+        F.col(key_col), F.explode(bits).alias("bit")
+    )
     marked = probed.join(
         F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
     )
@@ -172,7 +188,7 @@ def hll_build(
     the HLL merge IS max, no custom state.
     """
     wbits = 60 - p
-    h = h60(F.col(key_col).cast("string"))
+    h = h60(_key_str(F.col(key_col)))
     bucket = (h % F.lit(1 << p)).cast("int")
     w = F.shiftright(h, p)
     rho = F.when(w == F.lit(0), F.lit(wbits + 1)).otherwise(
@@ -193,7 +209,11 @@ def hll_estimate(sketch: DataFrame, *, p: int = 9) -> DataFrame:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = sketch.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        # coalesce: an EMPTY register table (empty input) must estimate
+        # 0 via linear counting, not propagate NULL through the math
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("_s"),
         F.count(F.lit(1)).alias("_nz"),
     )
     raw = F.lit(alpha * m * m) / (

@@ -1853,21 +1853,22 @@ HAVING count(*) >= 3
 """
 
 
-@q("frequent_part_pairs", _COOCCUR_SQL)
-def frequent_part_pairs(spark, sf_dir):
-    """Market-basket pairwise co-occurrence: parts ordered together in
-    at least 3 orders (the support-counting inner step of frequent-
-    itemset mining). The self-join is keyed on the ORDER - pair
-    enumeration per basket is bounded by basket size squared (baskets
-    here cap at 13 lines), so total candidate mass is
-    sum(basket_size^2), linear in order count at fixed basket size -
-    never a cross join over parts. Items deduped per order first so
-    multi-line repeats of one part don't inflate support."""
-    items = (
+def _order_items(spark, sf_dir):
+    """Deduped (order, part) basket items - the shared base of the
+    market-basket family."""
+    return (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+
+
+def _pair_support(items, min_support: int = 3):
+    """Order-keyed pair enumeration + support threshold (shared by
+    frequent_part_pairs and part_association_rules so the contract
+    cannot silently diverge): pair mass per basket is bounded by
+    basket size squared, linear in orders at fixed basket size -
+    never a part-level cross join."""
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(
@@ -1880,8 +1881,18 @@ def frequent_part_pairs(spark, sf_dir):
             F.col("b.l_partkey").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 3)
+        .where(F.col("support") >= min_support)
     )
+
+
+@q("frequent_part_pairs", _COOCCUR_SQL)
+def frequent_part_pairs(spark, sf_dir):
+    """Market-basket pairwise co-occurrence: parts ordered together in
+    at least 3 orders (the support-counting inner step of frequent-
+    itemset mining); see _pair_support for the scale argument. Items
+    deduped per order first so multi-line repeats of one part don't
+    inflate support."""
+    return _pair_support(_order_items(spark, sf_dir))
 
 
 _CORR_SQL = """
@@ -1952,30 +1963,18 @@ def part_association_rules(spark, sf_dir):
     frame the pair join reads (one persisted lineage); supports and
     the 1-row order count attach as broadcasts, so only the pair join
     itself touches fact-scale data."""
-    items = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
+    items = _order_items(spark, sf_dir).localCheckpoint(eager=False)
+    # order count stays LAZY: a 1-row aggregate cross-joined as a
+    # broadcast (the asof_join_bucketed pattern) - an eager .count()
+    # here would run a fact-scale job every time the registry function
+    # is merely constructed (plan snapshots, explain-only tests).
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("_n_orders")
     )
-    n_orders = items.select("l_orderkey").distinct().count()
     item_supp = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("s")
     )
-    a, b = items.alias("a"), items.alias("b")
-    pair_supp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 3)
-    )
+    pair_supp = _pair_support(items)
     sa = item_supp.select(
         F.col("l_partkey").alias("part_a"), F.col("s").alias("_sa")
     )
@@ -1985,6 +1984,7 @@ def part_association_rules(spark, sf_dir):
     return (
         pair_supp.join(F.broadcast(sa), "part_a")
         .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
@@ -1994,7 +1994,7 @@ def part_association_rules(spark, sf_dir):
             ),
             F.round(
                 F.col("support")
-                * F.lit(n_orders)
+                * F.col("_n_orders")
                 / F.col("_sa")
                 / F.col("_sb"),
                 6,
