@@ -400,3 +400,31 @@ def test_profile_table_dotted_column_name(spark):
     )
     prof = {r["column"]: r for r in profile_table(df).collect()}
     assert prof["a.b"]["n_distinct"] == 2 and prof["a.b"]["max_num"] == 2.0
+
+
+# ----------------------------------------------------------------- psi
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        population_stability_index,
+    )
+
+    import random
+
+    rng = random.Random(8)
+    base = [(rng.uniform(0, 100),) for _ in range(2000)]
+    ref = spark.createDataFrame(base, ["v"])
+    same = spark.createDataFrame(base, ["v"])
+    psi0 = population_stability_index(
+        ref, same, value_col="v", lo=0.0, hi=100.0
+    ).collect()[0]["psi"]
+    assert abs(psi0) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [(v + 50,) for (v,) in base], ["v"]
+    )
+    psi1 = population_stability_index(
+        ref, shifted, value_col="v", lo=0.0, hi=100.0
+    ).collect()[0]["psi"]
+    assert psi1 > 0.25, psi1  # half the mass left its buckets

@@ -275,3 +275,63 @@ def expect_referential(
             F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
         ).alias("pass_rate"),
     )
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    value_col: str,
+    n_buckets: int = 10,
+    lo: float,
+    hi: float,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of `value_col`: fixed equal-width buckets over [lo, hi]
+    (edge buckets absorb the tails), PSI = sum((p-q)*ln(p/q)) with
+    eps-smoothed shares. The standard drift gate: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted.
+
+    Fixed LITERAL bucket edges (caller supplies the range, e.g. from a
+    stored profile) keep the whole computation two aggregates + a
+    broadcast-size join of 10-row bucket tables — data-derived
+    quantile edges would need an extra pass and make the metric
+    definition drift with the data it is supposed to judge.
+
+    Output: one row (psi double, n_ref long, n_cur long).
+    """
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+    def shares(df, side):
+        counts = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"_n_{side}")
+        )
+        total = df.agg(F.count(F.lit(1)).alias(f"_t_{side}"))
+        return counts, total
+
+    rc, rt = shares(ref, "r")
+    cc, ct = shares(cur, "c")
+    all_buckets = ref.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        all_buckets.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(cc), "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+    )
+    p = F.coalesce("_n_r", F.lit(0)) / F.col("_t_r") + F.lit(eps)
+    q = F.coalesce("_n_c", F.lit(0)) / F.col("_t_c") + F.lit(eps)
+    return j.agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.first("_t_r").cast("long").alias("n_ref"),
+        F.first("_t_c").cast("long").alias("n_cur"),
+    )

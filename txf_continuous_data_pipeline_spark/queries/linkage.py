@@ -572,3 +572,61 @@ def user_hll_registers(spark, sf_dir):
 
     events = read_table(spark, sf_dir, "events").select("user_id")
     return hll_build(events, key_col="user_id", p=9)
+
+
+_PSI_SQL = """
+WITH ref_s AS (
+  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+cur_s AS (
+  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+),
+buckets AS (SELECT unnest(range(0, 10)) AS bucket),
+rc AS (
+  SELECT LEAST(GREATEST(CAST(floor(value / 20.0) AS INT), 0), 9)
+           AS bucket, count(*) AS n
+  FROM ref_s GROUP BY 1
+),
+cc AS (
+  SELECT LEAST(GREATEST(CAST(floor(value / 20.0) AS INT), 0), 9)
+           AS bucket, count(*) AS n
+  FROM cur_s GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT count(*) FROM ref_s) AS tr,
+         (SELECT count(*) FROM cur_s) AS tc
+)
+SELECT round(sum(
+         (coalesce(rc.n, 0) / CAST(tot.tr AS DOUBLE) + 1e-6
+          - coalesce(cc.n, 0) / CAST(tot.tc AS DOUBLE) - 1e-6)
+         * ln((coalesce(rc.n, 0) / CAST(tot.tr AS DOUBLE) + 1e-6)
+              / (coalesce(cc.n, 0) / CAST(tot.tc AS DOUBLE) + 1e-6))
+       ), 6) AS psi,
+       CAST(any_value(tot.tr) AS BIGINT) AS n_ref,
+       CAST(any_value(tot.tc) AS BIGINT) AS n_cur
+FROM buckets
+LEFT JOIN rc USING (bucket)
+LEFT JOIN cc USING (bucket)
+CROSS JOIN tot
+"""
+
+
+@q("value_drift_psi", _PSI_SQL)
+def value_drift_psi(spark, sf_dir):
+    """Population Stability Index of the events value distribution,
+    first half of the month (reference) vs second half (current) -
+    the standard ML-ops drift gate (<0.1 stable). Fixed literal
+    buckets over [0, 200] keep it two aggregate passes + 10-row
+    broadcast joins; both engines smooth shares with the same eps."""
+    from ..operators.profiling import population_stability_index
+
+    events = read_table(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return population_stability_index(
+        events.where(F.col("ts") < split),
+        events.where(F.col("ts") >= split),
+        value_col="value",
+        n_buckets=10,
+        lo=0.0,
+        hi=200.0,
+    )
