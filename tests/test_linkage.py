@@ -428,3 +428,26 @@ def test_psi_zero_for_identical_and_large_for_shifted(spark):
         ref, shifted, value_col="v", lo=0.0, hi=100.0
     ).collect()[0]["psi"]
     assert psi1 > 0.25, psi1  # half the mass left its buckets
+
+
+def test_profile_by_group_metrics(spark):
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        profile_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 1, "x"), ("b", 2, "y")],
+        ["g", "v", "s"],
+    )
+    got = {
+        (r["group"], r["column"]): (r["n_nulls"], r["n_distinct"])
+        for r in profile_by_group(
+            df, group_col="g", columns=("v", "s")
+        ).collect()
+    }
+    assert got == {
+        ("a", "v"): (0, 1),
+        ("a", "s"): (1, 1),
+        ("b", "v"): (0, 1),
+        ("b", "s"): (0, 1),
+    }

@@ -335,3 +335,42 @@ def population_stability_index(
         F.first("_t_r").cast("long").alias("n_ref"),
         F.first("_t_c").cast("long").alias("n_cur"),
     )
+
+
+def profile_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Per-group column profile: (group, column, n_nulls, n_distinct)
+    for each profiled column within each group value — the
+    segment-level drift/health view (per source, per language, per
+    day) the whole-table profile_table can't give. Same single-pass
+    design: one groupBy(group) aggregate computing every column's
+    metrics, unpivoted by exploding a literal struct array. Exact
+    multi-distinct costs one Expand (input × n_cols) like
+    profile_table's; group count only changes the number of OUTPUT
+    rows."""
+    cols = list(columns)
+    aggs = []
+    for c in cols:
+        src = F.col(f"`{c}`")
+        aggs.append(
+            F.count(F.when(src.isNull(), F.lit(1))).alias(f"_nn_{c}")
+        )
+        aggs.append(F.count_distinct(src).alias(f"_nd_{c}"))
+    wide = df.groupBy(F.col(f"`{group_col}`").alias("group")).agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"`_nn_{c}`").cast("long").alias("n_nulls"),
+                F.col(f"`_nd_{c}`").cast("long").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(
+        "group", F.explode(rows).alias("_m")
+    ).select("group", "_m.*")

@@ -135,10 +135,10 @@ _PRIORITY = [
 # driver row EXCEPT q2_min_supplier_shape, asof_next_config,
 # conversion_pairs, user_count_min_sketch, customer_bloom_bits,
 # user_hll_registers, frequent_part_pairs, ewma_close_daily,
-# bar_max_drawdown, daily_click_buy_corr, part_association_rules, and
-# value_drift_psi (added after the r5 window filled; first r6 rotation
-# candidates, rule: never-green enters ahead of multi-round-stable
-# greens). The r6 rotation should also return
+# bar_max_drawdown, daily_click_buy_corr, part_association_rules,
+# value_drift_psi, and documents_profile_by_source (added after the r5
+# window filled; first r6 rotation candidates, rule: never-green
+# enters ahead of multi-round-stable greens). The r6 rotation should also return
 # displaced operator-family flagships to the window as slots allow. event_type_pagerank and the other rows-only entries
 # (approx_distinct_users, kmeans_clusters) stay in the tail: their
 # correctness lives in pytest differentials, and a window slot spent on

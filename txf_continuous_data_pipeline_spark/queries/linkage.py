@@ -630,3 +630,34 @@ def value_drift_psi(spark, sf_dir):
         lo=0.0,
         hi=200.0,
     )
+
+
+_GPROFILE_SQL = """
+SELECT source AS "group", 'lang' AS "column",
+       count(*) - count(lang) AS n_nulls,
+       count(DISTINCT lang) AS n_distinct
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, 'n_chars', count(*) - count(n_chars),
+       count(DISTINCT n_chars)
+FROM documents GROUP BY source
+UNION ALL
+SELECT source, 'text', count(*) - count(text), count(DISTINCT text)
+FROM documents GROUP BY source
+"""
+
+
+@q("documents_profile_by_source", _GPROFILE_SQL)
+def documents_profile_by_source(spark, sf_dir):
+    """Per-source column profile of documents (null counts + exact
+    distincts for lang / n_chars / text) - the segment-level corpus
+    health view: a source whose lang cardinality collapses or whose
+    text distinct-ratio drops (duplication!) shows up here before it
+    pollutes training mixes. One grouped aggregate pass, literal-struct
+    unpivot."""
+    from ..operators.profiling import profile_by_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return profile_by_group(
+        docs, group_col="source", columns=("lang", "n_chars", "text")
+    )
