@@ -307,13 +307,28 @@ def test_expect_counts_violations_per_rule(spark):
     )
 
 
-def test_expect_empty_frame_no_division_crash(spark):
-    from txf_continuous_data_pipeline_spark.operators.profiling import expect
+def test_expect_empty_frame_passes_vacuously(spark):
+    # ADVICE r5: pass_rate used to be NULL on an empty input (0/0), so
+    # a downstream gate like `pass_rate < 0.99` silently never fired.
+    # Empty-input semantics are now DEFINED: no rows -> vacuous pass,
+    # pass_rate 1.0, in all three expectation variants.
+    from txf_continuous_data_pipeline_spark.operators.profiling import (
+        expect,
+        expect_referential,
+        expect_unique_key,
+    )
 
     df = spark.createDataFrame([], "k long, v double")
     rows = expect(df, [("non_null:k", F.col("k").isNull())]).collect()
     assert rows[0]["n_violations"] == 0 and rows[0]["n_rows"] == 0
-    assert rows[0]["pass_rate"] is None  # 0/0 -> undefined, not a crash
+    assert rows[0]["pass_rate"] == 1.0
+
+    uq = expect_unique_key(df, ["k"]).collect()[0]
+    assert uq["n_rows"] == 0 and uq["pass_rate"] == 1.0
+
+    dim = spark.createDataFrame([(1,)], ["pk"])
+    rf = expect_referential(df, dim, fk="k", pk="pk").collect()[0]
+    assert rf["n_rows"] == 0 and rf["pass_rate"] == 1.0
 
 
 def test_scd2_intervals_partition_timeline_random(spark):
@@ -451,3 +466,26 @@ def test_profile_by_group_metrics(spark):
         ("b", "v"): (0, 1),
         ("b", "s"): (0, 1),
     }
+
+
+def test_fuzzy_blocking_whitespace_normalized(spark):
+    # ADVICE r5: \s+ tokenization vs the oracle's single-space split
+    # diverged on irregular whitespace. Block keys now come from a
+    # trim+collapse normalized form in BOTH engines: these three
+    # spellings of "red widget" must all block together (edit distance
+    # between raw forms still decides the verify).
+    df = spark.createDataFrame(
+        [("red widget",), ("red  widget",), (" red widget",),
+         ("blue bolt",)],
+        ["name"],
+    )
+    pairs = {
+        (r.name_a, r.name_b)
+        for r in blocked_fuzzy_pairs(
+            df, name_col="name", max_distance=2
+        ).collect()
+    }
+    assert (" red widget", "red widget") in pairs
+    assert (" red widget", "red  widget") in pairs
+    assert ("red  widget", "red widget") in pairs
+    assert all("bolt" not in a and "bolt" not in b for a, b in pairs)

@@ -201,3 +201,14 @@ def test_overlap_join_is_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "session_overlap_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_lineage_is_cut(spark, sf_dir):
+    # r5 audit: overlap_triangle_count re-ran its edge-building lineage
+    # ~3x (71 exchanges, zero reuse). The fix eagerly checkpoints the
+    # canonical edges and the oriented `fwd` frame, so the final plan
+    # must read checkpointed RDDs and stay single-digit on exchanges.
+    plan = _plan(spark, sf_dir, "overlap_triangle_count")
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange") <= 9, plan.count("Exchange")
+    assert "CartesianProduct" not in plan

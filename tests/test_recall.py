@@ -321,3 +321,28 @@ def test_ivf_probe_on_int8_codes_recall(spark, sf_dir):
         code_probe = set(ids[np.argsort(-sq)[:10]])
         recalls.append(len(full_probe & code_probe) / 10)
     assert sum(recalls) / len(recalls) >= 0.85, sum(recalls) / len(recalls)
+
+
+def test_int8_quantize_survives_scale_column_collision(spark, sf_dir):
+    # ADVICE r5: real input columns shadow lateral aliases, so an input
+    # already carrying a `scale` column used to quantize with the wrong
+    # denominator. The staged `_q_scale` name must make the codes
+    # identical with and without the colliding column.
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    clean = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_int8(emb).collect()
+    }
+    poisoned = emb.withColumn("scale", F.lit(1e9))
+    out = {
+        r["vec_id"]: (r["scale"], r["qvec"])
+        for r in quantize_int8(poisoned).collect()
+    }
+    assert out == clean

@@ -378,7 +378,14 @@ def triangle_count(
     aggregate + two equi-joins on node id, all hash-partitioned the
     same way.
     """
-    e = _canon_edges(edges, src, dst)
+    # Eagerly cut the upstream lineage once: the canonical edge list is
+    # referenced by the degree aggregate AND both oriented copies below,
+    # and its producer can itself be an expensive build (the overlap
+    # query derives it from a full sessionize -> interval-join -> distinct
+    # chain). Without the cut that whole chain re-runs ~3x — the r5 plan
+    # audit measured 71 exchanges with zero reuse. Same discipline as
+    # connected_components above.
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -393,10 +400,16 @@ def triangle_count(
         .drop("_nb")
     )
     # orient low -> high in (degree, id) order; keep each edge once
-    fwd = ranked.where(
-        (F.col("_da") < F.col("_db"))
-        | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
-    ).select("a", "b")
+    # fwd feeds three consumers (both wedge sides + the closing-edge
+    # probe); materialize it once so the degree join above runs once.
+    fwd = (
+        ranked.where(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     w1 = fwd.alias("w1")
     w2 = fwd.alias("w2")
     wedges = w1.join(

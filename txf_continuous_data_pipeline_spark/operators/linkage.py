@@ -63,21 +63,24 @@ def blocked_fuzzy_pairs(
     block's pair mass at cap².
     """
     names = df.select(F.col(name_col).alias("_name")).distinct()
+    # Block keys come from a whitespace-NORMALIZED form (trim + collapse
+    # runs to one space) split on a single literal space — the exact
+    # splitter the DuckDB oracle uses. Tokenizing the raw name with \s+
+    # while the oracle split on ' ' made consecutive/leading whitespace
+    # produce different block keys per engine (ADVICE r5). Pairs are
+    # still reported with the ORIGINAL names.
+    norm = F.trim(F.regexp_replace(F.col("_name"), r"\s+", " "))
     keyed = names.select(
         "_name",
         F.explode(
             F.array(
                 F.struct(
                     F.lit("first").alias("_kind"),
-                    F.element_at(F.split(F.col("_name"), r"\s+"), 1).alias(
-                        "_key"
-                    ),
+                    F.element_at(F.split(norm, " "), 1).alias("_key"),
                 ),
                 F.struct(
                     F.lit("last").alias("_kind"),
-                    F.element_at(F.split(F.col("_name"), r"\s+"), -1).alias(
-                        "_key"
-                    ),
+                    F.element_at(F.split(norm, " "), -1).alias("_key"),
                 ),
             )
         ).alias("_bk"),

@@ -207,8 +207,11 @@ def expect(
                 F.col(f"_v_{i}").cast("long").alias("n_violations"),
                 F.col("_total").cast("long").alias("n_rows"),
                 F.round(
-                    F.lit(1.0)
-                    - F.try_divide(F.col(f"_v_{i}"), F.col("_total")),
+                    F.coalesce(
+                        F.lit(1.0)
+                        - F.try_divide(F.col(f"_v_{i}"), F.col("_total")),
+                        F.lit(1.0),
+                    ),
                     6,
                 ).alias("pass_rate"),
             )
@@ -232,14 +235,18 @@ def expect_unique_key(
         F.coalesce(
             F.sum(F.when(F.col("_n") > 1, F.col("_n"))), F.lit(0)
         ).alias("_viol"),
-        F.sum("_n").alias("_total"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("_total"),
     )
     return agg.select(
         F.lit("unique_key:" + ",".join(keys)).alias("rule"),
         F.col("_viol").cast("long").alias("n_violations"),
         F.col("_total").cast("long").alias("n_rows"),
         F.round(
-            F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
+            F.coalesce(
+                F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")),
+                F.lit(1.0),
+            ),
+            6,
         ).alias("pass_rate"),
     )
 
@@ -272,7 +279,11 @@ def expect_referential(
         F.col("_viol").alias("n_violations"),
         F.col("_total").alias("n_rows"),
         F.round(
-            F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")), 6
+            F.coalesce(
+                F.lit(1.0) - F.try_divide(F.col("_viol"), F.col("_total")),
+                F.lit(1.0),
+            ),
+            6,
         ).alias("pass_rate"),
     )
 

@@ -598,6 +598,24 @@ def kmeans_fit(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark import StorageLevel
+
+    # Every iteration re-scans the corpus; persist the 2-column
+    # projection ONCE (column-pruned before caching, MEMORY_AND_DISK so
+    # a corpus bigger than executor memory spills instead of OOMing) -
+    # the standard iterative-ML discipline. Seeding reuses the same
+    # cached frame, so parquet decode happens exactly once per fit.
+    work = emb.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_fit_loop(
+            work, k, vec_col=vec_col, id_col=id_col,
+            max_iter=max_iter, tol=tol,
+        )
+    finally:
+        work.unpersist()
+
+
+def _kmeans_fit_loop(emb, k, *, vec_col, id_col, max_iter, tol):
     seed_rows = (
         emb.select(id_col, vec_col)
         .withColumn("_h", F.md5(F.col(id_col).cast("string")))
@@ -740,20 +758,26 @@ def quantize_int8(
         )
         / F.lit(127.0)
     )
-    out = emb.select(
+    # Stage the scale under a collision-proof name: inside the qvec
+    # transform it is a LATERAL column alias reference (Spark >= 3.4),
+    # but REAL input columns shadow lateral aliases - an input that
+    # already carried a `scale` column would silently quantize with the
+    # wrong denominator. `_q_scale` is asserted absent instead.
+    assert "_q_scale" not in emb.columns, "input column collides: _q_scale"
+    staged = emb.select(
         F.col(id_col),
-        scale.alias("scale"),
+        scale.alias("_q_scale"),
         F.transform(
             v,
             lambda x: F.coalesce(
-                F.round(F.try_divide(x, F.col("scale"))), F.lit(0.0)
+                F.round(F.try_divide(x, F.col("_q_scale"))), F.lit(0.0)
             ).cast("int"),
         ).alias("qvec"),
     )
-    # `scale` inside the qvec transform is a LATERAL column alias
-    # reference (resolves to the alias two lines up, Spark >= 3.4) -
-    # the whole quantization is one projection, no self-join.
-    return out
+    # still one projection end-to-end, no self-join
+    return staged.select(
+        id_col, F.col("_q_scale").alias("scale"), "qvec"
+    )
 
 
 def dequantize_int8(

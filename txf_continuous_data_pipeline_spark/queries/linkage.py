@@ -21,14 +21,18 @@ from ..sources import read_table
 from .registry import q
 
 _FUZZY_SQL = """
-WITH names AS (SELECT DISTINCT p_name FROM part),
+WITH names AS (
+  SELECT DISTINCT p_name,
+         trim(regexp_replace(p_name, '\\s+', ' ', 'g')) AS nrm
+  FROM part
+),
 cand AS (
   SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
   FROM names a JOIN names b
     ON a.p_name < b.p_name
-   AND (split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        OR list_extract(string_split(a.p_name, ' '), -1)
-           = list_extract(string_split(b.p_name, ' '), -1))
+   AND (split_part(a.nrm, ' ', 1) = split_part(b.nrm, ' ', 1)
+        OR list_extract(string_split(a.nrm, ' '), -1)
+           = list_extract(string_split(b.nrm, ' '), -1))
 )
 SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist

@@ -178,11 +178,20 @@ def gated_idempotent_sink(
             lo, hi = batch_df.agg(
                 F.min(ts_col), F.max(ts_col)
             ).collect()[0]
-            from pyspark.errors.exceptions.captured import (
-                AnalysisException,
-            )
-
-            try:
+            # "Sink missing" is an explicit filesystem probe (the same
+            # discipline as sources/io.merge_aggregate_sink), NOT a
+            # substring match on the AnalysisException message - error
+            # text varies across Spark versions/locales, and a changed
+            # message would re-raise on a genuinely missing sink and
+            # wedge the stream's first batch. Conversely any REAL read
+            # failure on an existing sink (partial file from a crashed
+            # attempt) still raises - swallowing it would re-append the
+            # crashed attempt's committed windows, the exact
+            # duplication Gate 2 exists to prevent.
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(sink_path)
+            if jpath.getFileSystem(hconf).exists(jpath):
                 # Only sink keys inside the batch's own key range can
                 # collide; the range predicate reaches the parquet scan
                 # (min/max row-group stats), so the dedup read stays
@@ -193,14 +202,7 @@ def gated_idempotent_sink(
                     .select(ts_col)
                 )
                 out = batch_df.join(F.broadcast(existing), ts_col, "left_anti")
-            except AnalysisException as e:
-                # ONLY an empty/missing sink may skip dedup; any other
-                # read failure (partial file from a crashed attempt)
-                # must raise - swallowing it would re-append the
-                # crashed attempt's committed windows, the exact
-                # duplication Gate 2 exists to prevent.
-                if "PATH_NOT_FOUND" not in str(e) and                         "Path does not exist" not in str(e):
-                    raise
+            else:
                 out = batch_df
             if not out.isEmpty():
                 out.write.mode("append").parquet(sink_path)
