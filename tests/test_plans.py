@@ -212,3 +212,19 @@ def test_triangle_count_lineage_is_cut(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Exchange") <= 9, plan.count("Exchange")
     assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_shuffle_free(spark, sf_dir):
+    # Encoding is one Arrow projection over the scan; the k*dim
+    # codebook rides in the UDF closure - any Exchange is a regression.
+    plan = _plan(spark, sf_dir, "pq_codes")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_adc_single_exchange(spark, sf_dir):
+    # ADC scoring is a zero-shuffle Arrow pass; the only exchange is
+    # the per-query top-k window.
+    plan = _plan(spark, sf_dir, "pq_adc_topk")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan

@@ -1,0 +1,164 @@
+"""Product-quantization operator tests: trainer differential vs a
+single-node numpy PQ with the identical deterministic init, ADC recall
+vs exact distances, and the seeded-codebook invariants the oracle SQL
+relies on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+from txf_continuous_data_pipeline_spark.sources import read_table
+
+M, K = 8, 16
+
+
+def _load(spark, sf_dir):
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def _np_pq_train(X, ids, m, k, max_iter, tol=1e-6):
+    """Single-node reference: same md5-seeded init, same squared-L2
+    lower-index-tie assignment, same keep-empty-cluster rule."""
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )
+    C = X[order[:k]].copy()
+    d_sub = X.shape[1] // m
+    for _ in range(max_iter):
+        Xs = X.reshape(len(X), m, d_sub)
+        Cs = C.reshape(k, m, d_sub)
+        nxt = C.copy()
+        for s in range(m):
+            D = ((Xs[:, s, None, :] - Cs[None, :, s, :]) ** 2).sum(-1)
+            codes_s = D.argmin(1)
+            for c in range(k):
+                mask = codes_s == c
+                if mask.any():
+                    nxt[c, s * d_sub : (s + 1) * d_sub] = Xs[mask, s].mean(0)
+        shift = ((C - nxt) ** 2).reshape(k, m, d_sub).sum(2).max()
+        C = nxt
+        if shift <= tol:
+            break
+    return C
+
+
+def test_pq_train_matches_numpy_reference(spark, sf_dir):
+    ids, X = _load(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, n_iter, _ = pq_train(emb, m=M, k=K, max_iter=3)
+    got = np.array([v for _, v in sorted(cb)])
+    want = _np_pq_train(X, ids, M, K, max_iter=3)
+    assert got.shape == want.shape == (K, X.shape[1])
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_pq_seeds_encode_to_themselves(spark, sf_dir):
+    # codeword j is vec_id j's subvector, so every seed's nearest
+    # codeword in every subspace is itself (distance 0, tie-broken low)
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < K)
+    cb = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in seeds.select("vec_id", "embedding").collect()
+    ]
+    rows = pq_encode(seeds, cb, m=M).select("vec_id", "codes").collect()
+    for r in rows:
+        assert all(c == r["vec_id"] for c in r["codes"]), (
+            r["vec_id"],
+            r["codes"],
+        )
+
+
+def test_pq_codes_in_range(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    bad = (
+        pq_encode(emb, cb, m=M)
+        .select(F.explode("codes").alias("c"))
+        .where((F.col("c") < 0) | (F.col("c") >= K))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pq_adc_shortlist_recall_vs_exact(spark, sf_dir):
+    """The production PQ contract is shortlist-then-rescore: ADC ranks
+    a candidate shortlist from codes alone, exact distances rescore
+    only the shortlist. Check: the top-100 ADC shortlist (~20% of the
+    495-vector corpus) from a LEARNED codebook recovers >= 60% of the
+    exact squared-L2 top-10 per query. The threshold is measured
+    reality on this corpus (0.44/0.60/0.74 mean recall@25/50/100):
+    the testdata embeddings are near-random 64-dim unit vectors -
+    PQ's worst case, no cluster structure to exploit - so real
+    clustered corpora only do better."""
+    ids, X = _load(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, _, _ = pq_train(emb, m=M, k=K, max_iter=3)
+
+    n_q = 5
+    corpus_mask = ids >= n_q
+    corpus_ids = ids[corpus_mask]
+    codes = pq_encode(
+        emb.where(F.col("vec_id") >= n_q), cb, m=M
+    ).select("vec_id", "codes")
+    queries = [(int(ids[i]), list(X[i])) for i in range(n_q)]
+    got = pq_adc_topk(codes, queries, cb, m=M, k_top=100).collect()
+
+    recalls = []
+    for qi in range(n_q):
+        shortlist = {
+            r["vec_id"] for r in got if r["q_id"] == ids[qi]
+        }
+        d = ((X[corpus_mask] - X[qi][None, :]) ** 2).sum(1)
+        exact = set(corpus_ids[np.argsort(d, kind="stable")[:10]])
+        recalls.append(len(exact & shortlist) / 10)
+    assert sum(recalls) / n_q >= 0.6, recalls
+
+
+def test_pq_adc_exact_on_reconstruction(spark, sf_dir):
+    """Sanity anchor: when every corpus vector IS a codeword
+    reconstruction, ADC distance equals the true distance exactly -
+    the LUT gather carries no approximation of its own."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    seeds = emb.where(F.col("vec_id") < K)
+    codes = pq_encode(seeds, cb, m=M).select("vec_id", "codes")
+    C = np.array([v for _, v in sorted(cb)])
+    queries = [(1000, list(C[3]))]
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(codes, queries, cb, m=M, k_top=K).collect()
+    }
+    for j in range(K):
+        want = round(float(((C[j] - C[3]) ** 2).sum()), 6)
+        assert abs(got[j] - want) <= 1e-6, (j, got[j], want)

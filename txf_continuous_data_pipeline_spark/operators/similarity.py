@@ -796,3 +796,201 @@ def dequantize_int8(
             lambda q: q.cast("double") * F.col(scale_col),
         ).alias("embedding"),
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook,
+    *,
+    m: int,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into `m`
+    contiguous subvectors and store, per subspace, the index of the
+    nearest codeword (squared L2, ties to the LOWER index). With k
+    codewords a 64-dim float64 vector compresses to m bytes-ish codes
+    (m=8, k=16 -> 4 bits/subspace: 128x smaller than the raw doubles) -
+    the step beyond int8 scalar quantization (quantize_int8) that makes
+    a 100-TB ANN corpus memory-resident; search runs on the codes via
+    asymmetric distance (pq_adc_topk) and only a final rescore touches
+    raw vectors.
+
+    `codebook` is [(codeword_id, [float]*dim)] - FULL-dimension rows
+    (each contributes its s-th subvector to subspace s), the same
+    data-seeded shape kmeans_assign takes, so a deterministic seeded
+    codebook is oracle-expressible while pq_train's learned one drops
+    in unchanged. k*dim doubles ride in the UDF closure (k rows - tiny);
+    encoding is one zero-shuffle Arrow projection, the k*m-wide distance
+    arithmetic in one numpy broadcast per batch (the SCALE.md
+    expression-width rule; a k*m*dim Catalyst literal tree would pay
+    ~1 s analysis per job, like the k-means lesson).
+    """
+    C = np.array([v for _, v in sorted(codebook)], dtype=np.float64)
+    k, dim = C.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        Xs = X.reshape(len(X), m, d_sub)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            d = ((Xs[:, s, None, :] - CB[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.withColumn(out_col, _codes(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: list,
+    codebook,
+    *,
+    m: int,
+    k_top: int = 3,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query vector,
+    approx squared-L2 to a coded vector = sum_s LUT[s][codes[s]], where
+    LUT[s][j] = ||q_sub_s - codeword_j_sub_s||^2 is precomputed ONCE per
+    query (m*k doubles - the whole point of PQ search: distance per
+    candidate costs m table lookups, never a dim-wide multiply).
+
+    `queries` is [(q_id, [float]*dim)]. The LUTs ride in the UDF
+    closure; scoring is one zero-shuffle Arrow pass over the codes and
+    the only exchange is the final per-query top-k window. Output
+    (q_id, id_col, adc_dist rounded 1e-6, rn), ranked ascending with
+    id tie-break - the ivf_topk contract shape.
+    """
+    C = np.array([v for _, v in sorted(codebook)], dtype=np.float64)
+    k, dim = C.shape
+    d_sub = dim // m
+    CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+    q_ids = [int(q) for q, _ in queries]
+    Q = np.array([v for _, v in queries], dtype=np.float64)
+    Qs = Q.reshape(len(Q), m, d_sub)
+    # LUT: (n_q, m, k)
+    LUT = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        X = np.stack(codes.to_numpy())  # (n, m)
+        n = len(X)
+        rows = np.arange(m)[None, :]
+        out = np.empty((n, len(q_ids)), dtype=np.float64)
+        for qi in range(len(q_ids)):
+            out[:, qi] = LUT[qi][rows, X].sum(axis=1)
+        return pd.Series(list(np.round(out, 6)))
+
+    scored = codes_df.select(
+        id_col, _adc(F.col(codes_col)).alias("_d")
+    ).select(
+        id_col,
+        F.posexplode("_d").alias("_qi", "adc_dist"),
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in q_ids]), F.col("_qi") + 1
+        ).alias("q_id"),
+        id_col,
+        "adc_dist",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_top)
+        .select("q_id", id_col, "adc_dist", "rn")
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 5,
+    tol: float = 1e-6,
+):
+    """Train PQ codebooks: independent k-means per subspace, run
+    JOINTLY - every Lloyd iteration is ONE corpus pass that assigns all
+    m subspaces in a single Arrow projection and recomputes all m*k
+    codewords from one (subspace, code, pos) aggregate, instead of m
+    sequential kmeans_fit loops (m times the fixed per-job cost; the
+    corpus work is identical). Network per iteration is bounded at
+    m*k*d_sub*n_partitions doubles via map-side partials; driver traffic
+    is m*k*d_sub values for the convergence check.
+
+    Deterministic init: the k rows with the smallest md5(id) seed ALL
+    subspaces (kmeans_fit's seeding rule applied once). Returns
+    (codebook as [(codeword_id, [float]*dim)], n_iter, converged) -
+    directly consumable by pq_encode/pq_adc_topk.
+    """
+    from pyspark import StorageLevel
+
+    work = emb.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = (
+            work.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds {len(seed_rows)} rows")
+        C = np.array(
+            [[float(x) for x in r[vec_col]] for r in seed_rows],
+            dtype=np.float64,
+        )
+        dim = C.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d_sub = dim // m
+        n_iter, converged = 0, False
+        for n_iter in range(1, max_iter + 1):
+            coded = pq_encode(
+                work, list(enumerate(C.tolist())), m=m, vec_col=vec_col
+            )
+            rows = (
+                coded.select(
+                    F.posexplode(
+                        F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")
+                        )
+                    ).alias("pos", "x"),
+                    "codes",
+                )
+                .select(
+                    (F.col("pos") / d_sub).cast("int").alias("s"),
+                    (F.col("pos") % d_sub).alias("p"),
+                    F.element_at(
+                        "codes", (F.col("pos") / d_sub).cast("int") + 1
+                    ).alias("c"),
+                    "x",
+                )
+                .groupBy("s", "c", "p")
+                .agg(F.avg("x").alias("v"))
+                .collect()
+            )
+            nxt = C.copy()
+            for r in rows:
+                nxt[r["c"], r["s"] * d_sub + r["p"]] = r["v"]
+            shift = float(((C - nxt) ** 2).reshape(k, m, d_sub).sum(2).max())
+            C = nxt
+            if shift <= tol:
+                converged = True
+                break
+        return list(enumerate(C.tolist())), n_iter, converged
+    finally:
+        work.unpersist()

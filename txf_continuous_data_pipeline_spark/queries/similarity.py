@@ -523,3 +523,152 @@ def embedding_int8_quantize(spark, sf_dir):
             "qval",
         )
     )
+
+
+# ----------------------------------------------------------------- PQ
+
+_PQ_M = 8
+_PQ_K = 16
+
+# Shared CTE prefix: data-seeded codebook (the 16 lowest vec_ids
+# contribute one codeword per 8-dim subspace - the semantic_dedup
+# seeding trick, which keeps a genuinely learned-codebook operator
+# oracle-expressible) and the per-(vector, subspace) nearest-codeword
+# assignment, squared-L2 with lower-index tie-break.
+_PQ_BASE_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS j,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {_PQ_K}
+),
+ss AS (SELECT unnest(range({_PQ_M})) AS s),
+cw AS (
+  SELECT j, s, list_slice(v, s*8 + 1, s*8 + 8) AS c
+  FROM seeds CROSS JOIN ss
+),
+esub AS (
+  SELECT vec_id, s,
+         list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                    s*8 + 1, s*8 + 8) AS ev
+  FROM embeddings CROSS JOIN ss
+),
+best AS (
+  SELECT vec_id, s, j, ev FROM (
+    SELECT e.vec_id, e.s, c.j, e.ev,
+           row_number() OVER (
+             PARTITION BY e.vec_id, e.s
+             ORDER BY list_distance(e.ev, c.c), c.j) AS rn
+    FROM esub e JOIN cw c ON e.s = c.s
+  ) WHERE rn = 1
+)
+"""
+
+_PQ_CODES_SQL = (
+    _PQ_BASE_SQL
+    + """
+SELECT vec_id, CAST(s AS INT) AS s, CAST(j AS INT) AS code FROM best
+"""
+)
+
+_PQ_ADC_SQL = (
+    _PQ_BASE_SQL
+    + """,
+qv AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+adc AS (
+  SELECT b.vec_id, q.q_id,
+         round(sum(power(list_distance(
+                 list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c), 2)), 6)
+           AS adc_dist
+  FROM best b
+  JOIN cw c ON b.s = c.s AND b.j = c.j
+  CROSS JOIN qv q
+  WHERE b.vec_id >= 5
+  GROUP BY b.vec_id, q.q_id
+)
+SELECT q_id, vec_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+  FROM adc
+) WHERE rn <= 3
+"""
+)
+
+
+def _pq_seed_codebook(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.where(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
+    )
+
+
+@q("pq_codes", _PQ_CODES_SQL)
+def pq_codes_q(spark, sf_dir):
+    """Product-quantization codes for the whole embeddings table, long
+    form (vec_id, s, code) - integer-exact driver compare. m=8
+    subspaces x k=16 data-seeded codewords: 4 bits per subspace, a 64x
+    compression over float64 beyond int8's 4x (Jegou et al. 2011,
+     'Product Quantization for Nearest Neighbor Search'). Encoding is
+    one zero-shuffle Arrow projection; the codebook (k rows) rides in
+    the UDF closure."""
+    from ..operators.similarity import pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coded = pq_encode(emb, _pq_seed_codebook(spark, sf_dir), m=_PQ_M)
+    return coded.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    )
+
+
+@q("pq_adc_topk", _PQ_ADC_SQL)
+def pq_adc_topk_q(spark, sf_dir):
+    """Asymmetric-distance top-3 per query over PQ codes (queries =
+    vec_id < 5, corpus = the rest): per-candidate distance is m table
+    lookups into a per-query LUT, never a dim-wide multiply - the PQ
+    search contract that lets a 100-TB corpus serve ANN from codes in
+    memory. ivf_topk's output shape (rounded distance, id tie-break);
+    the oracle recomputes the same sum from the assignment CTE."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    codes = pq_encode(corpus, cb, m=_PQ_M)
+    queries_ = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return pq_adc_topk(
+        codes.select("vec_id", "codes"), queries_, cb, m=_PQ_M, k_top=3
+    )
+
+
+@q("pq_trained_summary", None)
+def pq_trained_summary_q(spark, sf_dir):
+    """Learned-codebook PQ (the real trainer behind the seeded
+    stand-in): joint per-subspace Lloyd (one corpus pass per iteration
+    for ALL subspaces), then the per-subspace code histogram of the
+    trained encoder. Iterative fixpoint -> rows-only for the driver;
+    tests/test_pq.py pins the trainer differentially against a
+    single-node numpy PQ with the identical deterministic init."""
+    from ..operators.similarity import pq_encode, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=3)
+    coded = pq_encode(emb, cb, m=_PQ_M)
+    return (
+        coded.select(F.posexplode("codes").alias("s", "code"))
+        .groupBy("s", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("s", "code")
+    )
