@@ -230,3 +230,76 @@ def test_bpe_train_ignores_empty_documents(spark):
     )
     got = bpe_train(df, n_merges=2)
     assert got and got[0][1:4] == ("l", "o", "lo")
+
+
+def test_bpe_encode_counts_matches_pure_python(spark):
+    """Differential: the distributed encoder's per-doc BPE token counts
+    must equal a pure-Python end-to-end encode (train on the corpus,
+    replay merges per word), and obey the structural properties:
+    zero merges -> symbol count = character count, and every applied
+    merge can only SHRINK a document's token count."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bpe_apply_merges,
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "widest newest low wider new news",
+        "lowest wide wide wide newer",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, n_merges=8)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(df, merges).collect()
+    }
+
+    rules = [(l, r) for _, l, r, _m, _n in merges]
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().lower().split() if w]
+        want = sum(len(bpe_apply_merges(list(w), rules)) for w in words)
+        assert got[i] == (len(words), want), (i, got[i], (len(words), want))
+        # merges never grow the count; no merges = character count
+        chars = sum(len(w) for w in words)
+        assert got[i][1] <= chars
+    # zero-rule encode degenerates to character counting
+    got0 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_counts(df, []).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.strip().lower().split() if w]
+        assert got0[i] == sum(len(w) for w in words)
+
+
+def test_bpe_encode_compresses_on_testdata(spark, sf_dir):
+    # End-to-end on the documents table: trained merges must strictly
+    # reduce total token count vs the unmerged character stream, and
+    # never fall below the word count (a symbol spans >= 1 char).
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    assert len(merges) == 10
+    counts = bpe_encode_counts(docs, merges)
+    bad = counts.where(F.col("n_bpe_tokens") < F.col("n_words")).count()
+    assert bad == 0
+    tot = counts.agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    chars = bpe_encode_counts(docs, []).agg(
+        F.sum("n_bpe_tokens").alias("c")
+    ).collect()[0]["c"]
+    assert tot["bpe"] < chars, (tot["bpe"], chars)

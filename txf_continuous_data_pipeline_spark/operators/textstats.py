@@ -928,3 +928,77 @@ def bpe_train(
         if step % 3 == 2 or step == n_merges - 1:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_apply_merges(symbols: list, rules: list) -> list:
+    """Reference merge application (driver/UDF-side, pure Python):
+    replay the trained rules IN ORDER, each one a single left-to-right
+    non-overlapping pass - exactly the fold bpe_train uses on the vocab
+    frame, so encode(corpus) under the trained rules reproduces the
+    trainer's final vocabulary state."""
+    for left, right in rules:
+        if len(symbols) < 2:
+            break
+        out: list = []
+        pend = None
+        for x in symbols:
+            if pend == left and x == right:
+                out.append(left + right)
+                pend = None
+            else:
+                if pend is not None:
+                    out.append(pend)
+                pend = x
+        if pend is not None:
+            out.append(pend)
+        symbols = out
+    return symbols
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, str, int]]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED BPE: per document, the word
+    count and the BPE symbol count after replaying the merge rules -
+    the numbers a mixture/budget planner actually needs (token budgets
+    are tokenizer tokens, not whitespace words).
+
+    Scale shape: one zero-shuffle Arrow pass. The rules (kilobytes)
+    ride in the UDF closure; inside each batch, words are deduplicated
+    before encoding (Zipf: distinct words per batch are a small
+    fraction of tokens), so the per-word merge replay runs once per
+    DISTINCT word - the same amortization real tokenizers use. The
+    Python inner loop is the sanctioned Arrow-batch exception: BPE's
+    sequential merge order has no vectorized/SQL form.
+    """
+    import re
+
+    rules = [(l, r) for _, l, r, _m, _n in merges]
+
+    @pandas_udf("n_words long, n_bpe_tokens long")
+    def _counts(text: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+
+        def enc_len(w: str) -> int:
+            if w not in cache:
+                cache[w] = len(bpe_apply_merges(list(w), rules))
+            return cache[w]
+
+        n_words, n_bpe = [], []
+        for t in text:
+            words = re.split(r"\s+", (t or "").strip().lower())
+            words = [w for w in words if w]
+            n_words.append(len(words))
+            n_bpe.append(sum(enc_len(w) for w in words))
+        return pd.DataFrame({"n_words": n_words, "n_bpe_tokens": n_bpe})
+
+    out = df.withColumn("_c", _counts(F.col(text_col)))
+    return out.select(
+        id_col,
+        F.col("_c.n_words").alias("n_words"),
+        F.col("_c.n_bpe_tokens").alias("n_bpe_tokens"),
+    )

@@ -1479,3 +1479,20 @@ def bpe_merge_rules_q(spark, sf_dir):
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, n long"
     )
+
+
+@q("bpe_token_counts", None)
+def bpe_token_counts_q(spark, sf_dir):
+    """Corpus tokenized with the TRAINED tokenizer: per-document word
+    and BPE-token counts after replaying the 10 learned merges - the
+    token accounting a mixture/budget planner runs (budgets are
+    tokenizer tokens, not whitespace words). Downstream of an iterative
+    trainer -> rows-only, like bpe_merge_rules; the encoder itself is
+    pinned exactly by the pure-Python differential in
+    tests/test_packing.py (counts + the never-grows/zero-merge
+    properties)."""
+    from ..operators.textstats import bpe_encode_counts, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    return bpe_encode_counts(docs, merges).orderBy("doc_id")
