@@ -303,3 +303,46 @@ def test_bpe_encode_compresses_on_testdata(spark, sf_dir):
         F.sum("n_bpe_tokens").alias("c")
     ).collect()[0]["c"]
     assert tot["bpe"] < chars, (tot["bpe"], chars)
+
+
+def test_grouped_split_keeps_duplicates_together(spark):
+    """Leakage guard: rows sharing a group key always share a split,
+    and the banding matches split_assign's when the group key IS the
+    id (same md5 band math)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        grouped_split_assign,
+        split_assign,
+    )
+
+    rows = [(i, f"doc text {i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "g", F.md5("text")
+    )
+    out = grouped_split_assign(df, group_col="g")
+    # every group maps to exactly one split
+    n_bad = (
+        out.groupBy("g")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert n_bad == 0
+    # degenerate group key = id reproduces split_assign exactly
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1000)], ["doc_id"]
+    )
+    a = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(ids, id_col="doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in grouped_split_assign(
+            ids, group_col=F.col("doc_id")
+        ).collect()
+    }
+    assert a == b
+    # all three splits are populated at the GROUP level on 1000 ids
+    assert set(a.values()) == {"train", "val", "test"}

@@ -228,3 +228,17 @@ def test_pq_adc_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pq_adc_topk")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan
+
+
+def test_leakage_safe_split_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "leakage_safe_split")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_rescored_no_cartesian(spark, sf_dir):
+    # shortlist join back to raw vectors must be an id equi-join (plus
+    # the tiny broadcast of the query block) - never a product
+    plan = _plan(spark, sf_dir, "pq_topk_rescored")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1002,3 +1002,39 @@ def bpe_encode_counts(
         F.col("_c.n_words").alias("n_words"),
         F.col("_c.n_bpe_tokens").alias("n_bpe_tokens"),
     )
+
+
+def grouped_split_assign(
+    df: DataFrame,
+    *,
+    group_col: Column | str,
+    fractions: tuple = SPLIT_FRACTIONS,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the md5 band is computed
+    on a GROUP key instead of the row id, so every member of a group
+    (exact-duplicate cluster, near-dup component representative, all
+    chunks of one source document...) lands in the SAME split - the
+    guard against test-set leakage that a per-row split cannot give
+    when duplicates or sibling chunks exist. Same determinism contract
+    as split_assign (reproducible across engines/runs/partitionings,
+    stable under corpus growth); still a pure zero-shuffle projection -
+    the group key is a row-local expression or an already-joined
+    column, never a shuffle here."""
+    key = F.col(group_col) if isinstance(group_col, str) else group_col
+    bucket = F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    edges: list = []
+    acc = 0.0
+    for name, frac in fractions:
+        acc += frac
+        edges.append((name, int(acc * 4294967296)))
+    expr = None
+    for name, hi in edges:
+        cond = bucket < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr.otherwise(F.lit("train")))

@@ -672,3 +672,111 @@ def pq_trained_summary_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("s", "code")
     )
+
+
+_PQ_RESCORE_C = 20
+
+_PQ_RESCORED_SQL = (
+    _PQ_BASE_SQL
+    + f""",
+qv AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+adc AS (
+  SELECT b.vec_id, q.q_id,
+         round(sum(power(list_distance(
+                 list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c), 2)), 6)
+           AS adc_dist
+  FROM best b
+  JOIN cw c ON b.s = c.s AND b.j = c.j
+  CROSS JOIN qv q
+  WHERE b.vec_id >= 5
+  GROUP BY b.vec_id, q.q_id
+),
+shortlist AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_RESCORE_C}
+),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         round(power(list_distance(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+           q.v), 2), 6) AS sq_dist
+  FROM shortlist s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sq_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY sq_dist, vec_id) AS rn
+  FROM exact
+) WHERE rn <= 3
+"""
+)
+
+
+@q("pq_topk_rescored", _PQ_RESCORED_SQL)
+def pq_topk_rescored_q(spark, sf_dir):
+    """The COMPLETE production PQ search path: ADC ranks a top-20
+    shortlist from codes alone (m lookups per candidate), then exact
+    squared-L2 rescores ONLY the shortlist and keeps top-3 - full
+    precision touches n_q*20 vectors however big the corpus is. The
+    shortlist join back to raw vectors is the one step that reads
+    full-precision data; at 100 TB it is an id-equi-join that prunes
+    to the shortlist row set."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    codes = pq_encode(corpus, cb, m=_PQ_M)
+    queries_ = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    shortlist = pq_adc_topk(
+        codes.select("vec_id", "codes"),
+        queries_,
+        cb,
+        m=_PQ_M,
+        k_top=_PQ_RESCORE_C,
+    ).select("q_id", "vec_id")
+    qdf = spark.createDataFrame(
+        [(qid, vec) for qid, vec in queries_], ["q_id", "_qv"]
+    )
+    rescored = (
+        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "_qv",
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("sq_dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy("sq_dist", "vec_id")
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "sq_dist", "rn")
+    )

@@ -1496,3 +1496,38 @@ def bpe_token_counts_q(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=10)
     return bpe_encode_counts(docs, merges).orderBy("doc_id")
+
+
+_GROUPED_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, md5(text) AS content_group,
+         CAST(('0x' || substring(md5(md5(text)), 1, 8))
+              AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, content_group,
+       CASE WHEN bucket < 214748364 THEN 'test'
+            WHEN bucket < 429496729 THEN 'val'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+@q("leakage_safe_split", _GROUPED_SPLIT_SQL)
+def leakage_safe_split_q(spark, sf_dir):
+    """Train/val/test assignment keyed on the exact-content digest
+    instead of the row id: duplicate documents can never straddle the
+    train/test boundary (the leakage a per-id split silently allows).
+    Same md5-band determinism as split_assign; still a zero-shuffle
+    projection because the group key is row-local. For near-dup-level
+    safety the same operator takes a connected-component representative
+    as the group column (pytest-pinned; the CC key is not
+    SQL-expressible, the digest key is)."""
+    from ..operators.textstats import grouped_split_assign
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_group")
+    )
+    return grouped_split_assign(docs, group_col="content_group").select(
+        "doc_id", "content_group", "split"
+    )
