@@ -762,8 +762,10 @@ def quantize_int8(
     # transform it is a LATERAL column alias reference (Spark >= 3.4),
     # but REAL input columns shadow lateral aliases - an input that
     # already carried a `scale` column would silently quantize with the
-    # wrong denominator. `_q_scale` is asserted absent instead.
-    assert "_q_scale" not in emb.columns, "input column collides: _q_scale"
+    # wrong denominator. Input validation must survive `python -O`, so
+    # this is a real raise, not an assert (ADVICE r6).
+    if "_q_scale" in emb.columns:
+        raise ValueError("input column collides: _q_scale")
     staged = emb.select(
         F.col(id_col),
         scale.alias("_q_scale"),
@@ -801,6 +803,24 @@ def dequantize_int8(
 # ---------------------------------------------------------------- PQ
 
 
+def _codebook_matrix(codebook) -> np.ndarray:
+    """[(codeword_id, vec)] -> (k, dim) float64 matrix, row j = codeword
+    j. Emitted PQ codes are POSITIONS into this matrix, so codes only
+    mean codeword ids when the ids are exactly 0..k-1 - anything else
+    (gaps, non-zero base) would silently decouple codes from ids between
+    pq_encode and pq_adc_topk (ADVICE r6). Validated here, once, for
+    every PQ entry point."""
+    ids = sorted(int(c) for c, _ in codebook)
+    if ids != list(range(len(codebook))):
+        raise ValueError(
+            "PQ codebook ids must be exactly 0..k-1 (codes are row "
+            f"positions); got {ids[:8]}{'...' if len(ids) > 8 else ''}"
+        )
+    return np.array(
+        [v for _, v in sorted(codebook)], dtype=np.float64
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     codebook,
@@ -827,9 +847,10 @@ def pq_encode(
     encoding is one zero-shuffle Arrow projection, the k*m-wide distance
     arithmetic in one numpy broadcast per batch (the SCALE.md
     expression-width rule; a k*m*dim Catalyst literal tree would pay
-    ~1 s analysis per job, like the k-means lesson).
+    ~1 s analysis per job, like the k-means lesson). Codeword ids must
+    be exactly 0..k-1 (codes are positions - see _codebook_matrix).
     """
-    C = np.array([v for _, v in sorted(codebook)], dtype=np.float64)
+    C = _codebook_matrix(codebook)
     k, dim = C.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -869,9 +890,11 @@ def pq_adc_topk(
     closure; scoring is one zero-shuffle Arrow pass over the codes and
     the only exchange is the final per-query top-k window. Output
     (q_id, id_col, adc_dist rounded 1e-6, rn), ranked ascending with
-    id tie-break - the ivf_topk contract shape.
+    id tie-break - the ivf_topk contract shape. Codeword ids must be
+    exactly 0..k-1 (codes index the codebook positionally - see
+    _codebook_matrix).
     """
-    C = np.array([v for _, v in sorted(codebook)], dtype=np.float64)
+    C = _codebook_matrix(codebook)
     k, dim = C.shape
     d_sub = dim // m
     CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)

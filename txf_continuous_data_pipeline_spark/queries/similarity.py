@@ -580,8 +580,9 @@ qv AS (
 ),
 adc AS (
   SELECT b.vec_id, q.q_id,
-         round(sum(power(list_distance(
-                 list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c), 2)), 6)
+         round(sum(list_sum(list_transform(
+                 list_zip(list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6)
            AS adc_dist
   FROM best b
   JOIN cw c ON b.s = c.s AND b.j = c.j
@@ -686,8 +687,9 @@ qv AS (
 ),
 adc AS (
   SELECT b.vec_id, q.q_id,
-         round(sum(power(list_distance(
-                 list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c), 2)), 6)
+         round(sum(list_sum(list_transform(
+                 list_zip(list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6)
            AS adc_dist
   FROM best b
   JOIN cw c ON b.s = c.s AND b.j = c.j
@@ -704,9 +706,10 @@ shortlist AS (
 ),
 exact AS (
   SELECT s.q_id, s.vec_id,
-         round(power(list_distance(
-           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-           q.v), 2), 6) AS sq_dist
+         round(list_sum(list_transform(
+           list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    q.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
   FROM shortlist s
   JOIN embeddings e ON e.vec_id = s.vec_id
   JOIN qv q ON q.q_id = s.q_id
