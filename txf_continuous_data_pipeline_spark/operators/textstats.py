@@ -967,40 +967,65 @@ def bpe_encode_counts(
     the numbers a mixture/budget planner actually needs (token budgets
     are tokenizer tokens, not whitespace words).
 
-    Scale shape: one zero-shuffle Arrow pass. The rules (kilobytes)
-    ride in the UDF closure; inside each batch, words are deduplicated
-    before encoding (Zipf: distinct words per batch are a small
-    fraction of tokens), so the per-word merge replay runs once per
-    DISTINCT word - the same amortization real tokenizers use. The
-    Python inner loop is the sanctioned Arrow-batch exception: BPE's
-    sequential merge order has no vectorized/SQL form.
+    Scale shape (r7, vocab-amortized): the expensive step - the Python
+    merge replay, the sanctioned Arrow exception because BPE's
+    sequential merge order has no SQL form - runs once per
+    CORPUS-DISTINCT word, not once per occurrence or per Arrow batch:
+
+      per_doc     explode Spark-side tokens -> (doc, word) counts
+      word_len    distinct words -> BPE symbol length (Arrow UDF over
+                  the vocab frame only - Zipf makes this a vanishing
+                  fraction of the token stream at any corpus size)
+      join back   per-doc sums of count and count*len
+
+    This is the same ONE-token-groupBy discipline bpe_train uses: the
+    corpus-sized work is the token explode + (doc, word) aggregate, all
+    JVM-side; Python touches only vocab rows. The vocab join keys on the
+    word - AQE broadcasts it when the vocab is small and falls back to a
+    shuffle equi-join when it is not (a web-scale vocab does not fit a
+    broadcast).
+
+    The word split is the SAME Spark-side expression the trainer uses
+    (normalized_tokens: Java `\\s+`), so encode(corpus) reproduces the
+    trainer's tokenization exactly - the earlier Python re.split was
+    Unicode-aware and disagreed on non-ASCII whitespace (ADVICE r6).
+    Docs with no words (empty/whitespace-only) still emit (0, 0) via
+    the final left join.
     """
-    import re
+    from .dedup import normalized_tokens
 
     rules = [(l, r) for _, l, r, _m, _n in merges]
 
-    @pandas_udf("n_words long, n_bpe_tokens long")
-    def _counts(text: pd.Series) -> pd.DataFrame:
-        cache: dict = {}
+    words = df.select(
+        F.col(id_col),
+        F.explode(normalized_tokens(F.col(text_col))).alias("_w"),
+    ).where(F.length("_w") > 0)
+    per_doc = words.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
 
-        def enc_len(w: str) -> int:
-            if w not in cache:
-                cache[w] = len(bpe_apply_merges(list(w), rules))
-            return cache[w]
+    @pandas_udf("long")
+    def _enc_len(w: pd.Series) -> pd.Series:
+        # input rows are corpus-distinct words - each replay runs once
+        return w.map(lambda s: len(bpe_apply_merges(list(s), rules)))
 
-        n_words, n_bpe = [], []
-        for t in text:
-            words = re.split(r"\s+", (t or "").strip().lower())
-            words = [w for w in words if w]
-            n_words.append(len(words))
-            n_bpe.append(sum(enc_len(w) for w in words))
-        return pd.DataFrame({"n_words": n_words, "n_bpe_tokens": n_bpe})
-
-    out = df.withColumn("_c", _counts(F.col(text_col)))
-    return out.select(
-        id_col,
-        F.col("_c.n_words").alias("n_words"),
-        F.col("_c.n_bpe_tokens").alias("n_bpe_tokens"),
+    word_len = (
+        per_doc.select("_w").distinct().withColumn("_len", _enc_len(F.col("_w")))
+    )
+    counts = (
+        per_doc.join(word_len, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_words"),
+            F.sum(F.col("_n") * F.col("_len")).alias("n_bpe_tokens"),
+        )
+    )
+    return df.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
