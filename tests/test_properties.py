@@ -153,3 +153,76 @@ def test_backadjust_removes_roll_gap(spark):
     assert boundary_step == 0.0, f"roll gap survived adjustment: {steps}"
     # and within-contract steps stay zero
     assert all(s == 0.0 for i, s in enumerate(steps) if i != 9), steps
+
+
+def test_remove_duplicated_spans_leaves_no_residual(spark, sf_dir):
+    """Lee et al. remediation closure: after excising every occurrence
+    of a cross-doc duplicated 5-token span, re-measuring duplicated
+    spans on the CLEANED corpus must find (near) zero - near because
+    excision joins previously non-adjacent kept tokens, which can
+    coincidentally mint a new shared span. Residual must be a vanishing
+    fraction of the original duplication mass."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+        shingles_exploded,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    def dup_span_mass(frame):
+        ex = shingles_exploded(frame, n=5, hashed=True)
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") >= 2)
+            .select("shingle")
+        )
+        return ex.join(hot, "shingle", "left_semi").count()
+
+    before = dup_span_mass(docs)
+    assert before > 0, "testdata has no duplicated spans to remove"
+    cleaned = remove_duplicated_spans(docs, n=5, min_df=2)
+    after = dup_span_mass(cleaned.select("doc_id", "text"))
+    # sf0.001 measures ~1.8% residual: excision-joined remnants plus
+    # newly-short docs collapsing onto the same whole-text span
+    assert after <= max(5, before // 20), (before, after)
+
+
+def test_remove_duplicated_spans_surgical(spark):
+    """Planted case: the shared run is excised from every doc carrying
+    it, unique docs pass through verbatim (modulo token normalization),
+    and short exact-dup docs are removed entirely (whole-text span)."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter for more daily updates"
+    rows = [
+        (0, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (1, f"{boiler} one two three four five six seven"),
+        (2, "a fully unique document with no shared runs anywhere"),
+        (3, "tiny dup"),
+        (4, "tiny dup"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_spans(df).collect()
+    }
+    # the boilerplate run is gone from both carriers
+    for i in (0, 1):
+        assert boiler not in got[i]["text"], got[i]
+        assert got[i]["n_tokens_removed"] >= len(boiler.split()), got[i]
+    # the unique doc is untouched
+    assert got[2]["text"] == rows[2][1]
+    assert got[2]["n_tokens_removed"] == 0
+    # short exact dups vanish via the whole-text span
+    for i in (3, 4):
+        assert got[i]["text"] == "" and got[i]["n_tokens_removed"] == 2
+    # empty doc: no tokens, nothing removed
+    assert got[5]["n_tokens"] == 0 and got[5]["n_tokens_removed"] == 0
+    # surviving token accounting is consistent
+    for i, t in rows:
+        kept = len(got[i]["text"].split())
+        assert kept == got[i]["n_tokens"] - got[i]["n_tokens_removed"]

@@ -169,6 +169,113 @@ def shingle_array(text: Column, *, n: int = 3, hashed: bool = False) -> Column:
     return F.array_distinct(full)
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite documents with cross-document duplicated n-token spans
+    EXCISED - the remediation step behind dup_span_stats' measurement
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": substring-level dedup, not whole-doc). A span is
+    duplicated when its h60 hash occurs in >= `min_df` DISTINCT
+    documents; every token covered by any occurrence of a duplicated
+    span is dropped, and the cleaned text is the surviving normalized
+    tokens rejoined with single spaces.
+
+    Span identity matches dup_span_stats exactly (n-token windows of
+    the normalized token stream, h60-hashed; docs with 1..n-1 tokens
+    contribute their whole text as one span, so a short doc duplicated
+    verbatim elsewhere is removed entirely). Empty/whitespace-only
+    docs have no tokens and pass through unchanged.
+
+    Output: (id_col, text, n_tokens, n_tokens_removed) - one row per
+    input row; `text` is the cleaned document.
+
+    Scale shape: positioned spans are a zero-shuffle per-doc projection
+    (the arrays_zip construction of shingle_array, positions free from
+    posexplode); the duplicated set is one hash-keyed aggregate over
+    8-byte span hashes (never text); per-doc removal starts come back
+    via a semi-join + collect on the doc id. No pairwise work anywhere:
+    cost tracks corpus size + span collisions, never doc-pairs - the
+    same posture as dup_span_stats. The per-token coverage test is
+    exists() over that doc's duplicated starts: linear in
+    tokens x dup-starts per doc, bounded in practice because upstream
+    chunking bounds document length.
+    """
+    toks = F.filter(
+        normalized_tokens(F.col(text_col)), lambda w: F.length(w) > 0
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    size = F.size("_toks")
+    zipped = F.arrays_zip(
+        F.col("_toks").alias("_t0"),
+        *[
+            F.slice(F.col("_toks"), i + 1, size).alias(f"_t{i}")
+            for i in range(1, n)
+        ],
+    )
+    spans = F.transform(
+        zipped,
+        lambda x: h60(F.concat_ws(" ", *[x[f"_t{i}"] for i in range(n)])),
+    )
+    pos_spans = (
+        F.when(size >= n, F.slice(spans, 1, size - (n - 1)))
+        .when(size >= 1, F.slice(spans, 1, 1))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    # one span build feeds both the hot-hash aggregate and the final
+    # rewrite; lazy localCheckpoint = one corpus pass, blocks released
+    # with the frame (the dup_span_stats lifecycle)
+    spanned = base.select(
+        F.col(id_col), F.col("_toks"), pos_spans.alias("_spans")
+    ).localCheckpoint(eager=False)
+    ex = spanned.select(
+        F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
+    )
+    hot = (
+        ex.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    starts = (
+        ex.join(hot, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_i").alias("_starts"))
+    )
+    joined = spanned.join(starts, id_col, "left")
+    width = F.least(F.lit(n), size)
+    starts_arr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda w, t: ~F.exists(
+            starts_arr, lambda p: (t >= p) & (t < p + width)
+        ),
+    )
+    # staged: `kept` appears once, downstream consumers reference the
+    # materialized column (no CSE across interpreted higher-order
+    # funcs - the measured Catalyst-width lesson)
+    staged = joined.select(
+        F.col(id_col),
+        size.cast("long").alias("n_tokens"),
+        kept.alias("_kept"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col("_kept")).alias(text_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept"))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
 def minhash_lane_constants(num_hashes: int = 32):
     """The fixed affine MinHash family (a_i, b_i), seeded so Spark and
     any oracle engine derive the identical lanes. Returned as numpy

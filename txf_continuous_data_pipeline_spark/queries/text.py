@@ -1196,6 +1196,72 @@ def dup_span_stats_q(spark, sf_dir):
     )
 
 
+_DUP_SPAN_REMOVAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(range(0, len(toks) - 4),
+             i -> {_h60_sql("array_to_string(toks[i + 1:i + 5], ' ')")})
+         WHEN len(toks) >= 1 THEN
+           [{_h60_sql("array_to_string(toks, ' ')")}]
+         ELSE CAST([] AS BIGINT[]) END AS spans
+  FROM t
+),
+ex AS (
+  SELECT doc_id, unnest(spans) AS h,
+         generate_subscripts(spans, 1) - 1 AS p
+  FROM sp
+),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ex)
+  GROUP BY h HAVING count(*) >= 2
+),
+st AS (
+  SELECT doc_id, list(p) AS starts FROM ex JOIN hot USING (h)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT sp.doc_id, sp.toks, sp.n,
+         coalesce(st.starts, CAST([] AS BIGINT[])) AS starts,
+         least(5, sp.n) AS w
+  FROM sp LEFT JOIN st USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, n,
+         list_transform(
+           list_filter(list_zip(toks, range(0, n)),
+             z -> len(list_filter(starts,
+                    s -> z[2] >= s AND z[2] < s + w)) = 0),
+           z -> CAST(z[1] AS VARCHAR)) AS ktoks
+  FROM j
+)
+SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS text,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n - len(ktoks) AS BIGINT) AS n_tokens_removed
+FROM kept
+"""
+
+
+@q("dup_span_removal", _DUP_SPAN_REMOVAL_SQL)
+def dup_span_removal_q(spark, sf_dir):
+    """Corpus rewritten with cross-document duplicated 5-token spans
+    excised (Lee et al. 2022's remediation - the acting half of
+    dup_span_stats' measurement): per doc, the cleaned text plus token
+    accounting. Every occurrence of a span whose hash appears in >= 2
+    distinct docs is dropped; tests/test_properties.py pins that
+    re-measuring dup spans on the cleaned corpus finds (near) zero
+    residual. Value-level oracle: the cleaned TEXT itself is compared,
+    not just the counts."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, n=5, min_df=2)
+
+
 #: literal weights of the linear quality classifier (a trained
 #: fasttext/logreg-style filter's deployment shape: the model ships as
 #: plan literals, scoring is a pure projection)
