@@ -162,3 +162,45 @@ def test_pq_adc_exact_on_reconstruction(spark, sf_dir):
     for j in range(K):
         want = round(float(((C[j] - C[3]) ** 2).sum()), 6)
         assert abs(got[j] - want) <= 1e-6, (j, got[j], want)
+
+
+def test_pq_adc_qtable_matches_closure_form(spark, sf_dir):
+    """The query-table ADC (LUTs from an Arrow pass over the query
+    DataFrame, JVM-side gather) must reproduce the list-closure ADC
+    exactly on the same inputs - same rows, same 6dp distances, same
+    ranks."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk_join,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(F.col("vec_id") < K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    is_q = F.col("vec_id") % 50 == 0
+    codes = pq_encode(emb.where(~is_q), cb, m=M).select("vec_id", "codes")
+    q_list = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(is_q).select("vec_id", "embedding").collect()
+    ]
+    assert len(q_list) >= 2
+    q_df = emb.where(is_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    want = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk(codes, q_list, cb, m=M, k_top=5).collect()
+    }
+    got = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_topk_join(
+            codes, q_df, cb, m=M, k_top=5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) <= 1e-6, (key, got, want)

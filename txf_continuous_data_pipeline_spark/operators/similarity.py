@@ -936,6 +936,77 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_topk_join(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    codebook,
+    *,
+    m: int,
+    k_top: int = 3,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """pq_adc_topk with the queries as a DATAFRAME instead of a Python
+    list - the form that scales past a handful of probe vectors: when
+    queries number 10^4+ they are themselves a table, and a per-query
+    LUT in a UDF closure would serialize n_q*m*k doubles into every
+    task closure AND rebuild it per executor.
+
+    Shape: one Arrow pass over the QUERY table precomputes each query's
+    flattened LUT (m*k doubles: LUT[s*k + j] = ||q_sub_s - c_j_sub_s||^2),
+    then a broadcast cross join against the codes and a pure-JVM ADC -
+    zip_with(codes, 0..m-1) gathers the m LUT entries, aggregate sums
+    them. Per-candidate cost stays m lookups, all codegen'd; the only
+    exchange is the final per-query top-k window. 10^4 queries
+    broadcast as ~n_q*m*k*8 bytes (m=8, k=16: ~10 MB) - dimension-sized,
+    exactly the broadcast-a-small-side rule. Output identical to
+    pq_adc_topk (pytest-pinned): (q_id, id_col, adc_dist, rn)."""
+    C = _codebook_matrix(codebook)
+    k, dim = C.shape
+    d_sub = dim // m
+    CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        Q = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        Qs = Q.reshape(len(Q), m, d_sub)
+        L = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(L.reshape(len(Q), m * k)))
+
+    luts = queries_df.select(
+        F.col(q_id), _lut(F.col(q_vec)).alias("_lut")
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(
+                    F.col("_lut"), s * F.lit(k) + c + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        codes_df.select(id_col, codes_col)
+        .crossJoin(F.broadcast(luts))
+        .select(q_id, id_col, adc.alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_top)
+        .select(q_id, id_col, "adc_dist", "rn")
+    )
+
+
 def pq_train(
     emb: DataFrame,
     *,

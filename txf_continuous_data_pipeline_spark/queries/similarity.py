@@ -570,13 +570,16 @@ SELECT vec_id, CAST(s AS INT) AS s, CAST(j AS INT) AS code FROM best
 """
 )
 
-_PQ_ADC_SQL = (
-    _PQ_BASE_SQL
-    + """,
+def _pq_adc_sql(q_where: str, c_where: str) -> str:
+    """ADC top-3 oracle, parameterized on the query/corpus predicates
+    (shared by the list-closure and query-table ADC variants)."""
+    return (
+        _PQ_BASE_SQL
+        + f""",
 qv AS (
   SELECT vec_id AS q_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE vec_id < 5
+  FROM embeddings WHERE {q_where}
 ),
 adc AS (
   SELECT b.vec_id, q.q_id,
@@ -587,7 +590,7 @@ adc AS (
   FROM best b
   JOIN cw c ON b.s = c.s AND b.j = c.j
   CROSS JOIN qv q
-  WHERE b.vec_id >= 5
+  WHERE {c_where}
   GROUP BY b.vec_id, q.q_id
 )
 SELECT q_id, vec_id, adc_dist, rn FROM (
@@ -596,7 +599,10 @@ SELECT q_id, vec_id, adc_dist, rn FROM (
   FROM adc
 ) WHERE rn <= 3
 """
-)
+    )
+
+
+_PQ_ADC_SQL = _pq_adc_sql("vec_id < 5", "b.vec_id >= 5")
 
 
 def _pq_seed_codebook(spark, sf_dir):
@@ -651,6 +657,31 @@ def pq_adc_topk_q(spark, sf_dir):
     ]
     return pq_adc_topk(
         codes.select("vec_id", "codes"), queries_, cb, m=_PQ_M, k_top=3
+    )
+
+
+@q(
+    "pq_adc_topk_qtable",
+    _pq_adc_sql("vec_id % 100 = 0", "b.vec_id % 100 != 0"),
+)
+def pq_adc_topk_qtable_q(spark, sf_dir):
+    """ADC top-3 with the queries as a TABLE (every 100th vector) -
+    the serving shape when probe vectors number 10^4+ and no longer fit
+    a Python-list closure: per-query LUTs are one Arrow pass over the
+    query table, broadcast-joined to the codes, ADC fully JVM-side (m
+    lookups per candidate via zip_with over the flattened LUT).
+    tests/test_pq.py pins output equality with the closure form."""
+    from ..operators.similarity import pq_adc_topk_join, pq_encode
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = _pq_seed_codebook(spark, sf_dir)
+    is_q = F.col("vec_id") % 100 == 0
+    codes = pq_encode(emb.where(~is_q), cb, m=_PQ_M)
+    queries_df = emb.where(is_q).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_adc_topk_join(
+        codes.select("vec_id", "codes"), queries_df, cb, m=_PQ_M, k_top=3
     )
 
 
