@@ -346,3 +346,44 @@ def test_int8_quantize_survives_scale_column_collision(spark, sf_dir):
         for r in quantize_int8(poisoned).collect()
     }
     assert out == clean
+
+
+def test_ivfpq_nprobe_recall_monotone(spark, sf_dir):
+    """IVF x PQ dial: recall@k vs the exact squared-L2 top-k rises
+    monotonically with nprobe, and probing every cell with an
+    unbounded shortlist recovers exact search (the rescore stage is
+    full-precision, so the only recall loss is cell routing + the ADC
+    shortlist cut)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    n_corpus = emb.where(F.col("vec_id") >= 5).count()
+
+    def run(nprobe, shortlist):
+        return ivfpq_topk(
+            emb, cents, cb, m=8, query_pred=lambda c: c < 5, k=3,
+            nprobe=nprobe, shortlist=shortlist,
+        )
+
+    # exact baseline: probe every cell, shortlist the whole corpus -
+    # the rescore then ranks every candidate at full precision
+    exact = run(len(cents), n_corpus)
+    recalls = [
+        _recall_at_k(run(p, 20), exact) for p in (1, 2, len(cents))
+    ]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert _recall_at_k(run(len(cents), n_corpus), exact) == 1.0
+    # the SHORTLIST dial must be wired: at full probe, widening the
+    # ADC shortlist to the corpus recovers what a 20-cut loses (on
+    # sf0.001 the shortlist, not routing, is the binding constraint)
+    assert recalls[-1] < 1.0 or recalls[0] == 1.0, recalls

@@ -1007,6 +1007,125 @@ def pq_adc_topk_join(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    query_pred,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF x PQ composed ANN - the canonical billion-vector serving
+    plan (Jegou et al. 2011 SV: IVFADC): a coarse quantizer routes
+    vectors into cells, PQ codes stand in for the raw vectors inside
+    each cell, queries probe only their `nprobe` nearest cells, ADC
+    ranks a `shortlist` from codes alone, and exact squared-L2 rescores
+    just the shortlist. Full-precision data is touched exactly twice:
+    once at encode time, and once for n_q * shortlist rescore rows -
+    however big the corpus.
+
+    Stages (and their 100-TB posture):
+      1. corpus -> cell: kmeans_assign against the literal `centroids`
+         - zero-shuffle projection.
+      2. corpus -> codes: pq_encode - zero-shuffle Arrow projection;
+         at rest this is the stored index (codes are ~dim*8/m bytes).
+      3. queries -> probed cells: kmeans_probe top-`nprobe` - zero
+         shuffle; plus one Arrow pass building each query's flattened
+         ADC LUT (the pq_adc_topk_join trick).
+      4. candidates: codes equi-JOIN broadcast(query routes + LUTs) on
+         cluster_id - candidate count ~ nprobe * n / n_cells per query,
+         never n; ADC is pure-JVM zip_with/aggregate (m lookups).
+      5. shortlist: per-query top-`shortlist` window on (adc, id).
+      6. rescore: shortlist id-equi-join back to raw vectors (prunes
+         to n_q * shortlist rows), exact sq_dist, top-k window.
+
+    `centroids` is [(cluster_id, vec)] (fixed or kmeans_fit-learned);
+    `codebook` ids must be 0..k-1 (_codebook_matrix). Output
+    (q_id, id_col, sq_dist rounded 1e-6, rn) - pq_topk_rescored's
+    contract. nprobe = n_cells + shortlist >= corpus recovers exact
+    search (tests/test_recall.py pins recall monotonicity in nprobe)."""
+    from pyspark.sql.window import Window
+
+    C = _codebook_matrix(codebook)
+    k_cb, dim = C.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    CB = C.reshape(k_cb, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+
+    corpus = emb.where(~query_pred(F.col(id_col)))
+    assigned = kmeans_assign(corpus, centroids, vec_col=vec_col)
+    codes = pq_encode(assigned, codebook, m=m, vec_col=vec_col).select(
+        id_col, "cluster_id", "codes"
+    )
+
+    qraw = emb.where(query_pred(F.col(id_col)))
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        Q = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        Qs = Q.reshape(len(Q), m, d_sub)
+        L = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(L.reshape(len(Q), m * k_cb)))
+
+    luts = qraw.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _lut(F.col(vec_col)).alias("_lut"),
+    )
+    routes = kmeans_probe(
+        qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("q_id"), "cluster_id")
+    qside = routes.join(luts.select("q_id", "_lut"), "q_id")
+
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(
+                    F.col("_lut"), s * F.lit(k_cb) + c + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = codes.join(F.broadcast(qside), "cluster_id").select(
+        "q_id", id_col, adc.alias("adc_dist")
+    )
+    w_short = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w_short))
+        .where(F.col("_rn") <= shortlist)
+        .select("q_id", id_col)
+    )
+    rescored = (
+        short.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(luts.select("q_id", "q_vec")), "q_id")
+        .select(
+            "q_id",
+            id_col,
+            F.round(sq_dist(F.col(vec_col), F.col("q_vec")), 6).alias(
+                "sq_dist"
+            ),
+        )
+    )
+    w_top = Window.partitionBy("q_id").orderBy("sq_dist", id_col)
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "sq_dist", "rn")
+    )
+
+
 def pq_train(
     emb: DataFrame,
     *,

@@ -706,6 +706,111 @@ def pq_trained_summary_q(spark, sf_dir):
     )
 
 
+def _cent_values_sql(centroids: list) -> str:
+    return ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for c, v in centroids
+    )
+
+
+# IVF x PQ: coarse cells = the fixed literal centroids (kmeans_assign's
+# oracle trick), PQ = the data-seeded codebook; the whole composed plan
+# (route -> probe -> ADC -> shortlist -> exact rescore) is deterministic
+# and therefore fully oracle-expressible.
+_IVFPQ_SQL = (
+    _PQ_BASE_SQL
+    + f""",
+cent(cluster_id, centroid) AS (VALUES {_cent_values_sql(_fixed_centroids())}),
+cc AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid),
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id >= 5
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT q_id, cluster_id FROM (
+    SELECT e.vec_id AS q_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid),
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+qv AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 5
+),
+adc AS (
+  SELECT b.vec_id, qp.q_id,
+         round(sum(list_sum(list_transform(
+                 list_zip(list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS adc_dist
+  FROM best b
+  JOIN cc ON cc.vec_id = b.vec_id
+  JOIN qp ON qp.cluster_id = cc.cluster_id
+  JOIN qv q ON q.q_id = qp.q_id
+  JOIN cw c ON b.s = c.s AND b.j = c.j
+  GROUP BY b.vec_id, qp.q_id
+),
+sl AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_sum(list_transform(
+           list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    q.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
+  FROM sl s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN qv q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sq_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY sq_dist, vec_id) AS rn
+  FROM exact
+) WHERE rn <= 3
+"""
+)
+
+
+@q("ivfpq_topk", _IVFPQ_SQL)
+def ivfpq_topk_q(spark, sf_dir):
+    """The composed IVF x PQ serving plan (Jegou et al. 2011's IVFADC):
+    corpus vectors route into 4 coarse cells and live there as PQ
+    codes; each query (vec_id < 5) probes its 2 nearest cells, ADC
+    ranks a 20-candidate shortlist from codes alone, exact squared-L2
+    rescores only the shortlist, top-3 kept. Full-precision data is
+    touched only by the shortlist rescore - the property that lets a
+    100-TB corpus serve ANN from memory-resident codes.
+    tests/test_recall.py pins recall monotonicity in nprobe."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        _fixed_centroids(),
+        _pq_seed_codebook(spark, sf_dir),
+        m=_PQ_M,
+        query_pred=lambda c: c < 5,
+        k=3,
+        nprobe=2,
+        shortlist=20,
+    )
+
+
 _PQ_RESCORE_C = 20
 
 _PQ_RESCORED_SQL = (
