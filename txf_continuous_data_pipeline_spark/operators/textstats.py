@@ -774,10 +774,14 @@ def hashing_trick_embed(
     # group -> ONE task would run the whole explode+md5 chain (measured
     # 2.7s single-threaded of the 4.5s total at sf0.1). Fan the rows
     # out to the cluster width first when the source can't; at 100 TB
-    # the scan has thousands of row groups, the condition is false, and
-    # no extra exchange is paid.
+    # the scan has thousands of files, the condition is false, and no
+    # extra exchange is paid. inputFiles() is a FileIndex metadata read
+    # (no RDD conversion - the old df.rdd.getNumPartitions() probe
+    # forced one); a derived frame reports no files and keeps its
+    # upstream shuffle parallelism.
     para = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < para:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < para:
         df = df.repartition(para)
     buckets = df.select(
         F.col(id_col),
