@@ -346,3 +346,26 @@ def test_grouped_split_keeps_duplicates_together(spark):
     assert a == b
     # all three splits are populated at the GROUP level on 1000 ids
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_bpe_train_driver_and_distributed_paths_agree(spark):
+    """The driver fast path (incremental local pair counts) and the
+    distributed merge loop must produce the IDENTICAL merge sequence,
+    including counts and tie-breaks."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "widest newest low wider new news",
+        "lowest wide wide wide newer",
+        "aaa aaaa aa a abab abba",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    driver = bpe_train(df, n_merges=8)
+    distributed = bpe_train(df, n_merges=8, driver_vocab_limit=0)
+    assert driver == distributed, (driver, distributed)

@@ -829,6 +829,7 @@ def bpe_train(
     *,
     text_col: str = "text",
     n_merges: int = 10,
+    driver_vocab_limit: int = 200_000,
 ) -> "list[tuple[int, str, str, str, int]]":
     """Train `n_merges` BPE merge rules over the corpus; returns
     [(step, left, right, merged, count)] — the driver-side artifact a
@@ -836,19 +837,28 @@ def bpe_train(
 
     The scale-right formulation works on the DISTINCT token vocabulary
     weighted by occurrence counts — the corpus-sized work is ONE
-    groupBy(token) count; every merge iteration then touches only the
-    vocab frame (thousands of rows at any corpus size, since weights
-    carry the frequencies):
+    groupBy(token) count. The merge loop then runs on one of two
+    equivalent paths (identical merges, pytest-pinned):
 
-      pairs     explode adjacent symbol pairs weighted by token count
+    * vocab <= `driver_vocab_limit` rows: collect the weighted vocab
+      (~100 B/row -> ~20 MB at the default limit, the kmeans-centroid
+      class of driver artifact) and run the merge loop locally with
+      INCREMENTAL pair counts — only words containing the merged pair
+      are recounted per step. This is the shape production BPE trainers
+      use: the corpus-scale work is the token count; the vocab-scale
+      loop fits one node.
+    * larger vocab: the distributed loop. Every iteration touches only
+      the vocab frame:
+
+        pairs   explode adjacent symbol pairs weighted by token count
                 -> groupBy sum -> argmax (count desc, pair asc — the
                 deterministic tie-break the differential test pins)
-      merge     one fold over each vocab row's symbol array replacing
+        merge   one fold over each vocab row's symbol array replacing
                 adjacent (left, right) with the merged symbol
 
-    Each iteration is one vocab-sized shuffle + a driver top-1 (a
-    k-rows-per-iteration scalar, the kmeans_fit discipline); lineage is
-    cut every third iteration."""
+      Each iteration is one vocab-sized shuffle + a driver top-1 (a
+      k-rows-per-iteration scalar, the kmeans_fit discipline); lineage
+      is cut every third iteration."""
     from .dedup import normalized_tokens
 
     vocab = (
@@ -873,6 +883,8 @@ def bpe_train(
         .where(F.size("_sym") > 0)
         .localCheckpoint(eager=True)
     )
+    if vocab.count() <= driver_vocab_limit:
+        return _bpe_train_driver(vocab.collect(), n_merges)
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(n_merges):
         pairs = (
@@ -931,6 +943,54 @@ def bpe_train(
         vocab = vocab.select(fold.alias("_sym"), "_w")
         if step % 3 == 2 or step == n_merges - 1:
             vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def _bpe_train_driver(
+    rows, n_merges: int
+) -> "list[tuple[int, str, str, str, int]]":
+    """Local merge loop over the collected weighted vocab — the fast
+    path of bpe_train for vocabularies that fit the driver. Pair counts
+    are maintained INCREMENTALLY: a merge step recounts only the words
+    that contain the merged pair (their old pairs decrement, their
+    re-folded pairs increment), so step cost tracks the affected-word
+    set, not the vocabulary. Tie-break identical to the distributed
+    argmax: count desc, then (left, right) ascending — Python tuple
+    compare on str matches Spark's UTF8 binary sort because UTF-8 byte
+    order preserves code-point order. Each word's re-fold is the same
+    single left-to-right non-overlapping pass (bpe_apply_merges with
+    one rule) the distributed fold applies."""
+    from collections import Counter, defaultdict
+
+    words = [[list(r["_sym"]), int(r["_w"])] for r in rows]
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for wi, (syms, w) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] += w
+            where[p].add(wi)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        best = None
+        for pair, cnt in counts.items():
+            if cnt >= 2 and (best is None or (-cnt, pair) < best[0]):
+                best = ((-cnt, pair), cnt)
+        if best is None:
+            break
+        (_, (left, right)), cnt = best
+        merges.append((step, left, right, left + right, int(cnt)))
+        # a completed left-to-right pass leaves no adjacent (left,
+        # right) in the re-folded word, so popping the set is safe -
+        # no later addition re-populates this key within the step
+        for wi in sorted(where.pop((left, right), ())):
+            syms, w = words[wi]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= w
+            new = bpe_apply_merges(syms, [(left, right)])
+            words[wi][0] = new
+            for p in zip(new, new[1:]):
+                counts[p] += w
+                where[p].add(wi)
     return merges
 
 
