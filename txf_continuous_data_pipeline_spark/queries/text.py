@@ -1196,10 +1196,14 @@ def dup_span_stats_q(spark, sf_dir):
     )
 
 
-_DUP_SPAN_REMOVAL_SQL = f"""
+def _dup_span_removal_sql(src: str = "documents") -> str:
+    """Full WITH..SELECT mirror of remove_duplicated_spans over `src`
+    (a table or an outer CTE name - DuckDB resolves either inside a
+    nested-WITH subquery, which is how curation_pipeline embeds it)."""
+    return f"""
 WITH t AS (
   SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
-  FROM documents
+  FROM {src}
 ),
 sp AS (
   SELECT doc_id, toks, len(toks) AS n,
@@ -1246,6 +1250,9 @@ FROM kept
 """
 
 
+_DUP_SPAN_REMOVAL_SQL = _dup_span_removal_sql()
+
+
 @q("dup_span_removal", _DUP_SPAN_REMOVAL_SQL)
 def dup_span_removal_q(spark, sf_dir):
     """Corpus rewritten with cross-document duplicated 5-token spans
@@ -1260,6 +1267,99 @@ def dup_span_removal_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=5, min_df=2)
+
+
+def _curation_sql() -> str:
+    """End-to-end curation mirror: gopher keep -> exact-dedup keep-min
+    -> span removal -> content-grouped split -> per-split accounting.
+    Stage mirrors are the SAME generators the standalone queries use
+    (nested-WITH subqueries), so the composition cannot drift from the
+    pieces."""
+    return f"""
+WITH keepers AS (
+  SELECT doc_id FROM ({_gopher_sql()}) g WHERE g.keep
+),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+),
+kept1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) AS rn
+    FROM survivors
+  ) WHERE rn = 1
+),
+cleaned AS (
+  SELECT * FROM ({_dup_span_removal_sql("kept1")})
+),
+banded AS (
+  SELECT n_tokens, n_tokens_removed,
+         CAST(('0x' || substring(md5(md5(text)), 1, 8))
+              AS BIGINT) AS bucket
+  FROM cleaned
+)
+SELECT CASE WHEN bucket < 214748364 THEN 'test'
+            WHEN bucket < 429496729 THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens - n_tokens_removed) AS BIGINT) AS n_tokens_kept,
+       CAST(sum(n_tokens_removed) AS BIGINT) AS n_tokens_removed
+FROM banded
+GROUP BY 1
+"""
+
+
+@q("curation_pipeline", _curation_sql())
+def curation_pipeline_q(spark, sf_dir):
+    """The full training-data curation flow as ONE composed plan - what
+    a user of this engine actually runs before a training job (the
+    deeper sibling of training_data_curation's filter->dedup->budget
+    flow): Gopher quality gate -> exact dedup (keep the smallest id per content
+    digest, 16-byte keys on the wire) -> cross-doc duplicated-span
+    excision -> leakage-safe split grouped on the CLEANED content
+    digest (docs that become identical after span removal can never
+    straddle train/test) -> per-split doc and token accounting. Every
+    stage is individually oracle-verified (gopher_filter,
+    dedup_exact_keep, dup_span_removal, leakage_safe_split); this query
+    verifies their composition value-level. Scale posture: each stage
+    keys its shuffle on a digest/hash or the doc id - the composition
+    adds no new shuffle class beyond its pieces."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import remove_duplicated_spans
+    from ..operators.textstats import (
+        gopher_quality_flags,
+        grouped_split_assign,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep_ids = (
+        gopher_quality_flags(docs).where(F.col("keep")).select("doc_id")
+    )
+    survivors = docs.join(keep_ids, "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    # exact dedup: digest first so the shuffle carries 16-byte keys,
+    # winners come back as an id semi-join (exact_dedup_groups shape)
+    winners = (
+        survivors.select(F.md5("text").alias("_d"), "doc_id")
+        .groupBy("_d")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept1 = survivors.join(winners, "doc_id", "left_semi")
+    cleaned = remove_duplicated_spans(kept1, n=5, min_df=2)
+    banded = grouped_split_assign(
+        cleaned, group_col=F.md5(F.col("text"))
+    )
+    return banded.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens") - F.col("n_tokens_removed"))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.sum("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+    )
 
 
 #: literal weights of the linear quality classifier (a trained
