@@ -242,3 +242,40 @@ def test_pq_rescored_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pq_topk_rescored")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_qtable_broadcasts_lut_table(spark, sf_dir):
+    # The query-side LUT table must arrive as a broadcast; ADC itself
+    # is JVM-side, so the only shuffle is the per-query top-k window.
+    plan = _plan(spark, sf_dir, "pq_adc_topk_qtable")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_candidates_are_equi_join(spark, sf_dir):
+    # The cell-probe candidate join and the shortlist rescore join must
+    # be equi/broadcast joins - candidate count ~ nprobe*n/n_cells per
+    # query, never the n*n_q product.
+    plan = _plan(spark, sf_dir, "ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_span_removal_no_pairwise_work(spark, sf_dir):
+    # Removal cost must track corpus + span collisions: the hot-span
+    # probe is a hash semi-join and starts come back keyed on the doc
+    # id; 3 hash exchanges max (distinct, hot agg+semi, starts agg/join).
+    plan = _plan(spark, sf_dir, "dup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_curation_pipeline_digest_keyed_only(spark, sf_dir):
+    # The composed pipeline may not introduce any shuffle class its
+    # stages don't have: no products, and every join is hash-keyed.
+    plan = _plan(spark, sf_dir, "curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
