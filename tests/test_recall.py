@@ -387,3 +387,47 @@ def test_ivfpq_nprobe_recall_monotone(spark, sf_dir):
     # ADC shortlist to the corpus recovers what a 20-cut loses (on
     # sf0.001 the shortlist, not routing, is the binding constraint)
     assert recalls[-1] < 1.0 or recalls[0] == 1.0, recalls
+
+
+def test_ivfpq_trained_full_probe_is_exact(spark, sf_dir):
+    """Trained IVFADC wiring: with kmeans_fit cells and pq_train
+    codebooks, probing every cell with a corpus-wide shortlist must
+    STILL recover the exact squared-L2 top-k - the rescore stage is
+    full-precision, so training quality can only affect the
+    probe/shortlist cut, never the exact path."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        kmeans_fit,
+        pq_train,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents, _, _ = kmeans_fit(emb, 4, max_iter=2)
+    cb, _, _ = pq_train(emb, m=8, k=16, max_iter=2)
+    n_corpus = emb.where(F.col("vec_id") >= 5).count()
+
+    trained = ivfpq_topk(
+        emb, cents, cb, m=8, query_pred=lambda c: c < 5, k=3,
+        nprobe=len(cents), shortlist=n_corpus,
+    )
+    # the exact answer is training-independent: seeded components at
+    # full probe + full shortlist produce the same top-k
+    seeded = ivfpq_topk(
+        emb, _fixed_centroids(), _pq_seed_codebook(spark, sf_dir), m=8,
+        query_pred=lambda c: c < 5, k=3, nprobe=4, shortlist=n_corpus,
+    )
+    got = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+        for r in trained.collect()
+    }
+    want = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+        for r in seeded.collect()
+    }
+    assert got == want

@@ -811,6 +811,34 @@ def ivfpq_topk_q(spark, sf_dir):
     )
 
 
+@q("ivfpq_trained_topk", None)
+def ivfpq_trained_topk_q(spark, sf_dir):
+    """IVFADC with LEARNED components - kmeans_fit trains the coarse
+    quantizer and pq_train the codebooks, both feeding the identical
+    composed search (ivfpq_topk) the seeded oracle query verifies.
+    Downstream of two iterative trainers -> rows-only for the driver
+    (like kmeans_clusters / pq_trained_summary, whose trainers are
+    numpy-differential-pinned); the composition wiring is pinned by the
+    exact-recovery pytest in tests/test_recall.py (full probe +
+    corpus-wide shortlist == exact top-k even with trained parts,
+    because the rescore stage is full-precision)."""
+    from ..operators.similarity import ivfpq_topk, kmeans_fit, pq_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents, _, _ = kmeans_fit(emb, 4, max_iter=2)
+    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2)
+    return ivfpq_topk(
+        emb,
+        cents,
+        cb,
+        m=_PQ_M,
+        query_pred=lambda c: c < 5,
+        k=3,
+        nprobe=2,
+        shortlist=20,
+    )
+
+
 _PQ_RESCORE_C = 20
 
 _PQ_RESCORED_SQL = (
