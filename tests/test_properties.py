@@ -226,3 +226,30 @@ def test_remove_duplicated_spans_surgical(spark):
     for i, t in rows:
         kept = len(got[i]["text"].split())
         assert kept == got[i]["n_tokens"] - got[i]["n_tokens_removed"]
+
+
+def test_span_removal_delta_equals_full_restricted(spark, sf_dir):
+    """Incremental span removal against the stored index must produce
+    EXACTLY what the full-corpus removal produces for the batch rows -
+    indexing the corpus once loses nothing."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        build_span_index,
+        remove_duplicated_spans,
+        remove_duplicated_spans_delta,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans_delta(
+            batch, build_span_index(corpus)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans(docs).collect()
+        if r["doc_id"] % 2 == 1
+    }
+    assert got == want and got

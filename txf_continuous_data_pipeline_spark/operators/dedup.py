@@ -206,6 +206,32 @@ def remove_duplicated_spans(
     tokens x dup-starts per doc, bounded in practice because upstream
     chunking bounds document length.
     """
+    spanned = _positioned_spans(df, n=n, id_col=id_col, text_col=text_col)
+    ex = spanned.select(
+        F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
+    )
+    hot = (
+        ex.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    return _excise_spans(
+        spanned, ex, hot, n=n, id_col=id_col, text_col=text_col
+    )
+
+
+def _positioned_spans(
+    df: DataFrame, *, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _toks, _spans) per doc: _spans[i] = h60 of the n-token span
+    starting at 0-based position i (whole-text fallback for 1..n-1
+    token docs, empty for empty docs). Zero shuffle; lazily
+    localCheckpointed because every caller feeds it to >= 2 consumers
+    (the dup_span_stats lifecycle: one corpus pass, blocks released
+    with the frame)."""
     toks = F.filter(
         normalized_tokens(F.col(text_col)), lambda w: F.length(w) > 0
     )
@@ -227,29 +253,30 @@ def remove_duplicated_spans(
         .when(size >= 1, F.slice(spans, 1, 1))
         .otherwise(F.array().cast("array<long>"))
     )
-    # one span build feeds both the hot-hash aggregate and the final
-    # rewrite; lazy localCheckpoint = one corpus pass, blocks released
-    # with the frame (the dup_span_stats lifecycle)
-    spanned = base.select(
+    return base.select(
         F.col(id_col), F.col("_toks"), pos_spans.alias("_spans")
     ).localCheckpoint(eager=False)
-    ex = spanned.select(
-        F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
-    )
-    hot = (
-        ex.select(id_col, "_h")
-        .distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") >= min_df)
-        .select("_h")
-    )
+
+
+def _excise_spans(
+    spanned: DataFrame,
+    ex: DataFrame,
+    hot: DataFrame,
+    *,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared excision tail: semi-join the exploded spans against the
+    hot set, collect per-doc removal starts, drop every covered token.
+    (id, cleaned text, n_tokens, n_tokens_removed)."""
     starts = (
         ex.join(hot, "_h", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("_i").alias("_starts"))
     )
     joined = spanned.join(starts, id_col, "left")
+    size = F.size("_toks")
     width = F.least(F.lit(n), size)
     starts_arr = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     kept = F.filter(
@@ -273,6 +300,77 @@ def remove_duplicated_spans(
         (F.col("n_tokens") - F.size("_kept"))
         .cast("long")
         .alias("n_tokens_removed"),
+    )
+
+
+def build_span_index(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> DataFrame:
+    """Span document-frequency index of a stored corpus: (shingle, df)
+    with df = number of distinct docs containing the h60-hashed n-token
+    span - the stored half of incremental span dedup, the analog of
+    build_minhash_index. 16 bytes/row, hash-partitioned; at rest this
+    is a table a sink writes once and every arriving batch probes."""
+    idx = (
+        shingles_exploded(df, n=n, hashed=True, id_col=id_col,
+                          text_col=text_col)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return idx.localCheckpoint(eager=True) if persist else idx
+
+
+def remove_duplicated_spans_delta(
+    batch: DataFrame,
+    span_index: DataFrame,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental duplicated-span removal: clean an ARRIVING batch
+    against a stored corpus span index without re-scanning the corpus -
+    the minhash_delta_pairs discipline applied to the Lee et al.
+    remediation. A span is hot when its batch document frequency plus
+    its indexed corpus frequency reaches `min_df`, so the result equals
+    running remove_duplicated_spans over corpus UNION batch and keeping
+    the batch rows (pytest-pinned). Per-arrival cost is O(batch spans)
+    plus one probe join into the 16-byte-keyed index - never O(corpus).
+    """
+    spanned = _positioned_spans(
+        batch, n=n, id_col=id_col, text_col=text_col
+    )
+    ex = spanned.select(
+        F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
+    )
+    batch_df = (
+        ex.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_bdf"))
+    )
+    hot = (
+        batch_df.join(
+            span_index.select(
+                F.col("shingle").alias("_h"), F.col("df").alias("_cdf")
+            ),
+            "_h",
+            "left",
+        )
+        .where(
+            F.col("_bdf") + F.coalesce(F.col("_cdf"), F.lit(0))
+            >= F.lit(min_df)
+        )
+        .select("_h")
+    )
+    return _excise_spans(
+        spanned, ex, hot, n=n, id_col=id_col, text_col=text_col
     )
 
 

@@ -1269,6 +1269,32 @@ def dup_span_removal_q(spark, sf_dir):
     return remove_duplicated_spans(docs, n=5, min_df=2)
 
 
+@q(
+    "dup_span_removal_delta",
+    f"SELECT * FROM ({_dup_span_removal_sql('documents')})"
+    " WHERE doc_id % 2 = 1",
+)
+def dup_span_removal_delta_q(spark, sf_dir):
+    """Incremental span removal: the odd-id half arrives as a batch and
+    is cleaned against the stored even-half span index - O(batch) work
+    plus one probe join, never a corpus re-scan. Equivalent by
+    construction to cleaning the full corpus and keeping the batch rows
+    (batch df + indexed corpus df = full-corpus df), which is exactly
+    what the oracle computes - so the incremental path is value-level
+    verified, cleaned text included."""
+    from ..operators.dedup import (
+        build_span_index,
+        remove_duplicated_spans_delta,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return remove_duplicated_spans_delta(
+        batch, build_span_index(corpus), n=5, min_df=2
+    )
+
+
 def _curation_sql() -> str:
     """End-to-end curation mirror: gopher keep -> exact-dedup keep-min
     -> span removal -> content-grouped split -> per-split accounting.
