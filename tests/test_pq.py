@@ -204,3 +204,63 @@ def test_pq_adc_qtable_matches_closure_form(spark, sf_dir):
     for key in want:
         assert got[key][0] == want[key][0], (key, got[key], want[key])
         assert abs(got[key][1] - want[key][1]) <= 1e-6, (key, got, want)
+
+
+def test_ivfpq_index_serving_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVFPQ index must (a) serve the identical result as
+    the in-memory composition and (b) actually PRUNE: the scan plan
+    carries a cluster_id partition filter, and only the probed cells'
+    directories are read."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qraw = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(corpus, cents, cb, path, m=M)
+
+    served = ivfpq_topk_from_index(
+        spark, path, qraw, cents, cb, m=M, k=3, nprobe=2, shortlist=20
+    )
+    want = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+        for r in ivfpq_topk(
+            emb, cents, cb, m=M, query_pred=lambda c: c < 5, k=3,
+            nprobe=2, shortlist=20,
+        ).collect()
+    }
+    got = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+        for r in served.collect()
+    }
+    assert got == want and got
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+    # probing every cell reads everything and recovers exact search
+    n_corpus = corpus.count()
+    full = ivfpq_topk_from_index(
+        spark, path, qraw, cents, cb, m=M, k=3, nprobe=len(cents),
+        shortlist=n_corpus,
+    )
+    exact = ivfpq_topk(
+        emb, cents, cb, m=M, query_pred=lambda c: c < 5, k=3,
+        nprobe=len(cents), shortlist=n_corpus,
+    )
+    assert {tuple(r) for r in full.collect()} == {
+        tuple(r) for r in exact.collect()
+    }

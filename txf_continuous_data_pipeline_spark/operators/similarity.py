@@ -1049,6 +1049,45 @@ def ivfpq_topk(
     (q_id, id_col, sq_dist rounded 1e-6, rn) - pq_topk_rescored's
     contract. nprobe = n_cells + shortlist >= corpus recovers exact
     search (tests/test_recall.py pins recall monotonicity in nprobe)."""
+    corpus = emb.where(~query_pred(F.col(id_col)))
+    assigned = kmeans_assign(corpus, centroids, vec_col=vec_col)
+    codes = pq_encode(assigned, codebook, m=m, vec_col=vec_col).select(
+        id_col, "cluster_id", "codes"
+    )
+    return _ivfpq_search(
+        codes,
+        corpus.select(id_col, vec_col),
+        emb.where(query_pred(F.col(id_col))),
+        centroids,
+        codebook,
+        m=m,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _ivfpq_search(
+    codes: DataFrame,
+    raw: DataFrame,
+    qraw: DataFrame,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVFADC search tail shared by ivfpq_topk (in-memory encode)
+    and ivfpq_topk_from_index (persisted partitioned index): query LUTs
+    via one Arrow pass, cell-probe candidate equi-join, JVM ADC,
+    shortlist window, exact rescore against `raw`, top-k window.
+    `codes` = (id, cluster_id, codes); `raw` = (id, vec)."""
     from pyspark.sql.window import Window
 
     C = _codebook_matrix(codebook)
@@ -1057,14 +1096,6 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     CB = C.reshape(k_cb, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
-
-    corpus = emb.where(~query_pred(F.col(id_col)))
-    assigned = kmeans_assign(corpus, centroids, vec_col=vec_col)
-    codes = pq_encode(assigned, codebook, m=m, vec_col=vec_col).select(
-        id_col, "cluster_id", "codes"
-    )
-
-    qraw = emb.where(query_pred(F.col(id_col)))
 
     @pandas_udf("array<double>")
     def _lut(v: pd.Series) -> pd.Series:
@@ -1108,7 +1139,7 @@ def ivfpq_topk(
         .select("q_id", id_col)
     )
     rescored = (
-        short.join(corpus.select(id_col, vec_col), id_col)
+        short.join(raw.select(id_col, vec_col), id_col)
         .join(F.broadcast(luts.select("q_id", "q_vec")), "q_id")
         .select(
             "q_id",
@@ -1123,6 +1154,82 @@ def ivfpq_topk(
         rescored.withColumn("rn", F.row_number().over(w_top))
         .where(F.col("rn") <= k)
         .select("q_id", id_col, "sq_dist", "rn")
+    )
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    centroids: list,
+    codebook,
+    path: str,
+    *,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ index as a cluster_id-PARTITIONED parquet
+    table: each row carries (id, raw vector, PQ codes) under its coarse
+    cell's directory. This is the at-rest form of the serving index -
+    searches that probe `nprobe` of `n_cells` cells then SCAN only that
+    fraction of the data via static partition pruning
+    (ivfpq_topk_from_index), which is the property that makes IVF pay
+    at 100 TB: the probe prunes I/O, not just compute. One zero-shuffle
+    assign+encode projection feeds the partitioned write."""
+    assigned = kmeans_assign(emb, centroids, vec_col=vec_col)
+    coded = pq_encode(assigned, codebook, m=m, vec_col=vec_col)
+    (
+        coded.select(id_col, vec_col, "codes", "cluster_id")
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    qraw: DataFrame,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVFADC from the PERSISTED index written by
+    write_ivfpq_index: the probed cell set (n_q * nprobe ints - a
+    driver-scalar read, the kmeans_fit discipline) becomes an isin()
+    filter on the partition column, so the parquet scan reads ONLY the
+    probed cells' directories - at 100 TB the search touches
+    ~nprobe/n_cells of the stored bytes before any compute runs
+    (tests/test_pq.py pins both result equality with the in-memory
+    path and the PartitionFilters pruning in the scan plan). The
+    rescore stage reads its full-precision vectors from the same pruned
+    scan."""
+    routes = kmeans_probe(
+        qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
+        vec_col=vec_col,
+    )
+    cells = sorted(
+        r["cluster_id"]
+        for r in routes.select("cluster_id").distinct().collect()
+    )
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(cells))
+    return _ivfpq_search(
+        idx.select(id_col, "cluster_id", "codes"),
+        idx.select(id_col, vec_col),
+        qraw,
+        centroids,
+        codebook,
+        m=m,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

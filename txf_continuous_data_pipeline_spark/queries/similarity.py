@@ -811,6 +811,67 @@ def ivfpq_topk_q(spark, sf_dir):
     )
 
 
+# Per-corpus cache of the persisted IVFPQ index (written once per
+# session to scratch space, like the minhash/shingle caches): the
+# from-index query and repeat invocations (driver verify + bench)
+# serve from one write.
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_index_path(spark, sf_dir):
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        os.path.getmtime(p),
+        os.path.getsize(p),
+    )
+    if key not in _IVFPQ_INDEX_CACHE:
+        from ..operators.similarity import write_ivfpq_index
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+        write_ivfpq_index(
+            emb.where(F.col("vec_id") >= 5),
+            _fixed_centroids(),
+            _pq_seed_codebook(spark, sf_dir),
+            path,
+            m=_PQ_M,
+        )
+        _IVFPQ_INDEX_CACHE[key] = path
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@q("ivfpq_index_topk", _IVFPQ_SQL)
+def ivfpq_index_topk_q(spark, sf_dir):
+    """IVFADC served from the PERSISTED cluster_id-partitioned index
+    instead of an in-memory encode - identical semantics to ivfpq_topk
+    (hence the same value-level oracle), but the probed cell set
+    becomes a partition filter so the scan reads ONLY
+    ~nprobe/n_cells of the stored bytes (tests/test_pq.py pins the
+    PartitionFilters pruning). The at-rest index + pruned-scan serving
+    is the actual 100-TB deployment shape; the in-memory twin is its
+    encode-on-the-fly oracle."""
+    from ..operators.similarity import ivfpq_topk_from_index
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qraw = emb.where(F.col("vec_id") < 5)
+    return ivfpq_topk_from_index(
+        spark,
+        _ivfpq_index_path(spark, sf_dir),
+        qraw,
+        _fixed_centroids(),
+        _pq_seed_codebook(spark, sf_dir),
+        m=_PQ_M,
+        k=3,
+        nprobe=2,
+        shortlist=20,
+    )
+
+
 @q("ivfpq_trained_topk", None)
 def ivfpq_trained_topk_q(spark, sf_dir):
     """IVFADC with LEARNED components - kmeans_fit trains the coarse
