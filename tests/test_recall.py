@@ -378,15 +378,21 @@ def test_ivfpq_nprobe_recall_monotone(spark, sf_dir):
     # exact baseline: probe every cell, shortlist the whole corpus -
     # the rescore then ranks every candidate at full precision
     exact = run(len(cents), n_corpus)
+    # TRUE invariant: at an unbounded shortlist the candidate set grows
+    # with nprobe and the rescore is exact, so recall is monotone by
+    # construction (at a FIXED small shortlist it is not - an extra
+    # probed cell can push a true neighbor past the ADC cut, so a
+    # fixed-cut series is data-dependent, not an invariant)
     recalls = [
-        _recall_at_k(run(p, 20), exact) for p in (1, 2, len(cents))
+        _recall_at_k(run(p, n_corpus), exact) for p in (1, 2, len(cents))
     ]
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
-    assert _recall_at_k(run(len(cents), n_corpus), exact) == 1.0
+    assert recalls[-1] == 1.0, recalls
     # the SHORTLIST dial must be wired: at full probe, widening the
     # ADC shortlist to the corpus recovers what a 20-cut loses (on
     # sf0.001 the shortlist, not routing, is the binding constraint)
-    assert recalls[-1] < 1.0 or recalls[0] == 1.0, recalls
+    cut = _recall_at_k(run(len(cents), 20), exact)
+    assert cut < 1.0 or recalls[0] == 1.0, (cut, recalls)
 
 
 def test_ivfpq_trained_full_probe_is_exact(spark, sf_dir):

@@ -231,9 +231,12 @@ def _positioned_spans(
     token docs, empty for empty docs). Zero shuffle; lazily
     localCheckpointed because every caller feeds it to >= 2 consumers
     (the dup_span_stats lifecycle: one corpus pass, blocks released
-    with the frame)."""
+    with the frame). NULL text coalesces to '' (no tokens, passes
+    through as ('', 0, 0)) - without it, size(NULL array) = -1 would
+    poison downstream token accounting."""
     toks = F.filter(
-        normalized_tokens(F.col(text_col)), lambda w: F.length(w) > 0
+        normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda w: F.length(w) > 0,
     )
     base = df.select(F.col(id_col), toks.alias("_toks"))
     size = F.size("_toks")

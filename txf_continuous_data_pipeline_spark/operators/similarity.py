@@ -936,6 +936,54 @@ def pq_adc_topk(
     )
 
 
+def _pq_subspace_codebook(codebook, m: int):
+    """Validate + reshape a full-dimension codebook into the
+    per-subspace (m, k, d_sub) form every PQ consumer gathers from.
+    One place for the dim % m check and the reshape, shared by
+    pq_adc_topk_join and _ivfpq_search."""
+    C = _codebook_matrix(codebook)
+    k, dim = C.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return C.reshape(k, m, d_sub).transpose(1, 0, 2), k, d_sub
+
+
+def _query_lut_udf(CB: np.ndarray, m: int, k: int, d_sub: int):
+    """Arrow UDF computing each query vector's FLATTENED ADC LUT
+    (m*k doubles, row-major: LUT[s*k + j] = ||q_sub_s - c_j_sub_s||^2).
+    Must stay the transpose twin of _adc_gather_expr's indexing."""
+
+    @pandas_udf("array<double>")
+    def _lut(v: pd.Series) -> pd.Series:
+        Q = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        Qs = Q.reshape(len(Q), m, d_sub)
+        L = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(list(L.reshape(len(Q), m * k)))
+
+    return _lut
+
+
+def _adc_gather_expr(codes_col: str, lut_col: str, m: int, k: int) -> Column:
+    """Pure-JVM ADC: zip_with(codes, 0..m-1) gathers the m flattened-LUT
+    entries (1-based element_at of s*k + code + 1 - the row-major twin
+    of _query_lut_udf's reshape), aggregate sums, rounded 1e-6."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, s: F.element_at(
+                    F.col(lut_col), s * F.lit(k) + c + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
 def pq_adc_topk_join(
     codes_df: DataFrame,
     queries_df: DataFrame,
@@ -963,39 +1011,19 @@ def pq_adc_topk_join(
     broadcast as ~n_q*m*k*8 bytes (m=8, k=16: ~10 MB) - dimension-sized,
     exactly the broadcast-a-small-side rule. Output identical to
     pq_adc_topk (pytest-pinned): (q_id, id_col, adc_dist, rn)."""
-    C = _codebook_matrix(codebook)
-    k, dim = C.shape
-    d_sub = dim // m
-    CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
-
-    @pandas_udf("array<double>")
-    def _lut(v: pd.Series) -> pd.Series:
-        Q = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        Qs = Q.reshape(len(Q), m, d_sub)
-        L = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
-        return pd.Series(list(L.reshape(len(Q), m * k)))
-
+    CB, k, d_sub = _pq_subspace_codebook(codebook, m)
     luts = queries_df.select(
-        F.col(q_id), _lut(F.col(q_vec)).alias("_lut")
-    )
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col(codes_col),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, s: F.element_at(
-                    F.col("_lut"), s * F.lit(k) + c + 1
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+        F.col(q_id),
+        _query_lut_udf(CB, m, k, d_sub)(F.col(q_vec)).alias("_lut"),
     )
     scored = (
         codes_df.select(id_col, codes_col)
         .crossJoin(F.broadcast(luts))
-        .select(q_id, id_col, adc.alias("adc_dist"))
+        .select(
+            q_id,
+            id_col,
+            _adc_gather_expr(codes_col, "_lut", m, k).alias("adc_dist"),
+        )
     )
     from pyspark.sql.window import Window
 
@@ -1082,55 +1110,35 @@ def _ivfpq_search(
     shortlist: int,
     id_col: str,
     vec_col: str,
+    routes: DataFrame | None = None,
 ) -> DataFrame:
     """The IVFADC search tail shared by ivfpq_topk (in-memory encode)
     and ivfpq_topk_from_index (persisted partitioned index): query LUTs
     via one Arrow pass, cell-probe candidate equi-join, JVM ADC,
     shortlist window, exact rescore against `raw`, top-k window.
-    `codes` = (id, cluster_id, codes); `raw` = (id, vec)."""
+    `codes` = (id, cluster_id, codes); `raw` = (id, vec). `routes`
+    optionally carries precomputed (q_id, cluster_id) probe rows so a
+    caller that already routed the queries (the from-index partition
+    filter) doesn't pay the centroid scoring twice."""
     from pyspark.sql.window import Window
 
-    C = _codebook_matrix(codebook)
-    k_cb, dim = C.shape
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
-    CB = C.reshape(k_cb, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
-
-    @pandas_udf("array<double>")
-    def _lut(v: pd.Series) -> pd.Series:
-        Q = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        Qs = Q.reshape(len(Q), m, d_sub)
-        L = ((Qs[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(axis=3)
-        return pd.Series(list(L.reshape(len(Q), m * k_cb)))
-
+    CB, k_cb, d_sub = _pq_subspace_codebook(codebook, m)
     luts = qraw.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        _lut(F.col(vec_col)).alias("_lut"),
+        _query_lut_udf(CB, m, k_cb, d_sub)(F.col(vec_col)).alias("_lut"),
     )
-    routes = kmeans_probe(
-        qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
-        vec_col=vec_col,
-    ).select(F.col(id_col).alias("q_id"), "cluster_id")
+    if routes is None:
+        routes = kmeans_probe(
+            qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
+            vec_col=vec_col,
+        ).select(F.col(id_col).alias("q_id"), "cluster_id")
     qside = routes.join(luts.select("q_id", "_lut"), "q_id")
 
-    adc = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, s: F.element_at(
-                    F.col("_lut"), s * F.lit(k_cb) + c + 1
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
     scored = codes.join(F.broadcast(qside), "cluster_id").select(
-        "q_id", id_col, adc.alias("adc_dist")
+        "q_id",
+        id_col,
+        _adc_gather_expr("codes", "_lut", m, k_cb).alias("adc_dist"),
     )
     w_short = Window.partitionBy("q_id").orderBy("adc_dist", id_col)
     short = (
@@ -1209,14 +1217,15 @@ def ivfpq_topk_from_index(
     path and the PartitionFilters pruning in the scan plan). The
     rescore stage reads its full-precision vectors from the same pruned
     scan."""
-    routes = kmeans_probe(
+    # route once: the collected rows feed BOTH the partition filter and
+    # the candidate join (no second centroid-scoring pass)
+    probe_df = kmeans_probe(
         qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
         vec_col=vec_col,
-    )
-    cells = sorted(
-        r["cluster_id"]
-        for r in routes.select("cluster_id").distinct().collect()
-    )
+    ).select(F.col(id_col).alias("q_id"), "cluster_id")
+    route_rows = probe_df.collect()
+    cells = sorted({r["cluster_id"] for r in route_rows})
+    routes = spark.createDataFrame(route_rows, probe_df.schema)
     idx = spark.read.parquet(path).where(F.col("cluster_id").isin(cells))
     return _ivfpq_search(
         idx.select(id_col, "cluster_id", "codes"),
@@ -1230,6 +1239,7 @@ def ivfpq_topk_from_index(
         shortlist=shortlist,
         id_col=id_col,
         vec_col=vec_col,
+        routes=routes,
     )
 
 

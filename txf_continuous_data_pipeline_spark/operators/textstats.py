@@ -770,19 +770,38 @@ def hashing_trick_embed(
     """
     from .dedup import h60, normalized_tokens
 
-    # Scan-parallelism floor: a small corpus file is one parquet row
-    # group -> ONE task would run the whole explode+md5 chain (measured
-    # 2.7s single-threaded of the 4.5s total at sf0.1). Fan the rows
-    # out to the cluster width first when the source can't; at 100 TB
-    # the scan has thousands of files, the condition is false, and no
-    # extra exchange is paid. inputFiles() is a FileIndex metadata read
-    # (no RDD conversion - the old df.rdd.getNumPartitions() probe
-    # forced one); a derived frame reports no files and keeps its
-    # upstream shuffle parallelism.
-    para = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < para:
-        df = df.repartition(para)
+    # Scan-parallelism floor: a small corpus scan yields fewer
+    # partitions than cores, so ONE task would run the whole
+    # explode+md5 chain (measured 2.7s single-threaded of the 4.5s
+    # total at sf0.1). The floor triggers on scan BYTES - Spark splits
+    # a scan into ~maxPartitionBytes partitions, so total bytes below
+    # para * maxPartitionBytes means the scan cannot reach the cluster
+    # width regardless of how the bytes are spread across files (a
+    # file COUNT check misses many-tiny-files packing and repartitions
+    # already-split huge files). inputFiles() + getsize are FileIndex/
+    # driver metadata reads (no RDD conversion - the old
+    # df.rdd.getNumPartitions() probe forced one); a derived frame
+    # reports no files and keeps its upstream shuffle parallelism; at
+    # 100 TB the byte threshold is never met and no exchange is paid.
+    import os
+
+    sess = df.sparkSession
+    para = sess.sparkContext.defaultParallelism
+    max_pb = int(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .rstrip("b")
+    )
+    files = df.inputFiles()
+    # Bounded driver work: with default openCostInBytes (4 MB), F files
+    # pack into >= F * 4MB / maxPartitionBytes = F/32 partitions, so
+    # beyond 32*para files the scan reaches cluster width by
+    # construction and no sizing is needed.
+    if files and len(files) <= 32 * para:
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        )
+        if total < para * max_pb:
+            df = df.repartition(para)
     buckets = df.select(
         F.col(id_col),
         F.explode(normalized_tokens(F.col(text_col))).alias("_tok"),

@@ -819,21 +819,28 @@ _IVFPQ_INDEX_CACHE: dict = {}
 
 
 def _ivfpq_index_path(spark, sf_dir):
+    import hashlib
     import os
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        os.path.getmtime(p),
-        os.path.getsize(p),
+    stamp = (sf_dir, os.path.getmtime(p), os.path.getsize(p))
+    # Deterministic on-disk location per corpus stamp: repeated
+    # sessions OVERWRITE the same directory instead of accumulating
+    # mkdtemp copies of the embeddings table in scratch space. The
+    # in-memory cache key adds the applicationId so each session
+    # rewrites once (guarding against a previous session's partial
+    # write), then reuses.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivfpq_"
+        + hashlib.md5(repr(stamp).encode()).hexdigest()[:12],
     )
+    key = (spark.sparkContext.applicationId, stamp)
     if key not in _IVFPQ_INDEX_CACHE:
         from ..operators.similarity import write_ivfpq_index
 
         emb = read_table(spark, sf_dir, "embeddings")
-        path = tempfile.mkdtemp(prefix="ivfpq_idx_")
         write_ivfpq_index(
             emb.where(F.col("vec_id") >= 5),
             _fixed_centroids(),
