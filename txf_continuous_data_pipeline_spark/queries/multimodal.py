@@ -136,3 +136,91 @@ def image_phash_neardup(spark, sf_dir):
     return phash_neardup_pairs(hashes, max_hamming=4).select(
         "id_a", "id_b"
     )
+
+
+_AUDIO_FP_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+"""
+
+
+@q("audio_fingerprint_neardup", _AUDIO_FP_SQL)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """Audio near-duplicate detection end to end through the REAL WAV
+    codec path - the audio twin of image_phash_neardup: deterministic
+    PCM audio synthesized per doc pair (a seeded 8x8 time-frequency
+    bit grid realized as banded sinusoid energies with uniform decisive
+    margins; the odd twin gets a 1.25x gain - a different byte stream,
+    the same percept, and the Haitsma-Kalker double-difference bits are
+    exactly gain-invariant) -> 63-bit spectral fingerprint
+    (mapInPandas) -> the SAME pigeonhole band join + JVM bit_count
+    verify the image path uses (hash-agnostic).
+
+    The oracle is the PLANTED STRUCTURE: exactly the (even, odd) twin
+    pairs must come back - full recall AND zero false pairs (cross-seed
+    fingerprints measured >= 17 bits apart vs the 4-bit budget).
+    Fingerprint values are pinned by tests/test_multimodal.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+        phash_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _make(it):
+        k = np.arange(800)
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                seed = int(d) // 2
+                # seeded target bit grid (md5-mixed: every cell gets an
+                # independent seed-dependent bit), realized as a 9x9
+                # energy staircase whose double differences have
+                # UNIFORM +-1 margins - every fingerprint bit decisive
+                B = [
+                    [
+                        hashlib.md5(
+                            f"{seed}:{t}:{b}".encode()
+                        ).digest()[0]
+                        & 1
+                        for b in range(8)
+                    ]
+                    for t in range(8)
+                ]
+                D = np.zeros((9, 8))
+                for t in range(8):
+                    D[t + 1] = D[t] + np.array(
+                        [1.0 if B[t][b] else -1.0 for b in range(8)]
+                    )
+                E = np.full((9, 9), 50.0)
+                for b in range(8):
+                    E[:, b + 1] = E[:, b] + D[:, b]
+                amp = 0.003 * np.sqrt(E)
+                segs = [
+                    sum(
+                        amp[t, b]
+                        * np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+                        for b in range(9)
+                    )
+                    for t in range(9)
+                ]
+                x = np.concatenate(segs)
+                if int(d) % 2 == 1:
+                    x = x * 1.25
+                payloads.append(bytearray(encode_wav(x, 8000)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_make, "media_id long, payload binary")
+    fps = audio_fingerprint(media).localCheckpoint(eager=False)
+    return phash_neardup_pairs(
+        fps, hash_col="fp", max_hamming=4
+    ).select("id_a", "id_b")
