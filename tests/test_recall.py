@@ -437,3 +437,39 @@ def test_ivfpq_trained_full_probe_is_exact(spark, sf_dir):
         for r in seeded.collect()
     }
     assert got == want
+
+
+def test_ivfpq_residual_full_probe_is_exact(spark, sf_dir):
+    """Residual-encoding IVFADC wiring: full probe + corpus-wide
+    shortlist must recover the exact squared-L2 top-k (the rescore is
+    full-precision, so residual-vs-raw encoding can only change the
+    shortlist cut) - and therefore match the raw-encoding composition
+    at the same exhaustive settings."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_residual_seed_codebook,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    n_corpus = emb.where(F.col("vec_id") >= 5).count()
+    res = ivfpq_residual_topk(
+        emb, cents, _pq_residual_seed_codebook(spark, sf_dir), m=8,
+        query_pred=lambda c: c < 5, k=3, nprobe=len(cents),
+        shortlist=n_corpus,
+    )
+    raw = ivfpq_topk(
+        emb, cents, _pq_seed_codebook(spark, sf_dir), m=8,
+        query_pred=lambda c: c < 5, k=3, nprobe=len(cents),
+        shortlist=n_corpus,
+    )
+    assert {tuple(r) for r in res.collect()} == {
+        tuple(r) for r in raw.collect()
+    }

@@ -1097,6 +1097,83 @@ def ivfpq_topk(
     )
 
 
+def _centroid_lookup_expr(centroids: list, cluster_col: str) -> Column:
+    """Literal centroid vector for a row's cluster id:
+    element_at(array-of-centroid-arrays, cluster_id + 1). Requires ids
+    exactly 0..n-1 (positional, like the PQ codebook contract)."""
+    ids = sorted(int(c) for c, _ in centroids)
+    if ids != list(range(len(centroids))):
+        raise ValueError(
+            f"centroid ids must be exactly 0..n-1 for lookup; got {ids}"
+        )
+    arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in v])
+            for _, v in sorted(centroids)
+        ]
+    )
+    return F.element_at(arr, F.col(cluster_col) + 1)
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    query_pred,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC exactly as Jegou et al. 2011 SV specify it: PQ quantizes
+    the RESIDUAL (vector minus its cell's centroid), not the raw
+    vector - residuals are centered near zero, so the same codebook
+    budget spends its codewords on the within-cell variation instead of
+    re-describing cell positions, the accuracy trick that makes m bytes
+    per vector viable at billion scale. ivfpq_topk is the raw-vector
+    simplification; this is the faithful composition.
+
+    `codebook` holds RESIDUAL-space codewords (ids 0..k-1; e.g.
+    seed-vector residuals w.r.t. their own cells, or a pq_train run on
+    the residual column). Encode: one zero-shuffle projection computes
+    vec - centroid[cell] (literal centroid lookup, no join) before the
+    Arrow PQ encode. Search: the per-query LUT becomes per
+    (query, probed cell) - n_q * nprobe rows, still a broadcast - built
+    from the query's residual against that cell; candidates, shortlist
+    and the exact full-precision rescore are the shared IVFADC tail.
+    Output and determinism contract identical to ivfpq_topk."""
+    corpus = emb.where(~query_pred(F.col(id_col)))
+    assigned = kmeans_assign(corpus, centroids, vec_col=vec_col)
+    res = F.zip_with(
+        F.col(vec_col),
+        _centroid_lookup_expr(centroids, "cluster_id"),
+        lambda x, c: x.cast("double") - c,
+    )
+    staged = assigned.select(
+        F.col(id_col), F.col("cluster_id"), res.alias("_res")
+    )
+    codes = pq_encode(staged, codebook, m=m, vec_col="_res").select(
+        id_col, "cluster_id", "codes"
+    )
+    return _ivfpq_search(
+        codes,
+        corpus.select(id_col, vec_col),
+        emb.where(query_pred(F.col(id_col))),
+        centroids,
+        codebook,
+        m=m,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        residual=True,
+    )
+
+
 def _ivfpq_search(
     codes: DataFrame,
     raw: DataFrame,
@@ -1111,29 +1188,50 @@ def _ivfpq_search(
     id_col: str,
     vec_col: str,
     routes: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
-    """The IVFADC search tail shared by ivfpq_topk (in-memory encode)
-    and ivfpq_topk_from_index (persisted partitioned index): query LUTs
-    via one Arrow pass, cell-probe candidate equi-join, JVM ADC,
-    shortlist window, exact rescore against `raw`, top-k window.
-    `codes` = (id, cluster_id, codes); `raw` = (id, vec). `routes`
-    optionally carries precomputed (q_id, cluster_id) probe rows so a
-    caller that already routed the queries (the from-index partition
-    filter) doesn't pay the centroid scoring twice."""
+    """The IVFADC search tail shared by ivfpq_topk (in-memory encode),
+    ivfpq_topk_from_index (persisted partitioned index) and
+    ivfpq_residual_topk: query LUTs via one Arrow pass, cell-probe
+    candidate equi-join, JVM ADC, shortlist window, exact rescore
+    against `raw`, top-k window. `codes` = (id, cluster_id, codes);
+    `raw` = (id, vec). `routes` optionally carries precomputed
+    (q_id, cluster_id) probe rows so a caller that already routed the
+    queries (the from-index partition filter) doesn't pay the centroid
+    scoring twice. residual=True means the stored codes quantize
+    (vector - cell centroid), so the query LUT is built PER PROBED CELL
+    from the query's residual w.r.t. that cell (one LUT per
+    (query, cell) row instead of per query - still n_q * nprobe tiny
+    rows); the exact rescore is unchanged (raw vectors, raw query)."""
     from pyspark.sql.window import Window
 
     CB, k_cb, d_sub = _pq_subspace_codebook(codebook, m)
-    luts = qraw.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        _query_lut_udf(CB, m, k_cb, d_sub)(F.col(vec_col)).alias("_lut"),
+    lut_udf = _query_lut_udf(CB, m, k_cb, d_sub)
+    q_vecs = qraw.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     if routes is None:
         routes = kmeans_probe(
             qraw.select(id_col, vec_col), centroids, nprobe=nprobe,
             vec_col=vec_col,
         ).select(F.col(id_col).alias("q_id"), "cluster_id")
-    qside = routes.join(luts.select("q_id", "_lut"), "q_id")
+    if residual:
+        qres = F.zip_with(
+            F.col("q_vec"),
+            _centroid_lookup_expr(centroids, "cluster_id"),
+            lambda x, c: x.cast("double") - c,
+        )
+        staged = routes.join(q_vecs, "q_id").select(
+            "q_id", "cluster_id", qres.alias("_qres")
+        )
+        qside = staged.select(
+            "q_id", "cluster_id", lut_udf(F.col("_qres")).alias("_lut")
+        )
+    else:
+        luts = q_vecs.select(
+            "q_id", lut_udf(F.col("q_vec")).alias("_lut")
+        )
+        qside = routes.join(luts, "q_id")
 
     scored = codes.join(F.broadcast(qside), "cluster_id").select(
         "q_id",
@@ -1148,7 +1246,7 @@ def _ivfpq_search(
     )
     rescored = (
         short.join(raw.select(id_col, vec_col), id_col)
-        .join(F.broadcast(luts.select("q_id", "q_vec")), "q_id")
+        .join(F.broadcast(q_vecs), "q_id")
         .select(
             "q_id",
             id_col,

@@ -879,6 +879,140 @@ def ivfpq_index_topk_q(spark, sf_dir):
     )
 
 
+def _pq_residual_seed_codebook(spark, sf_dir):
+    """Residual-space codebook for the faithful IVFADC: the residual of
+    each seed vector (vec_id < k) w.r.t. its OWN assigned fixed cell -
+    deterministic given the corpus + centroids, hence SQL-expressible
+    (the oracle recomputes the same assignment + subtraction)."""
+    cents = _fixed_centroids()
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    seeds = _pq_seed_codebook(spark, sf_dir)
+    out = []
+    for j, (_vid, v) in enumerate(seeds):
+        x = np.array(v, dtype=np.float64)
+        cell = int(np.argmin(((C - x[None, :]) ** 2).sum(axis=1)))
+        out.append((j, (x - C[cell]).tolist()))
+    return out
+
+
+_IVFPQ_RES_SQL = f"""
+WITH cent(cluster_id, centroid) AS (VALUES {_cent_values_sql(_fixed_centroids())}),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+asg AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.centroid), c.cluster_id) AS rn
+    FROM ev e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id,
+         list_transform(list_zip(e.v, c.centroid),
+                        p -> p[1] - p[2]) AS rv
+  FROM ev e
+  JOIN asg a USING (vec_id)
+  JOIN cent c ON c.cluster_id = a.cluster_id
+),
+ss AS (SELECT unnest(range(8)) AS s),
+cw AS (
+  SELECT vec_id AS j, s, list_slice(rv, s*8 + 1, s*8 + 8) AS c
+  FROM resid CROSS JOIN ss WHERE vec_id < 16
+),
+esub AS (
+  SELECT vec_id, s, list_slice(rv, s*8 + 1, s*8 + 8) AS evs
+  FROM resid CROSS JOIN ss WHERE vec_id >= 5
+),
+best AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, e.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, e.s
+             ORDER BY list_distance(e.evs, c.c), c.j) AS rn
+    FROM esub e JOIN cw c ON e.s = c.s
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT q_id, cluster_id FROM (
+    SELECT e.vec_id AS q_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.centroid), c.cluster_id) AS rn
+    FROM ev e CROSS JOIN cent c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+qres AS (
+  SELECT q.vec_id AS q_id, qp.cluster_id,
+         list_transform(list_zip(q.v, c.centroid),
+                        p -> p[1] - p[2]) AS qrv
+  FROM ev q
+  JOIN qp ON qp.q_id = q.vec_id
+  JOIN cent c ON c.cluster_id = qp.cluster_id
+),
+adc AS (
+  SELECT b.vec_id, qr.q_id,
+         round(sum(list_sum(list_transform(
+                 list_zip(list_slice(qr.qrv, b.s*8 + 1, b.s*8 + 8), c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS adc_dist
+  FROM best b
+  JOIN asg cc ON cc.vec_id = b.vec_id
+  JOIN qres qr ON qr.cluster_id = cc.cluster_id
+  JOIN cw c ON c.s = b.s AND c.j = b.j
+  GROUP BY b.vec_id, qr.q_id
+),
+sl AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_sum(list_transform(
+           list_zip(e.v, q.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
+  FROM sl s
+  JOIN ev e ON e.vec_id = s.vec_id
+  JOIN ev q ON q.vec_id = s.q_id
+)
+SELECT q_id, vec_id, sq_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY sq_dist, vec_id) AS rn
+  FROM exact
+) WHERE rn <= 3
+"""
+
+
+@q("ivfpq_residual_topk", _IVFPQ_RES_SQL)
+def ivfpq_residual_topk_q(spark, sf_dir):
+    """The faithful IVFADC (Jegou et al. 2011 SV): PQ quantizes each
+    vector's RESIDUAL against its coarse cell's centroid, so the
+    codeword budget describes within-cell variation instead of
+    re-describing cell positions - the accuracy trick behind
+    billion-scale m-bytes-per-vector search. Query LUTs become per
+    (query, probed cell); candidates, shortlist and the full-precision
+    rescore are the shared IVFADC tail. Codebook = seed-vector
+    residuals w.r.t. their own cells (deterministic, so the whole
+    composition carries a value-level oracle like ivfpq_topk)."""
+    from ..operators.similarity import ivfpq_residual_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb,
+        _fixed_centroids(),
+        _pq_residual_seed_codebook(spark, sf_dir),
+        m=_PQ_M,
+        query_pred=lambda c: c < 5,
+        k=3,
+        nprobe=2,
+        shortlist=20,
+    )
+
+
 @q("ivfpq_trained_topk", None)
 def ivfpq_trained_topk_q(spark, sf_dir):
     """IVFADC with LEARNED components - kmeans_fit trains the coarse
