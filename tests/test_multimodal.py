@@ -410,3 +410,55 @@ def test_audio_fingerprint_neardup_composition(spark):
         ).collect()
     }
     assert got == {(2 * g, 2 * g + 1) for g in range(6)}
+
+
+def test_audio_fingerprint_quarantines_bad_payloads(spark):
+    """One truncated / non-WAV payload must not abort the corpus pass
+    (ADVICE r7): it comes back as a null fp, joins to nothing in the
+    band join, and every healthy row still fingerprints normally."""
+    import numpy as np
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        _audio_fingerprint_one,
+        audio_fingerprint,
+        encode_wav,
+        phash_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    k = np.arange(800)
+    amps = 0.003 * np.sqrt(rng.uniform(30.0, 70.0, size=(9, 9)))
+    x = np.concatenate(
+        [
+            sum(
+                amps[t, b]
+                * np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+                for b in range(9)
+            )
+            for t in range(9)
+        ]
+    )
+    good = bytearray(encode_wav(x, 8000))
+    rows = [
+        (0, good),
+        (1, bytearray(encode_wav(x * 1.2, 8000))),
+        (2, bytearray(b"not a wav at all")),
+        (3, bytearray(good[:30])),  # truncated header
+        (4, bytearray(encode_wav(x[:4], 8000))),  # shorter than t_seg
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    )
+    fps = audio_fingerprint(media).cache()
+    by_id = {r.media_id: r.fp for r in fps.collect()}
+    assert by_id[0] == _audio_fingerprint_one(bytes(good))
+    assert by_id[2] is None and by_id[3] is None and by_id[4] is None
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(
+            fps, hash_col="fp", max_hamming=4
+        ).collect()
+    }
+    fps.unpersist()
+    assert got == {(0, 1)}

@@ -609,13 +609,23 @@ def _audio_fingerprint_one(
     n = len(x) // t_seg
     if n == 0:
         raise ValueError("audio too short to fingerprint")
-    E = np.empty((t_seg, bands))
-    for t in range(t_seg):
-        spec = np.abs(np.fft.rfft(x[t * n : (t + 1) * n])) ** 2
-        usable = spec[1:]  # drop DC
-        bw = max(len(usable) // bands, 1)
-        for b in range(bands):
-            E[t, b] = usable[b * bw : (b + 1) * bw].sum()
+    # one batched rfft over all segments (r8: replaces a per-segment
+    # Python loop; same values bit-for-bit - the pinned-fingerprint
+    # pytest guards this)
+    spec = (
+        np.abs(np.fft.rfft(x[: t_seg * n].reshape(t_seg, n), axis=1))
+        ** 2
+    )
+    usable = spec[:, 1:]  # drop DC
+    bw = max(usable.shape[1] // bands, 1)
+    # zero-pad so every band slice exists; empty/partial tail slices
+    # then sum to the same values the slice loop produced
+    pad = max(bw * bands - usable.shape[1], 0)
+    if pad:
+        usable = np.pad(usable, ((0, 0), (0, pad)))
+    E = np.add.reduceat(
+        usable[:, : bw * bands], np.arange(0, bw * bands, bw), axis=1
+    )
     dd = np.diff(np.diff(E, axis=1), axis=0)  # (t_seg-1, bands-1)
     bits = (dd > 0).ravel()[:63]
     h = 0
@@ -631,16 +641,29 @@ def audio_fingerprint(
     mapInPandas stage - the audio twin of image_phash. Output:
     (media_id, fp long); composes with phash_neardup_pairs (the banded
     Hamming join is hash-agnostic) for audio-level near-duplicate
-    detection."""
+    detection.
+
+    Undecodable / too-short payloads are QUARANTINED as a null fp
+    rather than aborting the corpus pass (one corrupt WAV in 100 TB
+    must not kill the stage); null fp rows fall out of the downstream
+    band equi-join naturally (null never equi-matches), and callers
+    can count them with a `fp IS NULL` filter."""
+
+    def _fp_or_null(p: bytes):
+        try:
+            return _audio_fingerprint_one(p)
+        except (ValueError, IndexError, ZeroDivisionError):
+            return None
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "fp": [
-                        _audio_fingerprint_one(p) for p in pdf["payload"]
-                    ],
+                    "fp": pd.array(
+                        [_fp_or_null(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -787,18 +787,32 @@ def hashing_trick_embed(
 
     sess = df.sparkSession
     para = sess.sparkContext.defaultParallelism
-    max_pb = int(
-        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .rstrip("b")
+    raw_pb = sess.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
     )
+    try:
+        # Spark's own size-string parser handles every legal form
+        # ('134217728', '128m', '128MB', '1g', ...); the old
+        # rstrip('b') + int() broke on human-readable settings
+        # (ADVICE r7).
+        max_pb = int(
+            sess.sparkContext._jvm.org.apache.spark.util.Utils
+            .byteStringAsBytes(raw_pb)
+        )
+    except Exception:
+        max_pb = 134217728
     files = df.inputFiles()
     # Bounded driver work: with default openCostInBytes (4 MB), F files
     # pack into >= F * 4MB / maxPartitionBytes = F/32 partitions, so
     # beyond 32*para files the scan reaches cluster width by
-    # construction and no sizing is needed.
-    if files and len(files) <= 32 * para:
+    # construction and no sizing is needed. getsize only works for
+    # local file: URIs - on a remote store (hdfs://, s3a://) skip the
+    # floor rather than raise (ADVICE r7): a 100-TB remote table is
+    # never below the byte threshold anyway.
+    local = [f for f in files if f.startswith("file:")]
+    if files and len(local) == len(files) and len(files) <= 32 * para:
         total = sum(
-            os.path.getsize(f.removeprefix("file:")) for f in files
+            os.path.getsize(f.removeprefix("file:")) for f in local
         )
         if total < para * max_pb:
             df = df.repartition(para)

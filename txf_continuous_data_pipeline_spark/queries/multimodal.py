@@ -173,45 +173,48 @@ def audio_fingerprint_neardup(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # documents at bench SFs is ONE parquet file, so without an exchange
+    # a single task would synthesize every WAV (22s of the r7 registry
+    # bench lived here); spread the per-row Python work to cluster
+    # width first. At real scale the scan is already wide and this
+    # exchange moves only 8-byte ids.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _make(it):
         k = np.arange(800)
+        # seed-INDEPENDENT sinusoid basis, hoisted: row b is band b's
+        # unit sinusoid, so per-doc synthesis is one (9,9)@(9,800)
+        # matmul instead of 81 Python-loop sin evaluations (the r7
+        # 4.4 ms/doc hot spot).
+        basis = np.stack(
+            [
+                np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+                for b in range(9)
+            ]
+        )
         for pdf in it:
             payloads = []
             for d in pdf["doc_id"]:
                 seed = int(d) // 2
-                # seeded target bit grid (md5-mixed: every cell gets an
-                # independent seed-dependent bit), realized as a 9x9
-                # energy staircase whose double differences have
-                # UNIFORM +-1 margins - every fingerprint bit decisive
-                B = [
-                    [
-                        hashlib.md5(
-                            f"{seed}:{t}:{b}".encode()
-                        ).digest()[0]
-                        & 1
-                        for b in range(8)
-                    ]
-                    for t in range(8)
-                ]
+                # seeded target bit grid from ONE md5 per seed (128
+                # digest bits -> first 64 = the 8x8 grid; bits are
+                # still independent across seeds, so the >=17-bit
+                # cross-seed separation argument is unchanged),
+                # realized as a 9x9 energy staircase whose double
+                # differences have UNIFORM +-1 margins - every
+                # fingerprint bit decisive
+                bits = np.unpackbits(
+                    np.frombuffer(
+                        hashlib.md5(str(seed).encode()).digest(),
+                        dtype=np.uint8,
+                    )
+                )[:64].reshape(8, 8)
                 D = np.zeros((9, 8))
-                for t in range(8):
-                    D[t + 1] = D[t] + np.array(
-                        [1.0 if B[t][b] else -1.0 for b in range(8)]
-                    )
+                D[1:] = np.cumsum(np.where(bits, 1.0, -1.0), axis=0)
                 E = np.full((9, 9), 50.0)
-                for b in range(8):
-                    E[:, b + 1] = E[:, b] + D[:, b]
+                E[:, 1:] = 50.0 + np.cumsum(D, axis=1)
                 amp = 0.003 * np.sqrt(E)
-                segs = [
-                    sum(
-                        amp[t, b]
-                        * np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
-                        for b in range(9)
-                    )
-                    for t in range(9)
-                ]
-                x = np.concatenate(segs)
+                x = (amp @ basis).ravel()
                 if int(d) % 2 == 1:
                     x = x * 1.25
                 payloads.append(bytearray(encode_wav(x, 8000)))

@@ -821,16 +821,19 @@ _IVFPQ_INDEX_CACHE: dict = {}
 def _ivfpq_index_path(spark, sf_dir):
     import hashlib
     import os
+    import re
+    import shutil
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     stamp = (sf_dir, os.path.getmtime(p), os.path.getsize(p))
-    # Deterministic on-disk location per corpus stamp: repeated
-    # sessions OVERWRITE the same directory instead of accumulating
-    # mkdtemp copies of the embeddings table in scratch space. The
-    # in-memory cache key adds the applicationId so each session
-    # rewrites once (guarding against a previous session's partial
-    # write), then reuses.
+    # Deterministic on-disk location per corpus stamp, made safe for
+    # CONCURRENT sessions (ADVICE r7): each session builds the index
+    # in a per-applicationId staging dir and atomically renames it to
+    # the shared path. A completed index (parquet's _SUCCESS marker at
+    # the root) is NEVER rewritten, so no session can delete partition
+    # files out from under another session's pruned scan; the rename
+    # loser just discards its staging copy and reads the winner's.
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_ivfpq_"
@@ -838,16 +841,30 @@ def _ivfpq_index_path(spark, sf_dir):
     )
     key = (spark.sparkContext.applicationId, stamp)
     if key not in _IVFPQ_INDEX_CACHE:
-        from ..operators.similarity import write_ivfpq_index
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            from ..operators.similarity import write_ivfpq_index
 
-        emb = read_table(spark, sf_dir, "embeddings")
-        write_ivfpq_index(
-            emb.where(F.col("vec_id") >= 5),
-            _fixed_centroids(),
-            _pq_seed_codebook(spark, sf_dir),
-            path,
-            m=_PQ_M,
-        )
+            # a dir without _SUCCESS can only be a leftover from a
+            # crashed pre-rename-era session - never a live reader
+            shutil.rmtree(path, ignore_errors=True)
+            app = re.sub(
+                r"[^A-Za-z0-9_-]", "_",
+                spark.sparkContext.applicationId,
+            )
+            staging = f"{path}_stage_{app}"
+            emb = read_table(spark, sf_dir, "embeddings")
+            write_ivfpq_index(
+                emb.where(F.col("vec_id") >= 5),
+                _fixed_centroids(),
+                _pq_seed_codebook(spark, sf_dir),
+                staging,
+                m=_PQ_M,
+            )
+            try:
+                os.rename(staging, path)
+            except OSError:
+                # another session won the race with a complete index
+                shutil.rmtree(staging, ignore_errors=True)
         _IVFPQ_INDEX_CACHE[key] = path
     return _IVFPQ_INDEX_CACHE[key]
 
