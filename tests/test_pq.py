@@ -264,3 +264,127 @@ def test_ivfpq_index_serving_prunes_partitions(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in full.collect()} == {
         tuple(r) for r in exact.collect()
     }
+
+
+def test_append_ivfpq_index_equals_rebuild_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """Incremental index maintenance: base write on 2/3 of the corpus
+    + append_ivfpq_index of the rest must serve IDENTICALLY to a
+    from-scratch build over the union, replaying the same batch must
+    append 0 rows (at-least-once safety), and the stored rows must
+    match the rebuild exactly."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    base = corpus.where(F.col("vec_id") % 3 != 0)
+    batch = corpus.where(F.col("vec_id") % 3 == 0)
+    qraw = emb.where(F.col("vec_id") < 5)
+
+    inc = str(tmp_path / "inc")
+    write_ivfpq_index(base, cents, cb, inc, m=M)
+    assert append_ivfpq_index(
+        spark, inc, batch, cents, cb, m=M
+    ) == batch.count()
+    # replayed batch: the touched-cell anti-join must drop every row
+    assert append_ivfpq_index(spark, inc, batch, cents, cb, m=M) == 0
+
+    full = str(tmp_path / "full")
+    write_ivfpq_index(corpus, cents, cb, full, m=M)
+
+    def stored(path):
+        return {
+            (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(path)
+            .select("vec_id", "cluster_id", "codes")
+            .collect()
+        }
+
+    assert stored(inc) == stored(full)
+
+    def serve(path):
+        return {
+            (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+            for r in ivfpq_topk_from_index(
+                spark, path, qraw, cents, cb, m=M, k=3, nprobe=2,
+                shortlist=20,
+            ).collect()
+        }
+
+    got, want = serve(inc), serve(full)
+    assert got == want and got
+
+
+def test_append_ivfpq_index_creates_missing_sink(spark, sf_dir, tmp_path):
+    """First batch into a nonexistent path creates the index (the
+    bootstrap case of the incremental loop)."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        append_ivfpq_index,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    batch = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 25))
+    path = str(tmp_path / "fresh")
+    assert append_ivfpq_index(
+        spark, path, batch, cents, cb, m=M
+    ) == batch.count()
+    assert spark.read.parquet(path).count() == batch.count()
+
+
+def test_ivfpq_cell_stats_skew_tripwire(spark, tmp_path):
+    """ivfpq_index_cell_stats must stay quiet on a balanced index and
+    trip the retrain flag on a planted hot cell."""
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_index_cell_stats,
+        write_ivfpq_index,
+    )
+
+    dim = 64
+    cents = [
+        (c, [100.0 * c if i == 0 else 0.0 for i in range(dim)])
+        for c in range(4)
+    ]
+    cb = [(0, [0.0] * dim), (1, [1.0] * dim)]
+
+    def frame(counts):
+        rows = []
+        vid = 0
+        for cell, n in enumerate(counts):
+            for _ in range(n):
+                v = [0.0] * dim
+                v[0] = 100.0 * cell + 0.5
+                rows.append((vid, v))
+                vid += 1
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        )
+
+    balanced = str(tmp_path / "balanced")
+    write_ivfpq_index(frame([5, 5, 6, 4]), cents, cb, balanced, m=M)
+    st = ivfpq_index_cell_stats(spark, balanced)
+    assert not st["retrain"] and st["skew"] < 2.0, st
+
+    hot = str(tmp_path / "hot")
+    write_ivfpq_index(frame([40, 2, 2, 2]), cents, cb, hot, m=M)
+    st = ivfpq_index_cell_stats(spark, hot)
+    assert st["retrain"] and st["skew"] > 3.0, st
+    assert st["cell_sizes"][0] == 40 and st["max"] == 40, st

@@ -1341,6 +1341,110 @@ def ivfpq_topk_from_index(
     )
 
 
+def append_ivfpq_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally maintain the persisted IVFPQ index: route the
+    arriving vectors to their coarse cells under the FROZEN centroids,
+    PQ-encode them under the frozen codebook, and append them to the
+    cell partitions - the index write-path analogue of
+    upsert_date_partitioned's touched-partition discipline
+    (sources/io.py). Cost is O(batch) assign+encode plus a
+    touched-cells-only pruned read for the replay guard; never a
+    corpus re-encode.
+
+    Append-only by construction: no existing file is deleted or
+    rewritten, so concurrent pruned-scan readers are never disturbed
+    (the property the shared-index staging rename protects on the
+    full-build path). Replay-safe: arriving ids already present in
+    their touched cells are dropped via a pruned anti-join, so a
+    retried batch appends 0 instead of double-counting. Returns the
+    number of rows actually appended.
+
+    Drift is the price of frozen quantizers - ivfpq_index_cell_stats
+    flags when a hot cell means the coarse centroids should be
+    retrained (the standard IVF maintenance loop, e.g. Faiss's
+    add-with-retrain-threshold discipline)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    assigned = kmeans_assign(new_emb, centroids, vec_col=vec_col)
+    coded = pq_encode(assigned, codebook, m=m, vec_col=vec_col).select(
+        id_col, vec_col, "codes", "cluster_id"
+    )
+    # touched cells: at most n_cells driver scalars
+    cells = [
+        r["cluster_id"]
+        for r in coded.select("cluster_id").distinct().collect()
+    ]
+    try:
+        existing = spark.read.parquet(path).where(
+            F.col("cluster_id").isin(cells)
+        )
+        fresh = coded.join(
+            existing.select(id_col), id_col, "left_anti"
+        )
+    except AnalysisException as e:
+        if (
+            "PATH_NOT_FOUND" not in str(e)
+            and "Path does not exist" not in str(e)
+        ):
+            raise
+        fresh = coded  # first batch creates the index
+    # eager checkpoint: materialize the anti-join BEFORE the write so
+    # the append plan holds no scan of the directory it is extending
+    # (a task retry re-listing the sink mid-append would otherwise see
+    # its own partial output as "existing" and drop rows)
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.write.partitionBy("cluster_id").mode("append").parquet(
+            path
+        )
+    return n
+
+
+def ivfpq_index_cell_stats(
+    spark, path: str, *, skew_threshold: float = 2.0
+) -> dict:
+    """Cell-occupancy statistics for a persisted IVFPQ index, the
+    retraining tripwire for append_ivfpq_index: frozen coarse
+    centroids drift as the corpus grows, and a hot cell both degrades
+    recall (its residuals outgrow the codebook) and defeats the
+    nprobe I/O-pruning argument (probing the hot cell reads far more
+    than 1/n_cells of the bytes). Returns driver scalars (n_cells
+    values - the kmeans_fit collect discipline):
+    {cell_sizes, max, mean, skew = max/mean, retrain: bool}. skew is
+    the IVF imbalance factor, bounded by n_cells and 1.0 when
+    perfectly balanced; the default tripwire of 2.0 = "the hottest
+    cell holds twice its fair share", the usual retrain heuristic.
+    The count aggregate reads ONLY the partition column, so the scan
+    projects zero data columns - footer-level work even at 100 TB."""
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sizes = {r["cluster_id"]: r["n"] for r in rows}
+    mx = max(sizes.values())
+    mean = sum(sizes.values()) / len(sizes)
+    return {
+        "cell_sizes": sizes,
+        "max": mx,
+        "mean": mean,
+        "skew": mx / mean,
+        "retrain": mx / mean > skew_threshold,
+    }
+
+
 def pq_train(
     emb: DataFrame,
     *,

@@ -896,6 +896,86 @@ def ivfpq_index_topk_q(spark, sf_dir):
     )
 
 
+def _ivfpq_appended_index_path(spark, sf_dir):
+    """Index built INCREMENTALLY: the base write holds only
+    vec_id % 3 != 0 of the corpus; the % 3 == 0 remainder arrives as
+    an append_ivfpq_index batch (same frozen centroids/codebook). The
+    final at-rest content equals the full-build index, which is what
+    lets ivfpq_append_topk share ivfpq_index_topk's value-level
+    oracle. Built in this session's OWN staging-named directory (not
+    the shared full-build path) so the two caches never race."""
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = (sf_dir, os.path.getmtime(p), os.path.getsize(p))
+    key = (spark.sparkContext.applicationId, stamp)
+    if key not in _IVFPQ_APPEND_INDEX_CACHE:
+        from ..operators.similarity import (
+            append_ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        app = re.sub(
+            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ivfpq_app_"
+            + hashlib.md5(repr(stamp).encode()).hexdigest()[:12]
+            + "_" + app,
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        emb = read_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") >= 5)
+        cb = _pq_seed_codebook(spark, sf_dir)
+        write_ivfpq_index(
+            corpus.where(F.col("vec_id") % 3 != 0),
+            _fixed_centroids(), cb, path, m=_PQ_M,
+        )
+        append_ivfpq_index(
+            spark, path,
+            corpus.where(F.col("vec_id") % 3 == 0),
+            _fixed_centroids(), cb, m=_PQ_M,
+        )
+        _IVFPQ_APPEND_INDEX_CACHE[key] = path
+    return _IVFPQ_APPEND_INDEX_CACHE[key]
+
+
+_IVFPQ_APPEND_INDEX_CACHE: dict = {}
+
+
+@q("ivfpq_append_topk", _IVFPQ_SQL)
+def ivfpq_append_topk_q(spark, sf_dir):
+    """IVFADC served from an index maintained INCREMENTALLY
+    (write_ivfpq_index on 2/3 of the corpus, append_ivfpq_index for
+    the rest): serving an appended index must be indistinguishable
+    from serving a from-scratch build over the union corpus, so the
+    query shares ivfpq_topk's value-level oracle verbatim. The append
+    path is O(batch) assign+encode + touched-cell pruned replay guard
+    - the 100-TB story for an index that must ingest new vectors
+    without a corpus re-encode (tests/test_pq.py pins append==rebuild
+    equality, replay idempotency, and the skew tripwire)."""
+    from ..operators.similarity import ivfpq_topk_from_index
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qraw = emb.where(F.col("vec_id") < 5)
+    return ivfpq_topk_from_index(
+        spark,
+        _ivfpq_appended_index_path(spark, sf_dir),
+        qraw,
+        _fixed_centroids(),
+        _pq_seed_codebook(spark, sf_dir),
+        m=_PQ_M,
+        k=3,
+        nprobe=2,
+        shortlist=20,
+    )
+
+
 def _pq_residual_seed_codebook(spark, sf_dir):
     """Residual-space codebook for the faithful IVFADC: the residual of
     each seed vector (vec_id < k) w.r.t. its OWN assigned fixed cell -
