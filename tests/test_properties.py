@@ -322,3 +322,59 @@ def test_remove_duplicated_spans_random_differential(spark):
         assert got == reference(docs), (docs, got, reference(docs))
 
     run()
+
+
+def test_dsir_resample_reduces_target_perplexity(spark, sf_dir):
+    """DSIR's whole point: the Gumbel-top-k selection under the
+    target-vs-raw importance weights must yield a subset whose
+    perplexity under the TARGET bigram LM is lower (avg logprob
+    higher) than the candidate pool's. Reference LM is pure Python
+    with the operator's exact tokenization and add-one smoothing."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        dsir_resample,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "lang", "text").collect()
+    toks = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in rows
+    }
+    en_ids = {r["doc_id"] for r in rows if r["lang"] == "en"}
+
+    # target (English) add-one bigram LM, pure Python
+    bi, uni = Counter(), Counter()
+    for d in en_ids:
+        t = toks[d]
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    V = len(uni)
+
+    def avg_lp(d):
+        t = toks[d]
+        grams = list(zip(t, t[1:]))
+        if not grams:
+            return None
+        return sum(
+            math.log((bi[g] + 1) / (uni[g[0]] + V)) for g in grams
+        ) / len(grams)
+
+    n_keep = 15
+    picked = dsir_resample(
+        docs, target_pred=F.col("lang") == "en", n_keep=n_keep
+    ).collect()
+    assert len(picked) == n_keep
+    sel = [r["doc_id"] for r in picked]
+    pool = [d for d in toks if avg_lp(d) is not None]
+    assert set(sel) <= set(pool)
+
+    sel_lp = sum(avg_lp(d) for d in sel) / len(sel)
+    pool_lp = sum(avg_lp(d) for d in pool) / len(pool)
+    # perplexity = exp(-avg_lp): selected must beat the pool
+    assert sel_lp > pool_lp, (sel_lp, pool_lp)

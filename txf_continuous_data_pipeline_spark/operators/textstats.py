@@ -750,6 +750,125 @@ def bigram_logprob(
     )
 
 
+def dsir_resample(
+    df: DataFrame,
+    *,
+    target_pred: Column,
+    n_keep: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al.
+    2023, arXiv:2302.03169), re-expressed over this engine's bigram-LM
+    machinery: per-document importance weight
+
+        log w(d) = mean over d's bigrams (w1,w2) of
+                   [ ln p_tgt(w2|w1) - ln p_raw(w2|w1) ]
+
+    under two add-one-smoothed bigram LMs - the TARGET model trained
+    on the rows satisfying `target_pred`, the RAW model on the whole
+    corpus (the paper's hashed-ngram estimator, with this repo's
+    bigram features) - then resample by GUMBEL TOP-K exactly as the
+    paper prescribes, with the Gumbel noise g = -ln(-ln(u)) derived
+    deterministically from md5(id) (the mixture_sample md5-uniform
+    discipline: reproducible across engines, runs and repartitioning,
+    so a 100-TB selection is auditable and incrementally extendable).
+
+    Plan shape: ONE bigram aggregate and ONE unigram aggregate build
+    BOTH models side by side (count + count_if(target)), the two
+    vocabulary sizes ride a 1-row broadcast, scoring reuses
+    bigram_logprob's occurrences-join-model shape (shuffle keyed on
+    the bigram, model size tracks OBSERVED grams, never V^2), and the
+    final top-k is a sort-limit (TakeOrderedAndProject: per-partition
+    partial top-k, no single-task global window). Nothing scales with
+    doc pairs.
+
+    Output: the n_keep selected rows as (id_col, log_weight 6dp,
+    gumbel_key 6dp); ranking is by rounded key desc then id, so the
+    kept SET is deterministic. Docs with no bigrams score under no
+    model and are never candidates (bigram_logprob's convention).
+    """
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+    size = F.size(toks)
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), target_pred.alias("_tgt")
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("_toks"), 1, F.greatest(F.size("_toks") - 1, F.lit(0))
+                ).alias("w1"),
+                F.slice(
+                    F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))
+                ).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        id_col, "_tgt", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # feeds model AND scoring
+    # both models from ONE aggregate each: target counts are a
+    # conditional count riding the same shuffle as the raw counts
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count("*").alias("c2_raw"),
+        F.count_if(F.col("_tgt")).alias("c2_tgt"),
+    )
+    uni = (
+        base.select(F.col("_tgt"), F.explode(F.col("_toks")).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("c1_raw"),
+            F.count_if(F.col("_tgt")).alias("c1_tgt"),
+        )
+    )
+    uni = uni.localCheckpoint(eager=False)  # feeds V AND the score join
+    vocab = uni.agg(
+        F.count("*").alias("v_raw"),
+        F.count_if(F.col("c1_tgt") > 0).alias("v_tgt"),
+    )
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, pairs["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("c2_tgt") + 1)
+                    / (F.col("c1_tgt") + F.col("v_tgt"))
+                )
+                - F.log(
+                    (F.col("c2_raw") + 1)
+                    / (F.col("c1_raw") + F.col("v_raw"))
+                )
+            ).alias("lr"),
+        )
+    )
+    weights = scored.groupBy(id_col).agg(F.avg("lr").alias("_logw"))
+    # deterministic Gumbel: u in (0,1) from the first 8 md5 hex chars
+    # (+0.5 keeps u strictly inside the interval, so the double ln is
+    # always finite)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = weights.select(
+        F.col(id_col),
+        F.round(F.col("_logw"), 6).alias("log_weight"),
+        F.round(F.col("_logw") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(
+        F.desc("gumbel_key"), F.col(id_col)
+    ).limit(n_keep)
+
+
 def hashing_trick_embed(
     df: DataFrame,
     *,

@@ -1555,6 +1555,71 @@ def doc_bigram_logprob_q(spark, sf_dir):
     return bigram_logprob(read_table(spark, sf_dir, "documents"))
 
 
+_DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS tgt, {_TOKS} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, tgt,
+         unnest(toks[1 : len(toks) - 1]) AS w1,
+         unnest(toks[2 : len(toks)]) AS w2
+  FROM t
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c2_raw,
+         count(*) FILTER (WHERE tgt) AS c2_tgt
+  FROM p GROUP BY 1, 2
+),
+u AS (SELECT tgt, unnest(toks) AS w FROM t),
+uni AS (
+  SELECT w, count(*) AS c1_raw,
+         count(*) FILTER (WHERE tgt) AS c1_tgt
+  FROM u GROUP BY 1
+),
+v AS (
+  SELECT count(*) AS v_raw,
+         count(*) FILTER (WHERE c1_tgt > 0) AS v_tgt
+  FROM uni
+),
+lw AS (
+  SELECT p.doc_id,
+         avg(ln((c2_tgt + 1.0) / (c1_tgt + v.v_tgt))
+             - ln((c2_raw + 1.0) / (c1_raw + v.v_raw))) AS logw
+  FROM p
+  JOIN bi USING (w1, w2)
+  JOIN uni ON uni.w = p.w1
+  CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       round(logw, 6) AS log_weight,
+       round(logw - ln(-ln(
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+FROM lw
+ORDER BY 3 DESC, doc_id
+LIMIT 40
+"""
+
+
+@q("dsir_resample", _DSIR_SQL)
+def dsir_resample_q(spark, sf_dir):
+    """DSIR-shaped importance resampling (Xie et al. 2023): importance
+    weights from a target-vs-raw bigram-LM log ratio (target = the
+    English subset, raw = the whole corpus), selection by Gumbel top-k
+    with md5-deterministic noise - the composition of bigram_logprob's
+    model shape with mixture_sample's auditable-sampling discipline.
+    tests/test_properties.py pins that the selected set's perplexity
+    under the target LM drops vs the candidate pool."""
+    from ..operators.textstats import dsir_resample
+
+    return dsir_resample(
+        read_table(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        n_keep=40,
+    )
+
+
 def _hash_embed_sql(dim: int = 64) -> str:
     """DuckDB mirror of hashing_trick_embed: per-bucket occurrence
     counts over the h60-hashed token stream, L2-normalized."""
