@@ -369,3 +369,127 @@ def test_bpe_train_driver_and_distributed_paths_agree(spark):
     driver = bpe_train(df, n_merges=8)
     distributed = bpe_train(df, n_merges=8, driver_vocab_limit=0)
     assert driver == distributed, (driver, distributed)
+
+
+def _py_byte_bpe_reference(texts, n_merges):
+    """Independent pure-Python byte-level BPE: Python re pretokenizer,
+    UTF-8 bytes as hex-pair symbols, naive full recount per step, its
+    own left-to-right merge fold (no operator code reused)."""
+    import re
+    from collections import Counter
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        BYTE_BPE_PRETOKEN_RE,
+    )
+
+    pat = re.compile(BYTE_BPE_PRETOKEN_RE)
+    vocab = Counter()
+    for t in texts:
+        vocab.update(pat.findall(t))
+    seqs = {}
+    for tok in vocab:
+        hx = tok.encode("utf-8").hex().upper()
+        seqs[tok] = [hx[i : i + 2] for i in range(0, len(hx), 2)]
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for tok, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[tok]
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((step, a, b, a + b, n))
+        for tok, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[tok] = out
+    return merges, vocab, seqs
+
+
+def test_byte_bpe_train_matches_pure_python(spark):
+    """Differential: byte-level BPE with regex pre-tokenization must
+    produce the exact merge sequence of an independent pure-Python
+    byte-level reference - including multi-byte UTF-8, contraction
+    pretokens, leading-space word pretokens, and punctuation runs."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        byte_bpe_train,
+    )
+
+    texts = [
+        "low low low, lower lowest... it's the newest!",
+        "don't stop - the widest newest low wider new news",
+        "Pommes frites für alle: füür!! 12 34 512 cafe café",
+        "   spaced    out\t\ttabs\nand newlines   ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = byte_bpe_train(df, n_merges=12)
+    want, _, _ = _py_byte_bpe_reference(texts, 12)
+    assert got == want, (got, want)
+
+
+def test_byte_bpe_train_paths_agree(spark):
+    """Driver-local incremental path == distributed fold path on the
+    byte alphabet (the vocab-amortization must survive the alphabet
+    change)."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        byte_bpe_train,
+    )
+
+    texts = [
+        "it's low low low, lower! 42 42 042",
+        "the CAFÉ's café -- so wide, so new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    local = byte_bpe_train(df, n_merges=6)
+    dist = byte_bpe_train(df, n_merges=6, driver_vocab_limit=0)
+    assert local == dist and local, (local, dist)
+
+
+def test_byte_bpe_encode_counts_matches_pure_python(spark):
+    """Encode differential: per-doc pretoken + BPE token counts under
+    the trained rules must equal the reference's replay; every string
+    is representable (no unk), so byte totals reconcile."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        byte_bpe_encode_counts,
+        byte_bpe_train,
+    )
+    import re
+    from collections import Counter
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        BYTE_BPE_PRETOKEN_RE,
+    )
+
+    texts = [
+        "low low low, lower lowest... it's the newest!",
+        "don't stop - the widest newest low wider new news",
+        "café füür!! 12 34 512",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = byte_bpe_train(df, n_merges=8)
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_bpe_tokens"])
+        for r in byte_bpe_encode_counts(df, merges).collect()
+    }
+
+    _, _, seqs = _py_byte_bpe_reference(texts, 8)
+    pat = re.compile(BYTE_BPE_PRETOKEN_RE)
+    want = {}
+    for i, t in enumerate(texts):
+        toks = pat.findall(t)
+        want[i] = (len(toks), sum(len(seqs[tok]) for tok in toks))
+    assert got == want, (got, want)

@@ -1033,8 +1033,20 @@ def bpe_train(
         # pair step would throw; such rows carry no pairs and no
         # mergeable content, so drop them here
         .where(F.size("_sym") > 0)
-        .localCheckpoint(eager=True)
     )
+    return _bpe_train_loop(vocab, n_merges, driver_vocab_limit)
+
+
+def _bpe_train_loop(
+    vocab: DataFrame, n_merges: int, driver_vocab_limit: int
+) -> "list[tuple[int, str, str, str, int]]":
+    """The alphabet-agnostic BPE merge loop shared by bpe_train
+    (character symbols) and byte_bpe_train (hex byte symbols): input is
+    any weighted vocab frame (_sym array<string>, _w long); both the
+    driver-local incremental path and the distributed fold operate on
+    opaque string symbols, so the byte alphabet rides the exact same
+    machinery (and inherits its differential pytests' semantics)."""
+    vocab = vocab.localCheckpoint(eager=True)
     if vocab.count() <= driver_vocab_limit:
         return _bpe_train_driver(vocab.collect(), n_merges)
     merges: list[tuple[int, str, str, str, int]] = []
@@ -1239,6 +1251,134 @@ def bpe_encode_counts(
     return df.select(id_col).join(counts, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+#: GPT-2-style pre-tokenization (Radford et al. 2019, the regex from
+#: the released encoder), with ASCII letter/digit classes in place of
+#: \p{L}/\p{N} so the SAME pattern compiles identically under Java
+#: regex (Spark-side regexp_extract_all) and Python re (the
+#: differential reference) - Python's re has no \p classes. Merges
+#: never cross pretoken boundaries, which is the property that keeps
+#: byte-level BPE from learning cross-word junk merges.
+BYTE_BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+|\s+(?!\S)|\s+"
+)
+
+
+def byte_pretokens(text: Column) -> Column:
+    """GPT-2-style pretokens of a text column (JVM-side regex scan)."""
+    return F.regexp_extract_all(text, F.lit(BYTE_BPE_PRETOKEN_RE), 0)
+
+
+def byte_symbols(tok: Column) -> Column:
+    """A pretoken's UTF-8 bytes as uppercase two-hex-char symbols -
+    the byte-level BPE alphabet, JVM-side (encode + per-byte substr +
+    hex; no Python). Hex-pair symbols keep the shared merge loop's
+    string machinery intact: merged symbols concatenate to longer hex
+    strings that decode back to the byte sequence, and UTF8 binary
+    sort on hex equals byte lexicographic order, so the trainer's
+    (left, right) tie-break is identical on both engines and in the
+    pure-Python reference."""
+    b = F.encode(tok, "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.length(b)),
+        lambda i: F.hex(b.substr(i, F.lit(1))),
+    )
+
+
+def byte_bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+    driver_vocab_limit: int = 200_000,
+) -> "list[tuple[int, str, str, str, int]]":
+    """BYTE-LEVEL BPE with regex pre-tokenization - the GPT-2 trainer
+    shape (Radford et al. 2019; Sennrich et al. 2016 for the merge
+    loop): pretokens come from BYTE_BPE_PRETOKEN_RE (so merges never
+    cross word/punct boundaries), the alphabet is the pretoken's UTF-8
+    BYTES (as hex-pair symbols - every string is representable, no
+    unk), and the merge loop is bpe_train's alphabet-agnostic
+    machinery verbatim (_bpe_train_loop: ONE corpus-sized pretoken
+    groupBy, then vocab-sized work only - the vocab-amortization that
+    keeps the trainer sub-second must and does survive the byte
+    alphabet, since the byte split only lengthens symbol arrays by the
+    bytes-per-word factor, never changes the row count class).
+
+    Returns [(step, left, right, merged, count)] with hex-pair-string
+    symbols; tests/test_packing.py pins the exact merge sequence
+    against a pure-Python byte-level reference."""
+    vocab = (
+        df.select(
+            F.explode(byte_pretokens(F.col(text_col))).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select(byte_symbols(F.col("_tok")).alias("_sym"), "_w")
+        .where(F.size("_sym") > 0)
+    )
+    return _bpe_train_loop(vocab, n_merges, driver_vocab_limit)
+
+
+def byte_bpe_encode_counts(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, str, int]]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED byte-level BPE: per document
+    the pretoken count and the BPE symbol count after replaying the
+    merge rules - byte_bpe_train's encode twin, with
+    bpe_encode_counts' vocab-amortized shape intact: the Python merge
+    replay runs once per CORPUS-DISTINCT pretoken (an Arrow stage over
+    the vocab frame only); the corpus-sized work is the JVM regex
+    explode + (doc, pretoken) aggregate. The pretoken split is the
+    SAME JVM regex the trainer uses, so encode(corpus) reproduces the
+    trainer's final state exactly."""
+    rules = [(left, right) for _s, left, right, _m, _n in merges]
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(byte_pretokens(F.col(text_col))).alias("_w"),
+    )
+    per_doc = toks.groupBy(id_col, "_w").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+
+    @pandas_udf("long")
+    def _enc_len(w: pd.Series) -> pd.Series:
+        # input rows are corpus-distinct pretokens - one replay each
+        def one(s: str) -> int:
+            hx = s.encode("utf-8").hex().upper()
+            syms = [hx[i : i + 2] for i in range(0, len(hx), 2)]
+            return len(bpe_apply_merges(syms, rules))
+
+        return w.map(one)
+
+    word_len = (
+        per_doc.select("_w")
+        .distinct()
+        .withColumn("_len", _enc_len(F.col("_w")))
+    )
+    counts = (
+        per_doc.join(word_len, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_pretokens"),
+            F.sum(F.col("_n") * F.col("_len")).alias("n_bpe_tokens"),
+        )
+    )
+    return df.select(id_col).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_pretokens", F.lit(0))
+        .cast("long")
+        .alias("n_pretokens"),
         F.coalesce("n_bpe_tokens", F.lit(0))
         .cast("long")
         .alias("n_bpe_tokens"),

@@ -1769,6 +1769,52 @@ def bpe_token_counts_q(spark, sf_dir):
     return bpe_encode_counts(docs, merges).orderBy("doc_id")
 
 
+_BYTE_BPE_MERGES_CACHE: dict = {}
+
+
+def _trained_byte_merges(spark, sf_dir, n_merges: int = 10):
+    from ..operators.textstats import byte_bpe_train
+
+    key = (_corpus_key(spark, sf_dir), n_merges)
+    if key not in _BYTE_BPE_MERGES_CACHE:
+        _BYTE_BPE_MERGES_CACHE[key] = byte_bpe_train(
+            read_table(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _BYTE_BPE_MERGES_CACHE[key]
+
+
+@q("byte_bpe_merge_rules", None)
+def byte_bpe_merge_rules_q(spark, sf_dir):
+    """Ten BYTE-LEVEL BPE merges (GPT-2 shape: regex pre-tokenization,
+    UTF-8 byte alphabet as hex-pair symbols) - bpe_merge_rules' byte
+    twin, sharing the alphabet-agnostic merge loop. Iterative ->
+    rows-only; the exact merge sequence (incl. multi-byte UTF-8 and
+    contraction pretokens) is pinned by the pure-Python byte-level
+    differential in tests/test_packing.py."""
+    merges = _trained_byte_merges(spark, sf_dir, n_merges=10)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, n long"
+    )
+
+
+@q("byte_bpe_token_counts", None)
+def byte_bpe_token_counts_q(spark, sf_dir):
+    """Corpus tokenized with the TRAINED byte-level tokenizer: per-doc
+    pretoken + BPE token counts after replaying the 10 learned merges.
+    Same vocab-amortized encode shape as bpe_token_counts (Python
+    replay once per corpus-distinct PRETOKEN, corpus-sized work all
+    JVM-side) - the amortization survives the byte alphabet because
+    the alphabet only lengthens symbol arrays, never changes the
+    vocab row-count class. Rows-only (downstream of the iterative
+    trainer); pinned by the encode differential in
+    tests/test_packing.py."""
+    from ..operators.textstats import byte_bpe_encode_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _trained_byte_merges(spark, sf_dir, n_merges=10)
+    return byte_bpe_encode_counts(docs, merges).orderBy("doc_id")
+
+
 _GROUPED_SPLIT_SQL = """
 WITH b AS (
   SELECT doc_id, md5(text) AS content_group,
