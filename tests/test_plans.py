@@ -279,3 +279,51 @@ def test_curation_pipeline_digest_keyed_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "curation_pipeline")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_residual_plan_shape(spark, sf_dir):
+    # Faithful IVFADC: residual encode is a zero-shuffle projection and
+    # the per-(query, cell) LUTs ride broadcasts - the only hash
+    # exchange left is the shortlist/top-k window; no product may ever
+    # appear (the n_q*n all-pairs failure mode).
+    plan = _plan(spark, sf_dir, "ivfpq_residual_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    # The composed pipeline's shuffle count must stay the sum of its
+    # stages' digest/hash-keyed exchanges (gate is zero-shuffle; dedup
+    # 1; span removal 2-3; split 0; rollup 1) - a regression that
+    # re-shuffles the fact table on a non-key column would show here.
+    plan = _plan(spark, sf_dir, "curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_ivfpq_append_serving_plan_matches_full_index(spark, sf_dir):
+    # Serving from the incrementally-appended index must keep the
+    # from-index plan shape: candidates via broadcast equi-joins, one
+    # hash exchange (top-k windows), no products.
+    plan = _plan(spark, sf_dir, "ivfpq_append_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dsir_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    # The Gumbel top-k must be TakeOrderedAndProject (per-partition
+    # partial top-k + driver merge), never a single-task global
+    # row_number window; model joins stay hash/broadcast-keyed. The
+    # one BroadcastNestedLoopJoin is the 1-row vocab-size broadcast
+    # (a scalar, not a table product).
+    plan = _plan(spark, sf_dir, "dsir_resample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Window" not in plan, plan
