@@ -108,17 +108,23 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
     }
     prior_runs: list = []
+    carry: dict = {}
     try:
         with open(detail_path) as f:
             old = json.load(f)
         prior_runs = old.get("runs", [])
         if not prior_runs and "queries" in old:
             prior_runs = [old]  # migrate the pre-history single-run shape
+        # hand-recorded A/B investigations survive the rewrite
+        if "ab_checks" in old:
+            carry["ab_checks"] = old["ab_checks"]
     except (OSError, ValueError):
         pass
     runs = (prior_runs + [this_run])[-4:]
     with open(detail_path, "w") as f:
-        json.dump({**this_run, "runs": runs}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**this_run, "runs": runs, **carry}, f, indent=1, sort_keys=True
+        )
         f.write("\n")
     print(json.dumps({"queries_detail": timings, "sf": sf}))
     if errors:
