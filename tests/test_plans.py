@@ -327,3 +327,14 @@ def test_dsir_topk_is_take_ordered_not_global_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Window" not in plan, plan
+
+
+def test_decontamination_benchmark_broadcasts(spark, sf_dir):
+    # The eval-suite gram set must arrive as a broadcast: the corpus
+    # side pays a zero-shuffle gram projection + broadcast join + one
+    # doc-keyed aggregate; corpus text never shuffles.
+    plan = _plan(spark, sf_dir, "decontamination_report")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -378,3 +378,38 @@ def test_dsir_resample_reduces_target_perplexity(spark, sf_dir):
     pool_lp = sum(avg_lp(d) for d in pool) / len(pool)
     # perplexity = exp(-avg_lp): selected must beat the pool
     assert sel_lp > pool_lp, (sel_lp, pool_lp)
+
+
+def test_ngram_contamination_planted(spark):
+    """A training doc sharing a 3-gram with the benchmark set must be
+    flagged with the exact distinct-gram hit count; disjoint docs must
+    not appear; repeated grams in a doc count once."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (101, "pack my box with liquid")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox" (2 hits)
+            (1, "see the quick brown fox run"),
+            # shares "pack my box" twice - distinct grams count ONCE
+            (2, "pack my box then pack my box again"),
+            # no shared 3-gram
+            (3, "entirely different words here today"),
+            # too short for any 3-gram
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert got == {1: 2, 2: 1}, got

@@ -1385,6 +1385,52 @@ def byte_bpe_encode_counts(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination report (the GPT-3 appendix-C /
+    PaLM discipline): a training document is CONTAMINATED when it
+    shares any word n-gram with the benchmark/eval set; the report
+    carries the distinct overlapping-gram count per flagged doc so a
+    pipeline can threshold or hard-drop.
+
+    Output: (id_col, n_hits) for contaminated corpus docs only -
+    n_hits = number of DISTINCT n-grams of the doc that appear
+    anywhere in the benchmark set.
+
+    100-TB shape: the benchmark side is an eval suite - megabytes,
+    not terabytes - so its distinct gram-hash set BROADCASTS and the
+    corpus pays one zero-shuffle gram projection + a broadcast hash
+    join + one doc-keyed aggregate; corpus text itself never
+    shuffles (grams travel as h60 hashes, the engine-wide 60-bit
+    family - collision odds ~ grams^2 / 2^60, negligible below
+    ~10^8 distinct eval grams)."""
+    from .dedup import h60, normalized_tokens
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(normalized_tokens(F.col(text_col)), n)
+                )
+            ).alias("_g"),
+        ).select(id_col, h60(F.col("_g")).alias("_h"))
+
+    bench_set = gram_hashes(benchmark).select("_h").distinct()
+    hits = gram_hashes(corpus).join(F.broadcast(bench_set), "_h")
+    # per-doc grams are already distinct (array_distinct before the
+    # explode), so the count is distinct overlapping grams
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+
+
 def grouped_split_assign(
     df: DataFrame,
     *,

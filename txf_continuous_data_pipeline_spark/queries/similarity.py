@@ -976,6 +976,59 @@ def ivfpq_append_topk_q(spark, sf_dir):
     )
 
 
+_CELL_OCC_SQL = f"""
+WITH cent(cluster_id, centroid) AS (VALUES {_cent_values_sql(_fixed_centroids())}),
+cc AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid),
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id >= 5
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM cc GROUP BY 1
+)
+SELECT CAST(cluster_id AS INTEGER) AS cluster_id, n_vectors,
+       round(n_vectors / sum(n_vectors) OVER (), 6) AS share,
+       n_vectors > 2.0 * avg(n_vectors) OVER () AS hot
+FROM c
+"""
+
+
+@q("ivfpq_cell_occupancy", _CELL_OCC_SQL)
+def ivfpq_cell_occupancy_q(spark, sf_dir):
+    """Cell-occupancy report over the PERSISTED IVFPQ index - the
+    DataFrame face of ivfpq_index_cell_stats' retrain tripwire: per
+    coarse cell its vector count, corpus share, and the hot flag
+    (> 2x fair share = the IVF imbalance heuristic that triggers
+    centroid retraining under append_ivfpq_index drift). The count
+    aggregate reads ONLY the partition column (zero data columns at
+    the scan); the window runs over n_cells rows, not the corpus."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(_ivfpq_index_path(spark, sf_dir))
+    counts = idx.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vectors",
+        F.round(
+            F.col("n_vectors") / F.sum("n_vectors").over(w), 6
+        ).alias("share"),
+        (
+            F.col("n_vectors")
+            > F.lit(2.0) * F.avg("n_vectors").over(w)
+        ).alias("hot"),
+    )
+
+
 def _pq_residual_seed_codebook(spark, sf_dir):
     """Residual-space codebook for the faithful IVFADC: the residual of
     each seed vector (vec_id < k) w.r.t. its OWN assigned fixed cell -

@@ -1815,6 +1815,45 @@ def byte_bpe_token_counts_q(spark, sf_dir):
     return byte_bpe_encode_counts(docs, merges).orderBy("doc_id")
 
 
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3 THEN
+           list_transform(
+             list_distinct(list_transform(range(0, len(toks) - 2),
+               i -> array_to_string(toks[i + 1:i + 3], ' '))),
+             s -> {_h60_sql('s')})
+         ELSE CAST([] AS BIGINT[]) END) AS h
+  FROM t
+),
+bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 100 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g JOIN bench USING (h)
+WHERE g.doc_id % 100 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@q("decontamination_report", _DECONTAM_SQL)
+def decontamination_report_q(spark, sf_dir):
+    """Train/eval decontamination (the GPT-3 appendix-C discipline):
+    training docs sharing any 3-gram with the benchmark slice
+    (doc_id % 100 == 0 stands in for the eval suite) are flagged with
+    their distinct overlapping-gram count. The benchmark gram-hash
+    set broadcasts (eval suites are MBs); the corpus side is one
+    zero-shuffle gram projection + broadcast join + doc-keyed
+    aggregate - corpus text never shuffles."""
+    from ..operators.textstats import ngram_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("doc_id") % 100 != 0),
+        docs.where(F.col("doc_id") % 100 == 0),
+        n=3,
+    )
+
+
 _GROUPED_SPLIT_SQL = """
 WITH b AS (
   SELECT doc_id, md5(text) AS content_group,
