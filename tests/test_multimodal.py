@@ -462,3 +462,84 @@ def test_audio_fingerprint_quarantines_bad_payloads(spark):
     }
     fps.unpersist()
     assert got == {(0, 1)}
+
+
+def test_video_neardup_majority_vote(spark):
+    """video_neardup_pairs is a VOTE, not a hash distance: two videos
+    pair iff >= min_frames_agree same-slot frames match within the
+    Hamming budget. Planted: A/B agree on slots 0,1,2 (slot 3 differs
+    by >budget); A/C agree only on slot 0; B/C agree only on slot 0.
+    With min_frames_agree=2 exactly (A,B) survives, and the agreement
+    count is exact."""
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        video_neardup_pairs,
+    )
+
+    shared = 0x0123456789ABCDE  # slot-0 intro card, all three videos
+    rows = []
+    for vid in (1, 2, 3):
+        rows.append((vid, 0, shared))
+    for slot in (1, 2):
+        base = 0x0F0F0F0F0F0F0F0 ^ (slot << 40)
+        rows.append((1, slot, base))
+        rows.append((2, slot, base ^ 0b11))  # hamming 2 <= budget 4
+        rows.append((3, slot, base ^ ((1 << 60) - 1)))  # far
+    rows.append((1, 3, 0x00000000000FFFF))
+    rows.append((2, 3, 0x7FFFFFFFFFF0000))  # far from video 1's slot 3
+    rows.append((3, 3, 0x555555555555555))
+    hashes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "frame_idx", "phash"])
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_frames_agree
+        for r in video_neardup_pairs(
+            hashes, max_hamming=4, min_frames_agree=2
+        ).collect()
+    }
+    assert got == {(1, 2): 3}
+    # threshold at 1 admits the intro-card-only pairs - the vote is
+    # what excludes them, not hash distance
+    got1 = {
+        (r.id_a, r.id_b): r.n_frames_agree
+        for r in video_neardup_pairs(
+            hashes, max_hamming=4, min_frames_agree=1
+        ).collect()
+    }
+    assert got1 == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+
+
+def test_frame_phash_matches_image_phash_per_frame(spark):
+    """frame_phash must agree bit-for-bit with image_phash on each
+    frame payload, and repartition=False must plan with no Exchange
+    between the upstream and the hash stage (the fused-stage property
+    the video query's cost model depends on)."""
+    import numpy as np
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        _phash_one,
+        encode_ppm,
+        frame_phash,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for mid in range(3):
+        for slot in range(2):
+            img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            rows.append((mid, slot, bytearray(encode_ppm(img))))
+    frames = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "frame_idx", "payload"])
+    )
+    out = frame_phash(frames, repartition=False)
+    got = {
+        (r.media_id, r.frame_idx): r.phash for r in out.collect()
+    }
+    want = {
+        (mid, slot): _phash_one(bytes(p)) for mid, slot, p in rows
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

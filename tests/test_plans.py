@@ -338,3 +338,17 @@ def test_decontamination_benchmark_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_video_neardup_slot_band_join_is_equi(spark, sf_dir):
+    # Candidates must come from the (slot, band, key) hash equi-join -
+    # never a product over video pairs - and the vote is one
+    # (id_a, id_b)-keyed aggregate. The only Python surfaces are the
+    # Arrow synthesis/sample/hash stages.
+    plan = _plan(spark, sf_dir, "video_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "BatchEvalPython" not in plan

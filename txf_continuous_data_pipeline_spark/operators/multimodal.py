@@ -673,6 +673,122 @@ def audio_fingerprint(
     )
 
 
+def frame_phash(
+    frames: DataFrame,
+    *,
+    id_col: str = "media_id",
+    slot_col: str = "frame_idx",
+    repartition: bool = True,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Per-sampled-frame 63-bit pHash: image_phash with the frame
+    ordinal carried through, so downstream video matching can require
+    agreement at the SAME temporal position. One Arrow stage over
+    byte-budget partitions; composes with sample_frames (which does
+    the random-access container decode) and video_neardup_pairs.
+
+    `repartition=False` skips the byte-budget exchange and inherits
+    the upstream partitioning - the right call when frames flow out
+    of a sample_frames stage that is already spread (each sampled
+    frame is a bounded re-encode of its source, so the upstream
+    byte budget still holds), and it keeps decode -> sample -> hash
+    fused into ONE shuffle-free stage. The default exchange also
+    runs an eager length() aggregate when total_bytes is None, which
+    re-executes any non-trivial upstream chain once just to size the
+    partitions - pass total_bytes from caller metadata to stay lazy."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "frame_idx": pdf[slot_col],
+                    "phash": [_phash_one(p) for p in pdf["payload"]],
+                }
+            )
+
+    pruned = frames.select(F.col(id_col), F.col(slot_col), "payload")
+    if repartition:
+        pruned = repartition_by_bytes(pruned, total_bytes=total_bytes)
+    return pruned.mapInPandas(
+        _batches, "media_id long, frame_idx int, phash long"
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    slot_col: str = "frame_idx",
+    hash_col: str = "phash",
+    max_hamming: int = 4,
+    min_frames_agree: int = 3,
+) -> DataFrame:
+    """Video near-duplicate pairs by MAJORITY VOTE over sampled-frame
+    perceptual hashes: two videos pair when >= `min_frames_agree` of
+    their same-position sampled frames match within the per-frame
+    Hamming budget - the standard shot-level video dedup shape
+    (frame fingerprints + temporal agreement), robust to a re-encode
+    touching a minority of frames (changed intro/outro cards, an
+    inserted ad slate).
+
+    Scale shape: the per-slot candidate join is the SAME pigeonhole
+    band trick as phash_neardup_pairs with the slot ordinal in the
+    join key (a pair must agree exactly on (slot, band, key)), so
+    candidates stay equi-join-shaped and never approach the video-
+    pair product; the vote is one (id_a, id_b)-keyed aggregate over
+    verified slot matches. Output: (id_a, id_b, n_frames_agree)."""
+    n_bands = max_hamming + 1
+    starts = [b * 64 // n_bands for b in range(n_bands + 1)]
+    banded = frame_hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(slot_col).alias("_slot"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        (
+                            F.shiftright(F.col(hash_col), starts[b])
+                            % F.lit(1 << (starts[b + 1] - starts[b]))
+                        ).alias("_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_slot", "_h", "_bk._band", "_bk._key")
+    a, b = banded.alias("a"), banded.alias("b")
+    slot_matches = (
+        a.join(
+            b,
+            (F.col("a._slot") == F.col("b._slot"))
+            & (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._slot").alias("_slot"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            <= max_hamming
+        )
+        .select("id_a", "id_b", "_slot")
+    )
+    return (
+        slot_matches.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_frames_agree"))
+        .where(F.col("n_frames_agree") >= min_frames_agree)
+    )
+
+
 def phash_neardup_pairs(
     hashes: DataFrame,
     *,

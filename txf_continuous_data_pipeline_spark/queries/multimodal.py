@@ -227,3 +227,106 @@ def audio_fingerprint_neardup(spark, sf_dir):
     return phash_neardup_pairs(
         fps, hash_col="fp", max_hamming=4
     ).select("id_a", "id_b")
+
+
+_VIDEO_NEARDUP_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(3 AS BIGINT) AS n_frames_agree
+FROM documents a JOIN documents b
+  ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+"""
+
+
+@q("video_phash_neardup", _VIDEO_NEARDUP_SQL)
+def video_phash_neardup(spark, sf_dir):
+    """Video near-duplicate detection end to end through the REAL
+    concatenated-P6 container path: deterministic 4-frame videos per
+    doc pair -> random-access frame sampling (sample_frames seeks,
+    never decodes predecessors) -> per-frame pHash -> slot-keyed band
+    join + majority vote (video_neardup_pairs, min 3 of 4 frames).
+
+    Planted structure = the oracle: the odd twin carries a +12
+    brightness shift on frames 1-2 (pHash drops DC, so the AC block
+    is bit-identical - the video analogue of the audio gain
+    invariance), shares frame 0 verbatim, and REPLACES frame 3 with
+    unrelated content (a changed outro card), so twins agree on
+    exactly 3 of 4 slots; frame 0 is a group-shared intro card across
+    each run of 4 docs, so non-twin in-group pairs agree on exactly 1
+    slot and the majority threshold must exclude them - full recall
+    AND zero false pairs, with the negative case exercising the vote,
+    not just hash distance."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_ppm_video,
+        frame_phash,
+        sample_frames,
+        video_neardup_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan -> spread the per-row synthesis Python first
+    # (the audio_fingerprint_neardup r7 lesson); only 8-byte ids move
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def _make(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                seed, grp = d // 2, d // 4
+                frames = []
+                for slot in range(4):
+                    # default_rng (PCG64): ~2.5x cheaper to seed than
+                    # the Mersenne RandomState, and this loop is pure
+                    # seeded synthesis - 20k generator inits at sf0.1
+                    if slot == 0:
+                        rs = np.random.default_rng(1_000_000 + grp)
+                    elif slot == 3 and d % 2 == 1:
+                        rs = np.random.default_rng(9_000_000 + d)
+                    else:
+                        rs = np.random.default_rng(
+                            2_000_000 + seed * 4 + slot
+                        )
+                    # mid-range pixels: +12 brightness can never clip,
+                    # so the shift lands ONLY in the DCT DC term
+                    f = rs.integers(
+                        40, 200, (32, 32, 3), dtype=np.uint8
+                    )
+                    if d % 2 == 1 and slot in (1, 2):
+                        f = f + 12
+                    frames.append(f)
+                ids.append(d)
+                payloads.append(
+                    bytearray(encode_ppm_video(np.stack(frames)))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": payloads,
+                    "n_frames": 4,
+                    "codec": "ppmv",
+                }
+            )
+
+    media = docs.mapInPandas(
+        _make,
+        "media_id long, kind string, payload binary, "
+        "n_frames int, codec string",
+    )
+    frames = sample_frames(media, every_nth=1, max_frames=4)
+    # repartition=False: synthesis already spread docs over default
+    # parallelism, so decode -> sample -> hash stays ONE fused stage
+    # (the default byte-budget exchange would also re-run the whole
+    # Python chain eagerly just to size partitions, then collapse
+    # these small frames to a single partition). localCheckpoint cuts
+    # lineage so the band self-join reads 20 hash bytes/frame, not
+    # the synthesis chain, twice.
+    fps = frame_phash(frames, repartition=False).localCheckpoint(
+        eager=False
+    )
+    return video_neardup_pairs(
+        fps, max_hamming=4, min_frames_agree=3
+    ).select("id_a", "id_b", "n_frames_agree")
