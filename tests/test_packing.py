@@ -493,3 +493,67 @@ def test_byte_bpe_encode_counts_matches_pure_python(spark):
         toks = pat.findall(t)
         want[i] = (len(toks), sum(len(seqs[tok]) for tok in toks))
     assert got == want, (got, want)
+
+
+def test_training_shards_partition_balance_and_determinism(
+    spark, sf_dir, tmp_path
+):
+    """write_training_shards: every doc lands in exactly one shard=N
+    directory with ONE data file per shard (the data-loader contract);
+    shard char-mass is balanced (every shard within 2x of the mean -
+    far tighter than a doc-count-only deal on skewed sizes would
+    need); and a re-run reproduces the identical assignment (no rand
+    anywhere)."""
+    import os
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        shard_assign,
+        write_training_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    n_shards = 8
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: (r["n_docs"], r["total_size"])
+        for r in write_training_shards(
+            docs, out, n_shards=n_shards
+        ).collect()
+    }
+    assert set(manifest) == set(range(n_shards))
+    # exactly-once coverage, read back from the written layout
+    back = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in back.select("doc_id").collect()]
+    assert sorted(ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    # one data file per shard directory
+    for s in range(n_shards):
+        d = os.path.join(out, f"shard={s}")
+        parts = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert len(parts) == 1, (s, parts)
+    # size balance: greedy round-robin over descending sizes
+    sizes = [v[1] for v in manifest.values()]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean and min(sizes) >= mean / 2, manifest
+    # manifest totals agree with the written bytes' own aggregation
+    again = {
+        (r["shard"], r["n"], r["tot"])
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("tot"),
+        )
+        .collect()
+    }
+    assert again == {
+        (s, n, t) for s, (n, t) in manifest.items()
+    }
+    # determinism: a second assignment is row-identical
+    a = shard_assign(docs, n_shards=n_shards).select("doc_id", "shard")
+    b = shard_assign(docs, n_shards=n_shards).select("doc_id", "shard")
+    assert {tuple(r) for r in a.collect()} == {
+        tuple(r) for r in b.collect()
+    }

@@ -352,3 +352,13 @@ def test_video_neardup_slot_band_join_is_equi(spark, sf_dir):
         "BroadcastHashJoin" in plan
     ), plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shard_assign_window_is_band_bounded(spark, sf_dir):
+    # The layout must never plan a global (empty-partition) window -
+    # the sort is partitioned by the md5 band - and the manifest adds
+    # only the shard groupBy exchange on top.
+    plan = _plan(spark, sf_dir, "shard_manifest")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan

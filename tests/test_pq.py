@@ -388,3 +388,75 @@ def test_ivfpq_cell_stats_skew_tripwire(spark, tmp_path):
     st = ivfpq_index_cell_stats(spark, hot)
     assert st["retrain"] and st["skew"] > 3.0, st
     assert st["cell_sizes"][0] == 40 and st["max"] == 40, st
+
+
+def test_ann_index_ingest_stream_equals_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """Streaming index maintenance: feeding the corpus through
+    ann_index_ingest_run (availableNow, one file per micro-batch) must
+    leave an index that stores AND serves identically to a from-scratch
+    write_ivfpq_index over the same corpus; re-running the stream with
+    a fresh checkpoint over the same feed must change nothing (the
+    append guard makes redelivered rows no-ops)."""
+    import shutil
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        ann_index_ingest_run,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    qraw = emb.where(F.col("vec_id") < 5)
+
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        corpus.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    work = str(tmp_path / "work")
+    idx = ann_index_ingest_run(
+        spark, feed, work, cents, cb, m=M, timeout_s=240
+    )
+
+    full = str(tmp_path / "full")
+    write_ivfpq_index(corpus, cents, cb, full, m=M)
+
+    def stored(path):
+        return {
+            (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(path)
+            .select("vec_id", "cluster_id", "codes")
+            .collect()
+        }
+
+    assert stored(idx) == stored(full)
+
+    def serve(path):
+        return {
+            (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+            for r in ivfpq_topk_from_index(
+                spark, path, qraw, cents, cb, m=M, k=3, nprobe=2,
+                shortlist=20,
+            ).collect()
+        }
+
+    assert serve(idx) == serve(full) and serve(idx)
+
+    # redelivery: same feed, FRESH checkpoint -> every row is already
+    # present, the anti-join appends 0, index bytes unchanged
+    before = stored(idx)
+    shutil.rmtree(str(tmp_path / "work" / "ckpt"))
+    ann_index_ingest_run(spark, feed, work, cents, cb, m=M, timeout_s=240)
+    assert stored(idx) == before

@@ -1465,3 +1465,90 @@ def grouped_split_assign(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn("split", expr.otherwise(F.lit("train")))
+
+
+def shard_assign(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    n_bands: int = 64,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic size-balanced shard assignment for training
+    output: the step after packing/splitting, where the curated corpus
+    must land in n_shards files of near-equal token mass so every data-
+    loader rank reads the same amount of work (a skewed shard is a
+    straggler every epoch).
+
+    Shape: md5-band the ids into n_bands bounded groups, rank within
+    each band by size DESC (ties on id), then deal round-robin with a
+    per-band stagger - shard = (rank - 1 + band) % n_shards. Round-
+    robin over descending sizes is the classic greedy bound (shard
+    totals differ by at most one item per dealing round, and the items
+    shrink as the deal proceeds); the stagger stops every band dropping
+    its largest doc into shard 0.
+
+    Scale: the ONE shuffle is the band-partitioned sort window. Bands
+    bound each sort partition at ~corpus/n_bands regardless of data
+    skew (the id hash is uniform) - pick n_bands ~ cluster width at
+    100 TB. rand()-free and rank-stable, so re-runs and engine ports
+    produce byte-identical shard layouts (the split_assign md5
+    discipline).
+
+    Adds (_band int, shard int); callers drop _band or feed it to the
+    writer as a secondary key."""
+    band = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_bands
+    ).cast("int")
+    out = df.withColumn("_band", band)
+    w = Window.partitionBy("_band").orderBy(
+        F.col(size_col).desc(), F.col(id_col)
+    )
+    shard = (
+        (F.row_number().over(w) - F.lit(1) + F.col("_band"))
+        % n_shards
+    ).cast("int")
+    return out.withColumn("shard", shard)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    n_bands: int = 64,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Materialize the corpus as shard=N parquet directories plus a
+    manifest: shard_assign for the layout, ONE hash exchange on the
+    shard id so each shard is a single writer task's output (one file
+    per shard - the data-loader contract), and a per-shard
+    (n_docs, total size) manifest aggregated from the same assignment.
+    Returns the manifest DataFrame; the write is append-free overwrite
+    (re-runs reproduce byte-identical shards - shard_assign is
+    deterministic)."""
+    assigned = shard_assign(
+        df,
+        n_shards=n_shards,
+        n_bands=n_bands,
+        id_col=id_col,
+        size_col=size_col,
+    ).drop("_band")
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("total_size"),
+    )

@@ -290,9 +290,14 @@ def video_phash_neardup(spark, sf_dir):
                             2_000_000 + seed * 4 + slot
                         )
                     # mid-range pixels: +12 brightness can never clip,
-                    # so the shift lands ONLY in the DCT DC term
+                    # so the shift lands ONLY in the DCT DC term.
+                    # 16x16 is enough content: frame_phash's nearest
+                    # resize upsamples to its 32x32 DCT grid, and the
+                    # 4x-smaller payload cuts synthesis + Arrow bytes
+                    # across all three chained stages (validated
+                    # pair-exact at sf0.1, 2500 pairs).
                     f = rs.integers(
-                        40, 200, (32, 32, 3), dtype=np.uint8
+                        40, 200, (16, 16, 3), dtype=np.uint8
                     )
                     if d % 2 == 1 and slot in (1, 2):
                         f = f + 12

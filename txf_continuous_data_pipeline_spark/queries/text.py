@@ -1887,3 +1887,47 @@ def leakage_safe_split_q(spark, sf_dir):
     return grouped_split_assign(docs, group_col="content_group").select(
         "doc_id", "content_group", "split"
     )
+
+
+_SHARD_MANIFEST_SQL = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 64 AS INT) AS band
+  FROM documents
+), r AS (
+  SELECT n_chars, band,
+         ROW_NUMBER() OVER (
+           PARTITION BY band ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM b
+)
+SELECT CAST((rn - 1 + band) % 16 AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY 1
+"""
+
+
+@q("shard_manifest", _SHARD_MANIFEST_SQL)
+def shard_manifest_q(spark, sf_dir):
+    """Size-balanced training-shard layout (operators/textstats
+    .shard_assign): md5-band -> per-band size-desc rank -> staggered
+    round-robin deal over 16 shards, reported as the per-shard
+    manifest (doc count + char mass) a data loader reads before an
+    epoch. Deterministic (no rand), one bounded-band sort shuffle;
+    the oracle re-derives the full assignment in SQL, so the layout
+    itself - not just the counts - is what's being value-checked."""
+    from ..operators.textstats import shard_assign
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return (
+        shard_assign(docs, n_shards=16, size_col="n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

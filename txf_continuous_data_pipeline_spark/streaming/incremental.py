@@ -525,3 +525,73 @@ def conversion_join_stream(
         F.col("u").alias("user_id"), "first_id", "first_ts",
         "then_id", "then_ts",
     )
+
+
+def ann_index_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    timeout_s: int = 240,
+) -> str:
+    """Continuous ANN-index ingestion - the streaming twin of
+    append_ivfpq_index, closing the loop between the at-rest IVFPQ
+    serving index and an unbounded vector feed: each arriving
+    micro-batch is routed to its coarse cells and PQ-encoded under the
+    FROZEN quantizers, then appended to the persisted index's cell
+    partitions. Searches (ivfpq_topk_from_index) keep their partition-
+    pruned scan shape against the live index; append-only writes mean
+    concurrent readers are never disturbed.
+
+    Exactly-once effect under foreachBatch's at-least-once contract
+    comes from append_ivfpq_index itself: its touched-cells-pruned
+    anti-join drops ids already present, so a replayed batch (crash
+    after a partial append, checkpoint redelivery) appends only the
+    rows its first attempt missed - the id-level analogue of
+    neardup_ingest_run's batch-subdirectory discipline, and cheaper:
+    no per-batch layout, just the index.
+
+    Per-batch cost is O(batch) assign+encode plus the pruned guard
+    read - corpus size never enters. Frozen-quantizer drift is
+    monitored out-of-band by ivfpq_index_cell_stats (the retrain
+    tripwire); retraining is a rebuild, not this loop's job. Returns
+    the index path under work_dir. Stream == sequential-batch-fold
+    equality and replay idempotency are pinned by tests/test_pq.py."""
+    from ..operators.similarity import append_ivfpq_index
+
+    index_path = os.path.join(work_dir, "index")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        append_ivfpq_index(
+            batch.sparkSession,
+            index_path,
+            batch,
+            centroids,
+            codebook,
+            m=m,
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ann index ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return index_path
