@@ -460,3 +460,107 @@ def test_ann_index_ingest_stream_equals_batch_build(
     shutil.rmtree(str(tmp_path / "work" / "ckpt"))
     ann_index_ingest_run(spark, feed, work, cents, cb, m=M, timeout_s=240)
     assert stored(idx) == before
+
+
+def _np_opq_train(X, ids, m, k, max_iter, pq_iter, tol=1e-7):
+    """Single-node OPQ reference mirroring opq_train exactly: identity
+    init, warm-started Lloyd half-steps (pq_train semantics incl. the
+    md5 seeding on the first alternation and the 1e-6 shift early
+    stop), then the orthogonal-Procrustes rotation update from
+    svd(X^T Y)."""
+    dim = X.shape[1]
+    d_sub = dim // m
+    xtx = float((X * X).sum())
+    R = np.eye(dim)
+    C = None
+    trace = []
+    for _ in range(max_iter):
+        Xr = X @ R
+        if C is None:
+            order = sorted(
+                range(len(ids)),
+                key=lambda i: (
+                    hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+                    int(ids[i]),
+                ),
+            )
+            C = Xr[order[:k]].copy()
+        for _li in range(pq_iter):
+            Xs = Xr.reshape(len(X), m, d_sub)
+            Cs = C.reshape(k, m, d_sub)
+            nxt = C.copy()
+            for s in range(m):
+                D = ((Xs[:, s, None, :] - Cs[None, :, s, :]) ** 2).sum(-1)
+                codes_s = D.argmin(1)
+                for c in range(k):
+                    mask = codes_s == c
+                    if mask.any():
+                        nxt[c, s * d_sub : (s + 1) * d_sub] = Xs[
+                            mask, s
+                        ].mean(0)
+            shift = ((C - nxt) ** 2).reshape(k, m, d_sub).sum(2).max()
+            C = nxt
+            if shift <= 1e-6:
+                break
+        Xs = (X @ R).reshape(len(X), m, d_sub)
+        Cs = C.reshape(k, m, d_sub)
+        Y = np.empty((len(X), dim))
+        for s in range(m):
+            D = ((Xs[:, s, None, :] - Cs[None, :, s, :]) ** 2).sum(-1)
+            Y[:, s * d_sub : (s + 1) * d_sub] = Cs[D.argmin(1), s]
+        G = X.T @ Y
+        yty = float((Y * Y).sum())
+        trace.append(xtx - 2.0 * float(np.trace(R.T @ G)) + yty)
+        U, _s, Vt = np.linalg.svd(G)
+        R = U @ Vt
+        if len(trace) > 1 and trace[-2] - trace[-1] <= tol * xtx:
+            break
+    return R, C, trace
+
+
+def test_opq_train_matches_numpy_reference(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        opq_train,
+    )
+
+    ids, X = _load(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    R, cb, trace = opq_train(emb, m=M, k=K, max_iter=2, pq_iter=2)
+    C = np.array([v for _, v in sorted(cb)])
+    Rw, Cw, tw = _np_opq_train(X, ids, M, K, max_iter=2, pq_iter=2)
+    assert np.allclose(C, Cw, atol=1e-6), np.abs(C - Cw).max()
+    assert np.allclose(R, Rw, atol=1e-6), np.abs(R - Rw).max()
+    assert np.allclose(trace, tw, rtol=1e-9)
+
+
+def test_opq_objective_monotone_and_rotation_orthogonal(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        opq_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    R, _cb, trace = opq_train(emb, m=M, k=K, max_iter=3, pq_iter=1)
+    assert np.allclose(R.T @ R, np.eye(R.shape[0]), atol=1e-9)
+    for a, b in zip(trace, trace[1:]):
+        assert b <= a + 1e-6 * abs(a), trace
+
+
+def test_rotate_vectors_preserves_norms(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        rotate_vectors,
+    )
+
+    _ids, X = _load(spark, sf_dir)
+    rng = np.random.RandomState(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(X.shape[1], X.shape[1])))
+    emb = read_table(spark, sf_dir, "embeddings")
+    rot = rotate_vectors(emb, Q)
+    got = (
+        rot.select("vec_id", "embedding").collect()
+    )
+    got.sort(key=lambda r: r["vec_id"])
+    Xr = np.array([r["embedding"] for r in got])
+    assert np.allclose(
+        np.linalg.norm(Xr, axis=1), np.linalg.norm(X, axis=1), atol=1e-9
+    )
+    assert np.allclose(Xr, X @ Q, atol=1e-12)

@@ -1454,6 +1454,7 @@ def pq_train(
     id_col: str = "vec_id",
     max_iter: int = 5,
     tol: float = 1e-6,
+    init=None,
 ):
     """Train PQ codebooks: independent k-means per subspace, run
     JOINTLY - every Lloyd iteration is ONE corpus pass that assigns all
@@ -1465,7 +1466,10 @@ def pq_train(
     is m*k*d_sub values for the convergence check.
 
     Deterministic init: the k rows with the smallest md5(id) seed ALL
-    subspaces (kmeans_fit's seeding rule applied once). Returns
+    subspaces (kmeans_fit's seeding rule applied once), unless `init`
+    (a [(codeword_id, vec)] codebook) warm-starts the loop - the OPQ
+    alternation relies on this to carry codewords across rotation
+    updates instead of re-seeding every alternation. Returns
     (codebook as [(codeword_id, [float]*dim)], n_iter, converged) -
     directly consumable by pq_encode/pq_adc_topk.
     """
@@ -1473,18 +1477,25 @@ def pq_train(
 
     work = emb.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        seed_rows = (
-            work.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-            .orderBy("_h", id_col)
-            .limit(k)
-            .collect()
-        )
-        if len(seed_rows) < k:
-            raise ValueError(f"k={k} exceeds {len(seed_rows)} rows")
-        C = np.array(
-            [[float(x) for x in r[vec_col]] for r in seed_rows],
-            dtype=np.float64,
-        )
+        if init is not None:
+            C = _codebook_matrix(init).copy()
+            if C.shape[0] != k:
+                raise ValueError(
+                    f"init codebook has {C.shape[0]} rows, expected k={k}"
+                )
+        else:
+            seed_rows = (
+                work.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+                .orderBy("_h", id_col)
+                .limit(k)
+                .collect()
+            )
+            if len(seed_rows) < k:
+                raise ValueError(f"k={k} exceeds {len(seed_rows)} rows")
+            C = np.array(
+                [[float(x) for x in r[vec_col]] for r in seed_rows],
+                dtype=np.float64,
+            )
         dim = C.shape[1]
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1524,5 +1535,180 @@ def pq_train(
                 converged = True
                 break
         return list(enumerate(C.tolist())), n_iter, converged
+    finally:
+        work.unpersist()
+
+
+def rotate_vectors(
+    emb: DataFrame,
+    R: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rotate every vector by the orthogonal matrix `R` (x -> x @ R) in
+    one zero-shuffle Arrow projection: the batch matmul is a single
+    (n, d) @ (d, d) BLAS call, and R (d*d doubles - 32 KB at d=64)
+    rides in the UDF closure, the same literal-shipping discipline as
+    the PQ codebooks. Replaces `out_col` in place when it equals
+    `vec_col` (the default), so the rotated frame drops into every
+    existing vec_col-consuming operator unchanged."""
+    R = np.ascontiguousarray(R, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(list(X @ R))
+
+    return emb.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
+
+
+def _opq_procrustes_pass(
+    work: DataFrame,
+    R: np.ndarray,
+    C: np.ndarray,
+    m: int,
+    *,
+    vec_col: str,
+):
+    """One corpus pass of the OPQ rotation update: encode X@R under
+    codebook C, decode to Y, and accumulate the Procrustes
+    cross-covariance G = X^T Y plus tr(Y^T Y) as per-partition
+    partials (d*d + 1 doubles each - 32 KB at d=64), summed on the
+    driver. Zero shuffles: mapInPandas emits ONE row per partition.
+
+    Returns (G, yty). The caller solves R' = U V^T from svd(G) - the
+    orthogonal-Procrustes minimizer of ||X R - Y||_F^2 with Y fixed
+    (Ge et al. 2013, non-parametric OPQ, eq. 7-9)."""
+    k, dim = C.shape
+    d_sub = dim // m
+    CB = C.reshape(k, m, d_sub).transpose(1, 0, 2)  # (m, k, d_sub)
+    Rc = np.ascontiguousarray(R, dtype=np.float64)
+
+    def _partial(it):
+        G = np.zeros((dim, dim))
+        yty = 0.0
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            Xr = X @ Rc
+            Xs = Xr.reshape(len(X), m, d_sub)
+            Y = np.empty_like(Xr)
+            for s in range(m):
+                d = ((Xs[:, s, None, :] - CB[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                Y[:, s * d_sub : (s + 1) * d_sub] = CB[s][
+                    d.argmin(axis=1)
+                ]
+            G += X.T @ Y
+            yty += float((Y * Y).sum())
+        if seen:
+            yield pd.DataFrame(
+                {"g": [G.ravel().tolist()], "yty": [yty]}
+            )
+
+    rows = work.mapInPandas(
+        _partial, "g array<double>, yty double"
+    ).collect()
+    G = np.zeros((dim, dim))
+    yty = 0.0
+    for r in rows:
+        G += np.array(r["g"]).reshape(dim, dim)
+        yty += r["yty"]
+    return G, yty
+
+
+def opq_train(
+    emb: DataFrame,
+    *,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 4,
+    pq_iter: int = 2,
+    tol: float = 1e-7,
+):
+    """Optimized Product Quantization (Ge et al., CVPR 2013,
+    non-parametric solution): learn an orthogonal rotation R jointly
+    with the PQ codebooks by alternating (a) Lloyd codebook updates on
+    the rotated corpus X@R (pq_train warm-started with the previous
+    codebook) and (b) the orthogonal-Procrustes rotation update
+    R <- U V^T from svd(X^T Y), Y = decode(encode(X@R)). Minimizes
+    ||X R - decode(encode(X R))||_F^2 - plain PQ with a learned change
+    of basis, recovering most of the accuracy PQ loses when variance
+    is spread unevenly or correlated across the fixed subspace split.
+
+    Every step touches the corpus exactly once per Lloyd iteration
+    (pq_train's joint-assignment pass, now with the rotation fused
+    into the same Arrow projection) plus once per alternation for the
+    cross-covariance partials; all driver traffic is O(d^2 + k*d)
+    doubles. Objective trace: tr(X^T X) is rotation-invariant for
+    orthogonal R, so obj = xtx - 2*tr(R^T G) + yty needs no extra
+    pass; each half-step solves its subproblem exactly given the
+    other, so the trace is non-increasing (pinned in
+    tests/test_pq.py).
+
+    Returns (R, codebook, obj_trace) with codebook in the standard
+    [(codeword_id, vec)] shape over the ROTATED space: serve by
+    rotating queries and corpus with `rotate_vectors` and reusing
+    pq_encode / pq_adc_topk unchanged."""
+    from pyspark import StorageLevel
+
+    work = emb.select(id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        first = work.select(vec_col).head()
+        if first is None:
+            raise ValueError("opq_train: empty input")
+        dim = len(first[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        xtx = float(
+            work.select(
+                F.sum(
+                    F.aggregate(
+                        F.transform(
+                            F.col(vec_col),
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ).alias("s")
+            ).head()["s"]
+        )
+        R = np.eye(dim)
+        C_list = None
+        trace: list[float] = []
+        for _ in range(max_iter):
+            rotated = rotate_vectors(work, R, vec_col=vec_col)
+            C_list, _, _ = pq_train(
+                rotated,
+                m=m,
+                k=k,
+                vec_col=vec_col,
+                id_col=id_col,
+                max_iter=pq_iter,
+                init=C_list,
+            )
+            C = _codebook_matrix(C_list)
+            G, yty = _opq_procrustes_pass(
+                work, R, C, m, vec_col=vec_col
+            )
+            obj = xtx - 2.0 * float(np.trace(R.T @ G)) + yty
+            trace.append(obj)
+            U, _s, Vt = np.linalg.svd(G)
+            R = U @ Vt
+            if len(trace) > 1 and trace[-2] - trace[-1] <= tol * xtx:
+                break
+        return R, C_list, trace
     finally:
         work.unpersist()

@@ -1299,3 +1299,43 @@ def pq_topk_rescored_q(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("q_id", "vec_id", "sq_dist", "rn")
     )
+
+
+@q("opq_trained_topk", None)
+def opq_trained_topk_q(spark, sf_dir):
+    """OPQ-ADC serving: opq_train learns the orthogonal rotation R
+    jointly with the PQ codebooks (Ge et al. 2013 alternation), then
+    serving is PLAIN PQ in the rotated basis - rotate_vectors on the
+    corpus, the trained codebook into pq_adc_topk with the queries
+    rotated driver-side (q @ R is d*d flops on 5 vectors). Downstream
+    of an iterative trainer -> rows-only for the driver, like
+    ivfpq_trained_topk; the trainer itself is pinned by the numpy
+    differential + monotone-objective + orthogonality pytests in
+    tests/test_pq.py, and this wiring by the exact-recovery property
+    that rotation preserves L2 (full-k codebooks at d_sub=1 would be
+    lossless; here the smoke shape matches ADC-vs-oracle tolerances)."""
+    from ..operators.similarity import (
+        opq_train,
+        pq_adc_topk,
+        pq_encode,
+        rotate_vectors,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    R, cb, _trace = opq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2, pq_iter=2)
+    corpus = rotate_vectors(
+        emb.where(F.col("vec_id") >= 5), R
+    )
+    q_rows = (
+        emb.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    import numpy as np
+
+    queries = [
+        (int(r["vec_id"]), (np.array(r["embedding"], dtype=np.float64) @ R).tolist())
+        for r in q_rows
+    ]
+    codes = pq_encode(corpus, cb, m=_PQ_M)
+    return pq_adc_topk(codes, queries, cb, m=_PQ_M, k_top=3)
