@@ -1,0 +1,56 @@
+"""Hard-negative / triplet mining semantics on a hand-built frame:
+label partitioning, similarity tie-break on the lower id, and the
+absent-label anchor drop the SQL oracle's inner join implies."""
+
+from __future__ import annotations
+
+from txf_continuous_data_pipeline_spark.operators.similarity import (
+    hard_negative_topk,
+    mine_triplets,
+)
+
+
+def _frames(spark):
+    # 2-d vectors: cosine orders by angle to the anchor (1, 0).
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),    # same label, identical direction
+            (11, [1.0, 0.1], 0),    # same label, slightly off
+            (12, [1.0, 0.05], 1),   # impostor, very close
+            (13, [0.0, 1.0], 1),    # impostor, orthogonal
+            (14, [1.0, 0.05], 2),   # impostor, ties 12 -> lower id wins
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 7, [1.0, 0.0])],
+        "q_id long, q_label int, q_vec array<double>",
+    )
+    return anchors, corpus
+
+
+def test_hard_negative_excludes_same_label_and_breaks_ties(spark):
+    anchors, corpus = _frames(spark)
+    rows = {
+        (r["q_id"], r["rn"]): (r["vec_id"], r["label"])
+        for r in hard_negative_topk(anchors, corpus, k=3).collect()
+    }
+    # anchor 0 (label 0): negatives are 12/13/14 only; 12 and 14 tie on
+    # cos_sim -> lower vec_id first.
+    assert rows[(0, 1)] == (12, 1)
+    assert rows[(0, 2)] == (14, 2)
+    assert rows[(0, 3)] == (13, 1)
+    # anchor 1 (label 7): EVERY corpus row is a negative; top-1 is the
+    # identical-direction vector.
+    assert rows[(1, 1)] == (10, 0)
+
+
+def test_triplet_mining_picks_rank1_and_drops_absent_labels(spark):
+    anchors, corpus = _frames(spark)
+    out = {r["q_id"]: r for r in mine_triplets(anchors, corpus).collect()}
+    # anchor 1's label 7 has no positives -> inner join drops it.
+    assert set(out) == {0}
+    r = out[0]
+    assert r["pos_id"] == 10 and r["pos_sim"] == 1.0
+    assert r["neg_id"] == 12
+    assert r["margin"] == round(r["pos_sim"] - r["neg_sim"], 6) > 0

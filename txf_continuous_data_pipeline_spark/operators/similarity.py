@@ -1712,3 +1712,104 @@ def opq_train(
         return R, C_list, trace
     finally:
         work.unpersist()
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+    q_label: str = "q_label",
+    c_label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label - the
+    closest impostors, the negatives that actually move an embedding
+    model (Schroff et al. 2015 semi-hard/hard mining, the batch-mining
+    shape run corpus-wide). Identical plan to knn_join_bruteforce
+    (broadcast anchors, one scored scan, per-anchor rank) with the
+    label-mismatch predicate fused into the scan BEFORE the rank, so
+    same-label rows never enter the window. At scale the cross join
+    swaps for an ANN candidate stage (lsh/ivf) feeding the same
+    mismatch+rank tail; this exact form is the oracle."""
+    from pyspark.sql import Window
+
+    crossed = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col(c_label) != F.col(q_label))
+        .withColumn(
+            "cos_sim", F.round(cosine_fast(F.col(c_vec), F.col(q_vec)), 6)
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.col(c_id))
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, c_id, c_label, "cos_sim", "rn")
+    )
+
+
+def mine_triplets(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+    q_label: str = "q_label",
+    c_label: str = "label",
+) -> DataFrame:
+    """(anchor, positive, negative) triplet construction: per anchor,
+    positive = most-similar SAME-label corpus vector, negative =
+    most-similar DIFFERENT-label one (the hardest impostor), plus the
+    triplet margin pos_sim - neg_sim - negative margins are exactly the
+    anchors a metric-learning step would fix. ONE broadcast-scored
+    corpus pass feeds both ranks: the same scored lineage is windowed
+    twice (same-label / different-label partitions of the row set, so
+    no row is scored twice) and the two rank-1 picks meet in an
+    anchor-keyed join - n_anchors rows on each side. Anchors whose
+    label is absent from the corpus drop out (inner join), matching
+    the SQL oracle."""
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn(
+            "cos_sim", F.round(cosine_fast(F.col(c_vec), F.col(q_vec)), 6)
+        )
+        .select(q_id, q_label, c_id, c_label, "cos_sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.col(c_id))
+    pos = (
+        scored.where(F.col(c_label) == F.col(q_label))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            q_id,
+            F.col(c_id).alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.where(F.col(c_label) != F.col(q_label))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            q_id,
+            F.col(c_id).alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, q_id).select(
+        q_id,
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -1339,3 +1339,89 @@ def opq_trained_topk_q(spark, sf_dir):
     ]
     codes = pq_encode(corpus, cb, m=_PQ_M)
     return pq_adc_topk(codes, queries, cb, m=_PQ_M, k_top=3)
+
+
+_HARD_NEG_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, label, embedding
+              FROM embeddings WHERE vec_id < 5) q
+  WHERE c.vec_id >= 5 AND c.label != q.label
+)
+SELECT q_id, vec_id, label, cos_sim, rn FROM (
+  SELECT q_id, vec_id, label, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@q("hard_negative_mining", _HARD_NEG_SQL)
+def hard_negative_mining_q(spark, sf_dir):
+    """Contrastive-training curation: per anchor (vec_id < 5), the
+    top-3 closest impostors - most-similar corpus vectors whose label
+    DIFFERS. Broadcast anchors, label-mismatch fused before the rank
+    window; the one shuffle is the per-anchor top-k."""
+    from ..operators.similarity import hard_negative_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return hard_negative_topk(anchors, corpus, k=3)
+
+
+_TRIPLET_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, label, embedding
+              FROM embeddings WHERE vec_id < 5) q
+  WHERE c.vec_id >= 5
+),
+pos AS (
+  SELECT q_id, vec_id AS pos_id, cos_sim AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored WHERE label = q_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT q_id, vec_id AS neg_id, cos_sim AS neg_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored WHERE label != q_label
+  ) WHERE rn = 1
+)
+SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim, 6) AS margin
+FROM pos p JOIN neg n ON p.q_id = n.q_id
+"""
+
+
+@q("triplet_mining", _TRIPLET_SQL)
+def triplet_mining_q(spark, sf_dir):
+    """(anchor, positive, hardest-negative) triplets with margins for
+    metric-learning data prep: one broadcast-scored corpus pass,
+    windowed twice over disjoint label partitions, rank-1 picks meet
+    in an anchor-keyed join. Negative margin rows = the anchors a
+    training step would move."""
+    from ..operators.similarity import mine_triplets
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return mine_triplets(anchors, corpus)
