@@ -557,3 +557,64 @@ def test_training_shards_partition_balance_and_determinism(
     assert {tuple(r) for r in a.collect()} == {
         tuple(r) for r in b.collect()
     }
+
+
+def test_temperature_mixture_rebalances_toward_small_strata(spark, sf_dir):
+    """alpha < 1 must give smaller strata HIGHER keep-rates (rate is
+    monotone non-increasing in stratum token mass for alpha < 1), and
+    alpha = 1.0 must collapse to natural proportions - one shared rate
+    wherever the budget binds."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = temperature_mixture_sample(docs, alpha=0.5, budget_tokens=1200)
+    sized = {
+        r["source"]: (r["toks"], r["rate"])
+        for r in out.groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("_kept"),
+            F.max("keep_rate").alias("rate"),
+        )
+        .join(
+            docs.groupBy("source").agg(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks")
+            ),
+            "source",
+        )
+        .select("source", "toks", "rate")
+        .collect()
+    }
+    pairs = sorted(sized.values())
+    for (t1, r1), (t2, r2) in zip(pairs, pairs[1:]):
+        if t1 < t2:
+            assert r1 >= r2 - 1e-9, (t1, r1, t2, r2)
+    nat = temperature_mixture_sample(docs, alpha=1.0, budget_tokens=1200)
+    rates = {
+        r["keep_rate"]
+        for r in nat.select("keep_rate").distinct().collect()
+        if r["keep_rate"] < 1.0
+    }
+    assert len(rates) <= 1, rates  # natural proportions: one binding rate
+
+
+def test_temperature_mixture_deterministic_under_repartition(spark, sf_dir):
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        temperature_mixture_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs, alpha=0.5, budget_tokens=1200
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs.repartition(7), alpha=0.5, budget_tokens=1200
+        ).collect()
+    )
+    assert a == b and len(a) > 0

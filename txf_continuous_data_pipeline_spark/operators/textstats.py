@@ -1552,3 +1552,63 @@ def write_training_shards(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(size_col).cast("long").alias("total_size"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    alpha: float,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture sampling: stratum weights are the
+    corpus's OWN token shares raised to ``alpha`` (w_s = toks_s^alpha,
+    the multilingual-pretraining rebalance rule of XLM-R / mT5:
+    alpha < 1 upweights low-resource strata, alpha = 1 keeps natural
+    proportions, alpha = 0 flattens to uniform), then the same
+    deterministic md5-threshold keep rule as `mixture_sample`. Where
+    mixture_sample takes the weights as caller input, here they are
+    derived from the sizing aggregate itself - no second pass: the
+    per-stratum dim already holds toks_s, so the power and the
+    normalizing window run on the broadcast-sized dim frame.
+
+    Scale shape unchanged from mixture_sample: one tiny per-stratum
+    aggregate, weights + rates computed on that dim frame, broadcast
+    back, pure per-row md5 predicate - the fact table never shuffles.
+    """
+    sized = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    dim = sized.groupBy(strata_col).agg(
+        F.sum("n_tokens").cast("double").alias("_toks")
+    )
+    w_all = Window.partitionBy()
+    w = F.pow(F.col("_toks"), F.lit(float(alpha)))
+    rated = dim.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens))
+            * (w / F.sum(w).over(w_all))
+            / F.col("_toks"),
+        ).alias("_rate"),
+    )
+    joined = sized.join(F.broadcast(rated), strata_col)
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("_rate") * F.lit(4294967296.0)))),
+        8,
+        "0",
+    )
+    return joined.where(
+        (F.col("_rate") >= 1.0) | (bucket < thresh)
+    ).select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col("n_tokens"),
+        F.round(F.col("_rate"), 6).alias("keep_rate"),
+    )

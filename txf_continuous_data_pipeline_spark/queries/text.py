@@ -1931,3 +1931,44 @@ def shard_manifest_q(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+_TEMP_MIX_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), dim AS (
+  SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS toks
+  FROM sized GROUP BY source
+), rated AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(12000.0 AS DOUBLE)
+                 * (pow(toks, 0.5) / sum(pow(toks, 0.5)) OVER ())
+                 / toks)
+           AS rate
+  FROM dim
+)
+SELECT s.doc_id, s.source, s.n_tokens, round(r.rate, 6) AS keep_rate
+FROM sized s JOIN rated r USING (source)
+WHERE r.rate >= 1.0
+   OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+             8, '0')
+"""
+
+
+@q("temperature_mixture", _TEMP_MIX_SQL)
+def temperature_mixture_q(spark, sf_dir):
+    """Temperature-rebalanced corpus sample (alpha = 0.5, the XLM-R
+    default neighborhood): stratum weights derive from the corpus's own
+    token shares, upweighting small sources; keep-set by the same
+    auditable md5 threshold as mixture_sample. One tiny dim aggregate +
+    a pure per-row predicate - the documents table never shuffles."""
+    from ..operators.textstats import temperature_mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, alpha=0.5, budget_tokens=12000
+    )
