@@ -1813,3 +1813,78 @@ def mine_triplets(
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    *,
+    z_thresh: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier detection for labeled corpora: flag
+    vectors whose L2 distance to their OWN label's centroid sits more
+    than `z_thresh` sample standard deviations above that label's mean
+    distance - the standard mislabeled-example / contamination sweep
+    before a labeled set feeds a classifier or contrastive head.
+
+    Scale shape: the label count is small (it's a label space), so the
+    centroids are ONE tiny (label, pos) aggregate collected to the
+    driver (n_labels*dim doubles) and shipped back in an Arrow-kernel
+    closure - the fact table is never shuffled for the distance: one
+    zero-shuffle Arrow pass computes every row's distance against its
+    label's centroid row via numpy take. Per-label mean/std is a second
+    tiny aggregate broadcast back; the final filter is per-row.
+    Output: (vec_id, label, dist, z_score) rounded 6dp, outliers only.
+    """
+    cents = (
+        emb.select(
+            F.col(label_col),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .groupBy(label_col, "pos")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    labels = sorted({int(r[label_col]) for r in cents})
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    dim = max(r["pos"] for r in cents) + 1
+    C = np.zeros((len(labels), dim))
+    for r in cents:
+        C[lab_ix[int(r[label_col])], r["pos"]] = r["c"]
+    ix_arr = np.array(labels)
+
+    @pandas_udf("double")
+    def _dist(v: pd.Series, lab: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        rows = np.searchsorted(ix_arr, lab.to_numpy())
+        return pd.Series(
+            np.sqrt(((X - C[rows]) ** 2).sum(axis=1))
+        )
+
+    dists = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        _dist(F.col(vec_col), F.col(label_col)).alias("_dist"),
+    )
+    stats = dists.groupBy(label_col).agg(
+        F.avg("_dist").alias("_m"), F.stddev("_dist").alias("_s")
+    )
+    return (
+        dists.join(F.broadcast(stats), label_col)
+        .where(
+            (F.col("_s") > 0)
+            & ((F.col("_dist") - F.col("_m")) / F.col("_s") > z_thresh)
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round("_dist", 6).alias("dist"),
+            F.round(
+                (F.col("_dist") - F.col("_m")) / F.col("_s"), 6
+            ).alias("z_score"),
+        )
+    )

@@ -1425,3 +1425,132 @@ def triplet_mining_q(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return mine_triplets(anchors, corpus)
+
+
+_MATRYOSHKA_SQL = """
+WITH dims(d) AS (VALUES (8), (16), (32), (64)),
+scored AS (
+  SELECT d.d, q.vec_id AS q_id, c.vec_id,
+         round(list_cosine_similarity(
+                 CAST(list_slice(c.embedding, 1, d.d) AS DOUBLE[]),
+                 CAST(list_slice(q.embedding, 1, d.d) AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM embeddings c
+  CROSS JOIN dims d
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id < 5) q
+  WHERE c.vec_id >= 5
+),
+top AS (
+  SELECT d, q_id, vec_id FROM (
+    SELECT d, q_id, vec_id,
+           row_number() OVER (PARTITION BY d, q_id
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+ref AS (SELECT q_id, vec_id FROM top WHERE d = 64)
+SELECT t.d AS dim, t.q_id,
+       CAST(count(r.vec_id) AS BIGINT) AS n_hits
+FROM top t
+LEFT JOIN ref r ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+GROUP BY t.d, t.q_id
+"""
+
+
+@q("matryoshka_recall", _MATRYOSHKA_SQL)
+def matryoshka_recall_q(spark, sf_dir):
+    """Matryoshka-style truncation sweep (Kusupati et al. 2022): for
+    prefix dims 8/16/32/64, rank the corpus by cosine over the
+    TRUNCATED embeddings and count how many of the full-dim top-3 each
+    prefix recovers - the evaluation that decides how short a cheap
+    first-stage retrieval prefix can be. One scored pass over
+    corpus x dims (the dim axis is a 4-literal explode, not a second
+    scan), one (dim, anchor) rank window, and the overlap join moves
+    only top-k rows. dim=64 self-compares at n_hits=3 by construction
+    - the built-in sanity row."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    # cosine (zip_with/aggregate, pure JVM) rather than cosine_fast:
+    # the Arrow batch kernel np.stacks equal-length arrays, and the
+    # dim axis makes slice lengths vary WITHIN a batch.
+    from ..operators.similarity import cosine
+
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    dims = F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias(
+        "dim"
+    )
+    scored = (
+        corpus.select("vec_id", "embedding", dims)
+        .crossJoin(F.broadcast(anchors))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine(
+                    F.slice(F.col("embedding"), F.lit(1), F.col("dim")),
+                    F.slice(F.col("q_vec"), F.lit(1), F.col("dim")),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("dim", "q_id").orderBy(
+        F.desc("cos_sim"), F.col("vec_id")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("dim", "q_id", "vec_id")
+    )
+    ref = top.where(F.col("dim") == 64).select(
+        F.col("q_id").alias("_ref_q"), F.col("vec_id").alias("_ref_id")
+    )
+    return (
+        top.join(
+            F.broadcast(ref),
+            (F.col("q_id") == F.col("_ref_q"))
+            & (F.col("vec_id") == F.col("_ref_id")),
+            "left",
+        )
+        .groupBy("dim", "q_id")
+        .agg(F.count("_ref_id").cast("long").alias("n_hits"))
+        .select("dim", "q_id", "n_hits")
+    )
+
+
+_EMB_OUTLIER_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cents AS (
+  SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos
+),
+dists AS (
+  SELECT e.vec_id, e.label, sqrt(sum((e.x - c.c) * (e.x - c.c))) AS d
+  FROM ex e JOIN cents c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+),
+stats AS (
+  SELECT label, avg(d) AS m, stddev(d) AS s FROM dists GROUP BY label
+)
+SELECT d.vec_id, d.label, round(d.d, 6) AS dist,
+       round((d.d - st.m) / st.s, 6) AS z_score
+FROM dists d JOIN stats st ON d.label = st.label
+WHERE st.s > 0 AND (d.d - st.m) / st.s > 2.0
+"""
+
+
+@q("embedding_outliers", _EMB_OUTLIER_SQL)
+def embedding_outliers_q(spark, sf_dir):
+    """Mislabeled-example sweep: vectors > 2 sample-stddevs farther
+    from their own label's centroid than that label's mean distance.
+    Centroids = one tiny collected aggregate shipped back in an Arrow
+    closure; the embeddings table is never shuffled for the distance."""
+    from ..operators.similarity import embedding_outliers
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, z_thresh=2.0)
