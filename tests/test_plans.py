@@ -362,3 +362,16 @@ def test_shard_assign_window_is_band_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_embedding_curation_pipeline_plan_shape(spark, sf_dir):
+    # Composed embeddings flagship: the only nested-loop is the TINY
+    # broadcast anchor product of the triplet tail (n_anchors rows);
+    # the one sort-merge is the cluster_id pair equi-join (both sides
+    # corpus-sized - the correct scale join); drops apply as broadcast
+    # anti-joins, so no unkeyed product and a bounded exchange budget.
+    plan = _plan(spark, sf_dir, "embedding_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("Exchange hashpartitioning") <= 6, plan

@@ -1554,3 +1554,136 @@ def embedding_outliers_q(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, z_thresh=2.0)
+
+
+def _emb_curation_sql(
+    k: int = N_SEM_CELLS, tau: float = _SEM_TAU, z: float = 2.0
+) -> str:
+    """Composed oracle for embedding_curation_pipeline: the outlier
+    CTEs mirror _EMB_OUTLIER_SQL, the dedup CTEs mirror _semdedup_sql
+    re-based on the cleaned corpus (cells seeded by the k smallest
+    SURVIVING ids), the triplet tail mirrors _TRIPLET_SQL."""
+    return f"""
+WITH ex AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+ocent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos),
+dists AS (
+  SELECT e.vec_id, e.label, sqrt(sum((e.x - c.c) * (e.x - c.c))) AS d
+  FROM ex e JOIN ocent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+),
+ostats AS (SELECT label, avg(d) AS m, stddev(d) AS s FROM dists GROUP BY label),
+outliers AS (
+  SELECT d.vec_id FROM dists d JOIN ostats st ON d.label = st.label
+  WHERE st.s > 0 AND (d.d - st.m) / st.s > {z}
+),
+clean AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM outliers)
+),
+cent AS (
+  SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM clean ORDER BY vec_id LIMIT {k}
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid), c.cluster_id) AS rn
+    FROM clean e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= {tau}
+),
+kept AS (
+  SELECT vec_id, label, embedding FROM assigned
+  WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+),
+scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM kept c
+  CROSS JOIN (SELECT vec_id, label, embedding FROM kept
+              WHERE vec_id < 5) q
+  WHERE c.vec_id >= 5
+),
+pos AS (
+  SELECT q_id, vec_id AS pos_id, cos_sim AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored WHERE label = q_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT q_id, vec_id AS neg_id, cos_sim AS neg_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored WHERE label != q_label
+  ) WHERE rn = 1
+)
+SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim, 6) AS margin
+FROM pos p JOIN neg n ON p.q_id = n.q_id
+"""
+
+
+@q("embedding_curation_pipeline", _emb_curation_sql())
+def embedding_curation_pipeline_q(spark, sf_dir):
+    """End-to-end labeled-embedding curation, the embeddings twin of
+    curation_pipeline: (1) own-label-centroid z-score outlier sweep
+    (embedding_outliers shape -> broadcast anti-join), (2)
+    SemDeDup-shaped semantic dedup RE-BASED on the cleaned corpus
+    (cells seeded by the k smallest surviving ids, within-cell cosine
+    pairs >= tau, drop the larger id), (3) (anchor, positive,
+    hardest-negative, margin) triplet mining over the deduped set -
+    the contrastive-training-set construction path, every stage
+    reusing the standalone operator. Shuffle discipline: outlier drop
+    and dedup drop apply as broadcast anti-joins, cell assignment is a
+    zero-shuffle projection, pair enumeration is the cluster_id
+    equi-join, the triplet tail is one broadcast-scored pass."""
+    from ..operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_outliers,
+        kmeans_assign,
+        mine_triplets,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, z_thresh=2.0).select("vec_id")
+    clean = emb.join(F.broadcast(out), "vec_id", "left_anti")
+    seeds = (
+        clean.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(N_SEM_CELLS)
+        .collect()
+    )
+    cents = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds
+    )
+    assigned = kmeans_assign(clean, cents).localCheckpoint(eager=False)
+    pairs = embedding_neardup_pairs(
+        assigned, block_col="cluster_id", min_cosine=_SEM_TAU
+    )
+    dup_drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = assigned.join(
+        F.broadcast(dup_drop), "vec_id", "left_anti"
+    ).select("vec_id", "label", "embedding")
+    anchors = kept.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = kept.where(F.col("vec_id") >= 5)
+    return mine_triplets(anchors, corpus)
