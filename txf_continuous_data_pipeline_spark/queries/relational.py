@@ -2001,3 +2001,78 @@ def part_association_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+def _zorder_sql(bits: int = 16, rows_per_file: int = 500) -> str:
+    """Oracle for zorder_layout: the identical Morton interleave as
+    plain SQL bit arithmetic (dimension d's bit i lands at position
+    i * 2 + d; d=0 is the day rank, d=1 the customer key)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((( dk >> {i}) & 1) << {i * 2})")
+        terms.append(f"((( ck >> {i}) & 1) << {i * 2 + 1})")
+    z = " | ".join(terms)
+    top = (1 << bits) - 1
+    scale = float(1 << bits)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate) AS d_day
+  FROM orders
+),
+bounds AS (
+  SELECT min(d_day) AS lo_d, max(d_day) AS hi_d,
+         min(o_custkey) AS lo_c, max(o_custkey) AS hi_c
+  FROM base
+),
+cells AS (
+  SELECT o_orderkey, o_custkey, d_day,
+         CASE WHEN hi_d > lo_d THEN least({top},
+              CAST(floor((d_day - lo_d) * {scale} / (hi_d - lo_d)) AS BIGINT))
+              ELSE 0 END AS dk,
+         CASE WHEN hi_c > lo_c THEN least({top},
+              CAST(floor((o_custkey - lo_c) * {scale} / (hi_c - lo_c)) AS BIGINT))
+              ELSE 0 END AS ck
+  FROM base CROSS JOIN bounds
+),
+ranked AS (
+  SELECT o_orderkey, o_custkey, d_day,
+         row_number() OVER (ORDER BY ({z}), d_day, o_custkey,
+                            o_orderkey) AS rn
+  FROM cells
+)
+SELECT CAST(floor((rn - 1) / {rows_per_file}) AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(d_day) AS min_d_day, max(d_day) AS max_d_day,
+       min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey
+FROM ranked GROUP BY 1
+"""
+
+
+@q("zorder_layout", _zorder_sql())
+def zorder_layout_q(spark, sf_dir):
+    """Z-order (Morton) layout simulation over orders on
+    (order day, customer key): min-max scale both dimensions to 16
+    bits (one 1-row aggregate broadcast), interleave JVM-side (pure
+    shift/or chain in whole-stage codegen), rank, cut into
+    500-row files, and emit each file's min/max envelope per
+    dimension - the footer stats a 2-D predicate would prune on.
+    Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite, as plain
+    column arithmetic; the pruning win over a date-only sort is
+    pinned in tests/test_layout.py."""
+    from ..operators.layout import zorder_file_stats
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d_day"),
+    )
+    return zorder_file_stats(
+        orders,
+        ["d_day", "o_custkey"],
+        bits=16,
+        rows_per_file=500,
+        tiebreak_cols=["o_orderkey"],
+    )
