@@ -54,3 +54,35 @@ def test_triplet_mining_picks_rank1_and_drops_absent_labels(spark):
     assert r["pos_id"] == 10 and r["pos_sim"] == 1.0
     assert r["neg_id"] == 12
     assert r["margin"] == round(r["pos_sim"] - r["neg_sim"], 6) > 0
+
+
+def test_maxsim_rewards_containment_and_ignores_order(spark):
+    """MaxSim invariants: a candidate containing every anchor token
+    scores exactly n_anchor_tokens (each max-cos hits the identical
+    token, cos=1) REGARDLESS of token order; a disjoint candidate
+    scores strictly less."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        doc_token_vectors,
+        maxsim_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (10, "gamma beta alpha"),          # same tokens, reordered
+            (11, "alpha beta gamma delta eps"),  # superset
+            (12, "zeta eta theta"),            # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    anchors = doc_token_vectors(
+        docs.where("doc_id = 0"), n_tokens=8
+    )
+    corpus = doc_token_vectors(
+        docs.where("doc_id >= 10"), n_tokens=16
+    )
+    rows = {r["doc_id"]: r for r in maxsim_topk(anchors, corpus, k=3).collect()}
+    assert rows[10]["score"] == 3.0  # full containment, any order
+    assert rows[11]["score"] == 3.0  # superset: extra tokens don't hurt
+    assert rows[12]["score"] < 3.0
+    assert rows[12]["rn"] == 3

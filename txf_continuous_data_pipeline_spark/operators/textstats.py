@@ -1612,3 +1612,109 @@ def temperature_mixture_sample(
         F.col("n_tokens"),
         F.round(F.col("_rate"), 6).alias("keep_rate"),
     )
+
+
+def doc_token_vectors(
+    docs: DataFrame,
+    *,
+    n_tokens: int,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token table with deterministic pseudo-embeddings:
+    the first `n_tokens` DISTINCT whitespace tokens in order of first
+    appearance, each carrying a `dim`-component vector whose j-th
+    component is ascii(md5(token)[j]) - 75.5 (centered over the hex
+    alphabet's 48..102 ascii span). Not a learned embedding - a
+    deterministic, engine-portable stand-in with the right SHAPE
+    (identical tokens -> identical vectors, distinct tokens ->
+    near-orthogonal-ish), so token-level retrieval plans can be built
+    and value-checked in SQL; swap a real encoder in by replacing this
+    one projection. Everything is JVM column arithmetic: explode ->
+    (doc, token) first-position aggregate -> rank window -> md5/ascii
+    component exprs; no Python in the path."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    first = toks.groupBy(id_col, "tok").agg(F.min("pos").alias("ord"))
+    w = Window.partitionBy(id_col).orderBy("ord", "tok")
+    sel = (
+        first.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_tokens)
+        .select(id_col, "tok")
+    )
+    comps = [
+        (
+            F.ascii(F.substring(F.md5(F.col("tok")), j + 1, 1))
+            .cast("double")
+            - F.lit(75.5)
+        ).alias(f"v{j}")
+        for j in range(dim)
+    ]
+    out = sel.select(F.col(id_col), F.col("tok"), *comps)
+    norm = None
+    for j in range(dim):
+        t = F.col(f"v{j}") * F.col(f"v{j}")
+        norm = t if norm is None else norm + t
+    return out.withColumn("nrm", F.sqrt(norm))
+
+
+def maxsim_topk(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 3,
+    dim: int = 8,
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020): score(query doc, corpus doc) = sum over query
+    tokens of the MAX cosine against any of the candidate's tokens -
+    token-level matching that survives word reordering and partial
+    overlap where a single pooled vector blurs. Inputs are two
+    doc_token_vectors frames (anchor tokens broadcast - n_anchors *
+    n_tokens rows); the token-pair cosine is an inline dim-term
+    expression (whole-stage codegen), the MAX collapses per
+    (candidate, query, query-token), the SUM per (candidate, query),
+    then one top-k window per query. Scale: candidate tokens never
+    self-join - cost is |corpus tokens| * |anchor tokens|, linear in
+    the corpus; at production scale an ANN prefilter on pooled
+    vectors bounds the candidate set and this exact MaxSim re-ranks
+    the shortlist. Output: (q_id, doc_id, score, rn), score rounded
+    6dp BEFORE ranking so FP summation order cannot flip ranks."""
+    q = anchors.select(
+        F.col("doc_id").alias("q_id"),
+        F.col("tok").alias("q_tok"),
+        *[F.col(f"v{j}").alias(f"q{j}") for j in range(dim)],
+        F.col("nrm").alias("q_nrm"),
+    )
+    dotp = None
+    for j in range(dim):
+        t = F.col(f"v{j}") * F.col(f"q{j}")
+        dotp = t if dotp is None else dotp + t
+    cos = dotp / (F.col("nrm") * F.col("q_nrm"))
+    per_qtok = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "q_id",
+            "q_tok",
+            cos.alias("_cos"),
+        )
+        .groupBy("doc_id", "q_id", "q_tok")
+        .agg(F.max("_cos").alias("_best"))
+    )
+    scored = per_qtok.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("_best"), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "doc_id", "score", "rn")
+    )

@@ -1972,3 +1972,72 @@ def temperature_mixture_q(spark, sf_dir):
     return temperature_mixture_sample(
         docs, alpha=0.5, budget_tokens=12000
     )
+
+
+def _maxsim_sql(dim: int = 8, n_q: int = 8, n_c: int = 16, k: int = 3) -> str:
+    """Oracle for late_interaction_topk: the same md5/ascii token
+    vectors and the dim-term cosine written out as SQL arithmetic."""
+    qcomp = ", ".join(
+        f"(ascii(substring(md5(tok), {j + 1}, 1)) - 75.5) AS v{j}"
+        for j in range(dim)
+    )
+    dotp = " + ".join(f"c.v{j} * q.v{j}" for j in range(dim))
+    nrm = " + ".join(f"v{j} * v{j}" for j in range(dim))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ord, tok) AS rk
+  FROM (
+    SELECT doc_id, tok, min(pos) AS ord FROM (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ) WHERE tok != '' GROUP BY doc_id, tok
+  )
+),
+vecs AS (
+  SELECT doc_id, rk, {qcomp}, sqrt({nrm.replace("v", "x")}) AS nrm
+  FROM (SELECT doc_id, rk, tok,
+               {", ".join(f"(ascii(substring(md5(tok), {j + 1}, 1)) - 75.5) AS x{j}" for j in range(dim))}
+        FROM toks) t
+),
+qv AS (SELECT * FROM vecs WHERE doc_id < 3 AND rk <= {n_q}),
+cv AS (SELECT * FROM vecs WHERE doc_id >= 3 AND rk <= {n_c}),
+best AS (
+  SELECT c.doc_id, q.doc_id AS q_id, q.rk AS q_rk,
+         max(({dotp}) / (c.nrm * q.nrm)) AS b
+  FROM cv c CROSS JOIN qv q
+  GROUP BY c.doc_id, q.doc_id, q.rk
+),
+scored AS (
+  SELECT q_id, doc_id, round(sum(b), 6) AS score
+  FROM best GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, score, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@q("late_interaction_topk", _maxsim_sql())
+def late_interaction_topk_q(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval over documents: token
+    tables (first 8 anchor / 16 corpus distinct tokens with
+    deterministic md5/ascii pseudo-embeddings - the swap-in seam for a
+    real encoder), MaxSim scoring (per query token, max cosine over
+    candidate tokens; sum over query tokens), top-3 per anchor.
+    Everything JVM-side; anchor tokens broadcast; score rounded before
+    ranking so summation order cannot flip ranks."""
+    from ..operators.textstats import doc_token_vectors, maxsim_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    anchors = doc_token_vectors(
+        docs.where(F.col("doc_id") < 3), n_tokens=8
+    )
+    corpus = doc_token_vectors(
+        docs.where(F.col("doc_id") >= 3), n_tokens=16
+    )
+    return maxsim_topk(anchors, corpus, k=3)
