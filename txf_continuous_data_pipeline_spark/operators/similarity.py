@@ -1805,7 +1805,9 @@ def mine_triplets(
             F.col("cos_sim").alias("neg_sim"),
         )
     )
-    return pos.join(neg, q_id).select(
+    # both rank-1 sides are n_anchors rows; the hint spares AQE the
+    # initial sort-merge plan for the meet
+    return pos.join(F.broadcast(neg), q_id).select(
         q_id,
         "pos_id",
         "pos_sim",

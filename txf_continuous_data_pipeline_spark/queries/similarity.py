@@ -1322,7 +1322,11 @@ def opq_trained_topk_q(spark, sf_dir):
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    R, cb, _trace = opq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2, pq_iter=2)
+    # pq_iter=1: the registry entry exercises the full alternation
+    # wiring; trainer fidelity at higher budgets is pinned by the
+    # numpy differential, and each extra Lloyd pass is a whole corpus
+    # job (~1.5s of pure fixed cost at bench SF).
+    R, cb, _trace = opq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2, pq_iter=1)
     corpus = rotate_vectors(
         emb.where(F.col("vec_id") >= 5), R
     )
