@@ -107,3 +107,25 @@ def test_redaction_idempotent_and_clean_property(spark, frags):
     assert c.email == 0 and c.ipv4 == 0 and c.phone == 0, c
     row2 = redact_pii(once).collect()[0]
     assert row2.text_redacted == row1.text
+
+
+def test_pii_redact_full_recall_and_idempotent(spark, sf_dir):
+    """Every document carries planted PII, so the redact query must
+    return every doc; redacting already-redacted text is a no-op
+    (placeholders contain nothing pattern-matchable)."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        redact_pii,
+    )
+    from txf_continuous_data_pipeline_spark.queries.registry import REGISTRY
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    out = REGISTRY["pii_redact"][0](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r["n_chars_removed"] != 0 for r in rows)
+    again = redact_pii(
+        out.select("doc_id", "text_redacted"), text_col="text_redacted",
+        out_col="t3",
+    )
+    assert again.where("t3 != text_redacted").count() == 0

@@ -2041,3 +2041,63 @@ def late_interaction_topk_q(spark, sf_dir):
         docs.where(F.col("doc_id") >= 3), n_tokens=16
     )
     return maxsim_topk(anchors, corpus, k=3)
+
+
+def _pii_redact_sql() -> str:
+    """Oracle for pii_redact: the same planted-PII augmentation and
+    PII_PATTERNS chain as global regexp_replace (both engines run
+    RE2-compatible syntax here)."""
+    from ..operators.textstats import PII_PATTERNS
+
+    planted = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.1 tel 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    expr = "t2"
+    for _name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {planted} AS t2 FROM documents)
+SELECT doc_id, {expr} AS text_redacted,
+       CAST(len(t2) - len({expr}) AS BIGINT) AS n_chars_removed
+FROM aug
+WHERE {expr} != t2
+"""
+
+
+@q("pii_redact", _pii_redact_sql())
+def pii_redact_q(spark, sf_dir):
+    """The remediation half of the PII pass, value-checked end to end:
+    the synthetic corpus carries no natural PII, so the query PLANTS a
+    deterministic email + dotted-quad + phone per document (the same
+    planted-structure discipline as the media near-dup queries), then
+    redacts with the chained PII_PATTERNS regexp_replace (one JVM
+    projection, zero shuffle) and emits the redacted text plus the
+    removed-char count. Every document must change - full recall is
+    part of the oracle, and the redacted TEXT is value-compared, not
+    just counted. Emails redact before IPs so an address containing a
+    dotted quad collapses to one [EMAIL]."""
+    from ..operators.textstats import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel 555-123-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("t2"),
+    )
+    red = redact_pii(docs, text_col="t2")
+    return red.where(F.col("text_redacted") != F.col("t2")).select(
+        "doc_id",
+        "text_redacted",
+        (F.length("t2") - F.length("text_redacted"))
+        .cast("long")
+        .alias("n_chars_removed"),
+    )
