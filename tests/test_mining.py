@@ -86,3 +86,18 @@ def test_maxsim_rewards_containment_and_ignores_order(spark):
     assert rows[11]["score"] == 3.0  # superset: extra tokens don't hurt
     assert rows[12]["score"] < 3.0
     assert rows[12]["rn"] == 3
+
+
+def test_retrieve_rerank_scores_bounded_and_complete(spark, sf_dir):
+    """MaxSim over a shortlist: per anchor exactly k results, scores
+    bounded by the anchor token count (each max-cos <= 1), ranks
+    contiguous from 1."""
+    from txf_continuous_data_pipeline_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["retrieve_rerank_topk"][0](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert r["score"] <= 8.0 + 1e-9
+    for q, rs in by_q.items():
+        assert sorted(x["rn"] for x in rs) == [1, 2, 3]

@@ -2101,3 +2101,143 @@ def pii_redact_q(spark, sf_dir):
         .cast("long")
         .alias("n_chars_removed"),
     )
+
+
+def _retrieve_rerank_sql(
+    dim: int = 8, n_q: int = 8, n_c: int = 16, short: int = 20, k: int = 3
+) -> str:
+    """Oracle for retrieve_rerank_topk: pooled-mean first-stage
+    cosine shortlist, MaxSim rerank restricted to it - the _maxsim_sql
+    CTEs with a shortlist semi-join spliced between the stages."""
+    comp = ", ".join(
+        f"(ascii(substring(md5(tok), {j + 1}, 1)) - 75.5) AS x{j}"
+        for j in range(dim)
+    )
+    pool = ", ".join(f"avg(x{j}) AS p{j}" for j in range(dim))
+    pdot = " + ".join(f"c.p{j} * q.p{j}" for j in range(dim))
+    pnrm_c = " + ".join(f"c.p{j} * c.p{j}" for j in range(dim))
+    pnrm_q = " + ".join(f"q.p{j} * q.p{j}" for j in range(dim))
+    tdot = " + ".join(f"c.x{j} * q.x{j}" for j in range(dim))
+    tnrm = " + ".join(f"x{j} * x{j}" for j in range(dim))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ord, tok) AS rk
+  FROM (
+    SELECT doc_id, tok, min(pos) AS ord FROM (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ) WHERE tok != '' GROUP BY doc_id, tok
+  )
+),
+vecs AS (
+  SELECT doc_id, rk, {comp}, 0 AS pad FROM toks
+),
+nvecs AS (SELECT *, sqrt({tnrm}) AS nrm FROM vecs),
+qtok AS (SELECT * FROM nvecs WHERE doc_id < 3 AND rk <= {n_q}),
+ctok AS (SELECT * FROM nvecs WHERE doc_id >= 3 AND rk <= {n_c}),
+qpool AS (SELECT doc_id, {pool} FROM qtok GROUP BY doc_id),
+cpool AS (SELECT doc_id, {pool} FROM ctok GROUP BY doc_id),
+shortlist AS (
+  SELECT q_id, doc_id FROM (
+    SELECT q.doc_id AS q_id, c.doc_id,
+           row_number() OVER (
+             PARTITION BY q.doc_id
+             ORDER BY round(({pdot}) / (sqrt({pnrm_c}) * sqrt({pnrm_q})), 6)
+                      DESC, c.doc_id) AS srn
+    FROM cpool c CROSS JOIN qpool q
+  ) WHERE srn <= {short}
+),
+best AS (
+  SELECT c.doc_id, q.doc_id AS q_id, q.rk AS q_rk,
+         max(({tdot}) / (c.nrm * q.nrm)) AS b
+  FROM ctok c
+  JOIN shortlist s ON s.doc_id = c.doc_id
+  JOIN qtok q ON q.doc_id = s.q_id
+  GROUP BY c.doc_id, q.doc_id, q.rk
+),
+scored AS (
+  SELECT q_id, doc_id, round(sum(b), 6) AS score
+  FROM best GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, score, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@q("retrieve_rerank_topk", _retrieve_rerank_sql())
+def retrieve_rerank_topk_q(spark, sf_dir):
+    """The production retrieval shape end to end: stage 1 ranks the
+    corpus by POOLED (mean token vector) cosine and keeps a 20-doc
+    shortlist per anchor - the cheap single-vector pass an ANN index
+    accelerates at scale (ivf_topk drops into this seam; exact here so
+    the whole composition stays value-checkable) - and stage 2 reranks
+    ONLY the shortlist with token-level MaxSim. The rerank's cost is
+    bounded at n_anchors * 20 candidates regardless of corpus size -
+    the property that makes late interaction affordable at 100 TB."""
+    from ..operators.textstats import doc_token_vectors
+
+    dim = 8
+    docs = read_table(spark, sf_dir, "documents")
+    qtok = doc_token_vectors(docs.where(F.col("doc_id") < 3), n_tokens=8)
+    ctok = doc_token_vectors(
+        docs.where(F.col("doc_id") >= 3), n_tokens=16
+    )
+    pool = [F.avg(f"v{j}").alias(f"p{j}") for j in range(dim)]
+    qpool = qtok.groupBy("doc_id").agg(*pool)
+    cpool = ctok.groupBy("doc_id").agg(*pool)
+    qp = qpool.select(
+        F.col("doc_id").alias("q_id"),
+        *[F.col(f"p{j}").alias(f"qp{j}") for j in range(dim)],
+    )
+    pdot, cn, qn = None, None, None
+    for j in range(dim):
+        t = F.col(f"p{j}") * F.col(f"qp{j}")
+        pdot = t if pdot is None else pdot + t
+        c2 = F.col(f"p{j}") * F.col(f"p{j}")
+        cn = c2 if cn is None else cn + c2
+        q2 = F.col(f"qp{j}") * F.col(f"qp{j}")
+        qn = q2 if qn is None else qn + q2
+    pcos = F.round(pdot / (F.sqrt(cn) * F.sqrt(qn)), 6)
+    sw = Window.partitionBy("q_id").orderBy(
+        F.desc("_pcos"), F.col("doc_id")
+    )
+    shortlist = (
+        cpool.crossJoin(F.broadcast(qp))
+        .withColumn("_pcos", pcos)
+        .withColumn("srn", F.row_number().over(sw))
+        .where(F.col("srn") <= 20)
+        .select("q_id", "doc_id")
+    )
+    q = qtok.select(
+        F.col("doc_id").alias("q_id"),
+        F.col("tok").alias("q_tok"),
+        *[F.col(f"v{j}").alias(f"q{j}") for j in range(dim)],
+        F.col("nrm").alias("q_nrm"),
+    )
+    tdot = None
+    for j in range(dim):
+        t = F.col(f"v{j}") * F.col(f"q{j}")
+        tdot = t if tdot is None else tdot + t
+    tcos = tdot / (F.col("nrm") * F.col("q_nrm"))
+    cand_toks = ctok.join(F.broadcast(shortlist), "doc_id")
+    per_qtok = (
+        cand_toks.join(F.broadcast(q), "q_id")
+        .select("doc_id", "q_id", "q_tok", tcos.alias("_cos"))
+        .groupBy("doc_id", "q_id", "q_tok")
+        .agg(F.max("_cos").alias("_best"))
+    )
+    scored = per_qtok.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("_best"), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "doc_id", "score", "rn")
+    )
