@@ -803,3 +803,151 @@ def merge_aggregate_sink(
     finally:
         spark.conf.set(mode_key, prev)
     return n_merged
+
+
+def _delete_partition_dirs(spark, path: str, col: str, values) -> int:
+    """Remove partition directories the dynamic overwrite cannot: a
+    partition whose every row is deleted appears NOWHERE in the written
+    data, so partitionOverwriteMode=dynamic leaves its old files
+    untouched - the one gap in overwrite-based deletes. Explicit FS
+    removal of exactly those value dirs closes it."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    removed = 0
+    for v in values:
+        part = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{col}={part}")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+            removed += 1
+    return removed
+
+
+def delete_from_date_partitioned(
+    spark,
+    path: str,
+    delete_keys: DataFrame,
+    *,
+    key_cols: tuple = ("event_id",),
+) -> int:
+    """Right-to-be-forgotten delete against a date-partitioned parquet
+    sink (the upsert_date_partitioned twin): (1) probe the sink with a
+    key semi-join to find the partitions holding any doomed key -
+    min/max footer stats prune row groups, and the rewrite set is
+    bounded by where the keys actually live, never the sink size;
+    (2) anti-join those partitions against the key set and dynamically
+    overwrite them; (3) explicitly remove partition dirs the delete
+    EMPTIED (dynamic overwrite only replaces partitions present in the
+    written data - an all-rows-deleted date would otherwise survive on
+    disk, which for a deletion request is a compliance bug, not a
+    cosmetic one). Lineage is cut before the overwrite, same as the
+    upsert. Returns the number of rows removed."""
+    keys = list(key_cols)
+    doomed = delete_keys.select(*keys).distinct()
+    sink = spark.read.parquet(path)
+    touched = [
+        r["_date"]
+        for r in sink.join(doomed, keys, "left_semi")
+        .select("_date")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    pred = F.col("_date").isin([d for d in touched if d is not None])
+    if any(d is None for d in touched):
+        pred = pred | F.col("_date").isNull()
+    before = sink.where(pred)
+    survivors = before.join(doomed, keys, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_removed = before.count() - survivors.count()
+    kept_dates = {
+        r["_date"] for r in survivors.select("_date").distinct().collect()
+    }
+    emptied = [d for d in touched if d not in kept_dates]
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("_date").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    _delete_partition_dirs(spark, path, "_date", emptied)
+    return int(n_removed)
+
+
+def write_span_index_sink(
+    index: DataFrame, path: str, *, n_buckets: int = 32
+) -> None:
+    """Persist a (shingle, df) span index hash-bucketed on the shingle
+    (the merge_aggregate_sink partition discipline), so incremental
+    maintenance - batch appends AND deletion decrements - rewrites
+    only touched buckets, never the index."""
+    spark = index.sparkSession
+    out = index.withColumn(
+        "_bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+
+
+def decrement_span_index_sink(
+    spark,
+    path: str,
+    deleted_docs: DataFrame,
+    *,
+    n: int = 5,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Propagate document deletions into a stored span index: span dfs
+    are algebraic (a count), so the deleted docs' own span index
+    SUBTRACTS - O(deleted docs) shingling + a touched-bucket rewrite,
+    never an index or corpus rescan. Rows reaching df <= 0 drop;
+    buckets emptied entirely are removed explicitly (the dynamic-
+    overwrite gap). The incremental==rebuild equivalence is pinned in
+    tests/test_deletes.py. Returns the number of buckets rewritten."""
+    from ..operators.dedup import build_span_index
+
+    delta = build_span_index(
+        deleted_docs, n=n, id_col=id_col, text_col=text_col, persist=False
+    ).withColumnRenamed("df", "_ddf")
+    delta = delta.withColumn(
+        "_bucket", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)).cast("int")
+    ).localCheckpoint(eager=True)
+    touched = [
+        r["_bucket"] for r in delta.select("_bucket").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    old = spark.read.parquet(path).where(F.col("_bucket").isin(touched))
+    merged = (
+        old.join(delta.select("shingle", "_ddf"), "shingle", "left")
+        .withColumn(
+            "df", F.col("df") - F.coalesce(F.col("_ddf"), F.lit(0))
+        )
+        .where(F.col("df") > 0)
+        .select("shingle", "df", "_bucket")
+        .localCheckpoint(eager=True)
+    )
+    kept = {
+        r["_bucket"] for r in merged.select("_bucket").distinct().collect()
+    }
+    emptied = [b for b in touched if b not in kept]
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    _delete_partition_dirs(spark, path, "_bucket", emptied)
+    return len(touched)
