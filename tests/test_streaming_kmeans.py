@@ -1,0 +1,133 @@
+"""Streaming k-means differential: the availableNow foreachBatch fold
+must equal a single-process numpy replay of the same decayed
+sufficient-statistics rule over the same file order, and decay < 1
+must let centroids track planted drift."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.sources import read_table
+from txf_continuous_data_pipeline_spark.streaming.incremental import (
+    streaming_kmeans_run,
+)
+
+K = 4
+
+
+def _seeds(emb):
+    rows = (
+        emb.where(F.col("vec_id") < K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def _stage(corpus, feed, n_files=3):
+    for i in range(n_files):
+        part = corpus.where(F.col("vec_id") % n_files == i).coalesce(1)
+        d = os.path.join(feed, f"b{i}")
+        part.write.mode("overwrite").parquet(d)
+        later = time.time() + i * 2
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (later, later))
+
+
+def _replay(files_by_batch, seeds, decay):
+    S = np.array([v for _c, v in seeds])
+    N = np.ones(len(seeds))
+    for X in files_by_batch:
+        C = S / N[:, None]
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        S, N = decay * S, decay * N
+        for c in range(len(seeds)):
+            m = a == c
+            if m.any():
+                S[c] += X[m].sum(0)
+                N[c] += m.sum()
+    return S / N[:, None]
+
+
+def test_streaming_kmeans_matches_numpy_replay(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = _seeds(emb)
+    corpus = emb.where(F.col("vec_id") >= K).select("vec_id", "embedding")
+    feed = str(tmp_path / "feed")
+    _stage(corpus, feed)
+
+    state = streaming_kmeans_run(
+        spark, feed, str(tmp_path / "work"), seeds, decay=0.5
+    )
+    rows = sorted(
+        spark.read.parquet(state).collect(),
+        key=lambda r: r["cluster_id"],
+    )
+    got = np.array(
+        [np.array(r["csum"]) / r["cnt"] for r in rows]
+    )
+
+    batches = []
+    for i in range(3):
+        pdf = (
+            corpus.where(F.col("vec_id") % 3 == i)
+            .orderBy("vec_id")
+            .collect()
+        )
+        batches.append(
+            np.array([r["embedding"] for r in pdf], dtype=np.float64)
+        )
+    want = _replay(batches, seeds, decay=0.5)
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_streaming_kmeans_rerun_is_noop_and_tracks_drift(
+    spark, sf_dir, tmp_path
+):
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = _seeds(emb)
+    corpus = emb.where(F.col("vec_id") >= K).select("vec_id", "embedding")
+    feed = str(tmp_path / "feed")
+    _stage(corpus, feed)
+    work = str(tmp_path / "work")
+    state = streaming_kmeans_run(spark, feed, work, seeds, decay=0.5)
+    first = {
+        r["cluster_id"]: (tuple(r["csum"]), r["cnt"], r["last_batch"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # same checkpoint, no new files -> nothing re-folds
+    streaming_kmeans_run(spark, feed, work, seeds, decay=0.5)
+    again = {
+        r["cluster_id"]: (tuple(r["csum"]), r["cnt"], r["last_batch"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert first == again
+
+    # planted drift: a heavy far-away batch must pull SOME centroid
+    # hard when decay forgets fast
+    far = spark.createDataFrame(
+        [(10_000 + i, [50.0] * 64) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    d = os.path.join(feed, "b9")
+    far.write.mode("overwrite").parquet(d)
+    later = time.time() + 60
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        os.utime(f, (later, later))
+    state = streaming_kmeans_run(spark, feed, work, seeds, decay=0.2)
+    rows = spark.read.parquet(state).collect()
+    cents = [np.array(r["csum"]) / r["cnt"] for r in rows]
+    best = min(np.abs(c - 50.0).max() for c in cents)
+    # decayed prior mass (~0.2 * accumulated count) bounds the pull:
+    # (0.2*N*c_old + 200*50) / (0.2*N + 200) lands within ~6 of 50 for
+    # this corpus - the data centroids sit near 0.5, so < 10 proves the
+    # winner crossed essentially the whole gap
+    assert best < 10.0, best

@@ -595,3 +595,127 @@ def ann_index_ingest_run(
     if q.exception() is not None:
         raise q.exception()
     return index_path
+
+
+def streaming_kmeans_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    seed_centroids: list,
+    *,
+    decay: float = 1.0,
+    timeout_s: int = 240,
+) -> str:
+    """Streaming k-means with forgetfulness over an unbounded vector
+    feed - the classic StreamingKMeans update rule (public MLlib
+    semantics) rebuilt on Structured Streaming sufficient statistics:
+    per micro-batch, assign vectors to the CURRENT centroids
+    (kmeans_assign - a zero-shuffle projection), fold the batch's
+    per-cluster (sum, count) partials into decayed state
+
+        S_c <- decay * S_c + sum_batch_c
+        N_c <- decay * N_c + n_batch_c,    centroid_c = S_c / N_c
+
+    so decay=1.0 accumulates forever and decay<1 half-lives old mass
+    per batch, letting centroids track drift. State is k rows of
+    (cluster_id, csum, cnt, last_batch) parquet - k*dim doubles, the
+    only thing that ever leaves an executor; per-batch cost is one
+    assignment scan + a k-row aggregate. Idempotent under foreachBatch
+    redelivery: state carries the last folded batch id and replays
+    skip (the merge_aggregate_sink watermark discipline). A cluster
+    that receives no mass keeps its decayed centroid (S and N scale
+    together, S/N is invariant) - it never collapses to NaN.
+
+    Returns the state path. The batch-sequential numpy replay
+    differential and the drift-tracking property are pinned in
+    tests/test_streaming_kmeans.py."""
+    import numpy as np
+
+    from ..operators.similarity import kmeans_assign
+
+    state_path = os.path.join(work_dir, "kmeans_state")
+    k = len(seed_centroids)
+    dim = len(seed_centroids[0][1])
+
+    def _load_state(sess):
+        try:
+            rows = sess.read.parquet(state_path).collect()
+        except Exception:
+            return None
+        rows.sort(key=lambda r: r["cluster_id"])
+        S = np.array([r["csum"] for r in rows])
+        N = np.array([r["cnt"] for r in rows])
+        lb = max(r["last_batch"] for r in rows)
+        return S, N, lb
+
+    def _write_state(sess, S, N, bid):
+        pdf = [
+            (int(c), [float(x) for x in S[c]], float(N[c]), int(bid))
+            for c in range(k)
+        ]
+        sess.createDataFrame(
+            pdf,
+            "cluster_id int, csum array<double>, cnt double, "
+            "last_batch long",
+        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        st = _load_state(sess)
+        if st is None:
+            S = np.array(
+                [[float(x) for x in v] for _c, v in seed_centroids]
+            )
+            N = np.ones(k)
+            last = -1
+        else:
+            S, N, last = st
+            if batch_id <= last:
+                return
+        cents = [
+            (c, (S[c] / N[c]).tolist()) for c in range(k)
+        ]
+        assigned = kmeans_assign(batch, cents)
+        partials = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    )
+                ).alias("pos", "x"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        S2, N2 = decay * S, decay * N
+        counted = set()
+        for r in partials:
+            S2[r["cluster_id"], r["pos"]] += r["s"]
+            if r["cluster_id"] not in counted:
+                N2[r["cluster_id"]] += r["n"]
+                counted.add(r["cluster_id"])
+        _write_state(sess, S2, N2, batch_id)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_fold)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming kmeans exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return state_path
