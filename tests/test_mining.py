@@ -4,6 +4,8 @@ absent-label anchor drop the SQL oracle's inner join implies."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from txf_continuous_data_pipeline_spark.operators.similarity import (
     hard_negative_topk,
     mine_triplets,
@@ -101,3 +103,31 @@ def test_retrieve_rerank_scores_bounded_and_complete(spark, sf_dir):
         assert r["score"] <= 8.0 + 1e-9
     for q, rs in by_q.items():
         assert sorted(x["rn"] for x in rs) == [1, 2, 3]
+
+
+def test_quantile_sketch_within_rank_error_of_exact(spark, sf_dir):
+    """approx_percentile at accuracy=10000 guarantees rank error
+    <= n/10000; verify each approximate quantile's RANK (not value)
+    sits within that bound of the target rank, per group."""
+    from txf_continuous_data_pipeline_spark.queries.registry import REGISTRY
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    got = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["price_quantile_sketch"][0](spark, sf_dir).collect()
+    }
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    import bisect
+
+    for flag, r in got.items():
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.where(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        tol = max(1, n // 10000) + 1
+        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            rank = bisect.bisect_left(vals, r[col])
+            assert abs(rank - p * n) <= tol + 1, (flag, col, rank, p * n)

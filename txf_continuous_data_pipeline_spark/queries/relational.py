@@ -2076,3 +2076,34 @@ def zorder_layout_q(spark, sf_dir):
         rows_per_file=500,
         tiebreak_cols=["o_orderkey"],
     )
+
+
+@q("price_quantile_sketch", None)
+def price_quantile_sketch_q(spark, sf_dir):
+    """The bounded-memory twin of percentile_price_stats:
+    approx_percentile (Greenwald-Khanna style mergeable sketch,
+    accuracy=10000 -> rank error <= 1/10000) per return flag - the
+    call shape percentile_price_stats documents for 100 TB, where
+    exact percentile's buffer-and-sort per group cannot hold. The
+    sketch merges associatively across partitions, so the aggregate
+    stays one map-side-combined shuffle like any sum. Rows-only for
+    the driver (DuckDB's approx sketch differs by construction); the
+    rank-error bound vs the EXACT percentiles is pinned in
+    tests/test_mining.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            price,
+            F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99)),
+            F.lit(10000),
+        ).alias("_p"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.element_at("_p", 1), 4).alias("p50_approx"),
+        F.round(F.element_at("_p", 2), 4).alias("p90_approx"),
+        F.round(F.element_at("_p", 3), 4).alias("p99_approx"),
+        "n_rows",
+    )
