@@ -78,50 +78,3 @@ def test_decrement_span_index_matches_rebuild(spark, sf_dir, tmp_path):
         for r in build_span_index(survivors, persist=False).collect()
     }
     assert {(r["shingle"], r["df"]) for r in got} == want
-
-
-def test_compact_date_partitioned_preserves_content(spark, sf_dir, tmp_path):
-    """Small-file compaction: simulated micro-batch appends leave many
-    files per date; compaction must cut each date to its target file
-    count, change NO rows, and be a no-op when re-run."""
-    import glob
-    import os
-
-    from txf_continuous_data_pipeline_spark.sources.io import (
-        compact_date_partitioned,
-    )
-
-    sink = str(tmp_path / "sink")
-    events = read_table(spark, sf_dir, "events").limit(3000)
-    staged = events.withColumn("_date", F.to_date("ts"))
-    # 6 "micro-batches", each appending its own files per partition
-    for i in range(6):
-        staged.where(F.col("event_id") % 6 == i).write.mode(
-            "append"
-        ).partitionBy("_date").parquet(sink)
-
-    def files_per_part():
-        return {
-            os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
-            for d in glob.glob(os.path.join(sink, "_date=*"))
-        }
-
-    before_files = files_per_part()
-    assert all(n >= 6 for n in before_files.values())
-    before_rows = sorted(
-        r["event_id"] for r in spark.read.parquet(sink).collect()
-    )
-
-    n = compact_date_partitioned(
-        spark, sink, target_rows_per_file=10_000
-    )
-    assert n == len(before_files)
-    after_files = files_per_part()
-    assert set(after_files) == set(before_files)
-    assert all(v == 1 for v in after_files.values())
-    after_rows = sorted(
-        r["event_id"] for r in spark.read.parquet(sink).collect()
-    )
-    assert after_rows == before_rows
-    # already compact -> no rewrites
-    assert compact_date_partitioned(spark, sink, target_rows_per_file=10_000) == 0

@@ -951,77 +951,3 @@ def decrement_span_index_sink(
         spark.conf.set(mode_key, prev)
     _delete_partition_dirs(spark, path, "_bucket", emptied)
     return len(touched)
-
-
-def compact_date_partitioned(
-    spark,
-    path: str,
-    *,
-    target_rows_per_file: int = 1_000_000,
-    partition_col: str = "_date",
-) -> int:
-    """OPTIMIZE-style small-file compaction for a partitioned parquet
-    sink: streaming appends and incremental upserts leave partitions
-    holding many small files (every micro-batch writes at least one),
-    and at 100 TB the scan pays per-file open/footer costs and the
-    driver pays per-file listing - the classic small-files problem.
-    Rewrite each partition that holds MORE files than its row count
-    warrants down to ceil(rows / target_rows_per_file) files.
-
-    Content-preserving by construction (same rows, same partition
-    values - only file boundaries change; pinned by pytest), and each
-    partition's rewrite is its own dynamic overwrite, so concurrent
-    readers of other partitions are never disturbed. Lineage is cut
-    before each overwrite (the upsert discipline: the write plan must
-    not reference files it replaces). Partitions already at their
-    target file count are skipped without a rewrite - re-running
-    compaction is a no-op. At true scale run partitions in parallel
-    batches and prefer a table format's OPTIMIZE for commit atomicity;
-    the mechanics here are the same.
-
-    Returns the number of partitions rewritten."""
-    import math
-
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    jroot = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jroot.getFileSystem(hconf)
-    if not fs.exists(jroot):
-        return 0
-    parts = []
-    for st in fs.listStatus(jroot):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(f"{partition_col}="):
-            n_files = sum(
-                1
-                for f in fs.listStatus(st.getPath())
-                if f.getPath().getName().endswith(".parquet")
-            )
-            parts.append((name.split("=", 1)[1], n_files))
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    compacted = 0
-    try:
-        spark.conf.set(mode_key, "dynamic")
-        for value, n_files in parts:
-            if n_files <= 1:
-                continue
-            raw = "__HIVE_DEFAULT_PARTITION__"
-            pred = (
-                F.col(partition_col).isNull()
-                if value == raw
-                else F.col(partition_col) == F.lit(value)
-            )
-            part_df = spark.read.parquet(path).where(pred)
-            n_rows = part_df.count()
-            want = max(1, math.ceil(n_rows / target_rows_per_file))
-            if n_files <= want:
-                continue
-            out = part_df.coalesce(want).localCheckpoint(eager=True)
-            out.write.mode("overwrite").partitionBy(
-                partition_col
-            ).parquet(path)
-            compacted += 1
-    finally:
-        spark.conf.set(mode_key, prev)
-    return compacted
