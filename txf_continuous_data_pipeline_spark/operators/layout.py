@@ -12,6 +12,15 @@ sort-order rewrite, expressed as plain Spark column arithmetic:
 min-max scale each dimension to `bits` bits (tiny aggregate broadcast),
 interleave JVM-side (shift/or chain - whole-stage codegen, no UDF),
 range-partition on the Morton value, sort within partitions, write.
+
+Relation to `sources/io.zorder_key` / `write_zordered` (the write-path
+twin): that tier normalizes by RANK (approxQuantile sketch + Arrow
+searchsorted) - robust to skew, the right default for writing real
+data. This tier normalizes by MIN-MAX as pure column expressions, so
+the key is ANSI-SQL-expressible (the `zorder_layout` oracle re-derives
+it bit for bit) and the per-file pruning envelopes become a
+value-checked report. Same curve, two normalizations, each carrying
+the property the other can't: skew robustness vs oracle checkability.
 """
 
 from __future__ import annotations
