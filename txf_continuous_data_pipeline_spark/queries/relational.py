@@ -2107,3 +2107,50 @@ def price_quantile_sketch_q(spark, sf_dir):
         F.round(F.element_at("_p", 3), 4).alias("p99_approx"),
         "n_rows",
     )
+
+
+_SALTED_SQL = """
+WITH heavy AS (
+  SELECT user_id, rnk FROM (
+    SELECT user_id,
+           row_number() OVER (ORDER BY count(*) DESC, user_id) AS rnk
+    FROM events GROUP BY user_id
+  ) WHERE rnk <= 20
+)
+SELECT e.user_id, h.rnk,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e JOIN heavy h ON e.user_id = h.user_id
+GROUP BY e.user_id, h.rnk
+"""
+
+
+@q("skew_salted_heavy_users", _SALTED_SQL)
+def skew_salted_heavy_users_q(spark, sf_dir):
+    """The skew recipe under a value-level check: the 20 heaviest users
+    (by definition the hot keys) join back to the full event stream
+    through salted_join - each hot key spread over 8 synthetic
+    sub-keys, the 20-row dim replicated per salt - then a two-stage
+    aggregate (partial on (user, salt) implicitly via the salted
+    shuffle, merge on user). The oracle is the PLAIN join + GROUP BY:
+    row-identical output is the operator's whole contract, and here
+    the driver checks it value-level on every rotation, not just in
+    tests/test_skew.py."""
+    from ..operators.relational import salted_join
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("_cnt"), F.col("user_id"))
+    heavy = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("user_id", "rnk")
+    )
+    joined = salted_join(
+        events, heavy, "user_id", salt_src="event_id", n_salts=8
+    )
+    return joined.groupBy("user_id", "rnk").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
