@@ -2154,3 +2154,47 @@ def skew_salted_heavy_users_q(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+_FUNNEL_TIMES_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT user_id, 1 AS step_idx, 'signup' AS step, t AS ts FROM s1
+UNION ALL SELECT user_id, 2, 'view', t FROM s2
+UNION ALL SELECT user_id, 3, 'click', t FROM s3
+UNION ALL SELECT user_id, 4, 'purchase', t FROM s4
+"""
+
+
+@q("funnel_step_times", _FUNNEL_TIMES_SQL)
+def funnel_step_times_q(spark, sf_dir):
+    """Per-user step-advance TIMESTAMPS for the 4-step funnel - the
+    row-level detail behind funnel_counts (same greedy first-match
+    cursor, pinned stream==batch by tests/test_stateful.py): one row
+    per (user, step actually reached) with the advancing event's time.
+    Engine: the single-shuffle sorted fold; oracle: the k-way
+    min-after-join chain - structurally different plans agreeing on
+    every timestamp."""
+    from ..operators.relational import funnel_step_times
+
+    events = read_table(spark, sf_dir, "events")
+    return funnel_step_times(
+        events, ("signup", "view", "click", "purchase")
+    ).select("user_id", "step_idx", "step", "ts")
