@@ -665,3 +665,136 @@ def documents_profile_by_source(spark, sf_dir):
     return profile_by_group(
         docs, group_col="source", columns=("lang", "n_chars", "text")
     )
+
+
+_CMS_EST_SQL = f"""
+WITH sketch AS (
+  SELECT lane, bucket, count(*) AS n FROM (
+    {" UNION ALL ".join(
+        f"SELECT {lane} AS lane, "
+        f"CAST({_lane_sql('CAST(user_id AS VARCHAR)', lane)} % 256 AS INT) "
+        f"AS bucket FROM events"
+        for lane in range(4)
+    )}
+  ) GROUP BY lane, bucket
+),
+probes AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 20)),
+pl AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, {lane} AS lane, "
+      f"CAST({_lane_sql('CAST(user_id AS VARCHAR)', lane)} % 256 AS INT) "
+      f"AS bucket FROM probes"
+      for lane in range(4)
+  )}
+)
+SELECT p.user_id, CAST(min(coalesce(s.n, 0)) AS BIGINT) AS est
+FROM pl p LEFT JOIN sketch s ON p.lane = s.lane AND p.bucket = s.bucket
+GROUP BY p.user_id
+"""
+
+
+@q("cms_user_estimates", _CMS_EST_SQL)
+def cms_user_estimates_q(spark, sf_dir):
+    """The READ side of the Count-Min story: point-estimate the event
+    frequency of user ids 0..19 (present or not - absent keys estimate
+    pure collision mass) from the 4x256 sketch. The sketch broadcasts,
+    the probe side never shuffles, and because every counter AND every
+    probe lane comes from the h60 family, the ESTIMATES are value-
+    checked, not just bounded (the est >= true one-sided bound is
+    pinned in tests/test_skew.py)."""
+    from ..operators.sketches import count_min_build, count_min_estimate
+
+    events = read_table(spark, sf_dir, "events").select("user_id")
+    sketch = count_min_build(events, key_col="user_id", depth=4, width=256)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    out = count_min_estimate(
+        sketch, probes, key_col="user_id", depth=4, width=256
+    )
+    return out.select("user_id", F.col("est").cast("long").alias("est"))
+
+
+_BLOOM_PROBE_SQL = f"""
+WITH bloom AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+        f"SELECT CAST({_lane_sql('CAST(o_custkey AS VARCHAR)', lane)} % 4096 "
+        f"AS INT) AS bit FROM orders"
+        for lane in range(5)
+    )}
+  )
+),
+probes AS (SELECT CAST(range AS BIGINT) AS o_custkey FROM range(1, 31)),
+pb AS (
+  {" UNION ALL ".join(
+      f"SELECT o_custkey, "
+      f"CAST({_lane_sql('CAST(o_custkey AS VARCHAR)', lane)} % 4096 AS INT) "
+      f"AS bit FROM probes"
+      for lane in range(5)
+  )}
+)
+SELECT p.o_custkey, (count(b.bit) = 5) AS may_contain
+FROM pb p LEFT JOIN bloom b ON p.bit = b.bit
+GROUP BY p.o_custkey
+"""
+
+
+@q("bloom_customer_membership", _BLOOM_PROBE_SQL)
+def bloom_customer_membership_q(spark, sf_dir):
+    """Membership probes (custkeys 1..30) against the
+    customers-with-orders Bloom table: may_contain iff ALL 5 bit
+    positions are set - no false negatives by construction, and false
+    POSITIVES are deterministic given the bit table, so even they are
+    value-checked. The semi-join pre-filter read path in miniature:
+    bit table broadcasts, fact side probes without shuffling."""
+    from ..operators.sketches import bloom_build, bloom_contains
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    bloom = bloom_build(orders, key_col="o_custkey", n_hashes=5, n_bits=4096)
+    probes = spark.range(1, 31).select(F.col("id").alias("o_custkey"))
+    return bloom_contains(
+        bloom, probes, key_col="o_custkey", n_hashes=5, n_bits=4096
+    )
+
+
+_HLL_EST_SQL = """
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM events
+),
+regs AS (
+  SELECT bucket, max(rho) AS rho FROM (
+    SELECT CAST(hv % 512 AS INT) AS bucket,
+           CASE WHEN (hv >> 9) = 0 THEN 52
+                ELSE 52 - length(bin(hv >> 9)) END AS rho
+    FROM h
+  ) GROUP BY bucket
+),
+agg AS (
+  SELECT coalesce(sum(pow(2.0, -rho)), 0.0) AS s,
+         CAST(count(*) AS DOUBLE) AS nz
+  FROM regs
+)
+SELECT CAST(round(
+  CASE WHEN ((0.7213 / (1 + 1.079 / 512)) * 512 * 512 / (s + (512 - nz)))
+            <= 2.5 * 512
+        AND (512 - nz) > 0
+       THEN 512 * ln(512 / (512 - nz))
+       ELSE (0.7213 / (1 + 1.079 / 512)) * 512 * 512 / (s + (512 - nz))
+  END) AS BIGINT) AS n_distinct_est
+FROM agg
+"""
+
+
+@q("hll_user_estimate", _HLL_EST_SQL)
+def hll_user_estimate_q(spark, sf_dir):
+    """The READ side of the engine-native HLL: the alpha_m * m^2 /
+    sum(2^-rho) harmonic estimate with linear-counting small-range
+    correction, computed from the value-checked register table - so
+    unlike approx_count_distinct's opaque HLL++ blob, even the final
+    ESTIMATE carries a value-level oracle (integer output; the 2%-class
+    accuracy vs exact distinct is pinned in tests/test_skew.py)."""
+    from ..operators.sketches import hll_build, hll_estimate
+
+    events = read_table(spark, sf_dir, "events").select("user_id")
+    return hll_estimate(hll_build(events, key_col="user_id", p=9), p=9)
