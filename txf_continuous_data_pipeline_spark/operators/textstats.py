@@ -1718,3 +1718,77 @@ def maxsim_topk(
         .where(F.col("rn") <= k)
         .select("q_id", "doc_id", "score", "rn")
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    *,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average bigram log-probability under an
+    INTERPOLATED KNESER-NEY LM trained on the corpus itself - the
+    smoothing the production fluency filters actually use (CCNet's
+    KenLM models are modified-KN; bigram_logprob's add-one is the
+    didactic baseline, and add-one famously over-taxes frequent
+    contexts). Fixed discount d:
+
+        P(w2|w1) = max(c(w1,w2) - d, 0) / ctx(w1)
+                 + d * N1+(w1,.) / ctx(w1) * P_cont(w2)
+        P_cont(w2) = N1+(.,w2) / N1+(.,.)
+
+    with ctx(w1) = sum_w2 c(w1,w2) taken from the bigram table itself
+    (NOT the unigram token count - a doc-final token is not a bigram
+    context), N1+ the left/right continuation type counts, and
+    N1+(.,.) the total observed bigram types. Sums to exactly 1 over
+    the continuation vocabulary per context (pinned to 1e-12 by the
+    numpy differential in tests/test_textstats_kn.py).
+
+    Plan shape matches bigram_logprob: every model table derives from
+    ONE bigram aggregate (ctx and N1+(w1,.) from a w1 rollup,
+    N1+(.,w2) from a w2 rollup, N1+(.,.) as a 1-row broadcast);
+    scoring joins doc bigrams to the model keyed on the bigram and its
+    two rollups - shuffle cost tracks corpus tokens, model size tracks
+    OBSERVED types. Output: (doc_id, n_bigrams, avg_kn_logprob 6dp);
+    docs with < 2 tokens drop (no bigrams to score)."""
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+    size = F.size(toks)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(size - 1, F.lit(0))).alias("w1"),
+                F.slice(toks, 2, F.greatest(size - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)  # model AND scoring
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bi = bi.localCheckpoint(eager=False)  # feeds three rollups + join
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").alias("ctx"), F.count("*").alias("n1_fwd")
+    )
+    back = bi.groupBy("w2").agg(F.count("*").alias("n1_back"))
+    types = bi.agg(F.count("*").cast("double").alias("t"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("ctx")
+        + d
+        * F.col("n1_fwd")
+        / F.col("ctx")
+        * (F.col("n1_back") / F.col("t"))
+    )
+    return (
+        pairs.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
+        )
+    )

@@ -2241,3 +2241,44 @@ def retrieve_rerank_topk_q(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("q_id", "doc_id", "score", "rn")
     )
+
+
+_KN_LP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         unnest(toks[1 : len(toks) - 1]) AS w1,
+         unnest(toks[2 : len(toks)]) AS w2
+  FROM t
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c2) AS ctx, count(*) AS n1_fwd FROM bi GROUP BY 1),
+back AS (SELECT w2, count(*) AS n1_back FROM bi GROUP BY 1),
+ty AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bi)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(greatest(c2 - 0.75, 0.0) / ctx
+                    + 0.75 * n1_fwd / ctx * (n1_back / ty.t))), 6)
+         AS avg_kn_logprob
+FROM p
+JOIN bi USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN back USING (w2)
+CROSS JOIN ty
+GROUP BY p.doc_id
+"""
+
+
+@q("kn_bigram_logprob", _KN_LP_SQL)
+def kn_bigram_logprob_q(spark, sf_dir):
+    """Per-doc average bigram log-probability under an interpolated
+    KNESER-NEY LM (fixed discount 0.75) trained on the corpus - the
+    smoothing production fluency filters actually use, upgrading
+    doc_bigram_logprob's add-one baseline: contexts keep their
+    observed mass minus a flat discount, and the stolen mass backs
+    off to CONTINUATION counts (how many contexts a word follows),
+    not raw frequency. Per-context sum-to-1 is pinned to 1e-12 by
+    the numpy differential."""
+    from ..operators.textstats import kneser_ney_logprob
+
+    return kneser_ney_logprob(read_table(spark, sf_dir, "documents"))
