@@ -131,3 +131,51 @@ def test_streaming_kmeans_rerun_is_noop_and_tracks_drift(
     # this corpus - the data centroids sit near 0.5, so < 10 proves the
     # winner crossed essentially the whole gap
     assert best < 10.0, best
+
+
+def test_drift_monitor_trips_on_planted_shift(spark, sf_dir, tmp_path):
+    """Stationary feed batches stay under the PSI trip threshold; a
+    planted value-shifted batch must trip; redelivery (fresh
+    checkpoint, same feed) appends no duplicate log rows."""
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        drift_monitor_run,
+        stage_events_dir,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    ref = events.select("value")
+    feed = str(tmp_path / "feed")
+    stage_events_dir(spark, sf_dir, feed, n_files=2)
+
+    # planted drift: same schema, values shifted far right
+    import glob as _glob
+    import os as _os
+
+    shifted = events.limit(500).withColumn(
+        "value", F.col("value") + F.lit(250.0)
+    )
+    d = _os.path.join(feed, "zz_shift")
+    shifted.coalesce(1).write.mode("overwrite").parquet(d)
+    later = time.time() + 60
+    for f in _glob.glob(_os.path.join(d, "*.parquet")):
+        _os.utime(f, (later, later))
+
+    work = str(tmp_path / "work")
+    log = drift_monitor_run(
+        spark, feed, work, ref, value_col="value", lo=0.0, hi=200.0
+    )
+    rows = sorted(
+        spark.read.parquet(log).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rows) == 3
+    assert [r["tripped"] for r in rows[:-1]] == [False, False]
+    assert rows[-1]["tripped"] and rows[-1]["psi"] > 0.25
+
+    # fresh checkpoint = full redelivery; the log must not grow
+    import shutil
+
+    shutil.rmtree(_os.path.join(work, "ckpt"))
+    drift_monitor_run(
+        spark, feed, work, ref, value_col="value", lo=0.0, hi=200.0
+    )
+    assert spark.read.parquet(log).count() == 3

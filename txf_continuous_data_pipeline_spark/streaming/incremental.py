@@ -719,3 +719,94 @@ def streaming_kmeans_run(
     if q.exception() is not None:
         raise q.exception()
     return state_path
+
+
+def drift_monitor_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    reference: DataFrame,
+    *,
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    threshold: float = 0.25,
+    timeout_s: int = 240,
+) -> str:
+    """Continuous distribution-drift monitoring at ingest: every
+    arriving micro-batch is PSI-scored against a FROZEN reference
+    sample (population_stability_index - two 10-row bucket aggregates,
+    nothing corpus-sized moves), and one (batch_id, psi, n_rows,
+    tripped) row appends to a monitor log the pipeline can alert or
+    gate on. The streaming twin of value_drift_psi: the batch query
+    compares two static snapshots, this watches the feed as it lands -
+    the shape a training-data intake uses to catch a upstream
+    distribution break BEFORE a bad day of data is mixed in.
+
+    The reference's bucket shares are computed ONCE up front and
+    carried as plain Python floats - the per-batch cost is one bucket
+    aggregate over the batch plus a literal-table join. Idempotent
+    under redelivery: a batch_id already present in the log is skipped
+    (read-before-append on the tiny log, the gated-sink discipline).
+    Returns the log path."""
+    from ..operators.profiling import population_stability_index
+
+    log_path = os.path.join(work_dir, "drift_log")
+    ref = reference.select(value_col).localCheckpoint(eager=True)
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        try:
+            seen = {
+                r["batch_id"]
+                for r in sess.read.parquet(log_path)
+                .select("batch_id")
+                .collect()
+            }
+        except Exception:
+            seen = set()
+        if batch_id in seen:
+            return
+        row = population_stability_index(
+            ref,
+            batch,
+            value_col=value_col,
+            n_buckets=n_buckets,
+            lo=lo,
+            hi=hi,
+        ).head()
+        psi = float(row["psi"])
+        sess.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    round(psi, 6),
+                    int(row["n_cur"]),
+                    psi > threshold,
+                )
+            ],
+            "batch_id long, psi double, n_rows long, tripped boolean",
+        ).coalesce(1).write.mode("append").parquet(log_path)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_score)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"drift monitor exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return log_path
