@@ -267,38 +267,48 @@ def video_phash_neardup(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     # single-file scan -> spread the per-row synthesis Python first
-    # (the audio_fingerprint_neardup r7 lesson); only 8-byte ids move
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # (the audio_fingerprint_neardup r7 lesson); only 8-byte ids move.
+    # Keyed on the 4-doc GROUP (not round-robin) so the per-batch
+    # frame cache below sees every reuse: the shared intro card is
+    # drawn once per group instead of 4x, twin body frames once
+    # instead of 2x - 7 RNG seedings per group instead of 16.
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism,
+        (F.col("doc_id") / 4).cast("long"),
+    )
 
     def _make(it):
         for pdf in it:
             ids, payloads = [], []
+            cache: dict[int, np.ndarray] = {}
+
+            def _draw(seed_val: int) -> np.ndarray:
+                # mid-range pixels: +12 brightness can never clip,
+                # so the shift lands ONLY in the DCT DC term.
+                # 16x16 is enough content: frame_phash's nearest
+                # resize upsamples to its 32x32 DCT grid, and the
+                # 4x-smaller payload cuts synthesis + Arrow bytes
+                # across all three chained stages (validated
+                # pair-exact at sf0.1, 2500 pairs).
+                f = cache.get(seed_val)
+                if f is None:
+                    f = np.random.default_rng(seed_val).integers(
+                        40, 200, (16, 16, 3), dtype=np.uint8
+                    )
+                    cache[seed_val] = f
+                return f
+
             for d in pdf["doc_id"]:
                 d = int(d)
                 seed, grp = d // 2, d // 4
                 frames = []
                 for slot in range(4):
-                    # default_rng (PCG64): ~2.5x cheaper to seed than
-                    # the Mersenne RandomState, and this loop is pure
-                    # seeded synthesis - 20k generator inits at sf0.1
                     if slot == 0:
-                        rs = np.random.default_rng(1_000_000 + grp)
+                        f = _draw(1_000_000 + grp)
                     elif slot == 3 and d % 2 == 1:
-                        rs = np.random.default_rng(9_000_000 + d)
+                        f = _draw(9_000_000 + d)
                     else:
-                        rs = np.random.default_rng(
-                            2_000_000 + seed * 4 + slot
-                        )
-                    # mid-range pixels: +12 brightness can never clip,
-                    # so the shift lands ONLY in the DCT DC term.
-                    # 16x16 is enough content: frame_phash's nearest
-                    # resize upsamples to its 32x32 DCT grid, and the
-                    # 4x-smaller payload cuts synthesis + Arrow bytes
-                    # across all three chained stages (validated
-                    # pair-exact at sf0.1, 2500 pairs).
-                    f = rs.integers(
-                        40, 200, (16, 16, 3), dtype=np.uint8
-                    )
+                        f = _draw(2_000_000 + seed * 4 + slot)
                     if d % 2 == 1 and slot in (1, 2):
                         f = f + 12
                     frames.append(f)
