@@ -543,3 +543,88 @@ def test_frame_phash_matches_image_phash_per_frame(spark):
     assert got == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_undecodable_media_rows_are_quarantined(spark):
+    """One corrupt payload per modality/path: every mapInPandas stage
+    must COMPLETE, flag the bad row (null feature/hash/spectrum or
+    zero emitted frames), and leave the good rows' values unchanged
+    (r8 verdict item: a corrupt row at 100 TB must never abort the
+    stage)."""
+    import numpy as np
+    import pandas as pd
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        _phash_one,
+        audio_spectrogram,
+        encode_ppm,
+        encode_ppm_video,
+        encode_wav,
+        extract_features,
+        frame_phash,
+        image_phash,
+        resize_images,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    good_img = encode_ppm(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+    bad_img = good_img[:20]  # truncated raster
+    good_wav = encode_wav(np.sin(np.linspace(0, 50, 4000))[:, None], 16000)
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    good_vid = encode_ppm_video(
+        rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8)
+    )
+    bad_vid = good_vid[: len(good_vid) // 3]  # frames 1+ out of range
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2, 3, 4, 5, 6],
+                "kind": ["image", "image", "audio", "audio", "video", "video"],
+                "payload": [
+                    bytearray(good_img),
+                    bytearray(bad_img),
+                    bytearray(good_wav),
+                    bytearray(bad_wav),
+                    bytearray(good_vid),
+                    bytearray(bad_vid),
+                ],
+                "codec": ["ppm", "ppm", "wav", "wav", "ppmv", "ppmv"],
+                "n_frames": [1, 1, None, None, 4, 4],
+            }
+        )
+    )
+
+    # image pHash: bad row -> null hash, good row bit-identical
+    ph = {r.media_id: r.phash for r in image_phash(
+        media.where(F.col("kind") == "image")).collect()}
+    assert ph[2] is None
+    assert ph[1] == _phash_one(good_img)
+
+    # features: bad rows -> null feature, all six rows survive
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5, 6}
+    assert feats[2] is None and feats[4] is None
+    assert feats[1] is not None and feats[3] is not None
+
+    # spectrogram: bad WAV -> null spectrum / 0 frames
+    spec = {r.media_id: r for r in audio_spectrogram(
+        media.where(F.col("kind") == "audio")).collect()}
+    assert spec[4].spectrum is None and spec[4].n_frames == 0
+    assert spec[3].spectrum is not None and spec[3].n_frames > 0
+
+    # resize: bad PPM -> null payload
+    rz = {r.media_id: r.payload for r in resize_images(
+        media.where(F.col("kind") == "image"), width=8, height=8).collect()}
+    assert rz[2] is None and rz[1] is not None
+
+    # frame sampling: truncated container emits only in-range frames;
+    # downstream frame_phash still completes
+    frames = sample_frames(media, every_nth=1, max_frames=4)
+    per_vid = {r.media_id: r["cnt"] for r in frames.groupBy(
+        "media_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_vid[5] == 4
+    assert 0 < per_vid.get(6, 0) < 4
+    hashed = frame_phash(frames, repartition=False).collect()
+    assert all(r.phash is not None for r in hashed)
