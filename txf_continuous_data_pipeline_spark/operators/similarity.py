@@ -1434,6 +1434,17 @@ def ivfpq_index_cell_stats(
         .collect()
     )
     sizes = {r["cluster_id"]: r["n"] for r in rows}
+    if not sizes:
+        # an existing-but-empty index (e.g. a filtered rebuild that
+        # matched nothing) is a monitoring answer, not a crash: report
+        # zeros and no retrain instead of max()-on-empty (r8 advice)
+        return {
+            "cell_sizes": {},
+            "max": 0,
+            "mean": 0.0,
+            "skew": 0.0,
+            "retrain": False,
+        }
     mx = max(sizes.values())
     mean = sum(sizes.values()) / len(sizes)
     return {
@@ -1769,12 +1780,14 @@ def mine_triplets(
     most-similar DIFFERENT-label one (the hardest impostor), plus the
     triplet margin pos_sim - neg_sim - negative margins are exactly the
     anchors a metric-learning step would fix. ONE broadcast-scored
-    corpus pass feeds both ranks: the same scored lineage is windowed
-    twice (same-label / different-label partitions of the row set, so
-    no row is scored twice) and the two rank-1 picks meet in an
-    anchor-keyed join - n_anchors rows on each side. Anchors whose
-    label is absent from the corpus drop out (inner join), matching
-    the SQL oracle."""
+    corpus pass feeds both ranks: the scored lineage is checkpointed
+    before the same-label / different-label windows fork off it (the
+    shared-lineage discipline dsir_resample applies - WITHOUT the cut,
+    Spark would re-execute the broadcast-scored scan once per branch
+    and every row would be scored twice), and the two rank-1 picks
+    meet in an anchor-keyed join - n_anchors rows on each side.
+    Anchors whose label is absent from the corpus drop out (inner
+    join), matching the SQL oracle."""
     from pyspark.sql import Window
 
     scored = (
@@ -1783,6 +1796,7 @@ def mine_triplets(
             "cos_sim", F.round(cosine_fast(F.col(c_vec), F.col(q_vec)), 6)
         )
         .select(q_id, q_label, c_id, c_label, "cos_sim")
+        .localCheckpoint(eager=False)  # feeds BOTH pos and neg ranks
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.col(c_id))
     pos = (

@@ -844,9 +844,6 @@ def _ivfpq_index_path(spark, sf_dir):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             from ..operators.similarity import write_ivfpq_index
 
-            # a dir without _SUCCESS can only be a leftover from a
-            # crashed pre-rename-era session - never a live reader
-            shutil.rmtree(path, ignore_errors=True)
             app = re.sub(
                 r"[^A-Za-z0-9_-]", "_",
                 spark.sparkContext.applicationId,
@@ -860,10 +857,56 @@ def _ivfpq_index_path(spark, sf_dir):
                 staging,
                 m=_PQ_M,
             )
-            try:
-                os.rename(staging, path)
-            except OSError:
-                # another session won the race with a complete index
+            # Publish under an O_EXCL lock (ADVICE r8 TOCTOU): the
+            # check-then-rmtree of a crashed session's leftover and
+            # the atomic rename must be ONE critical section, or a
+            # concurrent session's just-renamed complete index could
+            # be rmtree'd out from under its readers. A lock older
+            # than 60s is a crashed holder and is broken. Losing the
+            # lock (or finding _SUCCESS inside it) discards staging
+            # and reads the winner's index.
+            lock = path + ".lock"
+            import time as _time
+
+            acquired = False
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                try:
+                    os.close(
+                        os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    )
+                    acquired = True
+                    break
+                except FileExistsError:
+                    try:
+                        if _time.time() - os.path.getmtime(lock) > 60:
+                            os.remove(lock)
+                            continue
+                    except OSError:
+                        continue
+                    _time.sleep(0.1)
+            if acquired:
+                try:
+                    if not os.path.exists(
+                        os.path.join(path, "_SUCCESS")
+                    ):
+                        # leftover from a crashed pre-rename-era
+                        # session - never a live reader
+                        shutil.rmtree(path, ignore_errors=True)
+                        try:
+                            os.rename(staging, path)
+                        except OSError:
+                            shutil.rmtree(staging, ignore_errors=True)
+                    else:
+                        shutil.rmtree(staging, ignore_errors=True)
+                finally:
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+            else:
+                # could not acquire within the stale budget: treat the
+                # holder as the winner-in-progress and discard staging
                 shutil.rmtree(staging, ignore_errors=True)
         _IVFPQ_INDEX_CACHE[key] = path
     return _IVFPQ_INDEX_CACHE[key]
