@@ -413,3 +413,63 @@ def test_ngram_contamination_planted(spark):
         for r in ngram_contamination(corpus, bench, n=3).collect()
     }
     assert got == {1: 2, 2: 1}, got
+
+
+def test_line_dedup_semantics_and_delta_equals_full(spark, sf_dir):
+    """CCNet-style line dedup: keep-first by (doc_id, position),
+    whitespace-only lines never participate, and the incremental form
+    against a stored line index equals full-corpus dedup restricted
+    to the batch when every stored id precedes every arriving one."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        build_line_index,
+        dedup_lines,
+        dedup_lines_delta,
+    )
+
+    rows = [
+        (0, "alpha\nboiler plate\ngamma"),
+        (1, "boiler plate\ndelta\n \nboiler plate"),
+        (2, "delta\nunique"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    # first occurrences survive, later ones vanish (incl. within-doc)
+    assert got[0]["text"] == "alpha\nboiler plate\ngamma"
+    assert got[1]["text"] == "delta\n "  # blank line is layout, kept
+    assert got[1]["n_lines_removed"] == 2
+    assert got[2]["text"] == "unique"
+    assert got[2]["n_lines_removed"] == 1
+    # empty text: split yields one blank line, nothing participates
+    assert got[3] == {
+        "doc_id": 3, "text": "", "n_lines": 1, "n_lines_removed": 0
+    }
+
+    # delta == full on the real corpus (lower half stored, upper half
+    # arriving - keep-first ordering aligned by id)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"), F.lit("shared boilerplate footer")
+        ).alias("text"),
+    )
+    half = docs.count() // 2
+    corpus = docs.where(F.col("doc_id") < half)
+    batch = docs.where(F.col("doc_id") >= half)
+    got_d = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in dedup_lines_delta(
+            batch, build_line_index(corpus)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in dedup_lines(docs).collect()
+        if r["doc_id"] >= half
+    }
+    assert got_d == want and got_d
+    # the planted footer is gone from every batch doc (the corpus
+    # holds its first copy), so the delta really probed the index
+    assert all(
+        "shared boilerplate footer" not in t for t, _n, _r in got_d.values()
+    )

@@ -847,3 +847,181 @@ def minhash_delta_pairs(
         .drop("sh_d", "sh_c")
     )
     return jac.where(F.col("jaccard") >= threshold)
+
+
+def _rebuild_without_lines(
+    base: DataFrame,
+    drops: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    joiner: str,
+) -> DataFrame:
+    """Shared reconstruction tail of line dedup (full + delta): left
+    join per-doc drop positions back on the doc key and rebuild the
+    text with those positions filtered out via a pure higher-order
+    expression. The TEXT never enters the hash shuffle - only (id,
+    pos, 8-byte hash) rows moved in the dedup stages; the single
+    doc-keyed join here is the only exchange the full lines ride (the
+    remove_duplicated_spans discipline)."""
+    j = base.join(drops, id_col, "left").select(
+        F.col(id_col),
+        "_lines",
+        F.coalesce(
+            "_drops", F.array().cast("array<integer>")
+        ).alias("_drops"),
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: ~F.exists(F.col("_drops"), lambda d: d == i),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, joiner).alias(text_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_drops").cast("long").alias("n_lines_removed"),
+    )
+
+
+def _positioned_lines(
+    df: DataFrame, *, id_col: str, text_col: str, sep: str
+):
+    """(base, part_rows) for line dedup: base = (id, _lines array) -
+    a zero-shuffle projection; part_rows = (id, _p, _h) for every
+    PARTICIPATING line (whitespace-only lines never join the dedup -
+    they are layout, not content - and pass through untouched)."""
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    base = df.select(F.col(id_col), parts.alias("_lines"))
+    ex = base.select(
+        F.col(id_col), F.posexplode("_lines").alias("_p", "_line")
+    )
+    part_rows = ex.where(F.trim(F.col("_line")) != "").select(
+        F.col(id_col), "_p", h60(F.col("_line")).alias("_h")
+    )
+    return base, part_rows
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """Corpus-wide line-level deduplication, CCNet-style (Wenzek et
+    al. 2020: web corpora are cleaned by dropping duplicate lines/
+    paragraphs ACROSS the whole corpus before any document-level
+    dedup runs - boilerplate headers, nav bars and licence blocks
+    repeat verbatim across millions of pages). Every occurrence of a
+    line except the FIRST (ordered by (doc id, line position)) is
+    removed; the first copy survives, so no content is lost, and doc
+    text is rebuilt from its surviving lines. The cheaper first-pass
+    sibling of remove_duplicated_spans: line identity is exact (one
+    h60 per line), no token windows.
+
+    `sep` is a Java regex for F.split; `joiner` (default: `sep`
+    verbatim) rebuilds the text, so pass both when sep is a
+    non-literal pattern. Whitespace-only lines are layout, not
+    content: they never participate and always survive.
+
+    Output: (id_col, text, n_lines, n_lines_removed), one row per
+    input row.
+
+    Scale shape: only (id, pos, 8-byte hash) rows enter the dedup -
+    the first-occurrence aggregate is one hash-keyed groupBy with
+    map-side combine (a corpus-wide boilerplate line collapses to one
+    row per map task before the exchange, so hot lines cannot skew
+    the shuffle), duplicated hashes filter to a (hash -> first) table
+    joined back hash-keyed, and drop POSITIONS come home on the doc
+    key. Full text rides exactly one doc-keyed join, never the hash
+    shuffle. Cost tracks corpus lines, never line-pairs."""
+    base, part_rows = _positioned_lines(
+        df, id_col=id_col, text_col=text_col, sep=sep
+    )
+    firsts = part_rows.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_d"), F.col("_p").alias("_q"))
+        ).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    ).where(F.col("_n") >= 2)
+    drops = (
+        part_rows.join(firsts, "_h")
+        .where(
+            (F.col(id_col) != F.col("_first._d"))
+            | (F.col("_p") != F.col("_first._q"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_p").alias("_drops"))
+    )
+    return _rebuild_without_lines(
+        base, drops, id_col=id_col, text_col=text_col,
+        joiner=sep if joiner is None else joiner,
+    )
+
+
+def build_line_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    persist: bool = True,
+) -> DataFrame:
+    """Line-membership index of a stored corpus: one (line_h) row per
+    DISTINCT participating line hash - the stored half of incremental
+    line dedup (the build_span_index discipline, membership instead
+    of df counts: keep-first only needs to know a line already exists
+    somewhere earlier). 8 bytes/row at rest."""
+    _base, part_rows = _positioned_lines(
+        df, id_col=id_col, text_col=text_col, sep=sep
+    )
+    idx = part_rows.select(F.col("_h").alias("line_h")).distinct()
+    return idx.localCheckpoint(eager=True) if persist else idx
+
+
+def dedup_lines_delta(
+    batch: DataFrame,
+    line_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """Incremental line dedup: clean an ARRIVING batch against a
+    stored corpus line index without re-scanning the corpus. A batch
+    line is dropped when its hash is already in the index (the corpus
+    holds an earlier copy - every stored occurrence precedes every
+    arriving one) OR when an earlier batch position holds the same
+    line; so with corpus ids ordered before batch ids the result
+    equals running dedup_lines over corpus UNION batch and keeping
+    the batch rows (pytest-pinned, the remove_duplicated_spans_delta
+    contract). Per-arrival cost is O(batch lines) plus one probe join
+    into the 8-byte index - never O(corpus)."""
+    base, part_rows = _positioned_lines(
+        batch, id_col=id_col, text_col=text_col, sep=sep
+    )
+    in_index = line_index.select(F.col("line_h").alias("_h")).withColumn(
+        "_stored", F.lit(True)
+    )
+    firsts = part_rows.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("_d"), F.col("_p").alias("_q"))
+        ).alias("_first")
+    )
+    drops = (
+        part_rows.join(in_index, "_h", "left")
+        .join(firsts, "_h")
+        .where(
+            F.coalesce(F.col("_stored"), F.lit(False))
+            | (F.col(id_col) != F.col("_first._d"))
+            | (F.col("_p") != F.col("_first._q"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_p").alias("_drops"))
+    )
+    return _rebuild_without_lines(
+        base, drops, id_col=id_col, text_col=text_col,
+        joiner=sep if joiner is None else joiner,
+    )

@@ -2282,3 +2282,118 @@ def kn_bigram_logprob_q(spark, sf_dir):
     from ..operators.textstats import kneser_ney_logprob
 
     return kneser_ney_logprob(read_table(spark, sf_dir, "documents"))
+
+
+def _line_layout_col():
+    """Deterministic multi-line re-layout of `text` used by the line
+    dedup queries: normalized tokens regrouped into newline-joined
+    10-token chunk lines. The synthetic corpus carries no newlines,
+    but its planted cross-doc repeated spans become repeated LINES
+    under a fixed chunk grid - real duplicate mass for the CCNet-style
+    operator to find, with the layout itself a zero-shuffle
+    projection both engines compute identically."""
+    toks = F.filter(
+        normalized_tokens(F.coalesce(F.col("text"), F.lit(""))),
+        lambda w: F.length(w) > 0,
+    )
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * F.lit(10) + 1, F.lit(10)), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_join(chunks, "\n")
+
+
+def _line_dedup_sql(src: str = "documents") -> str:
+    """WITH..SELECT mirror of dedup_lines over the chunk-line layout:
+    same re-layout, keep-first by (doc_id, position) via a window,
+    same split-based reconstruction (string_split of the joined
+    layout reproduces Spark's split-of-empty => [''] edge exactly)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
+  FROM {src}
+),
+lay AS (
+  SELECT doc_id, string_split(
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        i -> array_to_string(toks[i * 10 + 1:i * 10 + 10], ' ')),
+      chr(10)), chr(10)) AS lines
+  FROM t
+),
+e AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) - 1 AS p
+  FROM lay
+),
+marked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn,
+         count(*) OVER (PARTITION BY line) AS cnt
+  FROM e WHERE trim(line) <> ''
+),
+drops AS (
+  SELECT doc_id, list(p) AS dps FROM marked
+  WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id
+),
+j AS (
+  SELECT lay.doc_id, lay.lines,
+         coalesce(d.dps, CAST([] AS BIGINT[])) AS dps
+  FROM lay LEFT JOIN drops d USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(list_zip(lines, range(0, len(lines))),
+             z -> NOT list_contains(dps, z[2])),
+           z -> CAST(z[1] AS VARCHAR)), chr(10)), '') AS text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(dps) AS BIGINT) AS n_lines_removed
+FROM j
+"""
+
+
+@q("line_dedup", _line_dedup_sql())
+def line_dedup_q(spark, sf_dir):
+    """Corpus-wide CCNet-style line dedup over the chunk-line layout:
+    every repeated line keeps its first (doc_id, position) occurrence
+    and loses the rest; docs come back rebuilt with counts. The
+    cleaned TEXT itself is value-compared against the oracle, not
+    just the counts (the dup_span_removal discipline)."""
+    from ..operators.dedup import dedup_lines
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _line_layout_col().alias("text")
+    )
+    return dedup_lines(docs)
+
+
+@q(
+    "line_dedup_delta",
+    f"SELECT * FROM ({_line_dedup_sql()}) WHERE doc_id >= "
+    "(SELECT CAST(count(*) // 2 AS BIGINT) FROM documents)",
+)
+def line_dedup_delta_q(spark, sf_dir):
+    """Incremental line dedup: the upper-id half arrives as a batch
+    and is cleaned against the stored lower-half line index - one
+    probe join, never a corpus re-scan. With every stored doc id
+    below every arriving one, keep-first ordering makes this equal by
+    construction to full-corpus dedup restricted to the batch rows,
+    which is exactly what the oracle computes."""
+    from ..operators.dedup import build_line_index, dedup_lines_delta
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _line_layout_col().alias("text")
+    )
+    half = docs.count() // 2
+    corpus = docs.where(F.col("doc_id") < half)
+    batch = docs.where(F.col("doc_id") >= half)
+    return dedup_lines_delta(batch, build_line_index(corpus))
