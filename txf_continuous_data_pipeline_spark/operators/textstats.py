@@ -1792,3 +1792,265 @@ def kneser_ney_logprob(
             F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
         )
     )
+
+
+def _unigram_word_passes(word: str, logp: dict, max_len: int):
+    """Forward-backward over one word's segmentation lattice under a
+    unigram piece model: returns (logZ, {piece: expected_count}).
+    Log-space with sequential np.logaddexp in ascending span order -
+    the FIXED accumulation order both the distributed and driver
+    trainers and the pure-Python differential test share, so their
+    floats agree bit-for-bit."""
+    import numpy as np
+
+    n = len(word)
+    neg = float("-inf")
+    alpha = [0.0] + [neg] * n
+    for i in range(1, n + 1):
+        a = neg
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and alpha[j] != neg:
+                a = np.logaddexp(a, alpha[j] + lp)
+        alpha[i] = a
+    if alpha[n] == neg:
+        return neg, {}
+    beta = [neg] * n + [0.0]
+    for j in range(n - 1, -1, -1):
+        b = neg
+        for e in range(j + 1, min(n, j + max_len) + 1):
+            lp = logp.get(word[j:e])
+            if lp is not None and beta[e] != neg:
+                b = np.logaddexp(b, lp + beta[e])
+        beta[j] = b
+    z = alpha[n]
+    exp: dict = {}
+    for j in range(n):
+        if alpha[j] == neg:
+            continue
+        for e in range(j + 1, min(n, j + max_len) + 1):
+            piece = word[j:e]
+            lp = logp.get(piece)
+            if lp is not None and beta[e] != neg:
+                post = float(np.exp(alpha[j] + lp + beta[e] - z))
+                exp[piece] = exp.get(piece, 0.0) + post
+    return float(z), exp
+
+
+def _unigram_viterbi(word: str, logp: dict, max_len: int):
+    """Best segmentation of one word under the unigram model: max
+    total piece log-prob, ties broken toward the LONGEST piece ending
+    at each position (first j wins under strict >). Returns the piece
+    list, or None when no segmentation covers the word."""
+    n = len(word)
+    neg = float("-inf")
+    best = [0.0] + [neg] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and best[j] != neg:
+                cand = best[j] + lp
+                if cand > best[i]:
+                    best[i], back[i] = cand, j
+    if best[n] == neg:
+        return None
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 1000,
+    max_piece_len: int = 4,
+    em_iters: int = 2,
+    prune_frac: float = 0.25,
+    driver_vocab_limit: int = 200_000,
+) -> "list[tuple[str, float]]":
+    """Train a SentencePiece-style unigram language-model tokenizer
+    (Kudo 2018, "Subword Regularization"): seed a large candidate
+    piece inventory, EM the piece probabilities by marginalizing over
+    every segmentation of every word (forward-backward on the
+    segmentation lattice), then alternately prune the weakest pieces
+    and re-EM until the inventory reaches `vocab_size`. Returns the
+    driver-side artifact a tokenizer ships: [(piece, logp)] sorted by
+    (logp desc, piece) - kilobytes, the kmeans-centroid class.
+
+    Two documented simplifications of the reference algorithm, both
+    mirrored exactly by the pure-Python differential in
+    tests/test_textstats_unigram.py: the M-step is plain MLE
+    (expected count / total) rather than the Bayesianified digamma
+    form, and pruning drops the lowest-EXPECTED-COUNT multi-char
+    pieces (count asc, piece desc; single chars are never pruned, so
+    every word always segments) rather than computing per-piece
+    likelihood loss. Tie-breaks are pinned everywhere: seed keeps top
+    multi-char candidates by (count desc, piece asc).
+
+    Scale shape (the bpe_train discipline): the corpus-sized work is
+    ONE groupBy(word) count; the seed candidate count is one
+    substring-explode aggregate over the DISTINCT weighted vocabulary
+    (pieces bounded by max_piece_len x word length, 8-40 bytes each,
+    never document text); each EM iteration is one Arrow pass over
+    the distinct-word frame with the piece table BROADCAST as plain
+    Python dict (vocab-sized, kilobytes-to-MBs) plus one piece-keyed
+    sum - cost tracks distinct words x mean word length^2, never the
+    corpus. Small vocabularies (<= driver_vocab_limit distinct words)
+    collect once and run the whole EM driver-side - identical math,
+    identical accumulation order."""
+    import math
+
+    from .dedup import normalized_tokens
+
+    words = (
+        df.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("_word")
+        )
+        .where(F.length("_word") > 0)
+        .groupBy("_word")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    L = max_piece_len
+    cand = (
+        words.select(
+            "_w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, char_length(_word)),"
+                    f" s -> transform(sequence(s, least(s + {L - 1},"
+                    " char_length(_word))),"
+                    " e -> substr(_word, s, e - s + 1))))"
+                )
+            ).alias("_piece"),
+        )
+        .groupBy("_piece")
+        .agg(F.sum("_w").alias("_n"))
+    )
+    chars = cand.where(F.length("_piece") == 1).collect()
+    multi = (
+        cand.where(F.length("_piece") > 1)
+        .orderBy(F.col("_n").desc(), F.col("_piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    counts = {
+        r["_piece"]: float(r["_n"]) for r in [*chars, *multi]
+    }
+
+    def _normalize(c: dict) -> dict:
+        total = math.fsum(c.values())
+        return {p: math.log(v / total) for p, v in c.items() if v > 0}
+
+    logp = _normalize(counts)
+    n_words = words.count()
+    local = (
+        [(r["_word"], int(r["_w"])) for r in words.collect()]
+        if n_words <= driver_vocab_limit
+        else None
+    )
+
+    def _em_counts(cur_logp: dict) -> dict:
+        if local is not None:
+            agg: dict = {}
+            for word, w in local:
+                _z, exp = _unigram_word_passes(word, cur_logp, L)
+                for p, c in exp.items():
+                    agg[p] = agg.get(p, 0.0) + w * c
+            return agg
+        b = words.sparkSession.sparkContext.broadcast(cur_logp)
+
+        def _batches(it):
+            for pdf in it:
+                agg: dict = {}
+                for word, w in zip(pdf["_word"], pdf["_w"]):
+                    _z, exp = _unigram_word_passes(str(word), b.value, L)
+                    for p, c in exp.items():
+                        agg[p] = agg.get(p, 0.0) + int(w) * c
+                yield pd.DataFrame(
+                    {"_piece": list(agg), "_c": list(agg.values())}
+                )
+
+        rows = (
+            words.mapInPandas(_batches, "_piece string, _c double")
+            .groupBy("_piece")
+            .agg(F.sum("_c").alias("_c"))
+            .collect()
+        )
+        return {r["_piece"]: float(r["_c"]) for r in rows}
+
+    single = {p for p in logp if len(p) == 1}
+    while True:
+        for _ in range(em_iters):
+            logp = _normalize(_em_counts(logp))
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        target_multi = max(vocab_size - len(single), 0)
+        if n_multi <= target_multi:
+            break
+        exp = _em_counts(logp)
+        ranked = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (exp.get(p, 0.0), [-ord(ch) for ch in p]),
+        )
+        n_drop = min(
+            max(int(n_multi * prune_frac), 1), n_multi - target_multi
+        )
+        dropped = set(ranked[:n_drop])
+        logp = _normalize(
+            {p: math.exp(lp) for p, lp in logp.items() if p not in dropped}
+        )
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    vocab: "list[tuple[str, float]]",
+    *,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Corpus piece-frequency table under a trained unigram model:
+    Viterbi-segment every word and count pieces. Vocab-amortized like
+    bpe_encode_counts - the Viterbi Python runs once per DISTINCT
+    word (one groupBy), piece counts then scale by word frequency in
+    a plain aggregate; the trained vocab is a broadcast dict. Words
+    the vocab cannot cover (a char pruned from a foreign corpus)
+    count under the sentinel piece '<unk>'. Output: (piece, n)."""
+    from .dedup import normalized_tokens
+
+    words = (
+        df.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("_word")
+        )
+        .where(F.length("_word") > 0)
+        .groupBy("_word")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    logp = dict(vocab)
+    b = df.sparkSession.sparkContext.broadcast(logp)
+
+    def _batches(it):
+        for pdf in it:
+            out_w, out_p = [], []
+            for word, w in zip(pdf["_word"], pdf["_w"]):
+                pieces = _unigram_viterbi(
+                    str(word), b.value, max_piece_len
+                )
+                if pieces is None:
+                    pieces = ["<unk>"]
+                for p in pieces:
+                    out_w.append(int(w))
+                    out_p.append(p)
+            yield pd.DataFrame({"_piece": out_p, "_w": out_w})
+
+    return (
+        words.mapInPandas(_batches, "_piece string, _w long")
+        .groupBy(F.col("_piece").alias("piece"))
+        .agg(F.sum("_w").alias("n"))
+    )

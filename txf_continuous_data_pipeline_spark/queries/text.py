@@ -2397,3 +2397,59 @@ def line_dedup_delta_q(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") < half)
     batch = docs.where(F.col("doc_id") >= half)
     return dedup_lines_delta(batch, build_line_index(corpus))
+
+
+# Session cache of the trained unigram vocab per corpus (the
+# _BPE_MERGES_CACHE discipline): vocab + piece-count queries and the
+# bench share one training run.
+_UNIGRAM_VOCAB_CACHE: dict = {}
+
+
+def _trained_unigram_vocab(spark, sf_dir):
+    from ..operators.textstats import unigram_lm_train
+
+    key = _corpus_key(spark, sf_dir)
+    if key not in _UNIGRAM_VOCAB_CACHE:
+        _UNIGRAM_VOCAB_CACHE[key] = unigram_lm_train(
+            read_table(spark, sf_dir, "documents"),
+            vocab_size=80,
+            seed_size=300,
+            em_iters=1,
+        )
+    return _UNIGRAM_VOCAB_CACHE[key]
+
+
+@q("unigram_lm_vocab", None)
+def unigram_lm_vocab_q(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer vocabulary trained on
+    the corpus (Kudo 2018): seed substring inventory -> EM over every
+    word's segmentation lattice -> expected-count pruning to the
+    target size. Iterative with driver-side scalars per round -> no
+    SQL oracle (rows-only, like bpe_merge_rules); the whole
+    seed/EM/prune loop is pinned exactly by the pure-Python
+    differential in tests/test_textstats_unigram.py, which also pins
+    driver path == distributed path. Corpus-sized work is ONE word
+    groupBy; every EM pass touches only the distinct-word frame with
+    the piece table broadcast."""
+    vocab = _trained_unigram_vocab(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(vocab)],
+        "rank int, piece string, logp double",
+    )
+
+
+@q("unigram_piece_counts", None)
+def unigram_piece_counts_q(spark, sf_dir):
+    """Corpus piece-frequency table under the TRAINED unigram
+    tokenizer: Viterbi-segment every distinct word once (vocab
+    broadcast, the vocab-amortized bpe_token_counts discipline) and
+    scale by word frequency. Downstream of an iterative trainer ->
+    rows-only; the Viterbi encoder is pinned against brute-force
+    enumeration in tests/test_textstats_unigram.py."""
+    from ..operators.textstats import unigram_encode_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = _trained_unigram_vocab(spark, sf_dir)
+    return unigram_encode_counts(docs, vocab).orderBy(
+        F.col("n").desc(), "piece"
+    )
