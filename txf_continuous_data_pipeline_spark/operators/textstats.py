@@ -869,39 +869,20 @@ def dsir_resample(
     ).limit(n_keep)
 
 
-def hashing_trick_embed(
-    df: DataFrame,
-    *,
-    dim: int = 64,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Deterministic text featurization via the hashing trick: token
-    counts bucketed by h60(token) mod dim, L2-normalized - the
-    model-free baseline that turns a document table into an embedding
-    table any vector operator downstream (LSH near-dup, IVF ANN,
-    k-means, SemDeDup) can consume. No vocabulary, no driver state,
-    reproducible across engines (the h60 family again), and at 100 TB
-    it is one explode + one (id, bucket) aggregate + one per-doc
-    rebuild - shuffle keyed on the doc id, vector width a constant.
-
-    Output: (id_col, embedding array<double> with 6dp components).
-    """
-    from .dedup import h60, normalized_tokens
-
-    # Scan-parallelism floor: a small corpus scan yields fewer
-    # partitions than cores, so ONE task would run the whole
-    # explode+md5 chain (measured 2.7s single-threaded of the 4.5s
-    # total at sf0.1). The floor triggers on scan BYTES - Spark splits
-    # a scan into ~maxPartitionBytes partitions, so total bytes below
-    # para * maxPartitionBytes means the scan cannot reach the cluster
-    # width regardless of how the bytes are spread across files (a
-    # file COUNT check misses many-tiny-files packing and repartitions
-    # already-split huge files). inputFiles() + getsize are FileIndex/
-    # driver metadata reads (no RDD conversion - the old
-    # df.rdd.getNumPartitions() probe forced one); a derived frame
-    # reports no files and keeps its upstream shuffle parallelism; at
-    # 100 TB the byte threshold is never met and no exchange is paid.
+def scan_parallelism_floor(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor: a small corpus scan yields fewer
+    partitions than cores, so ONE task would run a whole downstream
+    explode+md5 chain (measured 2.7s single-threaded of 4.5s total
+    for hashing_trick_embed at sf0.1). The floor triggers on scan
+    BYTES - Spark splits a scan into ~maxPartitionBytes partitions,
+    so total bytes below para * maxPartitionBytes means the scan
+    cannot reach the cluster width regardless of how the bytes are
+    spread across files (a file COUNT check misses many-tiny-files
+    packing and repartitions already-split huge files). inputFiles()
+    + getsize are FileIndex/driver metadata reads (no RDD conversion
+    - a df.rdd.getNumPartitions() probe forces one); a derived frame
+    reports no files and keeps its upstream shuffle parallelism; at
+    100 TB the byte threshold is never met and no exchange is paid."""
     import os
 
     sess = df.sparkSession
@@ -935,6 +916,30 @@ def hashing_trick_embed(
         )
         if total < para * max_pb:
             df = df.repartition(para)
+    return df
+
+
+def hashing_trick_embed(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text featurization via the hashing trick: token
+    counts bucketed by h60(token) mod dim, L2-normalized - the
+    model-free baseline that turns a document table into an embedding
+    table any vector operator downstream (LSH near-dup, IVF ANN,
+    k-means, SemDeDup) can consume. No vocabulary, no driver state,
+    reproducible across engines (the h60 family again), and at 100 TB
+    it is one explode + one (id, bucket) aggregate + one per-doc
+    rebuild - shuffle keyed on the doc id, vector width a constant.
+
+    Output: (id_col, embedding array<double> with 6dp components).
+    """
+    from .dedup import h60, normalized_tokens
+
+    df = scan_parallelism_floor(df)
     buckets = df.select(
         F.col(id_col),
         F.explode(normalized_tokens(F.col(text_col))).alias("_tok"),
@@ -1409,8 +1414,14 @@ def ngram_contamination(
     join + one doc-keyed aggregate; corpus text itself never
     shuffles (grams travel as h60 hashes, the engine-wide 60-bit
     family - collision odds ~ grams^2 / 2^60, negligible below
-    ~10^8 distinct eval grams)."""
+    ~10^8 distinct eval grams). The corpus side takes the
+    scan-parallelism floor so the gram explode + md5 chain spreads
+    over the cluster even when the scan is one small file (the
+    hashing_trick_embed lesson: a single task otherwise runs the
+    whole Python-free but CPU-heavy chain)."""
     from .dedup import h60, normalized_tokens
+
+    corpus = scan_parallelism_floor(corpus)
 
     def gram_hashes(df: DataFrame) -> DataFrame:
         return df.select(
