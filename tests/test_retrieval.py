@@ -1,0 +1,101 @@
+"""Sparse (BM25) and hybrid (RRF) retrieval: formula differential
+against a transparent pure-Python reference, tie/rounding pinning,
+and the broadcast plan shape."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.textstats import (
+    bm25_topk,
+)
+
+CORPUS = [
+    (10, "spark shuffles the big join"),
+    (11, "broadcast the small join side"),
+    (12, "spark spark spark streaming state"),
+    (13, "lexical retrieval with bm25 scoring"),
+    (14, "dense retrieval with embeddings"),
+]
+QUERIES = [(0, "spark join"), (1, "retrieval scoring")]
+K1, B = 1.2, 0.75
+
+
+def _ref_bm25(k):
+    toks = {d: t.lower().split() for d, t in CORPUS}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = float(len(toks))
+    avgdl = sum(dl.values()) / n
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter()
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] += 1
+    out = []
+    for qid, qtext in QUERIES:
+        scores = {}
+        for d in toks:
+            s = 0.0
+            for t in set(qtext.lower().split()):
+                if tf[d][t] == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += (
+                    idf
+                    * tf[d][t]
+                    * (K1 + 1)
+                    / (tf[d][t] + K1 * (1 - B + B * dl[d] / avgdl))
+                )
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rn, (d, s) in enumerate(ranked[:k], 1):
+            out.append((qid, d, s, rn))
+    return sorted(out)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "q_id long, q_text string")
+    got = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rn"])
+        for r in bm25_topk(corpus, queries, k=3, k1=K1, b=B).collect()
+    )
+    assert got == _ref_bm25(3)
+    # only docs sharing a query term score at all
+    assert all(s > 0 for _q, _d, s, _r in got)
+
+
+def test_bm25_query_terms_broadcast(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "q_id long, q_text string")
+    plan = (
+        bm25_topk(corpus, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the query-term prune join and the dfreq enrich join are both
+    # broadcast-side; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_prefers_items_ranked_by_both(spark):
+    got = {}
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    fn = REGISTRY["hybrid_rrf_topk"][0]
+    for r in fn(spark, "/root/testdata/sf0.001").collect():
+        got.setdefault(r["q_id"], []).append((r["rn"], r["id"], r["rrf"]))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for q, rows in got.items():
+        rows.sort()
+        # fused scores are monotone in rank and bounded by the two-list
+        # maximum 2/(60+1)
+        scores = [s for _rn, _i, s in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 < s <= round(2 / 61, 6) for s in scores)

@@ -2065,3 +2065,111 @@ def unigram_encode_counts(
         .groupBy(F.col("_piece").alias("piece"))
         .agg(F.sum("_w").alias("n"))
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+) -> DataFrame:
+    """Sparse lexical retrieval: BM25 top-k documents per query
+    (Robertson-Sparck Jones probabilistic weighting with the Lucene
+    idf form, ln(1 + (N - df + 0.5)/(df + 0.5)), always positive) -
+    the sparse twin of knn_join_bruteforce, and the other half a
+    hybrid retrieval stack fuses with dense ANN. Terms are the
+    engine-wide normalized tokens hashed with h60, so scores are
+    engine-reproducible and the oracle can mirror them exactly.
+
+    Output: (q_id, id_col, score, rn) with score rounded to 6dp and
+    rn the per-query rank ordered by (rounded score desc, doc id) -
+    rounding BEFORE ranking pins tie order across engines.
+
+    Scale shape: postings (term, doc, tf) and doc lengths are each
+    ONE explode/groupBy over the corpus; the query term table
+    BROADCASTS (queries are kilobytes) and prunes postings FIRST, so
+    document frequencies are then computed from the pruned candidate
+    set (a posting list holds every (term, doc) once - counting docs
+    per term needs only the query terms' rows, one map-side-combined
+    aggregate, never a corpus-wide term count); the (N, avgdl)
+    scalars ride a broadcast one-row cross join to stay lazy. Per
+    (query, doc) partials meet in one doc-keyed sum and a per-query
+    rank window. Corpus text never shuffles - only 8-byte term
+    hashes, tfs and lengths move."""
+    from pyspark.sql import Window
+
+    from .dedup import h60, normalized_tokens
+
+    corpus = scan_parallelism_floor(corpus)
+    toks = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("_t"),
+    ).select(F.col(id_col), h60(F.col("_t")).alias("_h"))
+    postings = toks.groupBy(id_col, "_h").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    qt = queries.select(
+        F.col(q_id),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    normalized_tokens(
+                        F.coalesce(F.col(q_text), F.lit(""))
+                    ),
+                    lambda w: F.length(w) > 0,
+                )
+            )
+        ).alias("_t"),
+    ).select(F.col(q_id), h60(F.col("_t")).alias("_h"))
+    cand = postings.join(F.broadcast(qt), "_h")
+    dfreq = cand.select("_h", id_col).distinct().groupBy("_h").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        cand.join(F.broadcast(dfreq), "_h")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            )
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+                )
+            ),
+        )
+        .groupBy(q_id, id_col)
+        .agg(F.round(F.sum("_part"), 6).alias("score"))
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(q_id, id_col, "score", "rn")
+    )

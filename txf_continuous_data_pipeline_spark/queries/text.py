@@ -2453,3 +2453,170 @@ def unigram_piece_counts_q(spark, sf_dir):
     return unigram_encode_counts(docs, vocab).orderBy(
         F.col("n").desc(), "piece"
     )
+
+
+def _bm25_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """WITH..SELECT mirror of bm25_topk over doc_id<5 queries vs the
+    doc_id>=5 corpus: same Lucene idf, same 6dp-round-before-rank."""
+    return f"""
+WITH cd AS (
+  SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
+  FROM documents WHERE doc_id >= 5
+),
+tk AS (SELECT doc_id, unnest(toks) AS t FROM cd),
+postings AS (
+  SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+),
+qt AS (
+  SELECT doc_id AS q_id,
+         unnest(list_distinct(list_filter({_TOKS}, w -> len(w) > 0)))
+           AS t
+  FROM documents WHERE doc_id < 5
+),
+cand AS (
+  SELECT p.doc_id, p.t, p.tf, q.q_id
+  FROM postings p JOIN qt q ON p.t = q.t
+),
+dfreq AS (
+  SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM cand GROUP BY t
+),
+scored AS (
+  SELECT c.q_id, c.doc_id,
+         round(sum(
+           ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+           * (c.tf * ({k1} + 1.0))
+           / (c.tf + {k1} * (1 - {b} + {b} * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM cand c
+  JOIN dfreq f ON c.t = f.t
+  JOIN dl d ON c.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.q_id, c.doc_id
+)
+SELECT q_id, doc_id, score, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@q("bm25_topk", _bm25_sql())
+def bm25_topk_q(spark, sf_dir):
+    """Sparse lexical retrieval: BM25 top-3 corpus docs per query
+    (doc_id < 5 stand in as the query set) - the sparse twin of
+    knn_join_bruteforce and the other half of hybrid retrieval.
+    Postings and doc lengths are one explode/groupBy each; the query
+    term table broadcasts and PRUNES postings before document
+    frequencies are computed, so nothing corpus-wide aggregates over
+    terms the queries never mention. Scores round to 6dp BEFORE the
+    rank so tie order is engine-identical."""
+    from ..operators.textstats import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    corpus = docs.where(F.col("doc_id") >= 5)
+    return bm25_topk(corpus, queries, k=3)
+
+
+def _hybrid_rrf_sql(k_each: int = 10, k_out: int = 5, c: int = 60) -> str:
+    """Reciprocal-rank fusion of the dense (cosine top-k over
+    embeddings, the _KNN_SQL shape) and sparse (BM25 top-k) rankings,
+    joined on (query id, item id) - vec_id and doc_id index the same
+    items in the synthetic corpus."""
+    dense = f"""
+  SELECT q_id, vec_id AS id, rn FROM (
+    SELECT q.vec_id AS q_id, cvec.vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+               CAST(cvec.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 6) DESC, cvec.vec_id
+           ) AS rn
+    FROM embeddings cvec
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 5) q
+    WHERE cvec.vec_id >= 5
+  ) WHERE rn <= {k_each}"""
+    return f"""
+WITH dense AS ({dense}),
+sparse AS (
+  SELECT q_id, doc_id AS id, rn
+  FROM ({_bm25_sql(k=k_each)})
+),
+fused AS (
+  SELECT coalesce(d.q_id, s.q_id) AS q_id,
+         coalesce(d.id, s.id) AS id,
+         round(coalesce(1.0 / ({c} + d.rn), 0)
+               + coalesce(1.0 / ({c} + s.rn), 0), 6) AS rrf
+  FROM dense d FULL JOIN sparse s
+    ON d.q_id = s.q_id AND d.id = s.id
+)
+SELECT q_id, id, rrf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, id) AS rn
+  FROM fused
+) WHERE rn <= {k_out}
+"""
+
+
+@q("hybrid_rrf_topk", _hybrid_rrf_sql())
+def hybrid_rrf_topk_q(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the dense cosine top-10 and the sparse BM25 top-10 per
+    query fuse as sum(1/(60+rank)) on (query, item) and the top-5
+    fused items come back - the standard production shape where
+    lexical recall patches dense misses and vice versa. Both input
+    rankings are the ALREADY-ORACLE-CHECKED operators
+    (knn_join_bruteforce, bm25_topk) at k=10; fusion itself is one
+    full outer join on two k*|queries|-row frames - trivially
+    broadcastable at any scale."""
+    from ..operators.similarity import knn_join_bruteforce
+    from ..operators.textstats import bm25_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    dense = knn_join_bruteforce(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        ),
+        emb.where(F.col("vec_id") >= 5),
+        k=10,
+    ).select("q_id", F.col("vec_id").alias("id"), F.col("rn").alias("_rd"))
+    sparse = bm25_topk(
+        docs.where(F.col("doc_id") >= 5),
+        docs.where(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+        ),
+        k=10,
+    ).select("q_id", F.col("doc_id").alias("id"), F.col("rn").alias("_rs"))
+    fused = (
+        dense.join(sparse, ["q_id", "id"], "full")
+        .select(
+            "q_id",
+            "id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("_rd")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(60) + F.col("_rs")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.col("id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "id", "rrf", "rn")
+    )
