@@ -889,9 +889,22 @@ def _positioned_lines(
     """(base, part_rows) for line dedup: base = (id, _lines array) -
     a zero-shuffle projection; part_rows = (id, _p, _h) for every
     PARTICIPATING line (whitespace-only lines never join the dedup -
-    they are layout, not content - and pass through untouched)."""
+    they are layout, not content - and pass through untouched).
+
+    base feeds TWO consumers (the hash explode and the rebuild join),
+    so its lineage is lazily checkpointed - without the cut Spark
+    re-executes the split (and any caller-side layout projection
+    upstream of it) once per branch; the scan-parallelism floor keeps
+    a small single-file corpus from running the whole split+md5 chain
+    in one task (the ngram_contamination lesson)."""
+    from .textstats import scan_parallelism_floor
+
     parts = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
-    base = df.select(F.col(id_col), parts.alias("_lines"))
+    base = (
+        scan_parallelism_floor(df)
+        .select(F.col(id_col), parts.alias("_lines"))
+        .localCheckpoint(eager=False)
+    )
     ex = base.select(
         F.col(id_col), F.posexplode("_lines").alias("_p", "_line")
     )
