@@ -343,3 +343,65 @@ def test_derived_sink_reserved_names_rejected(spark, tmp_path):
                 str(tmp_path / "work"),
                 derived_sinks={bad: lambda df: df},
             )
+
+
+def test_line_dedup_ingest_equals_batch_fold(spark, sf_dir, tmp_path):
+    """Online line dedup at ingest: with the feed staged in doc-id
+    order, the streamed fold must equal batch dedup_lines over the
+    whole corpus; re-running the stream (same checkpoint, no new
+    files) must change nothing."""
+    import pyspark.sql.functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        dedup_lines,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        line_dedup_ingest_run,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.col("text"), F.lit("shared boilerplate footer")
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    feed = str(tmp_path / "feed")
+    # three id-ordered files, mtime-staggered like stage_events_dir
+    cuts = [0, n // 3, 2 * n // 3, n]
+    now = time.time()
+    for i in range(3):
+        d = os.path.join(feed, f"f{i}")
+        docs.where(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in glob.glob(os.path.join(d, "part-*")):
+            os.utime(f, (now + 2 * i, now + 2 * i))
+
+    work = str(tmp_path / "work")
+    kept = line_dedup_ingest_run(spark, feed, work)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in spark.read.parquet(os.path.join(kept, "*")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert got == want and len(got) == n
+    # the planted footer survives exactly once, in the first doc
+    carriers = [d for d, (t, _n, _r) in got.items()
+                if "shared boilerplate footer" in t]
+    assert carriers == [min(got)]
+
+    # idempotent rerun: same checkpoint, no new files -> identical sink
+    line_dedup_ingest_run(spark, feed, work)
+    again = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_removed"])
+        for r in spark.read.parquet(os.path.join(kept, "*")).collect()
+    }
+    assert again == got

@@ -849,3 +849,90 @@ def drift_monitor_run(
     if q.exception() is not None:
         raise q.exception()
     return log_path
+
+
+def line_dedup_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    timeout_s: int = 240,
+) -> str:
+    """Continuous corpus ingestion with ONLINE corpus-wide line-level
+    dedup (the CCNet-style first-pass clean run AT THE DOOR): each
+    arriving micro-batch of documents is cleaned with
+    dedup_lines_delta against the stored line index of every
+    previously kept batch - keep-first within the batch, drop-always
+    against history - and the cleaned docs plus the batch's NEW line
+    hashes commit to their own batch=<id> subdirectories. Because
+    cleaned text retains exactly the first occurrence of every line,
+    the index delta is simply build_line_index over the batch's own
+    cleaned output - disjoint from all earlier index rows by
+    construction, so the index never needs dedup itself.
+
+    Exactly-once via the neardup_ingest_run layout discipline: each
+    batch overwrites its OWN subdirectory and reads only index
+    subdirectories of strictly earlier batches, so an at-least-once
+    foreachBatch replay recomputes against the same snapshot and
+    rewrites instead of double-appending. With the feed staged in doc
+    id order, the stream fold equals batch dedup_lines over the full
+    corpus (pytest-pinned). Returns the kept-docs path."""
+    from ..operators.dedup import build_line_index, dedup_lines_delta
+
+    kept_dir = os.path.join(work_dir, "kept")
+    index_dir = os.path.join(work_dir, "index_lines")
+
+    def _earlier(base: str, bid: int) -> list[str]:
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if not (
+                d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
+            ):
+                continue
+            full = os.path.join(base, d)
+            if any(f.startswith("part-") for f in os.listdir(full)):
+                out.append(full)
+        return out
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        paths = _earlier(index_dir, batch_id)
+        index = (
+            sess.read.parquet(*paths)
+            if paths
+            else sess.createDataFrame([], "line_h long")
+        )
+        cleaned = dedup_lines_delta(batch, index).localCheckpoint(
+            eager=True
+        )
+        part = f"batch={batch_id}"
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, part)
+        )
+        build_line_index(cleaned, persist=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, part))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"line dedup ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return kept_dir
