@@ -99,3 +99,39 @@ def test_rrf_fusion_prefers_items_ranked_by_both(spark):
         scores = [s for _rn, _i, s in rows]
         assert scores == sorted(scores, reverse=True)
         assert all(0 < s <= round(2 / 61, 6) for s in scores)
+
+
+def test_bm25_index_serving_and_append_equal_inline(spark, tmp_path):
+    """from-index == inline, and append == rebuild: the stored
+    postings/dl tables are per-doc disjoint rows, so incremental
+    growth is pure append."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        append_bm25_index,
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "q_id long, q_text string")
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["doc_id"], r["score"], r["rn"])
+            for r in df.collect()
+        )
+
+    # build from the first 3 docs, append the remaining 2
+    base = corpus.where(F.col("doc_id") <= 12)
+    late = corpus.where(F.col("doc_id") > 12)
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(base, idx)
+    append_bm25_index(late, idx)
+    got = rows(bm25_topk_from_index(spark, idx, queries, k=3))
+    want = rows(bm25_topk(corpus, queries, k=3))
+    assert got == want == _ref_bm25(3)
+
+    # rebuild over the full corpus gives the identical stored tables
+    idx2 = str(tmp_path / "bm25_full")
+    write_bm25_index(corpus, idx2)
+    got2 = rows(bm25_topk_from_index(spark, idx2, queries, k=3))
+    assert got2 == want

@@ -2102,8 +2102,20 @@ def bm25_topk(
     (query, doc) partials meet in one doc-keyed sum and a per-query
     rank window. Corpus text never shuffles - only 8-byte term
     hashes, tfs and lengths move."""
-    from pyspark.sql import Window
+    postings, dl = _bm25_postings(
+        corpus, id_col=id_col, text_col=text_col
+    )
+    return _bm25_score_tail(
+        postings, dl, queries,
+        k=k, k1=k1, b=b, id_col=id_col, q_id=q_id, q_text=q_text,
+    )
 
+
+def _bm25_postings(
+    corpus: DataFrame, *, id_col: str, text_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(postings (id, _h, _tf), doc lengths (id, _dl)) - the two
+    at-rest tables of a BM25 index, one explode/groupBy each."""
     from .dedup import h60, normalized_tokens
 
     corpus = scan_parallelism_floor(corpus)
@@ -2120,6 +2132,28 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_tf")
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    return postings, dl
+
+
+def _bm25_score_tail(
+    postings: DataFrame,
+    dl: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    q_id: str,
+    q_text: str,
+) -> DataFrame:
+    """The serving tail shared by the inline and from-index BM25
+    paths: broadcast query terms prune postings, dfreq from the
+    pruned set, lazy (N, avgdl) broadcast, score, round-then-rank."""
+    from pyspark.sql import Window
+
+    from .dedup import h60, normalized_tokens
+
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
@@ -2172,4 +2206,84 @@ def bm25_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select(q_id, id_col, "score", "rn")
+    )
+
+
+def write_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a BM25 index: postings/ (id, term hash, tf) and dl/
+    (id, doc length) parquet tables - the at-rest serving form of
+    bm25_topk (the write_ivfpq_index discipline for the sparse side).
+    Both tables are per-document DISJOINT row sets, so the index is
+    append-only under corpus growth (append_bm25_index); the (N,
+    avgdl) scalars and per-term document frequencies are derived at
+    query time from the stored tables, so no global statistic ever
+    goes stale. Postings shuffle 8-byte term hashes + two longs;
+    corpus text never reaches the index."""
+    import os
+
+    postings, dl = _bm25_postings(
+        corpus, id_col=id_col, text_col=text_col
+    )
+    postings.write.mode("overwrite").parquet(
+        os.path.join(path, "postings")
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "dl"))
+
+
+def append_bm25_index(
+    batch: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental BM25 index maintenance: append an ARRIVING batch's
+    postings and doc lengths. Correct by algebra, not by replay: both
+    index tables hold per-document rows only, and document
+    frequencies / (N, avgdl) are derived from them at query time - so
+    appending the new docs' rows IS the full rebuild (pytest-pinned
+    append == rebuild). Caller contract: batch doc ids are new (an
+    upsert would need the RTBF delete path first)."""
+    import os
+
+    postings, dl = _bm25_postings(
+        batch, id_col=id_col, text_col=text_col
+    )
+    postings.write.mode("append").parquet(
+        os.path.join(path, "postings")
+    )
+    dl.write.mode("append").parquet(os.path.join(path, "dl"))
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+) -> DataFrame:
+    """Serve BM25 top-k from a PERSISTED index: same scoring tail as
+    the inline operator (value-identical, pytest-pinned), but the
+    corpus pass is replaced by two parquet scans - and the broadcast
+    query-term prune pushes the term-hash filter into the postings
+    scan, so a term-bucketed index layout reads only the touched
+    buckets at scale."""
+    import os
+
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dl = spark.read.parquet(os.path.join(path, "dl"))
+    return _bm25_score_tail(
+        postings, dl, queries,
+        k=k, k1=k1, b=b, id_col=id_col, q_id=q_id, q_text=q_text,
     )

@@ -2620,3 +2620,50 @@ def hybrid_rrf_topk_q(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("q_id", "id", "rrf", "rn")
     )
+
+
+# Session-scoped BM25 index path (per corpus stamp, under the session's
+# own applicationId dir - no cross-session sharing, so none of the
+# rename/lock choreography the shared IVFPQ path needs).
+_BM25_INDEX_CACHE: dict = {}
+
+
+def _bm25_index_path(spark, sf_dir):
+    import os
+    import re
+    import tempfile
+
+    from ..operators.textstats import write_bm25_index
+
+    key = _corpus_key(spark, sf_dir)
+    if key not in _BM25_INDEX_CACHE:
+        app = re.sub(
+            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bm25_{app}",
+            re.sub(r"[^A-Za-z0-9_-]", "_", str(key)),
+        )
+        docs = read_table(spark, sf_dir, "documents")
+        write_bm25_index(docs.where(F.col("doc_id") >= 5), path)
+        _BM25_INDEX_CACHE[key] = path
+    return _BM25_INDEX_CACHE[key]
+
+
+@q("bm25_index_topk", _bm25_sql())
+def bm25_index_topk_q(spark, sf_dir):
+    """BM25 served from the PERSISTED postings/dl index - the at-rest
+    serving form. Same scoring tail as bm25_topk, so the inline
+    oracle applies verbatim; the corpus pass is replaced by two
+    parquet scans with the broadcast query-term prune pushed into the
+    postings read. Append == rebuild and from-index == inline are
+    pytest-pinned (tests/test_retrieval.py)."""
+    from ..operators.textstats import bm25_topk_from_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    return bm25_topk_from_index(
+        spark, _bm25_index_path(spark, sf_dir), queries, k=3
+    )
