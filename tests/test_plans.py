@@ -375,3 +375,32 @@ def test_embedding_curation_pipeline_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert plan.count("SortMergeJoin") <= 1
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_line_dedup_hash_shuffle_carries_no_text(spark, sf_dir):
+    # Keep-first line dedup: the hash-keyed stages (first-occurrence
+    # aggregate, duplicated-hash join) move only (id, pos, 8-byte h) -
+    # the full _lines arrays must ride exactly the ONE doc-keyed
+    # rebuild join, and nothing is a product.
+    plan = _plan(spark, sf_dir, "line_dedup")
+    assert "CartesianProduct" not in plan
+    h_exchanges = [
+        seg
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+        if seg.startswith("_h")
+    ]
+    assert h_exchanges, plan
+    assert all("_lines" not in seg[:200] for seg in h_exchanges), plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_bm25_from_index_plan_matches_inline_tail(spark, sf_dir):
+    # The persisted-index serving path must keep the inline tail's
+    # shape: query terms and dfreq broadcast, no corpus-wide term
+    # aggregate, no product; the only sort-merge-eligible join is the
+    # doc-keyed dl enrich.
+    for name in ("bm25_topk", "bm25_index_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 2, (name, plan)
+        assert "CartesianProduct" not in plan
+        assert plan.count("SortMergeJoin") <= 1, (name, plan)
