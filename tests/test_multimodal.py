@@ -628,3 +628,61 @@ def test_undecodable_media_rows_are_quarantined(spark):
     assert 0 < per_vid.get(6, 0) < 4
     hashed = frame_phash(frames, repartition=False).collect()
     assert all(r.phash is not None for r in hashed)
+
+
+def test_clip_payload_roundtrip_bit_exact():
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        decode_clip_payload,
+        encode_clip_payload,
+    )
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(-127, 128, 64).astype(np.int8)
+    scale = 0.0123456789
+    out = decode_clip_payload(encode_clip_payload(scale, codes))
+    # bit-exact: int8 * float64 scale, no intermediate rounding
+    assert np.array_equal(out, codes.astype(np.float64) * scale)
+    for bad in (b"", b"CV01", b"XXXX" + b"\0" * 20, None):
+        try:
+            decode_clip_payload(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_clip_image_embed_quarantines_and_aligns(spark):
+    import numpy as np
+
+    from txf_continuous_data_pipeline_spark.operators.multimodal import (
+        clip_image_embed,
+        encode_clip_payload,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vecs = {}
+    for i in range(6):
+        codes = rng.integers(-127, 128, 8).astype(np.int8)
+        vecs[i] = codes.astype(np.float64) * 0.5
+        rows.append((i, bytearray(encode_clip_payload(0.5, codes))))
+    rows.append((6, bytearray(b"garbage-not-a-container")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["image_embedding"]
+        for r in clip_image_embed(media).collect()
+    }
+    assert got[6] is None  # quarantined, stage survived
+    for i in range(6):
+        assert np.allclose(got[i], vecs[i])
+
+
+def test_clip_align_filter_keeps_exactly_aligned_pairs(spark):
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["clip_align_filter"]
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    ids = sorted(r["vec_id"] for r in out)
+    assert ids == [i for i in range(500) if i % 2 == 0]
+    assert all(r["clip_cos"] >= 0.9 for r in out)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -930,3 +931,83 @@ def phash_neardup_pairs(
     ).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+# ------------------------------------------------ cross-modal (CLIP)
+
+CLIP_MAGIC = b"CV01"
+
+CLIP_EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("image_embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def encode_clip_payload(scale: float, codes: np.ndarray) -> bytes:
+    """Pack an int8-quantized image embedding into the engine's opaque
+    vector container: 4-byte magic + float64 big-endian scale + the
+    int8 codes. The container is the TEST STAND-IN for a real image
+    file; what matters is that the bytes round-trip bit-exactly through
+    the binary column so the oracle can re-derive the dequantized
+    values (same int8 math as operators/similarity.quantize_int8)."""
+    c = np.asarray(codes)
+    if c.dtype != np.int8:
+        if np.any((c < -127) | (c > 127)):
+            raise ValueError("clip codes out of int8 range")
+        c = c.astype(np.int8)
+    return CLIP_MAGIC + struct.pack(">d", float(scale)) + c.tobytes()
+
+
+def decode_clip_payload(payload: bytes) -> np.ndarray:
+    """Inverse of encode_clip_payload -> float64 vector (codes * scale).
+    Raises ValueError on a malformed container (wrong magic / truncated
+    header); callers inside Arrow stages quarantine instead of raising."""
+    if payload is None or len(payload) < 12 or payload[:4] != CLIP_MAGIC:
+        raise ValueError("not a CV01 clip-vector payload")
+    (scale,) = struct.unpack(">d", payload[4:12])
+    codes = np.frombuffer(payload, dtype=np.int8, offset=12)
+    if codes.size == 0:
+        raise ValueError("empty clip-vector payload")
+    return codes.astype(np.float64) * scale
+
+
+def clip_image_embed(
+    media: DataFrame,
+    *,
+    repartition: bool = True,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Image-tower embedding stage: (media_id, payload) -> (media_id,
+    image_embedding array<double>) via Arrow mapInPandas.
+
+    This is the documented stub seam where a production pipeline runs a
+    real CLIP/SigLIP vision encoder over decoded pixels (the model libs
+    are not in this container); the stand-in decoder is the bit-exact
+    CV01 container inverse, so the Spark-side plumbing under test -
+    binary column in, fixed-width vector column out, byte-budget
+    partitioning, batch-stacked numpy math, quarantine-not-raise - is
+    exactly what the real encoder stage needs at 100 TB. Malformed
+    payloads yield a NULL embedding (one corrupt image must not kill
+    the stage); callers count casualties with `image_embedding IS
+    NULL`."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                try:
+                    vecs.append(decode_clip_payload(p).tolist())
+                except (ValueError, IndexError):
+                    vecs.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "image_embedding": vecs}
+            )
+
+    pruned = media.select("media_id", "payload")
+    if repartition:
+        pruned = repartition_by_bytes(
+            pruned, target_partition_bytes=target_partition_bytes
+        )
+    return pruned.mapInPandas(_batches, CLIP_EMBED_SCHEMA)

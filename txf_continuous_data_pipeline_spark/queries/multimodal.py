@@ -345,3 +345,104 @@ def video_phash_neardup(spark, sf_dir):
     return video_neardup_pairs(
         fps, max_hamming=4, min_frames_agree=3
     ).select("id_a", "id_b", "n_frames_agree")
+
+
+_CLIP_ALIGN_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+  WHERE vec_id % 2 = 0
+),
+s AS (
+  SELECT vec_id, vv,
+         list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+d AS (
+  SELECT vec_id, vv,
+         list_transform(
+             vv,
+             x -> CAST(coalesce(round(x / nullif(scale, 0)), 0) AS INT)
+                  * scale) AS dq
+  FROM s
+),
+c AS (
+  SELECT vec_id,
+         list_dot_product(dq, vv)
+         / nullif(sqrt(list_dot_product(dq, dq))
+                  * sqrt(list_dot_product(vv, vv)), 0) AS clip_cos
+  FROM d
+)
+SELECT vec_id, clip_cos FROM c WHERE clip_cos >= 0.9
+"""
+
+
+@q("clip_align_filter", _CLIP_ALIGN_SQL)
+def clip_align_filter(spark, sf_dir):
+    """LAION-style image-text alignment filtering: pair every caption
+    (text) embedding with its image's vision-tower embedding, keep
+    pairs whose cosine clears the alignment threshold (LAION-400M used
+    CLIP cosine >= 0.3 to turn 50B crawled pairs into 400M training
+    pairs - the single highest-leverage multimodal curation op).
+
+    The image side takes the REAL plumbing path: an opaque binary
+    payload per image flows through an Arrow mapInPandas embedding
+    stage (clip_image_embed - the documented seam where a production
+    pipeline runs the CLIP vision encoder), then a vec_id equi-join
+    brings text and image vectors together and an Arrow-batched cosine
+    scores each pair JVM->numpy. At 100 TB both sides are corpus-sized,
+    so the join is a plain co-partitioned equi-join on the id - no
+    broadcast - and the filter drops misaligned pairs before anything
+    downstream shuffles the payload bytes.
+
+    Planted structure + full value check: even vec_ids carry a FAITHFUL
+    int8-quantized copy of their text embedding in the image container
+    (cosine = quantization cosine ~0.999, SQL-re-derivable from the
+    same int8 math as embedding_int8_quantize); odd vec_ids carry
+    deterministic rng codes (cosine ~ N(0, 1/sqrt(64)), > 7 sigma from
+    the 0.9 threshold) - so the oracle re-derives BOTH membership
+    (exactly the even ids survive) and the cosine VALUES through the
+    byte-exact container round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import clip_image_embed, encode_clip_payload
+    from ..operators.similarity import cosine_fast, quantize_int8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qt = quantize_int8(emb)
+    # spread the per-row container packing before the Python stage (the
+    # audio r7 lesson): only ids + int8 codes move, ~70 bytes/row.
+    qt = qt.repartition(spark.sparkContext.defaultParallelism)
+
+    def _pack(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for vid, scale, qvec in zip(
+                pdf["vec_id"], pdf["scale"], pdf["qvec"]
+            ):
+                vid = int(vid)
+                if vid % 2 == 0:
+                    codes = np.asarray(qvec, dtype=np.int8)
+                else:
+                    codes = np.random.default_rng(vid).integers(
+                        -127, 128, len(qvec), dtype=np.int64
+                    ).astype(np.int8)
+                ids.append(vid)
+                payloads.append(
+                    bytearray(encode_clip_payload(float(scale), codes))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = qt.mapInPandas(_pack, "media_id long, payload binary")
+    # repartition=False: synthesis already spread rows; keep pack ->
+    # decode one fused Python stage instead of an eager sizing pass.
+    img = clip_image_embed(media, repartition=False)
+    pairs = emb.join(img, emb.vec_id == img.media_id).select(
+        "vec_id",
+        cosine_fast(F.col("embedding"), F.col("image_embedding")).alias(
+            "clip_cos"
+        ),
+    )
+    return pairs.where(F.col("clip_cos") >= 0.9)
