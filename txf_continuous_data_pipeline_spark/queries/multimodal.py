@@ -446,3 +446,120 @@ def clip_align_filter(spark, sf_dir):
         ),
     )
     return pairs.where(F.col("clip_cos") >= 0.9)
+
+
+# WebDataset round trip: one write per (applicationId, corpus) into an
+# app-keyed temp dir (the _bm25_index_path discipline - no cross-session
+# sharing, so no rename/lock choreography needed).
+_WDS_CACHE: dict = {}
+
+_WDS_JSON_SQL = (
+    """'{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' """
+    """|| lang || '"}'"""
+)
+
+_WDS_SQL = f"""
+SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sample_key,
+       'txt' AS ext,
+       doc_id % 16 AS shard_id,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+UNION ALL
+SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sample_key,
+       'json' AS ext,
+       doc_id % 16 AS shard_id,
+       md5({_WDS_JSON_SQL}) AS payload_md5,
+       CAST(octet_length(encode({_WDS_JSON_SQL})) AS BIGINT)
+         AS payload_bytes
+FROM documents
+"""
+
+
+def _wds_path(spark, sf_dir):
+    import os
+    import re
+    import tempfile
+
+    from ..sources.webdataset import write_webdataset
+
+    key = ("wds",) + tuple(_mm_corpus_key(spark, sf_dir))
+    if key not in _WDS_CACHE:
+        app = re.sub(
+            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_wds_{app}",
+            re.sub(r"[^A-Za-z0-9_-]", "_", str(key[1:])),
+        )
+        docs = read_table(spark, sf_dir, "documents")
+        json_str = F.concat(
+            F.lit('{"doc_id":'),
+            F.col("doc_id").cast("string"),
+            F.lit(',"lang":"'),
+            F.col("lang"),
+            F.lit('"}'),
+        )
+        samples = docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias(
+                "sample_key"
+            ),
+            (F.col("doc_id") % 16).alias("shard"),
+            F.encode("text", "UTF-8").alias("txt"),
+            F.encode(json_str, "UTF-8").alias("json"),
+        )
+        long_form = samples.select(
+            "sample_key",
+            "shard",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("txt"), F.lit("json")),
+                    F.array(F.col("txt"), F.col("json")),
+                )
+            ).alias("ext", "payload"),
+        )
+        write_webdataset(
+            long_form, path, n_shards=16, shard_col="shard"
+        )
+        _WDS_CACHE[key] = path
+    return _WDS_CACHE[key]
+
+
+def _mm_corpus_key(spark, sf_dir):
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    stamp = (os.path.getmtime(p), os.path.getsize(p))
+    return (spark.sparkContext.applicationId, sf_dir, stamp)
+
+
+@q("webdataset_roundtrip", _WDS_SQL)
+def webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard sink + source round trip: documents become
+    two-member samples ({key}.txt, {key}.json), hash-free explicit
+    sharding on doc_id % 16 (a pure column expr, no global sort - the
+    at-scale assignment), written as reproducible tars and read back
+    via binaryFile + mapInPandas (sources/webdataset.py).
+
+    The oracle re-derives, per member, the md5 and byte length the
+    payload must carry after surviving write -> tar -> read, plus the
+    shard the member must land in (parsed back out of the shard file
+    name) - so sharding, member naming, and bit-exact payload transport
+    are all value-checked. Tar byte reproducibility and corrupt-shard
+    quarantine are pinned by tests/test_webdataset.py."""
+    from ..sources.webdataset import read_webdataset
+
+    path = _wds_path(spark, sf_dir)
+    samples = read_webdataset(spark, path)
+    return samples.where(F.col("error").isNull()).select(
+        "sample_key",
+        "ext",
+        F.regexp_extract(
+            F.col("shard_path"), r"shard-(\d+)\.tar", 1
+        )
+        .cast("long")
+        .alias("shard_id"),
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
