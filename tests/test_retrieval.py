@@ -135,3 +135,52 @@ def test_bm25_index_serving_and_append_equal_inline(spark, tmp_path):
     write_bm25_index(corpus, idx2)
     got2 = rows(bm25_topk_from_index(spark, idx2, queries, k=3))
     assert got2 == want
+
+
+def test_phrase_search_planted(spark):
+    """Planted phrases: overlap counting, repeated-word phrases, a
+    cross-boundary non-match, and absent phrases yielding no row."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 'a a' twice (overlap), 'a b' once
+            (2, "x a y a b"),        # 'a b' once at pos 3; 'a a' absent
+            (3, "b a"),              # reversed - no 'a b'
+            (4, "A  a\ta "),         # normalization: 'a a' twice
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "a a"), (1, "a b"), (2, "zz qq")],
+        "q_id long, q_text string",
+    )
+    got = {
+        (r.q_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in phrase_search(docs, qs).collect()
+    }
+    assert got == {
+        (0, 1): (2, 0),
+        (0, 4): (2, 0),
+        (1, 1): (1, 2),
+        (1, 2): (1, 3),
+    }
+
+
+def test_phrase_search_postings_broadcast(spark):
+    """The phrase-term side must broadcast - the posting prune join
+    must never shuffle the corpus on anything but the term hash."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(0, "a b")], "q_id long, q_text string"
+    )
+    plan = phrase_search(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -2287,3 +2287,94 @@ def bm25_topk_from_index(
         postings, dl, queries,
         k=k, k1=k1, b=b, id_col=id_col, q_id=q_id, q_text=q_text,
     )
+
+
+def phrase_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+) -> DataFrame:
+    """Exact phrase search over positional postings - the third leg of
+    the retrieval stack next to BM25 (bag-of-words) and dense ANN:
+    find every document containing the query's tokens CONSECUTIVELY,
+    with occurrence counts and the first match position.
+
+    Output: (q_id, id_col, n_hits long, first_pos long) - one row per
+    (query, document) that contains the phrase at least once; n_hits
+    counts occurrences (overlaps allowed: 'a a a' holds 'a a' twice),
+    first_pos is the 0-based token position of the first.
+
+    Scale shape: positional postings are ONE posexplode projection of
+    the corpus - (doc id, 8-byte term hash, int position); text never
+    shuffles. Phrase terms ride along with their in-phrase offsets as
+    a BROADCAST (queries are kilobytes) and prune postings with a
+    term-hash equi-join, so the posting scan only materializes rows
+    for terms some phrase mentions. Each surviving row votes for the
+    anchor position pos - offset; an anchor where ALL phrase offsets
+    appear (count distinct offsets == phrase length, which also
+    handles repeated words in the phrase) is one occurrence. Two
+    doc-keyed aggregates total, no window, no cartesian - a skewed
+    stopword in a phrase inflates one posting list but the join stays
+    equi on the hash."""
+    from .dedup import h60, normalized_tokens
+
+    corpus = scan_parallelism_floor(corpus)
+    pos = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("_pos", "_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos").cast("long").alias("_pos"),
+        h60(F.col("_t")).alias("_h"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(q_id),
+            F.filter(
+                normalized_tokens(F.coalesce(F.col(q_text), F.lit(""))),
+                lambda w: F.length(w) > 0,
+            ).alias("_toks"),
+        )
+        .where(F.size("_toks") > 0)
+        .select(
+            F.col(q_id),
+            F.size("_toks").cast("long").alias("_qlen"),
+            F.posexplode("_toks").alias("_off", "_t"),
+        )
+        .select(
+            F.col(q_id),
+            F.col("_qlen"),
+            F.col("_off").cast("long").alias("_off"),
+            h60(F.col("_t")).alias("_h"),
+        )
+    )
+
+    votes = pos.join(F.broadcast(qterms), "_h").where(
+        F.col("_pos") >= F.col("_off")
+    )
+    anchors = (
+        votes.groupBy(
+            q_id,
+            id_col,
+            (F.col("_pos") - F.col("_off")).alias("_anchor"),
+        )
+        .agg(
+            F.countDistinct("_off").alias("_n_off"),
+            F.first("_qlen").alias("_qlen"),
+        )
+        .where(F.col("_n_off") == F.col("_qlen"))
+    )
+    return anchors.groupBy(q_id, id_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("_anchor").alias("first_pos"),
+    )

@@ -2667,3 +2667,68 @@ def bm25_index_topk_q(spark, sf_dir):
     return bm25_topk_from_index(
         spark, _bm25_index_path(spark, sf_dir), queries, k=3
     )
+
+
+def _phrase_search_sql() -> str:
+    """Positional-postings mirror of phrase_search: 0-based token
+    positions via generate_subscripts, anchor votes pos - off, an
+    anchor is a hit when every phrase offset is present."""
+    return f"""
+WITH cd AS (
+  SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS t,
+         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+  FROM cd
+),
+q AS (
+  SELECT doc_id AS q_id, toks[1:3] AS ph FROM cd WHERE doc_id < 5
+),
+qt AS (
+  SELECT q_id, CAST(len(ph) AS BIGINT) AS qlen, unnest(ph) AS t,
+         CAST(generate_subscripts(ph, 1) - 1 AS BIGINT) AS off
+  FROM q
+),
+anchors AS (
+  SELECT qt.q_id, p.doc_id, p.pos - qt.off AS anchor
+  FROM pos p JOIN qt ON p.t = qt.t
+  WHERE p.pos >= qt.off
+  GROUP BY qt.q_id, p.doc_id, p.pos - qt.off, qt.qlen
+  HAVING count(DISTINCT qt.off) = qt.qlen
+)
+SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       min(anchor) AS first_pos
+FROM anchors GROUP BY q_id, doc_id
+"""
+
+
+@q("phrase_search", _phrase_search_sql())
+def phrase_search_q(spark, sf_dir):
+    """Exact phrase search: the first three tokens of each doc_id < 5
+    document become a phrase query against the WHOLE corpus (so every
+    query is guaranteed its self-hit), answered from positional
+    postings - one posexplode projection, broadcast phrase terms with
+    in-phrase offsets, anchor-vote aggregate. Occurrence counts and
+    first match position are value-checked; overlapping occurrences
+    count separately (pinned with planted text in
+    tests/test_retrieval.py)."""
+    from ..operators.textstats import phrase_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    phrases = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(
+                F.filter(
+                    normalized_tokens(F.col("text")),
+                    lambda w: F.length(w) > 0,
+                ),
+                1,
+                3,
+            ),
+            " ",
+        ).alias("q_text"),
+    )
+    return phrase_search(docs, phrases)
