@@ -2378,3 +2378,99 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("_anchor").alias("first_pos"),
     )
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: "list[float]",
+    bias: float,
+    *,
+    feat_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a linear (logistic-regression) classifier over a feature
+    array column: score = sigmoid(w . x + b), pred = score >= 0.5.
+    The weights ride as a LITERAL array (kilobytes - the model is a
+    broadcast constant, fastText-style quality/langid filters are
+    exactly this shape), so scoring is a zero-shuffle projection: one
+    zip_with dot product per row, whole-stage codegen, no Python.
+
+    Output: (id_col, score double 6dp, pred int). Deterministic given
+    deterministic features - the dot product folds left-to-right on
+    both engines, so even the score VALUES oracle-check."""
+    wlit = F.array(*[F.lit(float(v)) for v in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(feat_col), wlit, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) + F.lit(float(bias))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dot)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= 0.5).cast("int").alias("pred"),
+    )
+
+
+def logreg_train(
+    df: DataFrame,
+    *,
+    dim: int,
+    feat_col: str = "embedding",
+    label_col: str = "y",
+    lr: float = 0.5,
+    n_iters: int = 12,
+    l2: float = 1e-4,
+) -> "tuple[list[float], float]":
+    """Train a binary logistic-regression classifier by full-batch
+    gradient descent, distributed: per iteration the current weights
+    broadcast as a literal array, each row contributes residual
+    (sigmoid(w.x+b) - y) times its features, and ONE map-side-combined
+    aggregate of dim+1 sums folds the gradient - no shuffle wider than
+    the aggregate's single combine, no Python in the pass. Weights
+    live on the driver (dim+1 floats); n_iters passes over the CACHED
+    feature table is the whole cost.
+
+    At 100 TB one trains this on a SAMPLE (quality/langid classifiers
+    are fit on ~1M rows then served corpus-wide - the serving pass,
+    logreg_score, is the one that must scale, and it is zero-shuffle);
+    the full-batch loop here is deterministic-differentiable against a
+    numpy reference (tests/test_classifier.py).
+
+    Returns (weights list[dim], bias)."""
+    feats = df.select(
+        F.col(feat_col).alias("_x"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).persist()
+    try:
+        n = float(feats.count())
+        if n == 0:
+            raise ValueError("logreg_train: empty training set")
+        w = [0.0] * dim
+        b = 0.0
+        for _ in range(n_iters):
+            wlit = F.array(*[F.lit(float(v)) for v in w])
+            margin = F.aggregate(
+                F.zip_with(F.col("_x"), wlit, lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) + F.lit(b)
+            resid = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y")
+            )
+            row = feats.select(
+                F.transform(F.col("_x"), lambda x: x * resid).alias("_g"),
+                resid.alias("_r"),
+            )
+            sums = row.agg(
+                *[F.sum(F.col("_g")[i]).alias(f"g{i}") for i in range(dim)],
+                F.sum("_r").alias("gb"),
+            ).first()
+            w = [
+                wi - lr * (sums[f"g{i}"] / n + l2 * wi)
+                for i, wi in enumerate(w)
+            ]
+            b -= lr * sums["gb"] / n
+    finally:
+        feats.unpersist()
+    return w, b

@@ -2732,3 +2732,85 @@ def phrase_search_q(spark, sf_dir):
         ).alias("q_text"),
     )
     return phrase_search(docs, phrases)
+
+
+def _logreg_weights(dim: int = 64) -> "list[float]":
+    """Closed-form deterministic demo weights for the serving-path
+    oracle: both engines inline the SAME literal list."""
+    return [((7 * i) % 13 - 6) / 10.0 for i in range(dim)]
+
+
+def _logreg_score_sql(dim: int = 64, bias: float = -0.1) -> str:
+    """Mirror of hashing_trick_embed -> logreg_score: the 6dp-rounded
+    embedding feeds a literal-weight dot product and a sigmoid."""
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
+    )
+    wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {toks_h} AS hs FROM documents),
+v AS (SELECT doc_id, {raw} AS raw FROM t),
+n AS (SELECT doc_id, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v),
+emb AS (SELECT doc_id,
+               list_transform(raw, x -> round(x / nrm, 6)) AS e
+        FROM n),
+s AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> e[i] * ({wlit})[i]))
+               + ({bias!r})))), 6) AS score
+      FROM emb)
+SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS pred FROM s
+"""
+
+
+@q("quality_logreg_score", _logreg_score_sql())
+def quality_logreg_score_q(spark, sf_dir):
+    """The classifier SERVING path - the pass that must scale to
+    100 TB: hashing-trick features (64-dim, h60 buckets, 6dp-rounded
+    L2 normalization) scored by a literal-weight logistic model
+    (fastText-style quality/langid filters are exactly this shape).
+    Zero shuffle beyond the feature build's doc-keyed aggregate; the
+    dot product + sigmoid is a whole-stage-codegen projection with the
+    model broadcast as a literal. Scores value-check against the
+    DuckDB mirror of the same literal weights."""
+    from ..operators.textstats import hashing_trick_embed, logreg_score
+
+    emb = hashing_trick_embed(
+        read_table(spark, sf_dir, "documents"), dim=64
+    )
+    return logreg_score(emb, _logreg_weights(64), -0.1)
+
+
+@q("langid_logreg_train", None)
+def langid_logreg_train_q(spark, sf_dir):
+    """TRAIN the classifier: distributed full-batch gradient descent
+    for a lang=='en' logistic classifier over 32-dim hashing-trick
+    features, fit on the doc_id % 5 == 0 sample (at 100 TB one trains
+    on a sample and serves corpus-wide - the serving twin above is the
+    zero-shuffle pass). Per iteration: weights broadcast as a literal,
+    one map-side-combined aggregate of dim+1 gradient sums. Rows-only
+    (an iterative driver loop has no SQL form); the GD loop is pinned
+    against a numpy reference and the fitted model beats the majority
+    baseline on held-out docs in tests/test_classifier.py."""
+    from ..operators.textstats import hashing_trick_embed, logreg_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = hashing_trick_embed(docs, dim=32).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+        ),
+        "doc_id",
+    )
+    train = emb.where(F.col("doc_id") % 5 == 0)
+    w, b = logreg_train(train, dim=32, label_col="y", n_iters=10)
+    rows = [(-1, round(b, 9))] + [
+        (i, round(v, 9)) for i, v in enumerate(w)
+    ]
+    return spark.createDataFrame(
+        rows, "pos int, weight double"
+    ).orderBy("pos")
