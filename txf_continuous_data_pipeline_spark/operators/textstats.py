@@ -2474,3 +2474,275 @@ def logreg_train(
     finally:
         feats.unpersist()
     return w, b
+
+
+def _wp_merge(left: str, right: str) -> str:
+    """WordPiece merged symbol: the continuation marker of the RIGHT
+    piece dissolves into the join ('a' + '##b' -> 'ab', '##a' + '##b'
+    -> '##ab') - the HuggingFace WordPiece convention."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def wordpiece_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 10,
+    driver_vocab_limit: int = 200_000,
+) -> "list[tuple[int, str, str, str, int]]":
+    """Train WordPiece merge rules (Schuster & Nakajima 2012 / the BERT
+    tokenizer): identical machinery to bpe_train - the corpus-scale
+    work is ONE groupBy(token) count, the merge loop runs over the
+    weighted distinct vocabulary - but each step picks the pair
+    maximizing count(l,r) / (count(l) * count(r)) (the likelihood-gain
+    score) instead of the raw pair count, and word-internal symbols
+    carry the '##' continuation marker. Returns [(step, left, right,
+    merged, pair_count)].
+
+    Two equivalent paths (pytest-pinned to agree): vocab within
+    `driver_vocab_limit` collects and runs an incrementally-counted
+    local loop; larger vocabs run the distributed step - a pair-count
+    aggregate joined to a BROADCAST symbol-count aggregate (the symbol
+    table is vocab-sized, kilobytes), score, argmax with the
+    deterministic (score desc, pair asc) tie-break, then the same
+    single-pass merge fold bpe_train uses."""
+    from .dedup import normalized_tokens
+
+    vocab = (
+        df.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select(
+            F.filter(
+                F.split(F.col("_tok"), "(?!^)"),
+                lambda x: F.length(x) > 0,
+            ).alias("_c"),
+            "_w",
+        )
+        .where(F.size("_c") > 0)
+        # continuation marker on every non-initial character
+        .select(
+            F.zip_with(
+                F.col("_c"),
+                F.sequence(F.lit(0), F.size("_c") - 1),
+                lambda c, i: F.when(i == 0, c).otherwise(
+                    F.concat(F.lit("##"), c)
+                ),
+            ).alias("_sym"),
+            "_w",
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    if vocab.count() <= driver_vocab_limit:
+        return _wordpiece_train_driver(vocab.collect(), n_merges)
+    merges: list = []
+    for step in range(n_merges):
+        syms = vocab.select(
+            F.explode("_sym").alias("_s"), "_w"
+        ).groupBy("_s").agg(F.sum("_w").alias("_cnt"))
+        pairs = (
+            vocab.select(
+                "_w",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_sym"), 1, F.size("_sym") - 1),
+                        F.slice(F.col("_sym"), 2, F.size("_sym") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("l"), b.alias("r")
+                        ),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("_w").alias("_n"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(syms.withColumnRenamed("_s", "l")).withColumnRenamed(
+                    "_cnt", "_cl"
+                ),
+                "l",
+            )
+            .join(
+                F.broadcast(syms.withColumnRenamed("_s", "r")).withColumnRenamed(
+                    "_cnt", "_cr"
+                ),
+                "r",
+            )
+            .select(
+                "l",
+                "r",
+                "_n",
+                (
+                    F.col("_n").cast("double")
+                    / (F.col("_cl") * F.col("_cr"))
+                ).alias("_score"),
+            )
+            .where(F.col("_n") >= 2)
+            .orderBy(F.col("_score").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["_n"])
+        merged = _wp_merge(left, right)
+        merges.append((step, left, right, merged, n))
+        fold = F.aggregate(
+            F.col("_sym"),
+            F.struct(
+                F.array().cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, x: F.when(
+                acc["pend"].eqNullSafe(F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias(
+                        "out"
+                    ),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(acc["pend"].isNull(), acc["out"])
+                    .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+                    .alias("out"),
+                    x.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        vocab = vocab.select(fold.alias("_sym"), "_w")
+        if step % 3 == 2 or step == n_merges - 1:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def _wordpiece_train_driver(
+    rows, n_merges: int
+) -> "list[tuple[int, str, str, str, int]]":
+    """Local WordPiece merge loop over the collected weighted vocab:
+    pair counts AND unigram symbol counts are maintained incrementally
+    (a merge only re-folds words containing the merged pair, and only
+    those words' symbol occurrences shift), scores are computed at
+    argmax time from the live counts - so global count drift from each
+    merge is reflected exactly, matching the distributed step."""
+    from collections import Counter, defaultdict
+
+    words = [[list(r["_sym"]), int(r["_w"])] for r in rows]
+    pair_counts: Counter = Counter()
+    sym_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for wi, (syms, w) in enumerate(words):
+        for s in syms:
+            sym_counts[s] += w
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += w
+            where[p].add(wi)
+    merges: list = []
+    for step in range(n_merges):
+        best = None
+        for pair, cnt in pair_counts.items():
+            if cnt < 2:
+                continue
+            score = cnt / (sym_counts[pair[0]] * sym_counts[pair[1]])
+            key = (-score, pair)
+            if best is None or key < best[0]:
+                best = (key, cnt)
+        if best is None:
+            break
+        (_, (left, right)), cnt = best
+        merged = _wp_merge(left, right)
+        merges.append((step, left, right, merged, int(cnt)))
+        for wi in sorted(where.pop((left, right), ())):
+            syms, w = words[wi]
+            for s in syms:
+                sym_counts[s] -= w
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= w
+            new = []
+            pend = None
+            for x in syms:
+                if pend == left and x == right:
+                    new.append(merged)
+                    pend = None
+                else:
+                    if pend is not None:
+                        new.append(pend)
+                    pend = x
+            if pend is not None:
+                new.append(pend)
+            words[wi][0] = new
+            for s in new:
+                sym_counts[s] += w
+            for p in zip(new, new[1:]):
+                pair_counts[p] += w
+                where[p].add(wi)
+    return merges
+
+
+def wordpiece_encode_counts(
+    df: DataFrame,
+    vocab: "set[str]",
+    *,
+    text_col: str = "text",
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Corpus piece-frequency table under a trained WordPiece vocab
+    using the REAL WordPiece tokenizer - greedy longest-match-first
+    (BERT's runtime algorithm, NOT merge replay): per word, take the
+    longest vocab prefix, then the longest '##'-continuation piece,
+    and so on; any dead end makes the whole word [UNK].
+
+    Vocab-amortized like bpe_encode_counts: segmentation runs once per
+    DISTINCT word (one corpus groupBy) with the kilobyte vocab in the
+    UDF closure, then piece counts scale by word frequency. Output:
+    (piece, n), n = total corpus occurrences."""
+    from .dedup import normalized_tokens
+
+    vocab_b = frozenset(vocab)
+    max_len = max((len(v) for v in vocab_b), default=1)
+
+    def _segment(word: str) -> "list[str]":
+        pieces: list = []
+        i = 0
+        first = True
+        while i < len(word):
+            end = min(len(word), i + max_len)
+            piece = None
+            for j in range(end, i, -1):
+                cand = word[i:j] if first else "##" + word[i:j]
+                if cand in vocab_b:
+                    piece = cand
+                    i = j
+                    break
+            if piece is None:
+                return [unk]
+            pieces.append(piece)
+            first = False
+        return pieces or [unk]
+
+    @F.pandas_udf("array<string>")
+    def _seg_udf(words: pd.Series) -> pd.Series:
+        return words.map(_segment)
+
+    df = scan_parallelism_floor(df)
+    word_freq = (
+        df.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("_w")
+        )
+        .where(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        word_freq.select(
+            F.explode(_seg_udf(F.col("_w"))).alias("piece"), "_n"
+        )
+        .groupBy("piece")
+        .agg(F.sum("_n").alias("n"))
+    )

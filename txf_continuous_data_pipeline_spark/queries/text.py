@@ -2814,3 +2814,67 @@ def langid_logreg_train_q(spark, sf_dir):
     return spark.createDataFrame(
         rows, "pos int, weight double"
     ).orderBy("pos")
+
+
+_WORDPIECE_CACHE: dict = {}
+
+
+def _trained_wordpiece(spark, sf_dir, n_merges: int = 10):
+    from ..operators.textstats import wordpiece_train
+
+    key = (_corpus_key(spark, sf_dir), n_merges)
+    if key not in _WORDPIECE_CACHE:
+        _WORDPIECE_CACHE[key] = wordpiece_train(
+            read_table(spark, sf_dir, "documents"), n_merges=n_merges
+        )
+    return _WORDPIECE_CACHE[key]
+
+
+@q("wordpiece_merge_rules", None)
+def wordpiece_merge_rules_q(spark, sf_dir):
+    """Ten WordPiece merge rules trained on the corpus - the BERT
+    tokenizer trainer, completing the family next to word BPE, byte
+    BPE and unigram-LM. Same machinery as bpe_merge_rules but each
+    step maximizes count(l,r)/(count(l)*count(r)) (likelihood gain)
+    over '##'-marked word-internal symbols. Iterative driver loop ->
+    rows-only; the merge sequence and the driver==distributed paths
+    are pinned by the pure-Python differential in
+    tests/test_wordpiece.py."""
+    merges = _trained_wordpiece(spark, sf_dir, n_merges=10)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, n long",
+    )
+
+
+@q("wordpiece_token_counts", None)
+def wordpiece_token_counts_q(spark, sf_dir):
+    """Corpus piece frequencies under the TRAINED WordPiece vocab via
+    the real runtime algorithm - greedy longest-match-first with
+    [UNK] dead-end fallback (BERT's tokenizer, NOT merge replay).
+    Vocab-amortized: segmentation runs once per distinct word.
+    Downstream of an iterative trainer -> rows-only; the greedy
+    segmenter is pinned on hand-built words in
+    tests/test_wordpiece.py."""
+    from ..operators.textstats import wordpiece_encode_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _trained_wordpiece(spark, sf_dir, n_merges=10)
+    # trained vocab = every alphabet symbol live in the corpus plus
+    # the merged pieces; alphabet = single chars and their ## forms
+    alphabet = set()
+    for _, left, right, _m, _n in merges:
+        alphabet.add(left)
+        alphabet.add(right)
+    import string
+
+    base = set(string.ascii_lowercase) | set(string.digits)
+    vocab = (
+        {c for c in base}
+        | {"##" + c for c in base}
+        | alphabet
+        | {m for _, _l, _r, m, _n in merges}
+    )
+    return wordpiece_encode_counts(docs, vocab).orderBy(
+        F.col("n").desc(), "piece"
+    )
