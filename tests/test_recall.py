@@ -473,3 +473,33 @@ def test_ivfpq_residual_full_probe_is_exact(spark, sf_dir):
     assert {tuple(r) for r in res.collect()} == {
         tuple(r) for r in raw.collect()
     }
+
+
+def test_fuzzy_decontamination_planted(spark):
+    """A paraphrased benchmark leak (high shingle Jaccard, zero shared
+    exact windows at the same cuts is not required) must be flagged;
+    unrelated docs must not; and the eval side must broadcast."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        minhash_contamination,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    leak = base + " indeed"  # near-identical shingle set
+    train = spark.createDataFrame(
+        [
+            (1, leak),
+            (2, "completely unrelated text about spark shuffles and joins here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, base), (101, "another benchmark item with different words entirely")],
+        "doc_id long, text string",
+    )
+    out = minhash_contamination(train, evals, threshold=0.5)
+    got = {(r.doc_id, r.eval_id): r.jaccard for r in out.collect()}
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] > 0.8
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

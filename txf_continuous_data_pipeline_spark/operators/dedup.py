@@ -1038,3 +1038,84 @@ def dedup_lines_delta(
         base, drops, id_col=id_col, text_col=text_col,
         joiner=sep if joiner is None else joiner,
     )
+
+
+def minhash_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    eval_id: str = "eval_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    train_shingle_sets: DataFrame | None = None,
+    eval_shingle_sets: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY train/eval decontamination: training docs whose shingle
+    Jaccard vs ANY benchmark doc reaches `threshold`, found by MinHash
+    + LSH banding - the near-duplicate complement of the exact n-gram
+    overlap report (ngram_contamination). Paraphrased or
+    lightly-edited benchmark leaks share most shingles but not
+    necessarily any verbatim n-gram window at the same cut points; the
+    Jaccard test catches those.
+
+    Output: (id_col, eval_id, jaccard) for every contaminated
+    (train doc, eval doc) pair, exact-Jaccard verified.
+
+    Scale shape: the ASYMMETRY is the point - eval suites are MBs, so
+    the eval side's band table and shingle sets both BROADCAST; the
+    corpus side is the same zero-shuffle signature projection the
+    near-dup path uses, pruned by the band equi-join before any
+    verification. No self-join, no corpus-corpus pair ever forms; cost
+    is one corpus signature pass + candidate-sized verify."""
+    rows_per_band = num_hashes // bands
+    sig_t = minhash_signature(
+        train, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+        shingle_sets=train_shingle_sets,
+    )
+    sig_e = minhash_signature(
+        eval_df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+        shingle_sets=eval_shingle_sets,
+    )
+    bt = band_signature(
+        sig_t, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
+    be = band_signature(
+        sig_e, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    ).withColumnRenamed(id_col, eval_id)
+    cand = (
+        bt.join(F.broadcast(be), ["band_id", "band_hash"])
+        .select(id_col, eval_id)
+        .distinct()
+    )
+    tsets = train_shingle_sets
+    if tsets is None:
+        tsets = train.select(
+            F.col(id_col),
+            shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
+        )
+    esets = eval_shingle_sets
+    if esets is None:
+        esets = eval_df.select(
+            F.col(id_col),
+            shingle_array(F.col(text_col), n=shingle_n, hashed=True).alias("sh"),
+        )
+    esets = esets.select(
+        F.col(id_col).alias(eval_id), F.col("sh").alias("sh_e")
+    )
+    return (
+        cand.join(tsets.select(id_col, "sh"), id_col)
+        .join(F.broadcast(esets), eval_id)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh", "sh_e"))
+            / F.size(F.array_union("sh", "sh_e")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col, eval_id, "jaccard")
+    )

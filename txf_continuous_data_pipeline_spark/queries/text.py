@@ -2878,3 +2878,83 @@ def wordpiece_token_counts_q(spark, sf_dir):
     return wordpiece_encode_counts(docs, vocab).orderBy(
         F.col("n").desc(), "piece"
     )
+
+
+def _fuzzy_decontam_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """The _minhash_sql machinery split asymmetrically: train =
+    doc_id % 10 != 0, eval = % 10 == 0; same lanes, bands and
+    exact-Jaccard verify."""
+    a_lane, b_lane = minhash_lane_constants(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"CAST(min((CAST({int(a_lane[i])} AS HUGEINT) * h + {int(b_lane[i])})"
+        f" % {H60_MOD}) AS BIGINT) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_list = ",\n           ".join(
+        _h60_sql(
+            "concat("
+            + ", ',', ".join(f"s{bi * rows + r}" for r in range(rows))
+            + ")"
+        )
+        for bi in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(st.shl, se.shl)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(st.shl, se.shl)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_H} AS shl FROM documents
+),
+eh AS (SELECT doc_id, unnest(shl) AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM eh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, unnest(range(0, {bands})) AS band_id,
+         unnest([{band_list}]) AS band_hash
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM banded t JOIN banded e
+    ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+  WHERE t.doc_id % 10 != 0 AND e.doc_id % 10 = 0
+)
+SELECT c.doc_id, c.eval_id, round({jac}, 6) AS jaccard
+FROM cand c
+JOIN sh st ON st.doc_id = c.doc_id
+JOIN sh se ON se.doc_id = c.eval_id
+WHERE {jac} >= {threshold}
+"""
+
+
+@q("fuzzy_decontamination", _fuzzy_decontam_sql())
+def fuzzy_decontamination_q(spark, sf_dir):
+    """FUZZY decontamination: training docs (doc_id % 10 != 0) whose
+    exact shingle Jaccard vs any benchmark doc (doc_id % 10 == 0)
+    reaches 0.3, candidates from MinHash + LSH banding with the EVAL
+    side broadcast (eval suites are MBs - no corpus self-join ever
+    forms). The near-dup complement of decontamination_report's
+    verbatim n-gram overlap: paraphrased leaks share shingle mass
+    without sharing any exact 3-gram window. Hash-green - lanes,
+    band buckets and the verified jaccard all value-match the
+    oracle."""
+    from ..operators.dedup import minhash_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    sets = _shingle_sets(spark, sf_dir)
+    return minhash_contamination(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        threshold=0.3,
+        train_shingle_sets=sets.where(F.col("doc_id") % 10 != 0),
+        eval_shingle_sets=sets.where(F.col("doc_id") % 10 == 0),
+    ).select(
+        "doc_id", "eval_id", F.round("jaccard", 6).alias("jaccard")
+    )
