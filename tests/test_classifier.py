@@ -41,6 +41,7 @@ def _ref_train():
 
 
 def test_logreg_train_matches_numpy(spark):
+    """Driver path (the default at sample scale): exact numpy GD."""
     df = spark.createDataFrame(
         ROWS, "embedding array<double>, y int"
     )
@@ -48,8 +49,23 @@ def test_logreg_train_matches_numpy(spark):
         df, dim=DIM, label_col="y", lr=LR, n_iters=ITERS, l2=L2
     )
     rw, rb = _ref_train()
-    assert np.allclose(w, rw, rtol=1e-9, atol=1e-12)
-    assert abs(b - rb) < 1e-12
+    assert np.allclose(w, rw, rtol=1e-12, atol=1e-14)
+    assert abs(b - rb) < 1e-14
+
+
+def test_logreg_distributed_path_matches_driver(spark):
+    """driver_row_limit=0 forces the distributed aggregate loop; it
+    must agree with the collected-numpy path to float tolerance."""
+    df = spark.createDataFrame(
+        ROWS, "embedding array<double>, y int"
+    )
+    wd, bd = logreg_train(
+        df, dim=DIM, label_col="y", lr=LR, n_iters=ITERS, l2=L2,
+        driver_row_limit=0,
+    )
+    rw, rb = _ref_train()
+    assert np.allclose(wd, rw, rtol=1e-9, atol=1e-12)
+    assert abs(bd - rb) < 1e-12
 
 
 def test_logreg_score_matches_sigmoid(spark):

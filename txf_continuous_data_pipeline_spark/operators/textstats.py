@@ -2421,21 +2421,30 @@ def logreg_train(
     lr: float = 0.5,
     n_iters: int = 12,
     l2: float = 1e-4,
+    driver_row_limit: int = 200_000,
 ) -> "tuple[list[float], float]":
     """Train a binary logistic-regression classifier by full-batch
-    gradient descent, distributed: per iteration the current weights
-    broadcast as a literal array, each row contributes residual
-    (sigmoid(w.x+b) - y) times its features, and ONE map-side-combined
-    aggregate of dim+1 sums folds the gradient - no shuffle wider than
-    the aggregate's single combine, no Python in the pass. Weights
-    live on the driver (dim+1 floats); n_iters passes over the CACHED
-    feature table is the whole cost.
+    gradient descent. Two equivalent paths (the _bpe_train_loop
+    discipline, pytest-pinned to agree):
+
+    * training set within `driver_row_limit` rows: collect the (x, y)
+      rows (~dim*8 B each - a quality/langid classifier's sample fits
+      one node by design) and run the identical GD loop vectorized in
+      numpy. Iteration cost is a gemv, not a Spark job - the
+      per-iteration query-planning overhead of the distributed loop
+      is the dominant cost at sample scale.
+    * larger: the distributed loop - per iteration the current weights
+      broadcast as a literal array, each row contributes residual
+      (sigmoid(w.x+b) - y) times its features, and ONE
+      map-side-combined aggregate of dim+1 sums folds the gradient;
+      no shuffle wider than the aggregate's single combine, no Python
+      in the pass, n_iters passes over the CACHED feature table.
 
     At 100 TB one trains this on a SAMPLE (quality/langid classifiers
     are fit on ~1M rows then served corpus-wide - the serving pass,
     logreg_score, is the one that must scale, and it is zero-shuffle);
-    the full-batch loop here is deterministic-differentiable against a
-    numpy reference (tests/test_classifier.py).
+    both paths are differentiable against a numpy reference
+    (tests/test_classifier.py).
 
     Returns (weights list[dim], bias)."""
     feats = df.select(
@@ -2446,6 +2455,20 @@ def logreg_train(
         n = float(feats.count())
         if n == 0:
             raise ValueError("logreg_train: empty training set")
+        if n <= driver_row_limit:
+            import numpy as np
+
+            rows = feats.collect()
+            X = np.array([list(r["_x"]) for r in rows], dtype=np.float64)
+            y = np.array([r["_y"] for r in rows], dtype=np.float64)
+            w_np = np.zeros(dim)
+            b_np = 0.0
+            for _ in range(n_iters):
+                p = 1.0 / (1.0 + np.exp(-(X @ w_np + b_np)))
+                r = p - y
+                w_np = w_np - lr * (X.T @ r / n + l2 * w_np)
+                b_np -= lr * r.sum() / n
+            return [float(v) for v in w_np], float(b_np)
         w = [0.0] * dim
         b = 0.0
         for _ in range(n_iters):

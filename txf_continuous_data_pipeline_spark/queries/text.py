@@ -1653,10 +1653,10 @@ def text_hash_embeddings_q(spark, sf_dir):
     k-means, SemDeDup). Deterministic across engines via the h60
     family, so even the embedding VALUES are oracle-checked - in long
     (doc_id, pos, component) form with zeros elided, keeping the
-    driver comparison scalar-typed."""
-    from ..operators.textstats import hashing_trick_embed
-
-    emb = hashing_trick_embed(read_table(spark, sf_dir, "documents"), dim=64)
+    driver comparison scalar-typed. The feature frame itself is the
+    corpus-cached _hash_feats shared with the classifier pair - one
+    materialization serves all three consumers."""
+    emb = _hash_feats(spark, sf_dir, dim=64)
     return (
         emb.select(
             "doc_id", F.posexplode("embedding").alias("pos", "component")
@@ -2768,6 +2768,23 @@ SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS pred FROM s
 """
 
 
+# Per-corpus cache of the 64-dim hashed feature frame - the shared
+# intermediate of the classifier pair (serving scores the whole frame,
+# training collects its doc_id % 5 slice), the _shingle_sets pattern.
+_HASH_FEATS_CACHE: dict = {}
+
+
+def _hash_feats(spark, sf_dir, dim: int = 64):
+    from ..operators.textstats import hashing_trick_embed
+
+    key = (_corpus_key(spark, sf_dir), dim)
+    if key not in _HASH_FEATS_CACHE:
+        _HASH_FEATS_CACHE[key] = hashing_trick_embed(
+            read_table(spark, sf_dir, "documents"), dim=dim
+        ).localCheckpoint(eager=True)
+    return _HASH_FEATS_CACHE[key]
+
+
 @q("quality_logreg_score", _logreg_score_sql())
 def quality_logreg_score_q(spark, sf_dir):
     """The classifier SERVING path - the pass that must scale to
@@ -2778,36 +2795,36 @@ def quality_logreg_score_q(spark, sf_dir):
     dot product + sigmoid is a whole-stage-codegen projection with the
     model broadcast as a literal. Scores value-check against the
     DuckDB mirror of the same literal weights."""
-    from ..operators.textstats import hashing_trick_embed, logreg_score
+    from ..operators.textstats import logreg_score
 
-    emb = hashing_trick_embed(
-        read_table(spark, sf_dir, "documents"), dim=64
+    return logreg_score(
+        _hash_feats(spark, sf_dir), _logreg_weights(64), -0.1
     )
-    return logreg_score(emb, _logreg_weights(64), -0.1)
 
 
 @q("langid_logreg_train", None)
 def langid_logreg_train_q(spark, sf_dir):
-    """TRAIN the classifier: distributed full-batch gradient descent
-    for a lang=='en' logistic classifier over 32-dim hashing-trick
-    features, fit on the doc_id % 5 == 0 sample (at 100 TB one trains
-    on a sample and serves corpus-wide - the serving twin above is the
-    zero-shuffle pass). Per iteration: weights broadcast as a literal,
-    one map-side-combined aggregate of dim+1 gradient sums. Rows-only
-    (an iterative driver loop has no SQL form); the GD loop is pinned
-    against a numpy reference and the fitted model beats the majority
-    baseline on held-out docs in tests/test_classifier.py."""
-    from ..operators.textstats import hashing_trick_embed, logreg_train
+    """TRAIN the classifier: full-batch gradient descent for a
+    lang=='en' logistic classifier over the corpus-cached 64-dim
+    hashing-trick features, fit on the doc_id % 5 == 0 sample (at
+    100 TB one trains on a sample and serves corpus-wide - the
+    serving twin above is the zero-shuffle pass). The sample fits the
+    driver, so logreg_train's collected-numpy path runs; the
+    distributed aggregate loop it falls back to above
+    driver_row_limit is pinned to agree in tests/test_classifier.py.
+    Rows-only (an iterative driver loop has no SQL form); the GD loop
+    is pinned against a numpy reference and the fitted model beats
+    the majority baseline on held-out docs."""
+    from ..operators.textstats import logreg_train
 
     docs = read_table(spark, sf_dir, "documents")
-    emb = hashing_trick_embed(docs, dim=32).join(
+    train = _hash_feats(spark, sf_dir).join(
         docs.select(
             "doc_id", (F.col("lang") == "en").cast("int").alias("y")
         ),
         "doc_id",
-    )
-    train = emb.where(F.col("doc_id") % 5 == 0)
-    w, b = logreg_train(train, dim=32, label_col="y", n_iters=10)
+    ).where(F.col("doc_id") % 5 == 0)
+    w, b = logreg_train(train, dim=64, label_col="y", n_iters=10)
     rows = [(-1, round(b, 9))] + [
         (i, round(v, 9)) for i, v in enumerate(w)
     ]
