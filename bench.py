@@ -58,9 +58,14 @@ def main() -> None:
 
     @pandas_udf("double")
     def _warm_arrow(v):
-        return v
+        # import numpy inside the worker: every real pandas-UDF stage
+        # uses it, and the per-worker import otherwise lands on the
+        # first multimodal/similarity query's timing
+        import numpy as _np  # noqa: F401
 
-    spark.range(64).select(
+        return v * 1.0
+
+    spark.range(32 * 64).select(
         _warm_arrow(F.col("id").cast("double"))
     ).write.format("noop").mode("overwrite").save()
 

@@ -404,3 +404,38 @@ def test_bm25_from_index_plan_matches_inline_tail(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 2, (name, plan)
         assert "CartesianProduct" not in plan
         assert plan.count("SortMergeJoin") <= 1, (name, plan)
+
+
+def test_adaptive_cutoff_broadcasts_per_source_bar(spark, sf_dir):
+    # The p25-per-source cutoff frame is one row per source; it must
+    # come back as a broadcast, never a corpus-side shuffle join.
+    plan = _plan(spark, sf_dir, "adaptive_quality_cutoff")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_idf_table_broadcasts(spark, sf_dir):
+    # Hashing to dim buckets makes the idf table a constant-sized
+    # frame: it must broadcast, and the doc-count scalar must ride a
+    # broadcast nested-loop one-row cross join (the bm25 stats shape),
+    # never a real cartesian.
+    plan = _plan(spark, sf_dir, "tfidf_hash_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_posting_prune_is_broadcast(spark, sf_dir):
+    # Phrase terms + offsets broadcast onto the positional postings;
+    # the corpus side shuffles only for the two doc-keyed aggregates.
+    plan = _plan(spark, sf_dir, "phrase_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_decontamination_eval_side_broadcasts(spark, sf_dir):
+    # Both the band join and the shingle-set verify join must carry
+    # the EVAL side as a broadcast - no corpus self-join ever forms.
+    plan = _plan(spark, sf_dir, "fuzzy_decontamination")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

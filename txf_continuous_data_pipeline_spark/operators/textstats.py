@@ -2769,3 +2769,94 @@ def wordpiece_encode_counts(
         .groupBy("piece")
         .agg(F.sum("_n").alias("n"))
     )
+
+
+def tfidf_hash_embed(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed TF-IDF featurization: hashing_trick_embed's bucket
+    counts reweighted by sublinear tf ((1 + ln tf)) times smoothed idf
+    (ln((N+1)/(df+1)) + 1, the scikit-learn convention), L2-normalized
+    - the classic lexical vectorizer, upgrading raw counts with
+    corpus-level term salience while staying model-free and
+    engine-reproducible (h60 buckets again).
+
+    The scale trick: hashing to `dim` buckets makes the 'vocabulary'
+    exactly dim entries, so the document-frequency table is a
+    CONSTANT-SIZED frame (dim rows) that BROADCASTS - no vocab-scale
+    join ever forms, unlike word-keyed TF-IDF. Corpus work is one
+    explode + one (id, bucket) aggregate + one dim-row bucket
+    aggregate; the doc-count scalar rides a lazy broadcast one-row
+    cross join (the bm25 stats discipline).
+
+    Output: (id_col, embedding array<double>, 6dp components)."""
+    from .dedup import h60, normalized_tokens
+
+    df = scan_parallelism_floor(df)
+    buckets = df.select(
+        F.col(id_col),
+        F.explode(normalized_tokens(F.col(text_col))).alias("_tok"),
+    ).select(F.col(id_col), (h60(F.col("_tok")) % dim).alias("_pos"))
+    counts = buckets.groupBy(id_col, "_pos").agg(
+        F.count("*").cast("double").alias("_tf")
+    )
+    # lazy localCheckpoint: three consumers below (dfreq, stats, the
+    # weight join) would otherwise re-run the corpus explode each
+    counts = counts.localCheckpoint(eager=False)
+    dfreq = counts.groupBy("_pos").agg(
+        F.count("*").cast("double").alias("_df")
+    )
+    stats = counts.select(id_col).distinct().agg(
+        F.count("*").cast("double").alias("_n_docs")
+    )
+    weighted = (
+        counts.join(F.broadcast(dfreq), "_pos")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("_pos"),
+            (
+                (F.lit(1.0) + F.log("_tf"))
+                * (
+                    F.log(
+                        (F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("_w"),
+        )
+    )
+    dense = weighted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_pos", "_w"))
+        ).alias("_m")
+    )
+    # staged projections - the hashing_trick_embed Catalyst-width
+    # lesson (interpreted higher-order trees get no CSE across
+    # consumers)
+    raw = dense.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.col("_m")[i.cast("long")], F.lit(0.0)),
+        ).alias("_raw"),
+    )
+    with_norm = raw.select(
+        F.col(id_col),
+        "_raw",
+        F.sqrt(
+            F.aggregate(
+                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("_nrm"),
+    )
+    return with_norm.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_raw"), lambda x: F.round(x / F.col("_nrm"), 6)
+        ).alias("embedding"),
+    )

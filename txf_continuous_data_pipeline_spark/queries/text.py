@@ -2975,3 +2975,128 @@ def fuzzy_decontamination_q(spark, sf_dir):
     ).select(
         "doc_id", "eval_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# the quality_score(text) column expression as SQL - the same fragment
+# _STATS_SQL inlines, factored for reuse by the adaptive-cutoff query
+_QSCORE_SQL = f"""round(least(len({_TOKS}) / 50.0, 1.0)
+  * (0.5 + least((CAST(len(list_filter({_TOKS},
+        t -> list_contains({_sql_marker_list(_ALL_MARKERS)}, t))) AS DOUBLE)
+      / greatest(len({_TOKS}), 1)) * 5.0, 1.0) * 0.5)
+  * (1.0 - least((CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1)) * 2.0, 1.0)), 6)"""
+
+
+_ADAPTIVE_CUTOFF_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_QSCORE_SQL} AS score FROM documents
+),
+c AS (
+  SELECT source, round(quantile_cont(score, 0.25), 6) AS cutoff
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.score, c.cutoff,
+       CAST(s.score >= c.cutoff AS INT) AS keep
+FROM s JOIN c ON s.source = c.source
+"""
+
+
+@q("adaptive_quality_cutoff", _ADAPTIVE_CUTOFF_SQL)
+def adaptive_quality_cutoff_q(spark, sf_dir):
+    """PER-SOURCE adaptive quality filtering (the FineWeb lesson: one
+    global threshold over heterogeneous sources throws away the good
+    tail of strict domains and keeps the bad head of lax ones): each
+    source's own p25 quality score becomes its cutoff, and docs are
+    flagged against THEIR source's bar. Exact interpolated percentile
+    (percentile == quantile_cont, the percentile_price_stats
+    precedent, both rounded to 6dp before the comparison so the
+    boundary verdict is engine-identical). Scale shape: the cutoff
+    frame is one row per source and BROADCASTS back onto the zero-
+    shuffle score projection - the corpus is scanned once, scored
+    in-place, and never shuffled."""
+    from ..operators.textstats import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+    )
+    cut = s.groupBy("source").agg(
+        F.round(F.percentile(F.col("score"), F.lit(0.25)), 6).alias(
+            "cutoff"
+        )
+    )
+    return s.join(F.broadcast(cut), "source").select(
+        "doc_id",
+        "source",
+        "score",
+        "cutoff",
+        (F.col("score") >= F.col("cutoff")).cast("int").alias("keep"),
+    )
+
+
+def _tfidf_embed_sql(dim: int = 64) -> str:
+    """Mirror of tfidf_hash_embed: bucket tf per doc, dim-row df
+    table, sublinear tf x smoothed idf, L2-normalize, long form."""
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks_h}) AS pos FROM documents),
+tf AS (
+  SELECT doc_id, pos, CAST(count(*) AS DOUBLE) AS tf
+  FROM t GROUP BY doc_id, pos
+),
+dfq AS (SELECT pos, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY pos),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.pos,
+         (1.0 + ln(tf.tf)) * (ln((nd.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+           AS w
+  FROM tf JOIN dfq ON tf.pos = dfq.pos CROSS JOIN nd
+),
+m AS (
+  SELECT doc_id,
+         map_from_entries(list(struct_pack(k := pos, v := w))) AS mp
+  FROM w GROUP BY doc_id
+),
+v AS (
+  SELECT doc_id,
+         list_transform(range(0, {dim}),
+                        i -> coalesce(map_extract(mp, i)[1],
+                                      CAST(0.0 AS DOUBLE))) AS raw
+  FROM m
+),
+n AS (SELECT doc_id, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v)
+SELECT doc_id, i - 1 AS pos, round(e / nrm, 6) AS component
+FROM (SELECT doc_id, nrm, unnest(raw) AS e,
+             generate_subscripts(raw, 1) AS i
+      FROM n)
+WHERE e != 0
+"""
+
+
+@q("tfidf_hash_embeddings", _tfidf_embed_sql())
+def tfidf_hash_embeddings_q(spark, sf_dir):
+    """Hashed TF-IDF document vectors: the hashing-trick buckets
+    reweighted by sublinear tf x smoothed idf and L2-normalized - the
+    classic lexical vectorizer next to the raw-count baseline. The
+    hash-to-dim trick makes the idf table a CONSTANT dim-row broadcast
+    (no vocab-scale join, unlike word-keyed TF-IDF); values are
+    oracle-checked end to end in long (doc_id, pos, component) form
+    with zeros elided."""
+    from ..operators.textstats import tfidf_hash_embed
+
+    emb = tfidf_hash_embed(
+        read_table(spark, sf_dir, "documents"), dim=64
+    )
+    return (
+        emb.select(
+            "doc_id", F.posexplode("embedding").alias("pos", "component")
+        )
+        .where(F.col("component") != 0)
+        .select(
+            "doc_id", F.col("pos").cast("long").alias("pos"), "component"
+        )
+    )
