@@ -936,3 +936,74 @@ def line_dedup_ingest_run(
     if q.exception() is not None:
         raise q.exception()
     return kept_dir
+
+
+def quality_filter_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    weights: "list[float]",
+    bias: float,
+    *,
+    dim: int = 64,
+    threshold: float = 0.5,
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Continuous corpus ingestion with classifier-based quality
+    filtering AT THE DOOR: each arriving micro-batch of documents is
+    featurized (hashing trick) and scored by the FROZEN logistic model
+    (weights broadcast as literals - the logreg_score serving path,
+    zero shuffle beyond the feature aggregate); rows at or above the
+    threshold land in kept/, the rest in quarantine/ WITH their score,
+    so rejected data stays auditable rather than silently vanishing
+    (the RTBF/idempotent-sink transparency discipline).
+
+    Exactly-once via the batch=<id> subdirectory layout
+    (neardup_ingest_run): each batch overwrites its own partition on
+    at-least-once replay. The model is fixed for the run - retraining
+    happens offline on a sample (logreg_train) and a NEW run serves
+    the new weights; scoring depends only on the row itself, so the
+    stream fold trivially equals the batch split (pytest-pinned).
+    Returns (kept_dir, quarantine_dir)."""
+    from ..operators.textstats import hashing_trick_embed, logreg_score
+
+    kept_dir = os.path.join(work_dir, "kept")
+    quar_dir = os.path.join(work_dir, "quarantine")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        feats = hashing_trick_embed(batch, dim=dim)
+        scored = (
+            logreg_score(feats, weights, bias)
+            .join(batch, "doc_id")
+            .select("doc_id", "text", "score")
+            .localCheckpoint(eager=True)
+        )
+        part = f"batch={batch_id}"
+        scored.where(F.col("score") >= threshold).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(kept_dir, part))
+        scored.where(F.col("score") < threshold).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(quar_dir, part))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"quality filter ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return kept_dir, quar_dir
