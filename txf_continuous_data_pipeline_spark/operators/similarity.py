@@ -1904,3 +1904,153 @@ def embedding_outliers(
             ).alias("z_score"),
         )
     )
+
+
+def pca_fit(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> "tuple[list[float], list[list[float]], list[float]]":
+    """Fit PCA over an embedding column: returns (mean, components
+    [k x dim, rows unit-norm], eigenvalues desc). The whole corpus
+    reduces to ONE pass of per-partition sufficient statistics -
+    (count, sum vector, X^T X Gram matrix), a (1 + dim + dim^2)-double
+    row per partition stacked in a single Arrow stage - and the
+    driver sums the partials and eigendecomposes the dim x dim
+    covariance (numpy.linalg.eigh; dim is bounded, so the eig is a
+    constant-cost driver step like kmeans' centroid update). No
+    shuffle at all: the statistics are algebraically mergeable, the
+    same tree-aggregation shape every distributed PCA uses.
+
+    Sign convention: each component's largest-|.| coordinate is made
+    positive, so the factorization is deterministic across partition
+    orders (eigh's sign is otherwise arbitrary)."""
+    schema = "n long, s array<double>, g array<double>"
+
+    def _partials(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        n, s, g = 0, None, None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += M.shape[0]
+            cs = M.sum(axis=0)
+            cg = M.T @ M
+            s = cs if s is None else s + cs
+            g = cg if g is None else g + cg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(_partials, schema).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    dim = len(s)
+    g = np.sum(
+        [np.asarray(r["g"]).reshape(dim, dim) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for j in order:
+        v = vecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(vals[j]) for j in order],
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: "list[float]",
+    components: "list[list[float]]",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto fitted PCA components: one Arrow batch
+    matmul per partition with the (k x dim) model in the UDF closure
+    (kilobytes - a broadcast constant, the logreg_score discipline).
+    Zero shuffle; output (id_col, projection array<double>)."""
+    MU = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Y = (M - MU) @ W.T
+        return pd.Series(list(Y))
+
+    return emb.select(
+        F.col(id_col), _proj(F.col(vec_col)).alias("projection")
+    )
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int) -> "list[list[float]]":
+    """Deterministic Johnson-Lindenstrauss sign matrix: entry (j, i)
+    is +-1/sqrt(out_dim) by the parity of md5(f'rp:{j},{i}') - the
+    engine's h60 hash family discipline, so any engine (or SQL
+    oracle) derives the identical matrix with no RNG state."""
+    import hashlib
+
+    scale = 1.0 / (out_dim ** 0.5)
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = int(
+                hashlib.md5(f"rp:{j},{i}".encode()).hexdigest()[:15], 16
+            )
+            row.append(scale if h % 2 == 0 else -scale)
+        rows.append(row)
+    return rows
+
+
+def jl_project(
+    emb: DataFrame,
+    *,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `out_dim` via the
+    deterministic sign matrix: distance-preserving dimensionality
+    reduction with NO training pass at all (the cheap precursor to
+    PCA when only pairwise geometry matters). Pure JVM column
+    expression - the matrix rides as literals, each output coordinate
+    is one zip_with dot product - so the projection VALUES are
+    oracle-checkable. Zero shuffle."""
+    R = jl_sign_matrix(out_dim, None or _first_dim(emb, vec_col))
+    rows = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in row]),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in R
+    ]
+    return emb.select(
+        F.col(id_col), F.array(*rows).alias("projection")
+    )
+
+
+def _first_dim(emb: DataFrame, vec_col: str) -> int:
+    """Input dimensionality from one row (a bounded driver read)."""
+    row = emb.select(F.size(vec_col).alias("d")).head(1)
+    if not row:
+        raise ValueError("empty embedding frame")
+    return int(row[0]["d"])

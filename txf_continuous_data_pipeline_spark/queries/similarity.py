@@ -1734,3 +1734,77 @@ def embedding_curation_pipeline_q(spark, sf_dir):
     )
     corpus = kept.where(F.col("vec_id") >= 5)
     return mine_triplets(anchors, corpus)
+
+
+def _jl_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Mirror of jl_project: the SAME deterministic md5-parity sign
+    matrix inlined as literals on both engines."""
+    from ..operators.similarity import jl_sign_matrix
+
+    R = jl_sign_matrix(out_dim, in_dim)
+    vals = ",\n  ".join(
+        f"({j}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for j, row in enumerate(R)
+    )
+    return f"""
+WITH r(pos, rrow) AS (VALUES
+  {vals}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT e.vec_id, r.pos,
+       round(list_sum(list_transform(range(1, {in_dim + 1}),
+                                     i -> v[i] * rrow[i])), 6)
+         AS component
+FROM e CROSS JOIN r
+"""
+
+
+@q("jl_projection", _jl_sql())
+def jl_projection_q(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16: training-free
+    distance-preserving dimensionality reduction via a DETERMINISTIC
+    md5-parity sign matrix (no RNG state - any engine derives the
+    identical matrix), applied as a pure zero-shuffle JVM projection
+    with the matrix inlined as literals. Values oracle-check exactly;
+    the JL distance-preservation property itself is pinned in
+    tests/test_projection.py."""
+    from ..operators.similarity import jl_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, out_dim=16)
+    return proj.select(
+        "vec_id",
+        F.posexplode("projection").alias("pos", "component"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("component", 6).alias("component"),
+    )
+
+
+@q("pca_variance_explained", None)
+def pca_variance_explained_q(spark, sf_dir):
+    """PCA spectrum of the embeddings table: top-8 eigenvalues of the
+    covariance and their cumulative variance ratio - the report a
+    curation pipeline reads before choosing a Matryoshka/PQ budget.
+    One pass of mergeable per-partition sufficient statistics (count,
+    sum, Gram) + a driver-side eigh on the dim x dim covariance; no
+    shuffle anywhere. Iterative-free but eig has no SQL form ->
+    rows-only; pca_fit is pinned against full-matrix numpy PCA in
+    tests/test_projection.py."""
+    from ..operators.similarity import pca_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _mean, _comps, eigvals = pca_fit(emb, k=8)
+    total = sum(eigvals) if eigvals else 1.0
+    cum = 0.0
+    rows = []
+    for j, v in enumerate(eigvals):
+        cum += v
+        rows.append((j, round(v, 6), round(cum / total, 6)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, cum_ratio double"
+    ).orderBy("component")
