@@ -3100,3 +3100,60 @@ def tfidf_hash_embeddings_q(spark, sf_dir):
             "doc_id", F.col("pos").cast("long").alias("pos"), "component"
         )
     )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [cleaned]'
+                  ELSE text END) AS digest
+  FROM documents WHERE doc_id % 10 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS digest
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.digest != v2.digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       v1.digest AS old_digest, v2.digest AS new_digest
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+@q("snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def snapshot_diff_q(spark, sf_dir):
+    """Dataset-version diff audit: v2 is a deterministic 'next
+    release' of the corpus (doc_id % 10 rows RTBF-deleted, % 7 texts
+    touched by a cleaning pass, % 13 docs re-ingested under new ids)
+    and every key is classified added / removed / changed / unchanged
+    by digest comparison - the 'what did this run actually change'
+    report. ONE co-partitioned full outer join carrying only (id,
+     16-byte digest); payload bytes never shuffle."""
+    from ..operators.relational import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("digest"))
+    v2 = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" [cleaned]")),
+                ).otherwise(F.col("text"))
+            ).alias("digest"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("digest"),
+            )
+        )
+    )
+    return snapshot_diff(v1, v2, key_col="doc_id")
