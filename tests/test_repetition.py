@@ -220,3 +220,33 @@ def test_bigram_logprob_hand_example(spark):
     assert got[0] == (round((2 * lp_ab + lp_ba) / 3, 6), 3)
     assert got[1] == (round(lp_ab, 6), 1)
     assert 2 not in got  # single-token doc: no bigrams, no row
+
+
+def test_entropy_stats_orders_gibberish_below_prose(spark):
+    """Low-entropy detectors: a repeated-char blob scores near zero on
+    char entropy, a stuffed page scores zero token entropy, real prose
+    scores high on both; exact hand values pin the aggregate identity
+    H = ln(n) - sum(c ln c)/n."""
+    import math
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        entropy_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),                      # char H = 0
+            (2, "buy buy buy buy"),               # token H = 0
+            (3, "the quick brown fox jumps"),     # real prose
+            (4, "abab"),                          # char H = ln 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.char_entropy, r.token_entropy)
+        for r in entropy_stats(docs).collect()
+    }
+    assert got[1][0] == 0.0
+    assert got[2][1] == 0.0
+    assert got[4][0] == round(math.log(2), 6)
+    assert got[3][0] > got[1][0] and got[3][1] > got[2][1]

@@ -2860,3 +2860,73 @@ def tfidf_hash_embed(
             F.col("_raw"), lambda x: F.round(x / F.col("_nrm"), 6)
         ).alias("embedding"),
     )
+
+
+def _entropy_agg(
+    exploded: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Per-id Shannon entropy (nats) from an exploded (id, _v) frame
+    via the aggregate identity H = ln(n) - sum(c ln c)/n: one
+    (id, value) count with MAP-SIDE COMBINE - the shuffle carries
+    ~alphabet-size rows per doc, never the raw value stream - then one
+    id-keyed fold. All whole-stage codegen; the interpreted
+    O(distinct * n) per-row higher-order form measured 26s at sf0.1
+    vs ~1s for this shape (the hashing_trick_embed Catalyst lesson
+    again, aggregate edition)."""
+    counts = exploded.groupBy(id_col, "_v").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    return counts.groupBy(id_col).agg(
+        (
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c")
+        ).alias(out_col)
+    )
+
+
+def entropy_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character- and token-level Shannon entropy per document - the
+    classic gibberish/boilerplate detectors (low char entropy =
+    repeated-character runs and encoded blobs; low token entropy =
+    keyword stuffing and template pages; both near-universal
+    web-corpus quality signals next to the Gopher ratios). Two
+    explode -> count aggregates whose shuffles carry only
+    (doc, value, count) rows bounded by the per-doc alphabet, joined
+    id-keyed; values 6dp-rounded and oracle-checked."""
+    from .dedup import normalized_tokens
+
+    df = scan_parallelism_floor(df)
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "(?!^)",
+                ),
+                lambda c: F.length(c) > 0,
+            )
+        ).alias("_v"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                normalized_tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("_v"),
+    )
+    ch = _entropy_agg(chars, id_col, "_hc")
+    tk = _entropy_agg(toks, id_col, "_ht")
+    return ch.join(tk, id_col, "full_outer").select(
+        F.col(id_col),
+        F.round(F.coalesce(F.col("_hc"), F.lit(0.0)), 6).alias(
+            "char_entropy"
+        ),
+        F.round(F.coalesce(F.col("_ht"), F.lit(0.0)), 6).alias(
+            "token_entropy"
+        ),
+    )

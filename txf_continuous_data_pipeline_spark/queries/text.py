@@ -3213,3 +3213,47 @@ def perplexity_buckets_q(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def _entropy_sql() -> str:
+    """Mirror of entropy_stats via the same aggregate identity
+    H = ln(n) - sum(c ln c)/n over per-value counts (chars by 1-based
+    substring indexing, tokens by _TOKS)."""
+
+    def h(arr: str) -> str:
+        return (
+            f"coalesce(ln(len({arr}))"
+            f" - list_sum(list_transform(list_sort(list_distinct({arr})),"
+            f" u -> CAST(len(list_filter({arr}, x -> x = u)) AS DOUBLE)"
+            f" * ln(len(list_filter({arr}, x -> x = u)))))"
+            f" / len({arr}), 0.0)"
+        )
+
+    chars = (
+        "list_transform(range(1, length(lower(text)) + 1),"
+        " i -> lower(text)[i])"
+    )
+    toks = f"list_filter({_TOKS}, w -> len(w) > 0)"
+    return f"""
+WITH c AS (
+  SELECT doc_id, {chars} AS ch, {toks} AS tk FROM documents
+)
+SELECT doc_id,
+       round({h('ch')}, 6) AS char_entropy,
+       round({h('tk')}, 6) AS token_entropy
+FROM c
+"""
+
+
+@q("entropy_stats", _entropy_sql())
+def entropy_stats_q(spark, sf_dir):
+    """Character- and token-level Shannon entropy per document - the
+    classic gibberish/boilerplate detectors (low char entropy flags
+    repeated-run and encoded-blob pages, low token entropy flags
+    keyword stuffing and templates) next to the Gopher ratios. One
+    zero-shuffle whole-stage projection; distinct values are sorted
+    before the fold on BOTH engines so even the float summation order
+    is pinned and the entropy VALUES oracle-check."""
+    from ..operators.textstats import entropy_stats
+
+    return entropy_stats(read_table(spark, sf_dir, "documents"))
