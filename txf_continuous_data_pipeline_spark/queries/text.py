@@ -3257,3 +3257,45 @@ def entropy_stats_q(spark, sf_dir):
     from ..operators.textstats import entropy_stats
 
     return entropy_stats(read_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_DATASHEET_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter({_TOKS}, w -> len(w) > 0))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg({_QSCORE_SQL}), 6) AS mean_quality,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         AS en_share,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents
+GROUP BY source
+"""
+
+
+@q("source_datasheet", _SOURCE_DATASHEET_SQL)
+def source_datasheet_q(spark, sf_dir):
+    """Per-source dataset datasheet (Gebru et al. 2021's documentation
+    artifact, the report card a curation run publishes next to its
+    shards): doc/token/char mass, mean heuristic quality, language
+    share, and distinct-content count (its gap vs n_docs is the
+    exact-dup mass) - one map-side-combined aggregate over a
+    zero-shuffle score projection, one row per source."""
+    from ..operators.textstats import quality_score, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")))
+        .cast("long")
+        .alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.avg(F.round(quality_score(F.col("text")), 6)), 6
+        ).alias("mean_quality"),
+        F.round(
+            F.avg((F.col("lang") == "en").cast("double")), 6
+        ).alias("en_share"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
