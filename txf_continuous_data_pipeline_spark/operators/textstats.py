@@ -2804,9 +2804,11 @@ def tfidf_hash_embed(
     counts = buckets.groupBy(id_col, "_pos").agg(
         F.count("*").cast("double").alias("_tf")
     )
-    # lazy localCheckpoint: three consumers below (dfreq, stats, the
-    # weight join) would otherwise re-run the corpus explode each
-    counts = counts.localCheckpoint(eager=False)
+    # EAGER localCheckpoint: dfreq and stats feed BROADCAST exchanges,
+    # which execute as separate jobs before the main one - with a lazy
+    # checkpoint each of those jobs re-ran the whole corpus explode
+    # (measured 6.0s vs 1.6s at sf0.1 for the three-consumer chain)
+    counts = counts.localCheckpoint(eager=True)
     dfreq = counts.groupBy("_pos").agg(
         F.count("*").cast("double").alias("_df")
     )
