@@ -561,41 +561,3 @@ def funnel_step_times(
         )
     )
 
-
-def snapshot_diff(
-    old: DataFrame,
-    new: DataFrame,
-    *,
-    key_col: str,
-    digest_col: str = "digest",
-) -> DataFrame:
-    """Dataset-version diff: classify every key across two corpus
-    snapshots as added / removed / changed / unchanged by comparing a
-    row DIGEST (callers pass e.g. md5(text) - the diff never touches
-    the payload itself). The audit primitive behind 'what did this
-    cleaning / redaction / RTBF run actually change', and the
-    cheap precursor to CDC when no changelog exists.
-
-    Scale shape: ONE co-partitioned full outer equi-join on the key,
-    carrying only (key, 16-byte digest) per side - payload bytes never
-    shuffle; the status is a null-pattern CASE projection. Output:
-    (key_col, status string, old_digest, new_digest)."""
-    o = old.select(
-        F.col(key_col), F.col(digest_col).alias("old_digest")
-    )
-    n = new.select(
-        F.col(key_col), F.col(digest_col).alias("new_digest")
-    )
-    joined = o.join(n, key_col, "full_outer")
-    return joined.select(
-        key_col,
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("removed"))
-        .when(
-            F.col("old_digest") != F.col("new_digest"), F.lit("changed")
-        )
-        .otherwise(F.lit("unchanged"))
-        .alias("status"),
-        "old_digest",
-        "new_digest",
-    )

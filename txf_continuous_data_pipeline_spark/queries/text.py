@@ -3118,23 +3118,25 @@ v2 AS (
 SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
        CASE WHEN v1.doc_id IS NULL THEN 'added'
             WHEN v2.doc_id IS NULL THEN 'removed'
-            WHEN v1.digest != v2.digest THEN 'changed'
-            ELSE 'unchanged' END AS status,
+            ELSE 'changed' END AS change_type,
        v1.digest AS old_digest, v2.digest AS new_digest
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+   OR v1.digest != v2.digest
 """
 
 
 @q("snapshot_diff", _SNAPSHOT_DIFF_SQL)
 def snapshot_diff_q(spark, sf_dir):
-    """Dataset-version diff audit: v2 is a deterministic 'next
-    release' of the corpus (doc_id % 10 rows RTBF-deleted, % 7 texts
-    touched by a cleaning pass, % 13 docs re-ingested under new ids)
-    and every key is classified added / removed / changed / unchanged
-    by digest comparison - the 'what did this run actually change'
-    report. ONE co-partitioned full outer join carrying only (id,
-     16-byte digest); payload bytes never shuffle."""
-    from ..operators.relational import snapshot_diff
+    """Corpus-version diff audit on the EXISTING CDC operator
+    (operators/profiling.snapshot_diff - one co-partitioned full
+    outer join, null-safe compare, unchanged keys dropped): v2 is a
+    deterministic 'next release' (doc_id % 10 rows RTBF-deleted, % 7
+    texts touched by a cleaning pass, % 13 docs re-ingested under new
+    ids) compared on the 16-byte content DIGEST, so payload bytes
+    never shuffle - the 'what did this run actually change' delta a
+    downstream incremental consumer applies."""
+    from ..operators.profiling import snapshot_diff
 
     docs = read_table(spark, sf_dir, "documents")
     v1 = docs.select("doc_id", F.md5("text").alias("digest"))
@@ -3156,62 +3158,8 @@ def snapshot_diff_q(spark, sf_dir):
             )
         )
     )
-    return snapshot_diff(v1, v2, key_col="doc_id")
-
-
-_PPL_BUCKET_SQL = f"""
-WITH scored AS (
-  SELECT s.doc_id, d.lang, s.avg_kn_logprob
-  FROM ({_KN_LP_SQL}) s JOIN documents d ON s.doc_id = d.doc_id
-),
-cuts AS (
-  SELECT lang,
-         round(quantile_cont(avg_kn_logprob, 1.0/3), 6) AS c_low,
-         round(quantile_cont(avg_kn_logprob, 2.0/3), 6) AS c_high
-  FROM scored GROUP BY lang
-)
-SELECT s.doc_id, s.lang, s.avg_kn_logprob,
-       CASE WHEN s.avg_kn_logprob >= c.c_high THEN 'head'
-            WHEN s.avg_kn_logprob >= c.c_low THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM scored s JOIN cuts c ON s.lang = c.lang
-"""
-
-
-@q("perplexity_buckets", _PPL_BUCKET_SQL)
-def perplexity_buckets_q(spark, sf_dir):
-    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
-    al. 2020): docs scored by the corpus-trained Kneser-Ney bigram LM
-    are split into PER-LANGUAGE fluency terciles - CCNet's insight
-    being that a single global perplexity bar misranks languages the
-    LM knows unevenly, the same lesson adaptive_quality_cutoff applies
-    to heuristic scores. Exact interpolated terciles (percentile ==
-    quantile_cont, 6dp-rounded before the boundary compare); the
-    3-row-per-lang cutoff frame BROADCASTS back onto the scored
-    projection. Downstream consumers typically keep head+middle for
-    training and send tail to review."""
-    from ..operators.textstats import kneser_ney_logprob
-
-    docs = read_table(spark, sf_dir, "documents")
-    scored = kneser_ney_logprob(docs).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "avg_kn_logprob")
-    cuts = scored.groupBy("lang").agg(
-        F.round(
-            F.percentile(F.col("avg_kn_logprob"), F.lit(1.0 / 3)), 6
-        ).alias("c_low"),
-        F.round(
-            F.percentile(F.col("avg_kn_logprob"), F.lit(2.0 / 3)), 6
-        ).alias("c_high"),
-    )
-    return scored.join(F.broadcast(cuts), "lang").select(
-        "doc_id",
-        "lang",
-        "avg_kn_logprob",
-        F.when(F.col("avg_kn_logprob") >= F.col("c_high"), "head")
-        .when(F.col("avg_kn_logprob") >= F.col("c_low"), "middle")
-        .otherwise("tail")
-        .alias("bucket"),
+    return snapshot_diff(
+        v1, v2, key_cols=["doc_id"], compare_cols=["digest"]
     )
 
 
