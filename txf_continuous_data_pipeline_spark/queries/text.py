@@ -3163,6 +3163,62 @@ def snapshot_diff_q(spark, sf_dir):
     )
 
 
+_PPL_BUCKET_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, d.lang, s.avg_kn_logprob
+  FROM ({_KN_LP_SQL}) s JOIN documents d ON s.doc_id = d.doc_id
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(avg_kn_logprob, 1.0/3), 6) AS c_low,
+         round(quantile_cont(avg_kn_logprob, 2.0/3), 6) AS c_high
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_kn_logprob,
+       CASE WHEN s.avg_kn_logprob >= c.c_high THEN 'head'
+            WHEN s.avg_kn_logprob >= c.c_low THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+"""
+
+
+@q("perplexity_buckets", _PPL_BUCKET_SQL)
+def perplexity_buckets_q(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020): docs scored by the corpus-trained Kneser-Ney bigram LM
+    are split into PER-LANGUAGE fluency terciles - CCNet's insight
+    being that a single global perplexity bar misranks languages the
+    LM knows unevenly, the same lesson adaptive_quality_cutoff applies
+    to heuristic scores. Exact interpolated terciles (percentile ==
+    quantile_cont, 6dp-rounded before the boundary compare); the
+    3-row-per-lang cutoff frame BROADCASTS back onto the scored
+    projection. Downstream consumers typically keep head+middle for
+    training and send tail to review."""
+    from ..operators.textstats import kneser_ney_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = kneser_ney_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "avg_kn_logprob")
+    cuts = scored.groupBy("lang").agg(
+        F.round(
+            F.percentile(F.col("avg_kn_logprob"), F.lit(1.0 / 3)), 6
+        ).alias("c_low"),
+        F.round(
+            F.percentile(F.col("avg_kn_logprob"), F.lit(2.0 / 3)), 6
+        ).alias("c_high"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_kn_logprob",
+        F.when(F.col("avg_kn_logprob") >= F.col("c_high"), "head")
+        .when(F.col("avg_kn_logprob") >= F.col("c_low"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def _entropy_sql() -> str:
     """Mirror of entropy_stats via the same aggregate identity
     H = ln(n) - sum(c ln c)/n over per-value counts (chars by 1-based
