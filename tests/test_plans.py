@@ -439,3 +439,13 @@ def test_fuzzy_decontamination_eval_side_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fuzzy_decontamination")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontamination_is_scan_only(spark, sf_dir):
+    # One Arrow pass over the corpus with the eval matrix captured as
+    # a task constant: no join of any kind, no shuffle - the plan is
+    # scan -> mapInPandas, full stop.
+    plan = _plan(spark, sf_dir, "semantic_decontamination")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -5,6 +5,8 @@ probabilistic hope."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from txf_continuous_data_pipeline_spark.operators.dedup import (
     minhash_neardup_pairs,
 )
@@ -503,3 +505,50 @@ def test_fuzzy_decontamination_planted(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_contamination_guards(spark):
+    import pytest
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [], "eval_id long, eval_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="empty eval set"):
+        semantic_contamination(emb, ev)
+    big = spark.range(5).select(
+        F.col("id").alias("eval_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("eval_vec"),
+    )
+    with pytest.raises(ValueError, match="exceeds 3"):
+        semantic_contamination(emb, big, max_eval_rows=3)
+
+
+def test_semantic_contamination_flags_planted_leak(spark):
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    # train vec 10 IS eval vec 0 (a verbatim leak); train vec 11 is
+    # orthogonal to the whole suite.
+    emb = spark.createDataFrame(
+        [(10, [3.0, 4.0, 0.0]), (11, [0.0, 0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(0, [0.3, 0.4, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "eval_id long, eval_vec array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(emb, ev, threshold=0.9).collect()
+    }
+    assert out[10]["eval_id"] == 0 and out[10]["max_cos"] == 1.0
+    assert out[10]["contaminated"] == 1
+    assert out[11]["contaminated"] == 0 and out[11]["max_cos"] == 0.0

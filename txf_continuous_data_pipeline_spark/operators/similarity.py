@@ -2054,3 +2054,82 @@ def _first_dim(emb: DataFrame, vec_col: str) -> int:
     if not row:
         raise ValueError("empty embedding frame")
     return int(row[0]["d"])
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+    max_eval_rows: int = 200_000,
+) -> DataFrame:
+    """SEMANTIC decontamination scan: for every corpus vector, the max
+    cosine against ANY benchmark/eval vector, plus which eval item it
+    was and a `contaminated` verdict at `threshold`. Completes the
+    decontamination triad next to the verbatim n-gram overlap
+    (decontamination_report) and the shingle-level MinHash form
+    (fuzzy_decontamination): a leaked eval item that was paraphrased
+    AND re-tokenized shares neither exact n-grams nor shingle mass,
+    but its embedding still sits next to the eval point.
+
+    Scale shape: eval suites are small (MBs - thousands of vectors),
+    so the eval matrix ships to every task ONCE as a captured numpy
+    constant and the corpus is scanned in a single Arrow pass that
+    computes each batch's (B x n_eval) cosine block with one float64
+    matmul - no pair row is ever materialized, no join, no shuffle;
+    the output is exactly one row per corpus vector. (The crossJoin +
+    groupBy-max form materializes |corpus| x |eval| rows into an
+    aggregate; this pass never does.) `max_eval_rows` trips loudly if
+    someone points the eval side at a corpus.
+
+    Determinism contract: per-pair cosines are rounded to 6 dp BEFORE
+    the argmax, ties broken toward the smallest eval id (numpy argmax
+    returns the first maximum of the ascending-id eval matrix), so an
+    oracle ranking rounded cosines with `ORDER BY c DESC, eval_id`
+    reproduces both the value and the winning eval id exactly.
+    """
+    ev = eval_vecs.select(eval_id_col, eval_vec_col).limit(
+        max_eval_rows + 1
+    ).collect()
+    if not ev:
+        raise ValueError("semantic_contamination: empty eval set")
+    if len(ev) > max_eval_rows:
+        raise ValueError(
+            f"semantic_contamination: eval side exceeds {max_eval_rows} "
+            "rows - it must be the (small) benchmark suite, not a corpus"
+        )
+    ev.sort(key=lambda r: r[0])
+    eval_ids = np.array([r[0] for r in ev], dtype=np.int64)
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in ev])
+    en = np.linalg.norm(E, axis=1)
+    E = E / np.where(en == 0.0, 1.0, en)[:, None]
+    thr = float(threshold)
+
+    def _scan(it):
+        for pdf in it:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            mn = np.linalg.norm(M, axis=1)
+            M = M / np.where(mn == 0.0, 1.0, mn)[:, None]
+            cos = np.round(M @ E.T, 6)
+            best = np.argmax(cos, axis=1)
+            mx = cos[np.arange(len(M)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    eval_id_col: eval_ids[best],
+                    "max_cos": mx,
+                    "contaminated": (mx >= thr).astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _scan,
+        f"{id_col} long, {eval_id_col} long, max_cos double, "
+        "contaminated int",
+    )

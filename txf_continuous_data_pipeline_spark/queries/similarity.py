@@ -1808,3 +1808,58 @@ def pca_variance_explained_q(spark, sf_dir):
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, cum_ratio double"
     ).orderBy("component")
+
+
+_SEM_DECON_SQL = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+tr AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+  FROM embeddings WHERE vec_id % 10 != 0
+),
+p AS (
+  SELECT t.vec_id, e.eval_id,
+         round(list_cosine_similarity(t.tv, e.ev), 6) AS c
+  FROM tr t CROSS JOIN ev e
+),
+r AS (
+  SELECT vec_id, eval_id, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, eval_id) AS rn
+  FROM p
+)
+SELECT vec_id, eval_id, c AS max_cos,
+       CAST(c >= 0.35 AS INT) AS contaminated
+FROM r WHERE rn = 1
+"""
+
+
+@q("semantic_decontamination", _SEM_DECON_SQL)
+def semantic_decontamination_q(spark, sf_dir):
+    """SEMANTIC decontamination (the third lane of the triad:
+    decontamination_report catches verbatim n-gram leaks,
+    fuzzy_decontamination catches shingle-level near-dups, this
+    catches paraphrases that share no surface form at all): every
+    training vector (vec_id % 10 != 0) reports its max cosine against
+    the benchmark suite (vec_id % 10 == 0), the eval item that
+    achieved it, and a contaminated verdict at 0.35. Full audit
+    output - one row per training vector, near-misses visible - not
+    just the kill list. Scale shape: the eval matrix is a captured
+    constant, the corpus side is ONE Arrow scan with a per-batch
+    matmul, zero shuffle, zero joins (the oracle's cross join is the
+    exact semantics, not the plan). Per-pair cosines round to 6 dp
+    before the argmax on both sides, ties to the smallest eval id, so
+    value, winner id and verdict all hash-match."""
+    from ..operators.similarity import semantic_contamination
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("eval_vec"),
+        ),
+        threshold=0.35,
+    )
