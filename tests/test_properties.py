@@ -473,3 +473,24 @@ def test_line_dedup_semantics_and_delta_equals_full(spark, sf_dir):
     assert all(
         "shared boilerplate footer" not in t for t, _n, _r in got_d.values()
     )
+
+
+def test_soft_dedup_weight_mass_is_one_per_cluster(spark, sf_dir):
+    """SoftDeDup's defining invariant: every near-dup cluster (and
+    every singleton) contributes exactly one document's worth of
+    sampling mass, and nothing is dropped."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["soft_dedup_weights"][0](spark, sf_dir)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs  # nothing deleted
+    mass = out.groupBy("component").agg(
+        F.round(F.sum("soft_weight"), 4).alias("m"),
+        F.count("*").alias("n"),
+        F.first("cluster_size").alias("sz"),
+    )
+    bad = mass.where((F.col("m") != 1.0) | (F.col("n") != F.col("sz")))
+    assert bad.count() == 0
+    # the corpus really has multi-doc clusters, so the weight path
+    # below 1.0 is exercised
+    assert mass.where(F.col("sz") > 1).count() > 0

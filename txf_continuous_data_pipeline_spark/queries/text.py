@@ -3303,3 +3303,72 @@ def source_datasheet_q(spark, sf_dir):
         ).alias("en_share"),
         F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
     )
+
+
+_SOFT_DEDUP_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+),
+sz AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(z.cluster_size, 1) AS cluster_size,
+       round(1.0 / coalesce(z.cluster_size, 1), 6) AS soft_weight
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN sz z ON c.component = z.component
+"""
+
+
+@q("soft_dedup_weights", _SOFT_DEDUP_SQL)
+def soft_dedup_weights_q(spark, sf_dir):
+    """SoftDeDup (He et al. 2024): instead of DELETING near-duplicates
+    (neardup_keep) or keeping them at full weight, every document gets
+    a sampling weight of 1/|its near-dup cluster| - duplicated content
+    contributes one document's worth of gradient mass in total while
+    no individual copy (and its unique tail tokens) is lost. Reuses
+    the cached connected-components frame the neardup_groups /
+    neardup_keep pair already builds, adds one component-keyed count,
+    and joins both back to the corpus as BROADCASTS (the near-dup set
+    is a small fraction of any real corpus; singletons never leave
+    the scan: they default to weight 1.0 through the left-join
+    coalesce)."""
+    docs = read_table(spark, sf_dir, "documents")
+    comp = _neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    labeled = comp.join(F.broadcast(sizes), "component").select(
+        F.col("id").alias("doc_id"), "component", "cluster_size"
+    )
+    return docs.join(F.broadcast(labeled), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        F.round(
+            F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
+        ).alias("soft_weight"),
+    )
