@@ -2198,3 +2198,37 @@ def funnel_step_times_q(spark, sf_dir):
     return funnel_step_times(
         events, ("signup", "view", "click", "purchase")
     ).select("user_id", "step_idx", "step", "ts")
+
+
+_K_ANON_SQL = """
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(*) < 5 AS INT) AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+@q("k_anonymity_audit", _K_ANON_SQL)
+def k_anonymity_audit_q(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002), the release gate next to
+    pii_redact and the RTBF sink: group the table by its
+    quasi-identifier combination (nation x market segment x coarse
+    account-balance bucket - the columns an attacker can link from
+    public data even after names are dropped) and flag every
+    equivalence class smaller than k=5, whose members a linkage attack
+    re-identifies. One map-side-combined aggregate keyed by the QI
+    tuple; output is QI-cardinality-sized, the table never shuffles
+    raw rows."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("long")
+        .alias("bal_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("group_size"),
+        (F.count("*") < 5).cast("int").alias("at_risk"),
+    )

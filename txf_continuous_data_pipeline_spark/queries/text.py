@@ -3372,3 +3372,163 @@ def soft_dedup_weights_q(spark, sf_dir):
             F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6
         ).alias("soft_weight"),
     )
+
+
+_MIX_PLAN_SQL = f"""
+WITH sized AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+dim AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS DOUBLE) AS toks
+  FROM sized GROUP BY source
+)
+SELECT source, n_docs, CAST(toks AS BIGINT) AS n_tokens,
+       round(toks / sum(toks) OVER (), 6) AS nat_share,
+       round(pow(toks, 0.5) / sum(pow(toks, 0.5)) OVER (), 6)
+         AS temp_share,
+       round((pow(toks, 0.5) / sum(pow(toks, 0.5)) OVER ())
+             * 12000.0 / nullif(toks, 0), 6) AS sample_rate,
+       CAST(ceil((pow(toks, 0.5) / sum(pow(toks, 0.5)) OVER ())
+                 * 12000.0 / nullif(toks, 0)) AS BIGINT) AS epochs
+FROM dim
+"""
+
+
+@q("mixture_plan", _MIX_PLAN_SQL)
+def mixture_plan_q(spark, sf_dir):
+    """The mixture PLAN a training loader actually consumes (the rate
+    table behind temperature_mixture's row sample): per source, its
+    token mass, natural share, temperature-rebalanced target share
+    (alpha = 0.5), the sampling rate that hits a 12k-token budget at
+    that share, and the epoch count (ceil of the rate - a rate above
+    1.0 means the source is OVERSAMPLED, the regime row-level
+    keep-sampling cannot express). One map-side-combined aggregate
+    over a zero-shuffle token-count projection; every window below it
+    runs on the source-cardinality dim frame (a handful of rows), the
+    corpus is scanned exactly once."""
+    from ..operators.textstats import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    dim = (
+        docs.select(
+            "source", token_count(F.col("text")).alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("double").alias("toks"),
+        )
+    )
+    share = F.pow(F.col("toks"), 0.5) / F.sum(
+        F.pow(F.col("toks"), 0.5)
+    ).over(w)
+    rate = share * F.lit(12000.0) / F.nullif(F.col("toks"), F.lit(0.0))
+    return dim.select(
+        "source",
+        "n_docs",
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round(F.col("toks") / F.sum("toks").over(w), 6).alias(
+            "nat_share"
+        ),
+        F.round(share, 6).alias("temp_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.ceil(rate).cast("long").alias("epochs"),
+    )
+
+
+_LEN_CURRICULUM_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+cuts AS (
+  SELECT round(quantile_cont(n_tokens, 0.25), 6) AS c1,
+         round(quantile_cont(n_tokens, 0.50), 6) AS c2,
+         round(quantile_cont(n_tokens, 0.75), 6) AS c3
+  FROM sized
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens > c1 AS INT) + CAST(n_tokens > c2 AS INT)
+           + CAST(n_tokens > c3 AS INT) AS bucket
+  FROM sized CROSS JOIN cuts
+),
+sh AS (
+  SELECT bucket,
+         bucket * 4 + ({_h60_sql("CAST(doc_id AS VARCHAR)")} % 4)
+           AS shard_id,
+         n_tokens
+  FROM b
+)
+SELECT shard_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+         AS padding_waste,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                   / (max(n_tokens) * count(*)), 6) AS waste_ratio
+FROM sh GROUP BY shard_id, bucket
+"""
+
+
+@q("length_curriculum_shards", _LEN_CURRICULUM_SQL)
+def length_curriculum_shards_q(spark, sf_dir):
+    """Length-grouped shard planning (the batching trick behind
+    dynamic-padding loaders, done corpus-side): docs land in a length
+    QUARTILE (exact interpolated percentiles, the
+    adaptive_quality_cutoff precedent, rounded to 6dp before the
+    boundary compare) and spread across 4 shards within it by the h60
+    hash family, so a loader reading any one shard sees near-uniform
+    lengths; the report prices that choice - per shard, the token
+    mass, the pad-to-max length, and the padding waste a fixed-length
+    batcher would burn. Scale shape: the 1-row cutoff frame rides a
+    broadcast one-row cross join back onto the zero-shuffle token
+    projection (the bm25 stats shape - never a global sort or ntile
+    window over the corpus), bucketing and shard assignment are
+    per-row expressions, and the only shuffle is the map-side-combined
+    16-group aggregate."""
+    from ..operators.dedup import h60
+    from ..operators.textstats import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    cuts = sized.agg(
+        *[
+            F.round(
+                F.percentile(F.col("n_tokens"), F.lit(p)), 6
+            ).alias(c)
+            for p, c in ((0.25, "c1"), (0.50, "c2"), (0.75, "c3"))
+        ]
+    )
+    b = sized.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        (F.col("n_tokens") > F.col("c1")).cast("int")
+        + (F.col("n_tokens") > F.col("c2")).cast("int")
+        + (F.col("n_tokens") > F.col("c3")).cast("int"),
+    )
+    sh = b.select(
+        "bucket",
+        (
+            F.col("bucket") * 4
+            + h60(F.col("doc_id").cast("string")) % 4
+        ).alias("shard_id"),
+        "n_tokens",
+    )
+    return sh.groupBy("shard_id", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        (F.max("n_tokens") * F.count("*") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padding_waste"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.max("n_tokens") * F.count("*")),
+            6,
+        ).alias("waste_ratio"),
+    )
