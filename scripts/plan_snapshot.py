@@ -135,6 +135,12 @@ FLAGSHIPS = [
     "perplexity_buckets",
     "entropy_stats",
     "source_datasheet",
+    # late-r9: curation planners + governance
+    "semantic_decontamination",
+    "soft_dedup_weights",
+    "mixture_plan",
+    "length_curriculum_shards",
+    "k_anonymity_audit",
 ]
 
 
