@@ -449,3 +449,21 @@ def test_semantic_decontamination_is_scan_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sampling_family_is_take_ordered_not_global_sort(spark, sf_dir):
+    # The dsir discipline: deterministic samples select with
+    # TakeOrderedAndProject (per-partition partial top-k), never a
+    # single-task global Sort or window.
+    for name in ("bottomk_sample", "es_weighted_sample"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_source_overlap_join_moves_hashes_only(spark, sf_dir):
+    # The shingle-hash equi-join must be a real hash/merge join (no
+    # cartesian), and the vocab-size dims must broadcast back.
+    plan = _plan(spark, sf_dir, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -283,3 +283,53 @@ def test_hll_empty_input_estimates_zero(spark):
         ]
         == 0
     )
+
+
+def test_kmv_estimate_within_kmv_error_and_mergeable(spark):
+    """KMV with k=64 has relative std error ~1/sqrt(k-2) ~ 13%; pin a
+    3-sigma band on a 1000-distinct synthetic stream, plus the
+    defining merge property: bottom-k of a union == bottom-k of the
+    per-shard bottom-k's."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import h60
+
+    k = 64
+    ids = spark.range(1000).select(
+        h60(F.col("id").cast("string")).alias("hv")
+    )
+    bottom = [r["hv"] for r in ids.orderBy("hv").limit(k).collect()]
+    est = (k - 1) / (bottom[-1] / float(1 << 60))
+    assert abs(est - 1000) / 1000 < 0.4  # 3 sigma of ~13%
+    # merge: shard by parity, take per-shard bottom-k, merge, re-take
+    shard_a = [r["hv"] for r in spark.range(0, 1000, 2).select(
+        h60(F.col("id").cast("string")).alias("hv")
+    ).orderBy("hv").limit(k).collect()]
+    shard_b = [r["hv"] for r in spark.range(1, 1000, 2).select(
+        h60(F.col("id").cast("string")).alias("hv")
+    ).orderBy("hv").limit(k).collect()]
+    merged = sorted(shard_a + shard_b)[:k]
+    assert merged == bottom
+
+
+def test_bottomk_sample_is_mergeable_and_uniformish(spark, sf_dir):
+    """bottom-k of the union == bottom-k of per-shard bottom-k's, on
+    the real query; and the sample must not be degenerate (it spans
+    multiple sources)."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["bottomk_sample"][0](spark, sf_dir)
+    rows = out.collect()
+    keys = [r["sample_key"] for r in rows]
+    assert keys == sorted(keys) and len(rows) == 50
+    assert len({r["source"] for r in rows}) > 1
+    from txf_continuous_data_pipeline_spark.operators.dedup import h60
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", h60(F.col("doc_id").cast("string")).alias("sk")
+    )
+    sa = docs.where(F.col("doc_id") % 2 == 0).orderBy("sk").limit(50)
+    sb = docs.where(F.col("doc_id") % 2 == 1).orderBy("sk").limit(50)
+    merged = sorted(
+        [r["sk"] for r in sa.collect()] + [r["sk"] for r in sb.collect()]
+    )[:50]
+    assert merged == keys

@@ -2232,3 +2232,76 @@ def k_anonymity_audit_q(spark, sf_dir):
         F.count("*").cast("long").alias("group_size"),
         (F.count("*") < 5).cast("int").alias("at_risk"),
     )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS hv
+  FROM events
+),
+bk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth
+  FROM bk
+),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT 64 AS k, sk.n_kept,
+       CAST(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+            ELSE round(63.0 / (CAST(sk.kth AS DOUBLE)
+                               / 1152921504606846976.0))
+            END AS BIGINT) AS est_distinct,
+       ex.n_exact,
+       round(abs(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+                 ELSE round(63.0 / (CAST(sk.kth AS DOUBLE)
+                                    / 1152921504606846976.0))
+                 END - ex.n_exact) / ex.n_exact, 4) AS rel_err
+FROM sk CROSS JOIN ex
+"""
+
+
+@q("kmv_distinct_users", _KMV_SQL)
+def kmv_distinct_users_q(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, the third
+    cardinality tier next to the exact count and the opaque HLL++:
+    keep the k=64 smallest h60(user_id) values; the kth smallest,
+    normalized to (0,1), estimates density and (k-1)/h_k the
+    cardinality (Bar-Yossef et al. 2002). Unlike approx_count_distinct
+    the sketch is VALUE-CHECKABLE across engines (the h60 family
+    again) and mergeable by construction - union of bottom-k's ->
+    bottom-k. Plan: distinct hash -> TakeOrdered(64) -> 1-row
+    aggregate, with the exact count riding the bm25-style one-row
+    broadcast cross join purely to report the realized error."""
+    from ..operators.dedup import h60
+
+    events = read_table(spark, sf_dir, "events")
+    k = 64
+    hv = events.select(
+        h60(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    sk = (
+        hv.orderBy("hv")
+        .limit(k)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    ex = events.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("kth").cast("double") / F.lit(float(1 << 60)))
+        )
+    )
+    return sk.crossJoin(F.broadcast(ex)).select(
+        F.lit(k).alias("k"),
+        "n_kept",
+        est.cast("long").alias("est_distinct"),
+        "n_exact",
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )

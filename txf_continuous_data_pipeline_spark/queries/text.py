@@ -3532,3 +3532,167 @@ def length_curriculum_shards_q(spark, sf_dir):
             6,
         ).alias("waste_ratio"),
     )
+
+
+_BOTTOMK_SQL = f"""
+SELECT doc_id, source, lang,
+       {_h60_sql("CAST(doc_id AS VARCHAR)")} AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 50
+"""
+
+
+@q("bottomk_sample", _BOTTOMK_SQL)
+def bottomk_sample_q(spark, sf_dir):
+    """Deterministic bottom-k uniform sample: the 50 docs with the
+    smallest h60(doc_id) - the auditable replacement for rand()
+    sampling, and the MERGEABLE one: bottom-k of a union is the
+    bottom-k of the per-shard bottom-k's, so a 100-TB sample
+    maintains incrementally (new arrivals compete on their hash, the
+    sample never has to be redrawn) and every engine draws the SAME
+    sample. Plan shape: TakeOrderedAndProject - per-partition partial
+    top-k, no global sort, nothing but 50 rows ever moves."""
+    from ..operators.dedup import h60
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            h60(F.col("doc_id").cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(50)
+    )
+
+
+_ES_SAMPLE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) + 0.5) / 4294967296.0)
+             / n_tokens, 6) AS es_key
+FROM sized
+WHERE n_tokens > 0
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
+@q("es_weighted_sample", _ES_SAMPLE_SQL)
+def es_weighted_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirtakis
+    2006, the A-ES reservoir algorithm): each doc draws key
+    ln(u)/weight with weight = its token count and u the
+    md5-deterministic uniform (the dsir_resample/mixture_sample
+    discipline), and the top-50 keys are EXACTLY a weight-
+    proportional sample without replacement - token-heavy docs are
+    proportionally likelier, yet the draw is reproducible across
+    engines, runs and repartitioning, and mergeable shard-by-shard
+    (max-k of per-shard max-k's, the same incremental story as
+    bottomk_sample). Plan: zero-shuffle key projection +
+    TakeOrderedAndProject."""
+    from ..operators.textstats import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    return (
+        sized.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log(u) / F.col("n_tokens"), 6).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(50)
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH l AS (
+  SELECT DISTINCT source, h
+  FROM (SELECT source, unnest({_SHINGLES_H}) AS h FROM documents)
+),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM l GROUP BY source),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM l a JOIN l b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sh.source_a, sh.source_b, sh.n_shared,
+       round(CAST(sh.n_shared AS DOUBLE)
+             / (pa.n + pb.n - sh.n_shared), 6) AS shingle_jaccard
+FROM sh
+JOIN per pa ON pa.source = sh.source_a
+JOIN per pb ON pb.source = sh.source_b
+"""
+
+
+@q("source_overlap_matrix", _SOURCE_OVERLAP_SQL)
+def source_overlap_matrix_q(spark, sf_dir):
+    """Cross-source contamination/provenance matrix: for every source
+    pair, how many distinct 3-gram shingles they SHARE and the Jaccard
+    of their shingle vocabularies - the report that catches one crawl
+    re-ingesting another (or shared boilerplate) BEFORE doc-level
+    dedup spends anything on it. Plan shape: one explode ->
+    (source, shingle-hash) distinct, a shingle-hash equi-join that
+    only ever moves 8-byte hashes (never text), a source-pair
+    aggregate of a few rows, and the per-source vocab sizes broadcast
+    back. Output is source-pair-cardinality-sized."""
+    from ..operators.dedup import shingle_array
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            shingle_array(F.col("text"), hashed=True)
+        ).alias("h"),
+    ).distinct()
+    per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("shingle_jaccard"),
+        )
+    )
