@@ -405,3 +405,61 @@ def test_line_dedup_ingest_equals_batch_fold(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(kept, "*")).collect()
     }
     assert again == got
+
+
+def test_sample_maintain_stream_equals_batch_bottomk(
+    spark, sf_dir, tmp_path
+):
+    """The maintained sample (bottom-k over per-batch candidate sets)
+    must equal the batch bottomk_sample over the whole corpus, and a
+    stream re-run with the same checkpoint must change nothing."""
+    import pyspark.sql.functions as F
+
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        read_current_sample,
+        sample_maintain_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    n = docs.count()
+    feed = str(tmp_path / "feed")
+    cuts = [0, n // 3, 2 * n // 3, n]
+    now = time.time()
+    for i in range(3):
+        d = os.path.join(feed, f"f{i}")
+        docs.where(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in glob.glob(os.path.join(d, "part-*")):
+            os.utime(f, (now + 2 * i, now + 2 * i))
+
+    work = str(tmp_path / "work")
+    sample_maintain_run(spark, feed, work)
+    got = [
+        (r["doc_id"], r["source"], r["lang"], r["sample_key"])
+        for r in read_current_sample(spark, work).collect()
+    ]
+    want = [
+        (r["doc_id"], r["source"], r["lang"], r["sample_key"])
+        for r in REGISTRY["bottomk_sample"][0](spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 50
+    # re-run: same checkpoint, no new files -> candidates unchanged
+    before = sorted(
+        glob.glob(os.path.join(work, "sample_candidates", "*", "part-*"))
+    )
+    sample_maintain_run(spark, feed, work)
+    after = sorted(
+        glob.glob(os.path.join(work, "sample_candidates", "*", "part-*"))
+    )
+    assert [os.path.dirname(p) for p in before] == [
+        os.path.dirname(p) for p in after
+    ]
+    got2 = [
+        (r["doc_id"], r["source"], r["lang"], r["sample_key"])
+        for r in read_current_sample(spark, work).collect()
+    ]
+    assert got2 == want

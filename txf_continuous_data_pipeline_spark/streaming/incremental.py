@@ -1007,3 +1007,84 @@ def quality_filter_ingest_run(
     if q.exception() is not None:
         raise q.exception()
     return kept_dir, quar_dir
+
+
+def sample_maintain_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    k: int = 50,
+    timeout_s: int = 240,
+) -> str:
+    """Streaming maintenance of the deterministic bottom-k sample (the
+    incremental story bottomk_sample's docstring promises, running):
+    each arriving micro-batch contributes only its OWN bottom-k
+    candidates (h60-keyed, the batch query's exact key family) to a
+    batch=<id> subdirectory, and the current corpus sample is the
+    bottom-k over the union of candidate sets - correct because
+    bottom-k is a mergeable aggregate (bottom-k of a union == bottom-k
+    of per-shard bottom-k's, pinned in tests/test_skew.py), so no
+    arrival ever forces a resample and serving reads n_batches x k
+    tiny rows, never the corpus.
+
+    Exactly-once via the line_dedup_ingest_run layout discipline: a
+    replayed batch overwrites its own subdirectory with identical
+    content (the key is md5-deterministic), so at-least-once delivery
+    cannot change the sample. Returns the candidates dir; read the
+    live sample with read_current_sample."""
+    from ..operators.dedup import h60
+
+    cand_dir = os.path.join(work_dir, "sample_candidates")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        top = (
+            batch.select(
+                "doc_id",
+                "source",
+                "lang",
+                h60(F.col("doc_id").cast("string")).alias("sample_key"),
+            )
+            .orderBy("sample_key", "doc_id")
+            .limit(k)
+        )
+        top.write.mode("overwrite").parquet(
+            os.path.join(cand_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"sample maintenance exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return cand_dir
+
+
+def read_current_sample(
+    spark: SparkSession, work_dir: str, *, k: int = 50
+) -> DataFrame:
+    """The live bottom-k sample: merge the per-batch candidate sets
+    (n_batches x k rows - nothing corpus-sized) and re-take bottom-k."""
+    cand = spark.read.parquet(
+        os.path.join(work_dir, "sample_candidates")
+    )
+    return cand.select(
+        "doc_id", "source", "lang", "sample_key"
+    ).orderBy("sample_key", "doc_id").limit(k)
