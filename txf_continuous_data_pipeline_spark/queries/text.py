@@ -3696,3 +3696,87 @@ def source_overlap_matrix_q(spark, sf_dir):
             ).alias("shingle_jaccard"),
         )
     )
+
+
+_ZIPF_SQL = f"""
+WITH tf AS (
+  SELECT lang, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY c DESC, tok) AS rnk
+  FROM tf
+),
+xy AS (
+  SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(c) AS y
+  FROM rk WHERE rnk <= 500
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0), 6)
+         AS zipf_slope,
+       round(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
+             / nullif((count(*) * sum(x * x) - sum(x) * sum(x))
+                      * (count(*) * sum(y * y) - sum(y) * sum(y)), 0),
+             6) AS r2
+FROM xy GROUP BY lang
+"""
+
+
+@q("zipf_fit", _ZIPF_SQL)
+def zipf_fit_q(spark, sf_dir):
+    """Zipf's-law fit per language: OLS slope and r-squared of
+    ln(frequency) against ln(rank) over the top-500 token ranks - the
+    corpus-health fingerprint (natural language sits near slope -1
+    with high r2; template/boilerplate-heavy or synthetic text bends
+    the curve, and a drifting slope between snapshots flags a crawl
+    regression before any model sees the data). Plan shape: the
+    corpus collapses to ONE (lang, token) map-side-combined count;
+    ranking windows over the vocabulary-sized aggregate output (never
+    corpus rows), the rank<=500 cut bounds the regression input, and
+    the fit is a per-lang 6-sum aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    from ..operators.dedup import normalized_tokens
+
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(normalized_tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+    xy = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 500)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log("c").alias("y"),
+        )
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx, syy = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    cov, varx, vary = (
+        n * sxy - sx * sy,
+        n * sxx - sx * sx,
+        n * syy - sy * sy,
+    )
+    return xy.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.round(cov / F.nullif(varx, F.lit(0.0)), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(
+            F.pow(cov, 2) / F.nullif(varx * vary, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
