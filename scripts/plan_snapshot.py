@@ -141,6 +141,11 @@ FLAGSHIPS = [
     "mixture_plan",
     "length_curriculum_shards",
     "k_anonymity_audit",
+    "bottomk_sample",
+    "es_weighted_sample",
+    "kmv_distinct_users",
+    "source_overlap_matrix",
+    "zipf_fit",
 ]
 
 
