@@ -3780,3 +3780,72 @@ def zipf_fit_q(spark, sf_dir):
             F.pow(cov, 2) / F.nullif(varx * vary, F.lit(0.0)), 6
         ).alias("r2"),
     )
+
+
+_JSONL_CACHE: dict = {}
+
+
+def _jsonl_path(spark, sf_dir):
+    """One JSONL shard write per (applicationId, corpus), app-keyed
+    temp dir - the _wds_path discipline (no cross-session sharing, so
+    no rename/lock choreography beyond the writer's own atomic
+    renames)."""
+    import os
+    import re
+    import tempfile
+
+    from ..sources.jsonl import write_jsonl
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    stamp = (os.path.getmtime(p), os.path.getsize(p))
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    if key not in _JSONL_CACHE:
+        app = re.sub(
+            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_jsonl_{app}",
+            re.sub(r"[^A-Za-z0-9_-]", "_", str(key[1:])),
+        )
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text", (F.col("doc_id") % 8).alias("shard")
+        )
+        write_jsonl(
+            docs, path, n_shards=8, key_col="doc_id", shard_col="shard"
+        )
+        _JSONL_CACHE[key] = path
+    return _JSONL_CACHE[key]
+
+
+_JSONL_SQL = """
+SELECT doc_id, lang, doc_id % 8 AS shard_id, md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@q("jsonl_roundtrip", _JSONL_SQL)
+def jsonl_roundtrip_q(spark, sf_dir):
+    """JSONL shard sink + source round trip (the format every public
+    LLM corpus actually ships as): documents serialize to 8
+    reproducible .jsonl shards (to_json records in key order, atomic
+    renames) and read back through Spark's native json source in
+    PERMISSIVE mode with a quarantine column. The oracle re-derives
+    every doc's md5 from the parquet original, so a single byte lost
+    or mangled anywhere in serialize -> shard -> parse fails the value
+    hash; quarantine rows would surface as extra/null rows (corrupt
+    handling itself is pinned in tests/test_jsonl.py). Scale shape:
+    hash-sharded write (no global sort), partition-parallel schema'd
+    read, per-row projection - no shuffle after the write's own."""
+    path = _jsonl_path(spark, sf_dir)
+    from ..sources.jsonl import read_jsonl
+
+    back = read_jsonl(
+        spark, path, "doc_id long, lang string, text string"
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).alias("shard_id"),
+        F.md5("text").alias("payload_md5"),
+    )
