@@ -3849,3 +3849,98 @@ def jsonl_roundtrip_q(spark, sf_dir):
         (F.col("doc_id") % 8).alias("shard_id"),
         F.md5("text").alias("payload_md5"),
     )
+
+
+# Planted crawl URL per doc (the pii_redact discipline: the synthetic
+# corpus has no natural URLs, so the query plants a deterministic one
+# per doc exercising every canonicalization rule - mixed-case scheme/
+# host, default port on doc_id%7, utm tracking params, a real id
+# param, a fragment) and the oracle re-derives the canonical RESULT
+# independently from the same planted structure.
+_RAW_URL_SQL = (
+    "'HTTPS://WWW.' || upper(source) || '.COM'"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)"
+    " || '/d/' || doc_id"
+    " || '?utm_source=feed&id=' || doc_id"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END)"
+    " || '#sec'"
+)
+
+_URL_CANON_SQL = f"""
+SELECT doc_id,
+       {_RAW_URL_SQL} AS raw_url,
+       'https://' || source || '.com/d/' || doc_id
+         || '?id=' || doc_id AS url_canon,
+       source || '.com' AS domain
+FROM documents
+"""
+
+
+def _planted_url_frame(docs):
+    from ..operators.urls import canonicalize_url, registered_domain
+
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/d/"),
+        sid,
+        F.lit("?utm_source=feed&id="),
+        sid,
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("&utm_campaign=x")
+        ).otherwise(F.lit("")),
+        F.lit("#sec"),
+    )
+    canon = canonicalize_url(raw)
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        canon.alias("url_canon"),
+        registered_domain(canon).alias("domain"),
+    )
+
+
+@q("url_canonical", _URL_CANON_SQL)
+def url_canonical_q(spark, sf_dir):
+    """URL canonicalization (the first stage of every web-corpus
+    pipeline - the only one whose cost is independent of document
+    bytes): lowercase scheme/host, strip the scheme's default port,
+    strip leading www., drop the fragment, drop utm_* tracking params,
+    sort the survivors, plus registered-domain extraction. Pure JVM
+    regexp/array projection, zero shuffle; the planted URLs exercise
+    every rule and the oracle derives the expected canonical form
+    INDEPENDENTLY from the planted structure, so a wrong rule anywhere
+    fails the value hash."""
+    return _planted_url_frame(read_table(spark, sf_dir, "documents"))
+
+
+_DOMAIN_BLOCK_SQL = """
+SELECT source || '.com' AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(source IN ('src2', 'src3') AS INT) AS blocked
+FROM documents GROUP BY source
+"""
+
+
+@q("domain_blocklist_stats", _DOMAIN_BLOCK_SQL)
+def domain_blocklist_stats_q(spark, sf_dir):
+    """Domain-level crawl governance: per registered domain, the doc
+    mass and whether the domain sits on the blocklist (opt-outs, spam
+    domains - RefinedWeb removed whole domains before touching any
+    content). The blocklist is a literal broadcast set against the
+    canonical domain; at 100 TB the aggregate is
+    domain-cardinality-sized and the corpus never shuffles raw rows
+    (the keep-side filter is the same expression as a pushdown-able
+    anti-join)."""
+    docs = read_table(spark, sf_dir, "documents")
+    urls = _planted_url_frame(docs)
+    blocked = F.col("domain").isin("src2.com", "src3.com")
+    return urls.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(blocked.cast("int")).alias("blocked"),
+    )
