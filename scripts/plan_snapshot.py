@@ -146,6 +146,9 @@ FLAGSHIPS = [
     "kmv_distinct_users",
     "source_overlap_matrix",
     "zipf_fit",
+    "jsonl_roundtrip",
+    "url_canonical",
+    "domain_blocklist_stats",
 ]
 
 
