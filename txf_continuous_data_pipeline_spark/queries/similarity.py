@@ -1863,3 +1863,68 @@ def semantic_decontamination_q(spark, sf_dir):
         ),
         threshold=0.35,
     )
+
+
+_KNN_LABEL_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id, c.label,
+         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 5 = 0) q
+  WHERE c.vec_id % 5 != 0
+),
+nn AS (
+  SELECT q_id, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM nn GROUP BY q_id, label
+)
+SELECT q_id, label AS pred_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+@q("knn_label_propagation", _KNN_LABEL_SQL)
+def knn_label_propagation_q(spark, sf_dir):
+    """Weak-supervision label propagation: every 'unlabeled' vector
+    (vec_id % 5 == 0) takes the MAJORITY label of its 5 nearest
+    labeled neighbors by cosine (ties to the smallest label) - the
+    semi-supervised labeling pass that bootstraps quality/topic
+    labels from a small annotated seed set before classifier
+    training. Composition of knn_join_bruteforce (broadcast query
+    side - the seam an ANN index drops into at 100 TB) with a vote
+    aggregate over the neighbor set (5 x n_query rows, never
+    corpus-sized). Deterministic via the rounded-cosine + id
+    tie-break discipline, so fully oracle-checked."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    labeled = emb.where(F.col("vec_id") % 5 != 0)
+    nn = knn_join_bruteforce(unlabeled, labeled, k=5)
+    voted = (
+        nn.join(
+            labeled.select("vec_id", "label"), "vec_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.col("label")
+    )
+    return (
+        voted.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "votes")
+    )

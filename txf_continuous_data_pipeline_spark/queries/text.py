@@ -3944,3 +3944,75 @@ def domain_blocklist_stats_q(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.max(blocked.cast("int")).alias("blocked"),
     )
+
+
+def _calibration_sql(dim: int = 64, bias: float = -0.1) -> str:
+    """The serving-path score pipeline (same literal weights as
+    quality_logreg_score) carried through to reliability bins."""
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
+    )
+    wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks_h} AS hs FROM documents),
+v AS (SELECT doc_id, lang, {raw} AS raw FROM t),
+n AS (SELECT doc_id, lang, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v),
+emb AS (SELECT doc_id, lang,
+               list_transform(raw, x -> round(x / nrm, 6)) AS e
+        FROM n),
+s AS (SELECT doc_id, lang,
+             round(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> e[i] * ({wlit})[i]))
+               + ({bias!r})))), 6) AS score
+      FROM emb)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 6) AS mean_score,
+       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_true,
+       round(abs(avg(score)
+                 - avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)), 6)
+         AS calibration_gap
+FROM (SELECT *, least(CAST(floor(score * 10) AS INT), 9) AS bin FROM s)
+GROUP BY bin
+"""
+
+
+@q("score_calibration_bins", _calibration_sql())
+def score_calibration_bins_q(spark, sf_dir):
+    """Classifier reliability report (the ECE table): the serving
+    path's scores land in 10 confidence bins and each bin compares
+    its mean score against the empirical positive rate (lang == 'en')
+    - the calibration audit a curation pipeline runs before trusting
+    a quality filter's threshold semantics (a miscalibrated filter at
+    0.5 silently shifts the kept-mass). Reuses the cached hashed
+    feature frame and the same literal-weight model as
+    quality_logreg_score; one 10-group map-side-combined aggregate on
+    top of the zero-shuffle scoring projection."""
+    from ..operators.textstats import logreg_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    scores = logreg_score(
+        _hash_feats(spark, sf_dir), _logreg_weights(64), -0.1
+    )
+    labeled = scores.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "score",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.least(
+            F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    return labeled.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("y"), 6).alias("frac_true"),
+        F.round(F.abs(F.avg("score") - F.avg("y")), 6).alias(
+            "calibration_gap"
+        ),
+    )
