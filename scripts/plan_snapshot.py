@@ -149,6 +149,8 @@ FLAGSHIPS = [
     "jsonl_roundtrip",
     "url_canonical",
     "domain_blocklist_stats",
+    "knn_label_propagation",
+    "score_calibration_bins",
 ]
 
 
