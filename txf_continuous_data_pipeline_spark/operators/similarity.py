@@ -2111,6 +2111,8 @@ def semantic_contamination(
 
     def _scan(it):
         for pdf in it:
+            if pdf.empty:
+                continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(
                 np.float64, copy=False
             )

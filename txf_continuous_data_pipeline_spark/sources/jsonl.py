@@ -83,8 +83,9 @@ def write_jsonl(
         return pd.DataFrame({"shard_id": [sid], "n_rows": [len(pdf)]})
 
     (
-        rec.repartition(n_shards, "_shard")
-        .groupBy("_shard")
+        # groupBy supplies the shard-keyed exchange itself; no
+        # pre-repartition needed
+        rec.groupBy("_shard")
         .applyInPandas(_write_one, "shard_id long, n_rows long")
         .collect()  # bounded: one row per shard
     )
@@ -110,9 +111,7 @@ def read_jsonl(
     alongside it, or materialize first; the quarantine pytest shows
     both working forms."""
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
+        schema = StructType.fromDDL(schema)
     full = StructType(
         list(schema.fields) + [StructField(bad_record_col, StringType())]
     )
