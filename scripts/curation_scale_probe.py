@@ -90,23 +90,11 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    def _overlap(frame):
-        from txf_continuous_data_pipeline_spark.operators.dedup import (
-            shingle_array,
-        )
-
-        sh = frame.select(
-            "source",
-            F.explode(shingle_array(F.col("text"), hashed=True)).alias(
-                "h"
-            ),
-        ).distinct()
-        a, b = sh.alias("a"), sh.alias("b")
-        return a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        ).groupBy(F.col("a.source"), F.col("b.source")).count()
+    # the SHIPPED join shape, shared with source_overlap_matrix_q -
+    # if the query's build changes, the probe measures the new shape
+    from txf_continuous_data_pipeline_spark.queries.text import (
+        source_shared_shingles as _overlap,
+    )
 
     w, n = _t(lambda: _overlap(docs))
     out["overlap_1x"] = {"wall_s": w, "rows": n}

@@ -102,3 +102,35 @@ def test_jsonl_explicit_shard_col_controls_layout(spark, tmp_path):
             rec = json.loads(line)
             assert rec["doc_id"] % 3 == i
             assert set(rec) == {"doc_id", "lang", "text"}
+
+
+def test_jsonl_rewrite_removes_stale_shards_and_layout_is_fixed(
+    spark, tmp_path
+):
+    """Full-overwrite semantics: after any write the directory holds
+    exactly shard-0..n-1; a narrower rewrite cannot leave stale
+    records for read_jsonl to silently mix in, and a shard no row
+    hashes to still gets an (empty) file."""
+    p = str(tmp_path / "ow")
+    write_jsonl(_docs(spark), p, n_shards=8, key_col="doc_id")
+    assert len(_shard_bytes(p)) == 8
+    # rewrite with fewer shards AND a filtered frame: stale shards
+    # 3..7 must be gone, and the read returns ONLY the new records
+    few = _docs(spark).where(F.col("doc_id") < 3).withColumn(
+        "shard", F.lit(0)
+    )
+    write_jsonl(few, p, n_shards=3, key_col="doc_id", shard_col="shard")
+    names = sorted(_shard_bytes(p))
+    assert names == [
+        "shard-00000.jsonl", "shard-00001.jsonl", "shard-00002.jsonl"
+    ]
+    # shards 1 and 2 exist but are empty (no row hashed to them)
+    sizes = {k: len(v) for k, v in _shard_bytes(p).items()}
+    assert sizes["shard-00001.jsonl"] == 0
+    assert sizes["shard-00002.jsonl"] == 0
+    back = read_jsonl(
+        spark, p, "doc_id long, lang string, text string"
+    )
+    rows = back.select("doc_id", "bad_record").collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2]
+    assert all(r["bad_record"] is None for r in rows)

@@ -463,3 +463,15 @@ def test_sample_maintain_stream_equals_batch_bottomk(
         for r in read_current_sample(spark, work).collect()
     ]
     assert got2 == want
+
+
+def test_read_current_sample_empty_feed_yields_empty_not_crash(
+    spark, tmp_path
+):
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        read_current_sample,
+    )
+
+    out = read_current_sample(spark, str(tmp_path / "nowhere"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "source", "lang", "sample_key"]

@@ -26,6 +26,8 @@ CASES = [
     ("https://A.B.ex.com/CaSe", "https://a.b.ex.com/CaSe"),
     # www stripped only as a leading label
     ("https://notwww.ex.com/p", "https://notwww.ex.com/p"),
+    # EVERY leading www label collapses (idempotence under re-ingest)
+    ("https://www.www.ex.com/p", "https://ex.com/p"),
     # not a URL -> NULL quarantine
     ("no scheme here", None),
     ("", None),
@@ -52,6 +54,11 @@ def test_registered_domain_last_two_labels(spark):
             (0, "https://a.b.ex.com/p"),
             (1, "https://ex.com/p"),
             (2, "https://localhost/p"),
+            # ports and userinfo must not leak into the domain - a
+            # canonical URL legitimately keeps a non-default port,
+            # and 'ex.com' blocklist entries must still match it
+            (3, "http://ex.com:443/p"),
+            (4, "https://user:pw@a.ex.com/p"),
         ],
         "i long, u string",
     )
@@ -61,7 +68,13 @@ def test_registered_domain_last_two_labels(spark):
             "i", registered_domain(F.col("u")).alias("d")
         ).collect()
     }
-    assert got == {0: "ex.com", 1: "ex.com", 2: "localhost"}
+    assert got == {
+        0: "ex.com",
+        1: "ex.com",
+        2: "localhost",
+        3: "ex.com",
+        4: "ex.com",
+    }
 
 
 def test_canonicalize_is_idempotent(spark):

@@ -51,7 +51,11 @@ def canonicalize_url(url: Column) -> Column:
         (scheme == "http") & hostport.endswith(":80"),
         F.regexp_replace(hostport, ":80$", ""),
     ).otherwise(hostport)
-    host = F.regexp_replace(host, r"^www\.", "")
+    # strip EVERY leading www label, not just one - canonicalization
+    # must be idempotent (a dedup stage fed a mix of raw and already-
+    # canonical URLs gives 'www.www.ex.com' and 'www.ex.com' the same
+    # identity only if both collapse to 'ex.com')
+    host = F.regexp_replace(host, r"^(www\.)+", "")
     path = _part(url, 3)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     rawq = _part(url, 4)
@@ -70,10 +74,16 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def registered_domain(canonical_url: Column) -> Column:
-    """Last two labels of the canonical URL's host (PSL-free
-    approximation; swap in a broadcast public-suffix table here for a
-    production crawl)."""
-    host = F.lower(_part(canonical_url, 2))
+    """Last two labels of the URL's HOST (PSL-free approximation; swap
+    in a broadcast public-suffix table here for a production crawl).
+    Userinfo and port are stripped from the authority first - a
+    canonical URL legitimately keeps a non-default port
+    ('http://ex.com:443/p'), and a blocklist keyed on 'ex.com' must
+    still match it."""
+    authority = F.lower(_part(canonical_url, 2))
+    host = F.regexp_replace(
+        F.regexp_replace(authority, "^[^@/]*@", ""), ":[0-9]+$", ""
+    )
     labels = F.split(host, r"\.")
     return F.when(
         F.size(labels) >= 2,

@@ -3642,29 +3642,25 @@ JOIN per pb ON pb.source = sh.source_b
 """
 
 
-@q("source_overlap_matrix", _SOURCE_OVERLAP_SQL)
-def source_overlap_matrix_q(spark, sf_dir):
-    """Cross-source contamination/provenance matrix: for every source
-    pair, how many distinct 3-gram shingles they SHARE and the Jaccard
-    of their shingle vocabularies - the report that catches one crawl
-    re-ingesting another (or shared boilerplate) BEFORE doc-level
-    dedup spends anything on it. Plan shape: one explode ->
-    (source, shingle-hash) distinct, a shingle-hash equi-join that
-    only ever moves 8-byte hashes (never text), a source-pair
-    aggregate of a few rows, and the per-source vocab sizes broadcast
-    back. Output is source-pair-cardinality-sized."""
+def source_shingle_vocab(docs):
+    """Distinct (source, shingle-hash) vocabulary frame - the shared
+    build of source_overlap_matrix_q and the scale probe
+    (scripts/curation_scale_probe.py), factored so the probe always
+    measures the SHIPPED join shape."""
     from ..operators.dedup import shingle_array
 
-    docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    return docs.select(
         "source",
-        F.explode(
-            shingle_array(F.col("text"), hashed=True)
-        ).alias("h"),
+        F.explode(shingle_array(F.col("text"), hashed=True)).alias("h"),
     ).distinct()
-    per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+
+
+def source_shared_shingles(docs):
+    """(source_a, source_b, n_shared) over the shingle vocabularies -
+    the hash-only equi-join both the query and the probe time."""
+    sh = source_shingle_vocab(docs)
     a, b = sh.alias("a"), sh.alias("b")
-    shared = (
+    return (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -3676,6 +3672,23 @@ def source_overlap_matrix_q(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+@q("source_overlap_matrix", _SOURCE_OVERLAP_SQL)
+def source_overlap_matrix_q(spark, sf_dir):
+    """Cross-source contamination/provenance matrix: for every source
+    pair, how many distinct 3-gram shingles they SHARE and the Jaccard
+    of their shingle vocabularies - the report that catches one crawl
+    re-ingesting another (or shared boilerplate) BEFORE doc-level
+    dedup spends anything on it. Plan shape: one explode ->
+    (source, shingle-hash) distinct, a shingle-hash equi-join that
+    only ever moves 8-byte hashes (never text), a source-pair
+    aggregate of a few rows, and the per-source vocab sizes broadcast
+    back. Output is source-pair-cardinality-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = source_shingle_vocab(docs)
+    per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    shared = source_shared_shingles(docs)
     pa = per.select(
         F.col("source").alias("source_a"), F.col("n").alias("na")
     )

@@ -82,13 +82,34 @@ def write_jsonl(
         os.replace(tmp, name)
         return pd.DataFrame({"shard_id": [sid], "n_rows": [len(pdf)]})
 
-    (
-        # groupBy supplies the shard-keyed exchange itself; no
-        # pre-repartition needed
-        rec.groupBy("_shard")
-        .applyInPandas(_write_one, "shard_id long, n_rows long")
-        .collect()  # bounded: one row per shard
-    )
+    written = {
+        int(r["shard_id"])
+        for r in (
+            # groupBy supplies the shard-keyed exchange itself; no
+            # pre-repartition needed
+            rec.groupBy("_shard")
+            .applyInPandas(_write_one, "shard_id long, n_rows long")
+            .collect()  # bounded: one row per shard
+        )
+    }
+    # FULL-overwrite semantics: the directory afterwards holds exactly
+    # shard-00000..n_shards-1 and nothing else. A shard id no row
+    # hashed to still gets an (empty) file - the layout is not
+    # data-dependent - and stale shards from an earlier, wider or
+    # differently-filtered write are removed, so read_jsonl can never
+    # silently mix old records into a rewritten corpus.
+    import glob as _glob
+    import re as _re
+
+    for sid in set(range(n_shards)) - written:
+        tmp = os.path.join(path, f".shard-{sid:05d}.jsonl.tmp")
+        with open(tmp, "wb"):
+            pass
+        os.replace(tmp, os.path.join(path, f"shard-{sid:05d}.jsonl"))
+    for f in _glob.glob(os.path.join(path, "shard-*.jsonl")):
+        m = _re.fullmatch(r"shard-(\d{5})\.jsonl", os.path.basename(f))
+        if m and int(m.group(1)) >= n_shards:
+            os.remove(f)
 
 
 def read_jsonl(

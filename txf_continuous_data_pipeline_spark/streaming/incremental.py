@@ -1081,10 +1081,17 @@ def read_current_sample(
     spark: SparkSession, work_dir: str, *, k: int = 50
 ) -> DataFrame:
     """The live bottom-k sample: merge the per-batch candidate sets
-    (n_batches x k rows - nothing corpus-sized) and re-take bottom-k."""
-    cand = spark.read.parquet(
-        os.path.join(work_dir, "sample_candidates")
+    (n_batches x k rows - nothing corpus-sized) and re-take bottom-k.
+    A quiet feed (no candidate batch written yet) yields an EMPTY
+    sample, not PATH_NOT_FOUND - a poller must survive an idle
+    stream."""
+    schema = (
+        "doc_id long, source string, lang string, sample_key long"
     )
+    cand_dir = os.path.join(work_dir, "sample_candidates")
+    if not os.path.isdir(cand_dir):
+        return spark.createDataFrame([], schema)
+    cand = spark.read.parquet(cand_dir)
     return cand.select(
         "doc_id", "source", "lang", "sample_key"
     ).orderBy("sample_key", "doc_id").limit(k)
