@@ -619,13 +619,15 @@ def test_undecodable_media_rows_are_quarantined(spark):
         media.where(F.col("kind") == "image"), width=8, height=8).collect()}
     assert rz[2] is None and rz[1] is not None
 
-    # frame sampling: truncated container emits only in-range frames;
-    # downstream frame_phash still completes
+    # frame sampling: a truncated container quarantines the WHOLE
+    # video (all-or-nothing - a partial frame set could still clear
+    # video_neardup_pairs' min_frames_agree vote and produce
+    # asymmetric pairs); downstream frame_phash still completes
     frames = sample_frames(media, every_nth=1, max_frames=4)
     per_vid = {r.media_id: r["cnt"] for r in frames.groupBy(
         "media_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_vid[5] == 4
-    assert 0 < per_vid.get(6, 0) < 4
+    assert per_vid.get(6, 0) == 0
     hashed = frame_phash(frames, repartition=False).collect()
     assert all(r.phash is not None for r in hashed)
 

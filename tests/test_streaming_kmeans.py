@@ -179,3 +179,44 @@ def test_drift_monitor_trips_on_planted_shift(spark, sf_dir, tmp_path):
         spark, feed, work, ref, value_col="value", lo=0.0, hi=200.0
     )
     assert spark.read.parquet(log).count() == 3
+
+
+def test_partial_state_raises_instead_of_silent_reseed(
+    spark, tmp_path
+):
+    """A state dir that exists but holds the wrong number of cluster
+    rows (crash mid-overwrite) must raise, not silently reseed over
+    committed batches."""
+    import glob
+    import time
+
+    import pytest
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    work = str(tmp_path / "work")
+    seeds = [(0, [0.0, 0.0]), (1, [2.0, 4.0])]
+    streaming_kmeans_run(spark, feed, work, seed_centroids=seeds)
+    state = os.path.join(work, "kmeans_state")
+    rows = spark.read.parquet(state).collect()
+    assert len(rows) == 2
+    # corrupt: keep only one cluster row
+    spark.createDataFrame(
+        [r for r in rows if r["cluster_id"] == 0],
+        spark.read.parquet(state).schema,
+    ).coalesce(1).write.mode("overwrite").parquet(state)
+    # new file so a batch actually fires against the corrupt state
+    spark.createDataFrame(
+        [(100 + i, [1.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    now = time.time()
+    for f in glob.glob(os.path.join(feed, "part-*")):
+        os.utime(f, (now, now))
+    with pytest.raises(Exception, match="corrupt"):
+        streaming_kmeans_run(
+            spark, feed, work, seed_centroids=seeds
+        )

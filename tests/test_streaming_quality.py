@@ -78,3 +78,23 @@ def test_rerun_rewrites_instead_of_double_appending(spark, sf_dir, tmp_path):
     quality_filter_ingest_run(spark, feed, work, WEIGHTS, BIAS)
     assert spark.read.parquet(kept_dir).count() == n_kept
     assert spark.read.parquet(quar_dir).count() == n_quar
+
+
+def test_unscorable_rows_quarantine_not_vanish(spark, tmp_path):
+    """A row the featurizer cannot score (null text -> no feature row)
+    must land in quarantine with a null score - never silently vanish
+    from both sinks (the auditability contract)."""
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "spark filter join group"), (2, None), (3, "")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    kept_dir, quar_dir = quality_filter_ingest_run(
+        spark, feed, str(tmp_path / "work"), WEIGHTS, BIAS
+    )
+    kept = spark.read.parquet(os.path.join(kept_dir, "*")).collect()
+    quar = spark.read.parquet(os.path.join(quar_dir, "*")).collect()
+    all_ids = {r["doc_id"] for r in kept} | {r["doc_id"] for r in quar}
+    assert all_ids == {1, 2, 3}  # nothing vanished
+    by_id = {r["doc_id"]: r for r in quar}
+    assert 2 in by_id and by_id[2]["score"] is None

@@ -458,6 +458,14 @@ def sample_frames(
             for mid, p, n_frames, c in zip(
                 pdf["media_id"], pdf["payload"], pdf["n_frames"], codecs
             ):
+                # buffer per video, commit only if EVERY sampled frame
+                # decodes: a container truncated after some frames must
+                # emit none at all - a partial frame set can still
+                # clear video_neardup_pairs' min_frames_agree vote and
+                # produce asymmetric/spurious pairs
+                v_idx: list = []
+                v_pay: list = []
+                ok = True
                 total = int(n_frames) if pd.notna(n_frames) else 0
                 for j, frame_idx in enumerate(range(0, total, every_nth)):
                     if j >= max_frames:
@@ -469,16 +477,19 @@ def sample_frames(
                             )
                         except (ValueError, IndexError):
                             # corrupt / truncated container: quarantine
-                            # by emitting no frames for this video (it
-                            # simply cannot pair downstream) instead of
-                            # failing the whole stage
+                            # the WHOLE video (discard buffered frames)
+                            # instead of failing the stage
+                            ok = False
                             break
                     else:
                         seed = (p or b"") + frame_idx.to_bytes(4, "big")
                         frame = hashlib.sha256(seed).digest()
-                    ids.append(mid)
-                    idxs.append(frame_idx)
-                    payloads.append(frame)
+                    v_idx.append(frame_idx)
+                    v_pay.append(frame)
+                if ok:
+                    ids.extend([mid] * len(v_idx))
+                    idxs.extend(v_idx)
+                    payloads.extend(v_pay)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "payload": payloads}
             )

@@ -1911,9 +1911,14 @@ def pca_fit(
     *,
     vec_col: str = "embedding",
     k: int = 8,
-) -> "tuple[list[float], list[list[float]], list[float]]":
+    with_total_var: bool = False,
+) -> "tuple":
     """Fit PCA over an embedding column: returns (mean, components
-    [k x dim, rows unit-norm], eigenvalues desc). The whole corpus
+    [k x dim, rows unit-norm], eigenvalues desc) - plus trace(cov)
+    (the TOTAL variance, the sum of ALL dim eigenvalues, free from
+    the same sufficient statistics) as a 4th element when
+    ``with_total_var=True``; variance-explained ratios must divide by
+    it, not by the top-k sum. The whole corpus
     reduces to ONE pass of per-partition sufficient statistics -
     (count, sum vector, X^T X Gram matrix), a (1 + dim + dim^2)-double
     row per partition stacked in a single Arrow stage - and the
@@ -1963,11 +1968,14 @@ def pca_fit(
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         comps.append([float(x) for x in v])
-    return (
+    out = (
         [float(x) for x in mean],
         comps,
         [float(vals[j]) for j in order],
     )
+    if with_total_var:
+        return out + (float(np.trace(cov)),)
+    return out
 
 
 def pca_project(

@@ -2599,8 +2599,16 @@ def wordpiece_train(
                 "r",
                 "_n",
                 (
+                    # denominator in DOUBLE: two symbols at ~3e9
+                    # occurrences each (routine at 100 TB) overflow an
+                    # int64 product - wrapping negative with ANSI off,
+                    # throwing with ANSI on - and the driver path's
+                    # Python ints would silently diverge
                     F.col("_n").cast("double")
-                    / (F.col("_cl") * F.col("_cr"))
+                    / (
+                        F.col("_cl").cast("double")
+                        * F.col("_cr").cast("double")
+                    )
                 ).alias("_score"),
             )
             .where(F.col("_n") >= 2)

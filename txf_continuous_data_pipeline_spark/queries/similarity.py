@@ -879,10 +879,39 @@ def _ivfpq_index_path(spark, sf_dir):
                     break
                 except FileExistsError:
                     try:
-                        if _time.time() - os.path.getmtime(lock) > 60:
-                            os.remove(lock)
-                            continue
+                        st = os.stat(lock)
                     except OSError:
+                        continue
+                    if _time.time() - st.st_mtime > 60:
+                        # Break the stale lock by RENAME, not remove:
+                        # rename is atomic and fails for all but one
+                        # concurrent breaker, so two waiters can never
+                        # both enter (the unlink-based break let waiter
+                        # C delete waiter B's freshly created lock).
+                        # After winning the rename, re-verify staleness
+                        # on the stolen file - if the holder finished
+                        # and a NEW lock appeared in the stat->rename
+                        # window we stole a live one; restore it into
+                        # the (still-empty) slot via link and back off.
+                        steal = (
+                            f"{lock}.stale.{os.getpid()}"
+                            f".{_time.time_ns()}"
+                        )
+                        try:
+                            os.rename(lock, steal)
+                        except OSError:
+                            continue  # another breaker won; re-loop
+                        try:
+                            if _time.time() - os.path.getmtime(steal) > 60:
+                                os.remove(steal)  # confirmed stale
+                            else:
+                                try:
+                                    os.link(steal, lock)
+                                except OSError:
+                                    pass
+                                os.remove(steal)
+                        except OSError:
+                            pass
                         continue
                     _time.sleep(0.1)
             if acquired:
@@ -1794,12 +1823,17 @@ def pca_variance_explained_q(spark, sf_dir):
     sum, Gram) + a driver-side eigh on the dim x dim covariance; no
     shuffle anywhere. Iterative-free but eig has no SQL form ->
     rows-only; pca_fit is pinned against full-matrix numpy PCA in
-    tests/test_projection.py."""
+    tests/test_projection.py. cum_ratio divides by trace(cov) - the
+    TOTAL variance over all dims, free from the same sufficient
+    statistics - not by the top-k sum (which would always end at 1.0
+    and tell a budget-chooser that 8 dims capture everything)."""
     from ..operators.similarity import pca_fit
 
     emb = read_table(spark, sf_dir, "embeddings")
-    _mean, _comps, eigvals = pca_fit(emb, k=8)
-    total = sum(eigvals) if eigvals else 1.0
+    _mean, _comps, eigvals, total_var = pca_fit(
+        emb, k=8, with_total_var=True
+    )
+    total = total_var if total_var > 0 else 1.0
     cum = 0.0
     rows = []
     for j, v in enumerate(eigvals):

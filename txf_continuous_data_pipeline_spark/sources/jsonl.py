@@ -49,9 +49,11 @@ def write_jsonl(
 ) -> None:
     """Sink: one reproducible ``shard-%05d.jsonl`` file per shard id.
 
-    ``df``'s non-key, non-shard columns become the JSON record (struct
-    field order = column order, deterministic). Records within a shard
-    are written in ``key_col`` order; files land via atomic rename.
+    Every column except the shard column becomes the JSON record
+    (struct field order = column order, deterministic) - the key
+    column IS serialized, so a read_jsonl round trip recovers it.
+    Records within a shard are written in ``key_col`` order; files
+    land via atomic rename.
     """
     shard = (
         F.col(shard_col)

@@ -651,8 +651,17 @@ def streaming_kmeans_run(
         if not jpath.getFileSystem(hconf).exists(jpath):
             return None
         rows = sess.read.parquet(state_path).collect()
-        if not rows:
-            return None
+        # an EXISTING path must hold exactly one row per cluster: a
+        # crash mid-overwrite that left zero or a subset of rows is
+        # corrupt/partial state, and reseeding (or zeroing the missing
+        # clusters) would silently drop accumulated statistics
+        if len(rows) != k:
+            raise ValueError(
+                f"streaming k-means state at {state_path} is corrupt: "
+                f"{len(rows)} rows for k={k} clusters - refusing to "
+                "reseed over committed batches; delete the state dir "
+                "to restart from scratch"
+            )
         rows.sort(key=lambda r: r["cluster_id"])
         S = np.array([r["csum"] for r in rows])
         N = np.array([r["cnt"] for r in rows])
@@ -954,9 +963,11 @@ def quality_filter_ingest_run(
     featurized (hashing trick) and scored by the FROZEN logistic model
     (weights broadcast as literals - the logreg_score serving path,
     zero shuffle beyond the feature aggregate); rows at or above the
-    threshold land in kept/, the rest in quarantine/ WITH their score,
-    so rejected data stays auditable rather than silently vanishing
-    (the RTBF/idempotent-sink transparency discipline).
+    threshold land in kept/, the rest in quarantine/ WITH their score
+    - including UNSCORABLE rows (null/empty text produces no feature
+    row; they quarantine with a null score) - so rejected data stays
+    auditable rather than silently vanishing (the RTBF/idempotent-sink
+    transparency discipline).
 
     Exactly-once via the batch=<id> subdirectory layout
     (neardup_ingest_run): each batch overwrites its own partition on
@@ -974,9 +985,15 @@ def quality_filter_ingest_run(
         if not batch.head(1):
             return
         feats = hashing_trick_embed(batch, dim=dim)
+        # LEFT join from the batch side: a row the featurizer cannot
+        # score (null/empty text yields no feature row) must still
+        # land SOMEWHERE - an inner join here silently erased it from
+        # both sinks, violating the auditability contract. Unscorable
+        # rows go to quarantine with a null score.
         scored = (
-            logreg_score(feats, weights, bias)
-            .join(batch, "doc_id")
+            batch.join(
+                logreg_score(feats, weights, bias), "doc_id", "left"
+            )
             .select("doc_id", "text", "score")
             .localCheckpoint(eager=True)
         )
@@ -984,9 +1001,9 @@ def quality_filter_ingest_run(
         scored.where(F.col("score") >= threshold).write.mode(
             "overwrite"
         ).parquet(os.path.join(kept_dir, part))
-        scored.where(F.col("score") < threshold).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(quar_dir, part))
+        scored.where(
+            F.col("score").isNull() | (F.col("score") < threshold)
+        ).write.mode("overwrite").parquet(os.path.join(quar_dir, part))
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
