@@ -4029,3 +4029,154 @@ def score_calibration_bins_q(spark, sf_dir):
             "calibration_gap"
         ),
     )
+
+
+_SWEEP_THRESHOLDS = (0.02, 0.05, 0.1, 0.2, 0.3, 0.5)
+
+_SWEEP_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh)))
+        >= {_SWEEP_THRESHOLDS[0]}
+)
+SELECT t AS threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(j), 6) AS mean_jaccard
+FROM pairs
+CROSS JOIN unnest([{", ".join(map(str, _SWEEP_THRESHOLDS))}]) AS u(t)
+WHERE j >= t
+GROUP BY t
+"""
+
+
+@q("neardup_threshold_sweep", _SWEEP_SQL)
+def neardup_threshold_sweep_q(spark, sf_dir):
+    """Dedup-threshold sensitivity report: how many near-dup pairs
+    (and at what mean similarity) each candidate Jaccard threshold
+    would act on - the tuning table an operator reads BEFORE choosing
+    the production cutoff, from ONE pass over the pair frame (the
+    cached inverted-index build shared with ngram_jaccard_pairs /
+    neardup_groups; the sweep itself is a 6-literal explode + one
+    map-side-combined 6-group aggregate, no recomputation per
+    threshold)."""
+    pairs = _shared_pairs(spark, sf_dir)
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        pairs.select(F.col("jaccard_exact").alias("j"), t)
+        .where(F.col("j") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("j"), 6).alias("mean_jaccard"),
+        )
+    )
+
+
+def _ensemble_sql() -> str:
+    """Three cheap quality signals (heuristic score, token entropy,
+    token count) -> per-signal decile via 9 quantile_cont cutoffs ->
+    mean decile, all re-derived in SQL."""
+
+    def h_tk() -> str:
+        arr = f"list_filter({_TOKS}, w -> len(w) > 0)"
+        return (
+            f"coalesce(ln(len({arr}))"
+            f" - list_sum(list_transform(list_sort(list_distinct({arr})),"
+            f" u -> CAST(len(list_filter({arr}, x -> x = u)) AS DOUBLE)"
+            f" * ln(len(list_filter({arr}, x -> x = u)))))"
+            f" / len({arr}), 0.0)"
+        )
+
+    qs = "[" + ", ".join(str(i / 10.0) for i in range(1, 10)) + "]"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {_QSCORE_SQL} AS s1,
+         round({h_tk()}, 6) AS s2,
+         CAST(len(list_filter({_TOKS}, w -> len(w) > 0)) AS DOUBLE)
+           AS s3
+  FROM documents
+),
+cuts AS (
+  SELECT list_transform(quantile_cont(s1, {qs}), x -> round(x, 6)) AS c1,
+         list_transform(quantile_cont(s2, {qs}), x -> round(x, 6)) AS c2,
+         list_transform(quantile_cont(s3, {qs}), x -> round(x, 6)) AS c3
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(list_filter(c1, c -> s1 > c)) AS INT) AS d1,
+       CAST(len(list_filter(c2, c -> s2 > c)) AS INT) AS d2,
+       CAST(len(list_filter(c3, c -> s3 > c)) AS INT) AS d3,
+       round((len(list_filter(c1, c -> s1 > c))
+              + len(list_filter(c2, c -> s2 > c))
+              + len(list_filter(c3, c -> s3 > c))) / 3.0, 6)
+         AS ensemble_decile
+FROM s CROSS JOIN cuts
+"""
+
+
+@q("quality_ensemble_deciles", _ensemble_sql())
+def quality_ensemble_deciles_q(spark, sf_dir):
+    """Rank-normalized multi-signal quality ensembling (the
+    FineWeb-Edu lesson: raw signal scales are incomparable, so blend
+    RANKS, not values): each doc's heuristic quality score, token
+    entropy and token count map to corpus deciles via 9 exact
+    quantile cutoffs per signal (rounded to 6dp before the boundary
+    compare on both engines - the adaptive_quality_cutoff
+    discipline), and the ensemble is the mean decile. Scale shape:
+    one signal projection (entropy joins back on doc_id), a 1-row
+    27-value cutoff frame on a broadcast one-row cross join, per-row
+    decile arithmetic - never a global rank/ntile window over the
+    corpus."""
+    from ..operators.textstats import (
+        entropy_stats,
+        quality_score,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("s1"),
+        token_count(F.col("text")).cast("double").alias("s3"),
+    )
+    ent = entropy_stats(docs).select(
+        "doc_id", F.col("token_entropy").alias("s2")
+    )
+    s = base.join(ent, "doc_id")
+    pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = s.agg(
+        *[
+            F.transform(
+                F.percentile(F.col(c), pcts), lambda x: F.round(x, 6)
+            ).alias(f"c{i}")
+            for i, c in ((1, "s1"), (2, "s2"), (3, "s3"))
+        ]
+    )
+    j = s.crossJoin(F.broadcast(cuts))
+
+    def dec(sig, cut):
+        return F.size(
+            F.filter(F.col(cut), lambda c: F.col(sig) > c)
+        )
+
+    return j.select(
+        "doc_id",
+        dec("s1", "c1").cast("int").alias("d1"),
+        dec("s2", "c2").cast("int").alias("d2"),
+        dec("s3", "c3").cast("int").alias("d3"),
+        F.round(
+            (dec("s1", "c1") + dec("s2", "c2") + dec("s3", "c3"))
+            / 3.0,
+            6,
+        ).alias("ensemble_decile"),
+    )
