@@ -151,6 +151,8 @@ FLAGSHIPS = [
     "domain_blocklist_stats",
     "knn_label_propagation",
     "score_calibration_bins",
+    "neardup_threshold_sweep",
+    "quality_ensemble_deciles",
 ]
 
 
