@@ -4152,7 +4152,12 @@ def quality_ensemble_deciles_q(spark, sf_dir):
     ent = entropy_stats(docs).select(
         "doc_id", F.col("token_entropy").alias("s2")
     )
-    s = base.join(ent, "doc_id")
+    # EAGER checkpoint: the signal frame feeds both the broadcast
+    # cutoff aggregate and the per-row decile scan - without
+    # materialization the whole base+entropy chain (with its
+    # doc-keyed join) executes once per consumer (the
+    # tfidf_hash_embeddings A/B lesson, BENCH_DETAIL ab_checks)
+    s = base.join(ent, "doc_id").localCheckpoint(eager=True)
     pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
     cuts = s.agg(
         *[
