@@ -153,6 +153,7 @@ FLAGSHIPS = [
     "score_calibration_bins",
     "neardup_threshold_sweep",
     "quality_ensemble_deciles",
+    "classifier_pr_curve",
 ]
 
 

@@ -4185,3 +4185,118 @@ def quality_ensemble_deciles_q(spark, sf_dir):
             6,
         ).alias("ensemble_decile"),
     )
+
+
+_PR_THRESHOLDS = tuple(i / 10.0 for i in range(1, 10))
+
+
+def _pr_curve_sql(dim: int = 64, bias: float = -0.1) -> str:
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
+    )
+    wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
+    ths = ", ".join(str(t) for t in _PR_THRESHOLDS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks_h} AS hs FROM documents),
+v AS (SELECT doc_id, lang, {raw} AS raw FROM t),
+n AS (SELECT doc_id, lang, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v),
+emb AS (SELECT doc_id, lang,
+               list_transform(raw, x -> round(x / nrm, 6)) AS e
+        FROM n),
+s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             round(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(range(1, {dim + 1}),
+                                       i -> e[i] * ({wlit})[i]))
+               + ({bias!r})))), 6) AS score
+      FROM emb),
+c AS (
+  SELECT th AS threshold,
+         CAST(count(*) FILTER (WHERE score >= th AND y = 1) AS BIGINT)
+           AS tp,
+         CAST(count(*) FILTER (WHERE score >= th AND y = 0) AS BIGINT)
+           AS fp,
+         CAST(count(*) FILTER (WHERE score < th AND y = 1) AS BIGINT)
+           AS fn
+  FROM s CROSS JOIN unnest([{ths}]) AS u(th)
+  GROUP BY th
+)
+SELECT threshold, tp, fp, fn,
+       round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision,
+       round(tp / nullif(CAST(tp + fn AS DOUBLE), 0), 6) AS recall,
+       round(2.0 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0), 6)
+         AS f1
+FROM c
+"""
+
+
+@q("classifier_pr_curve", _pr_curve_sql())
+def classifier_pr_curve_q(spark, sf_dir):
+    """The precision/recall/F1 table for the serving quality
+    classifier at 9 operating thresholds (truth = lang == 'en', the
+    same planted target the trainer fits) - with
+    score_calibration_bins, the full evaluation kit an operator reads
+    before wiring a threshold into the ingest gate. One pass: the
+    cached hashed-feature scores cross a 9-literal threshold explode
+    into a 9-group map-side-combined count aggregate - the
+    neardup_threshold_sweep pattern applied to model eval."""
+    from ..operators.textstats import logreg_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = logreg_score(
+        _hash_feats(spark, sf_dir), _logreg_weights(64), -0.1
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    s = scored.select(
+        "score", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _PR_THRESHOLDS])
+    ).alias("threshold")
+    c = (
+        s.select("score", "y", th)
+        .groupBy("threshold")
+        .agg(
+            F.count_if(
+                (F.col("score") >= F.col("threshold"))
+                & (F.col("y") == 1)
+            ).cast("long").alias("tp"),
+            F.count_if(
+                (F.col("score") >= F.col("threshold"))
+                & (F.col("y") == 0)
+            ).cast("long").alias("fp"),
+            F.count_if(
+                (F.col("score") < F.col("threshold"))
+                & (F.col("y") == 1)
+            ).cast("long").alias("fn"),
+        )
+    )
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * F.col("tp")
+            / F.nullif(
+                (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f1"),
+    )
