@@ -154,6 +154,7 @@ FLAGSHIPS = [
     "neardup_threshold_sweep",
     "quality_ensemble_deciles",
     "classifier_pr_curve",
+    "web_pipeline_funnel",
 ]
 
 

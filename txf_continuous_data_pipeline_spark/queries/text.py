@@ -4300,3 +4300,122 @@ def classifier_pr_curve_q(spark, sf_dir):
             6,
         ).alias("f1"),
     )
+
+
+_WEB_FUNNEL_SQL = f"""
+WITH RECURSIVE d1 AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE source NOT IN ('src2', 'src3')
+),
+sc AS (SELECT doc_id, source, text, {_QSCORE_SQL} AS score FROM d1),
+cut AS (
+  SELECT source, round(quantile_cont(score, 0.25), 6) AS cutoff
+  FROM sc GROUP BY source
+),
+d2 AS (
+  SELECT s.doc_id, s.source, s.text
+  FROM sc s JOIN cut c ON s.source = c.source
+  WHERE s.score >= c.cutoff
+),
+s2 AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM d2),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s2 a JOIN s2 b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+)
+SELECT 0 AS stage_idx, 'ingest' AS stage,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL
+SELECT 1, 'domain_blocklist',
+       (SELECT CAST(count(*) AS BIGINT) FROM d1)
+UNION ALL
+SELECT 2, 'quality_cutoff',
+       (SELECT CAST(count(*) AS BIGINT) FROM d2)
+UNION ALL
+SELECT 3, 'neardup_keep',
+       (SELECT CAST(count(*) AS BIGINT) FROM d2)
+       - (SELECT CAST(count(*) AS BIGINT) FROM comp
+          WHERE doc_id != component)
+"""
+
+
+@q("web_pipeline_funnel", _WEB_FUNNEL_SQL)
+def web_pipeline_funnel_q(spark, sf_dir):
+    """The end-to-end WEB curation funnel, integrated: ingest ->
+    domain blocklist (the URL stage's verdict) -> per-source adaptive
+    quality cutoff (p25 bars computed on the SURVIVING corpus, not
+    the raw one - order matters and the oracle pins it) -> near-dup
+    keep (pairs + connected components over the twice-filtered set).
+    One row per stage with the surviving doc count - the funnel
+    report every curation run publishes. Each stage reuses the
+    standalone operator (blocklist predicate, quality_score +
+    broadcast cutoffs, _jaccard_pair_frame -> connected_components);
+    the composition is value-checked end to end by a single chained
+    CTE oracle."""
+    from ..operators.graph import connected_components
+    from ..operators.textstats import quality_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    d1 = docs.where(~F.col("source").isin("src2", "src3"))
+    sc = d1.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+    )
+    cut = sc.groupBy("source").agg(
+        F.round(F.percentile(F.col("score"), F.lit(0.25)), 6).alias(
+            "cutoff"
+        )
+    )
+    d2 = (
+        sc.join(F.broadcast(cut), "source")
+        .where(F.col("score") >= F.col("cutoff"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)  # feeds pairs AND two counts
+    )
+    pairs = _jaccard_pair_frame(d2, _PAIRS_FLOOR)
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("id") != F.col("component"))
+
+    def row(idx, name, frame):
+        return frame.agg(
+            F.count("*").cast("long").alias("n_docs")
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    s3 = (
+        d2.agg(F.count("*").cast("long").alias("n2"))
+        .crossJoin(
+            losers.agg(F.count("*").cast("long").alias("nl"))
+        )
+        .select(
+            F.lit(3).alias("stage_idx"),
+            F.lit("neardup_keep").alias("stage"),
+            (F.col("n2") - F.col("nl")).cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        row(0, "ingest", docs)
+        .unionByName(row(1, "domain_blocklist", d1))
+        .unionByName(row(2, "quality_cutoff", d2))
+        .unionByName(s3)
+    )
