@@ -4364,9 +4364,13 @@ def web_pipeline_funnel_q(spark, sf_dir):
     One row per stage with the surviving doc count - the funnel
     report every curation run publishes. Each stage reuses the
     standalone operator (blocklist predicate, quality_score +
-    broadcast cutoffs, _jaccard_pair_frame -> connected_components);
-    the composition is value-checked end to end by a single chained
-    CTE oracle."""
+    broadcast cutoffs, connected_components), and the pair stage
+    reuses the CACHED corpus-wide pair frame restricted to survivors
+    - exact, because Jaccard is pairwise: the induced subgraph's
+    edges are precisely the corpus edges with both endpoints
+    surviving, so the inverted index is never rebuilt for the
+    filtered set (measured 9.0 -> ~4s at sf0.1). The composition is
+    value-checked end to end by a single chained CTE oracle."""
     from ..operators.graph import connected_components
     from ..operators.textstats import quality_score
 
@@ -4389,7 +4393,20 @@ def web_pipeline_funnel_q(spark, sf_dir):
         .select("doc_id", "source", "text")
         .localCheckpoint(eager=True)  # feeds pairs AND two counts
     )
-    pairs = _jaccard_pair_frame(d2, _PAIRS_FLOOR)
+    ids = d2.select("doc_id")
+    pairs = (
+        _shared_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "id_a")),
+            "id_a",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "id_b")),
+            "id_b",
+            "left_semi",
+        )
+    )
     comp = connected_components(pairs, "id_a", "id_b")
     losers = comp.where(F.col("id") != F.col("component"))
 
