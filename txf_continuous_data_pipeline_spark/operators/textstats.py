@@ -2840,35 +2840,40 @@ def tfidf_hash_embed(
             ).alias("_w"),
         )
     )
-    dense = weighted.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("_pos", "_w"))
-        ).alias("_m")
+    # dense fill + L2 normalize + round in ONE Arrow stage over a
+    # JVM-aggregated entry list: the map rebuild (64 interpreted
+    # lookups/row) plus two more interpreted higher-order passes
+    # measured ~2.5s of the query's warm 3.5s at sf0.1; a numpy
+    # scatter per row replaces all three. The groupBy collect_list
+    # stays JVM-side (map-side combine), so Python sees one row per
+    # doc, never the entry stream. Norm = sqrt(sum w^2) is
+    # summation-order-equal to the JVM fold within the 6dp round
+    # (the cosine_fast contract).
+    entries = weighted.groupBy(id_col).agg(
+        F.collect_list(F.struct("_pos", "_w")).alias("_e")
     )
-    # staged projections - the hashing_trick_embed Catalyst-width
-    # lesson (interpreted higher-order trees get no CSE across
-    # consumers)
-    raw = dense.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(F.col("_m")[i.cast("long")], F.lit(0.0)),
-        ).alias("_raw"),
-    )
-    with_norm = raw.select(
-        F.col(id_col),
-        "_raw",
-        F.sqrt(
-            F.aggregate(
-                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ).alias("_nrm"),
-    )
-    return with_norm.select(
-        F.col(id_col),
-        F.transform(
-            F.col("_raw"), lambda x: F.round(x / F.col("_nrm"), 6)
-        ).alias("embedding"),
+
+    @pandas_udf("array<double>")
+    def _dense(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for row in e:
+            v = np.zeros(dim)
+            if len(row):
+                pos = np.fromiter(
+                    (r["_pos"] for r in row), dtype=np.int64
+                )
+                w = np.fromiter((r["_w"] for r in row), dtype=np.float64)
+                v[pos] = w
+                nrm = float(np.sqrt((w * w).sum()))
+                if nrm > 0.0:
+                    v = v / nrm
+            out.append(np.round(v, 6).tolist())
+        return pd.Series(out)
+
+    return entries.select(
+        F.col(id_col), _dense(F.col("_e")).alias("embedding")
     )
 
 
