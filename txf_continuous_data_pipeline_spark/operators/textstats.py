@@ -947,37 +947,38 @@ def hashing_trick_embed(
     counts = buckets.groupBy(id_col, "_pos").agg(
         F.count("*").cast("double").alias("_n")
     )
-    dense = counts.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("_pos", "_n"))
-        ).alias("_m")
+    # dense fill + L2 normalize + round in ONE Arrow stage over a
+    # JVM-aggregated entry list (the tfidf_hash_embed tail fix, same
+    # A/B: the interpreted map rebuild + two more higher-order passes
+    # cost ~2.5s warm at sf0.1, the numpy scatter ~0.3s). collect_list
+    # stays JVM-side with map-side combine; Python sees one row per
+    # doc. Norm = sqrt(sum n^2) is summation-order-equal to the JVM
+    # fold within the 6dp round (the cosine_fast contract).
+    entries = counts.groupBy(id_col).agg(
+        F.collect_list(F.struct("_pos", "_n")).alias("_e")
     )
-    # STAGED projections: referencing the vector expression inside the
-    # norm, and the norm inside the per-element divide, would re-expand
-    # each interpreted higher-order tree per consumer (no CSE across
-    # them) - measured ~9s at sf0.1 vs ~1s staged; the same
-    # Catalyst-width lesson as text_stats' fused pass.
-    raw = dense.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(F.col("_m")[i.cast("long")], F.lit(0.0)),
-        ).alias("_raw"),
-    )
-    with_norm = raw.select(
-        F.col(id_col),
-        "_raw",
-        F.sqrt(
-            F.aggregate(
-                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        ).alias("_nrm"),
-    )
-    return with_norm.select(
-        F.col(id_col),
-        F.transform(
-            F.col("_raw"), lambda x: F.round(x / F.col("_nrm"), 6)
-        ).alias("embedding"),
+
+    @pandas_udf("array<double>")
+    def _dense(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for row in e:
+            v = np.zeros(dim)
+            if len(row):
+                pos = np.fromiter(
+                    (r["_pos"] for r in row), dtype=np.int64
+                )
+                w = np.fromiter((r["_n"] for r in row), dtype=np.float64)
+                v[pos] = w
+                nrm = float(np.sqrt((w * w).sum()))
+                if nrm > 0.0:
+                    v = v / nrm
+            out.append(np.round(v, 6).tolist())
+        return pd.Series(out)
+
+    return entries.select(
+        F.col(id_col), _dense(F.col("_e")).alias("embedding")
     )
 
 
