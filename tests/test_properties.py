@@ -494,3 +494,25 @@ def test_soft_dedup_weight_mass_is_one_per_cluster(spark, sf_dir):
     # the corpus really has multi-doc clusters, so the weight path
     # below 1.0 is exercised
     assert mass.where(F.col("sz") > 1).count() > 0
+
+
+def test_web_funnel_stages_monotone_and_blocklist_respected(
+    spark, sf_dir
+):
+    """Each funnel stage can only shrink the corpus, the blocklist
+    stage removes exactly the blocked sources' docs, and every stage
+    does real work on the test corpus (no vacuous pass-through)."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+
+    rows = {
+        r["stage_idx"]: r["n_docs"]
+        for r in REGISTRY["web_pipeline_funnel"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0] >= rows[1] >= rows[2] >= rows[3]
+    assert rows[0] > rows[1] > rows[2]  # blocklist + quality both act
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = docs.where(F.col("source").isin("src2", "src3")).count()
+    assert rows[0] - rows[1] == blocked
