@@ -898,3 +898,61 @@ def bar_max_drawdown(spark, sf_dir):
             F.max((F.col("peak") - F.col("close")) / F.col("peak")), 8
         ).alias("max_drawdown_frac"),
     )
+
+
+_ROLL_YIELD_SQL = f"""
+WITH {_CFG_FILE_CTE}
+SELECT contract_year_month,
+       next_contract_diff AS roll_gap,
+       accumulated_contract_diff,
+       CAST(date_diff('day', CAST(start_k AS DATE),
+                      CAST(settle_k AS DATE)) AS BIGINT) AS hold_days,
+       round(next_contract_diff
+             / nullif(date_diff('day', CAST(start_k AS DATE),
+                                CAST(settle_k AS DATE)), 0), 6)
+         AS roll_gap_per_day,
+       round(accumulated_contract_diff
+             - coalesce(lag(accumulated_contract_diff)
+                        OVER (ORDER BY contract_year_month), 0.0), 6)
+         AS accum_step
+FROM cfg
+"""
+
+
+@q("roll_yield_report", _ROLL_YIELD_SQL)
+def roll_yield_report_q(spark, sf_dir):
+    """Reference-domain analytics over the settlement config (the
+    table back-adjustment runs on): per contract, the roll gap, the
+    holding window in days, the gap normalized per held day (the
+    roll-yield proxy a term-structure desk watches), and the step the
+    accumulated offset takes at this roll - which must equal the
+    PREVIOUS contract's gap by the cumulative-sum invariant the
+    reference maintains (calculate_next_contract, main.py:210; the
+    oracle re-derives the step with a lag window so a broken
+    invariant fails the value hash). Config-dimension sized: one tiny
+    scan + one window over a handful of rows."""
+    from ..sources import read_settle_config
+
+    cfg = read_settle_config(spark, SETTLE_CONFIG_PATH)
+    w = Window.orderBy("contract_year_month")
+    days = F.datediff(
+        F.col("settle_k").cast("date"), F.col("start_k").cast("date")
+    )
+    return cfg.select(
+        "contract_year_month",
+        F.col("next_contract_diff").alias("roll_gap"),
+        "accumulated_contract_diff",
+        days.cast("long").alias("hold_days"),
+        F.round(
+            F.col("next_contract_diff")
+            / F.nullif(days.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("roll_gap_per_day"),
+        F.round(
+            F.col("accumulated_contract_diff")
+            - F.coalesce(
+                F.lag("accumulated_contract_diff").over(w), F.lit(0.0)
+            ),
+            6,
+        ).alias("accum_step"),
+    )
