@@ -125,3 +125,29 @@ def test_langid_classifier_beats_majority_baseline(spark, sf_dir):
         ).alias("baseline"),
     ).first()
     assert agg["acc"] > agg["baseline"]
+
+
+def test_dense_vec_rounding_is_half_up_like_both_engines(spark):
+    """The Arrow scatter tail must round 6dp midpoints half-UP (Spark
+    F.round == DuckDB round); np.round's half-even emitted 0.007812
+    for an exact 1/128 component. 16384 unit weights under a 16384-dim
+    helper give components exactly 1/128 (sqrt(16384) = 128 is exact
+    in binary float)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        _dense_unit_vec_udf,
+    )
+
+    dim = 16384
+    entries = spark.createDataFrame(
+        [(1, [(i, 1.0) for i in range(dim)])],
+        "doc_id long, _e array<struct<_pos: long, _n: double>>",
+    )
+    dense = _dense_unit_vec_udf(dim, "_n")
+    out = entries.select(
+        F.transform(dense(F.col("_e")), lambda x: F.round(x, 6)).alias(
+            "v"
+        )
+    ).head()["v"]
+    assert out[0] == 0.007813 and out[-1] == 0.007813

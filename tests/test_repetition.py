@@ -250,3 +250,25 @@ def test_entropy_stats_orders_gibberish_below_prose(spark):
     assert got[2][1] == 0.0
     assert got[4][0] == round(math.log(2), 6)
     assert got[3][0] > got[1][0] and got[3][1] > got[2][1]
+
+
+def test_entropy_total_over_degenerate_docs(spark):
+    """Empty / whitespace / punctuation-only docs must get a row with
+    0.0 entropies, not vanish (downstream reports anchor on it)."""
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        entropy_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark spark filter"), (2, ""), (3, None), (4, "... ...")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in entropy_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["char_entropy"] == 0.0
+    assert out[2]["token_entropy"] == 0.0
+    assert out[3]["token_entropy"] == 0.0
+    assert out[1]["token_entropy"] > 0.0
+    # punctuation-only: chars exist, tokens do not
+    assert out[4]["char_entropy"] > 0.0
+    assert out[4]["token_entropy"] == 0.0

@@ -919,6 +919,37 @@ def scan_parallelism_floor(df: DataFrame) -> DataFrame:
     return df
 
 
+def _dense_unit_vec_udf(dim: int, field: str):
+    """Shared Arrow tail of hashing_trick_embed / tfidf_hash_embed:
+    scatter a (pos, weight)-struct list into a dim-width vector and
+    L2-normalize, UNROUNDED - the caller applies F.round(x, 6)
+    JVM-side so the 6dp boundary uses the exact same half-up decimal
+    rounding as every oracle (np.round is half-EVEN: 0.0078125 would
+    emit 0.007812 vs both engines' 0.007813, flipping exact-midpoint
+    components)."""
+
+    @pandas_udf("array<double>")
+    def _dense(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for row in e:
+            v = np.zeros(dim)
+            if len(row):
+                pos = np.fromiter(
+                    (r["_pos"] for r in row), dtype=np.int64
+                )
+                w = np.fromiter((r[field] for r in row), dtype=np.float64)
+                v[pos] = w
+                nrm = float(np.sqrt((w * w).sum()))
+                if nrm > 0.0:
+                    v = v / nrm
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    return _dense
+
+
 def hashing_trick_embed(
     df: DataFrame,
     *,
@@ -957,28 +988,12 @@ def hashing_trick_embed(
     entries = counts.groupBy(id_col).agg(
         F.collect_list(F.struct("_pos", "_n")).alias("_e")
     )
-
-    @pandas_udf("array<double>")
-    def _dense(e: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for row in e:
-            v = np.zeros(dim)
-            if len(row):
-                pos = np.fromiter(
-                    (r["_pos"] for r in row), dtype=np.int64
-                )
-                w = np.fromiter((r["_n"] for r in row), dtype=np.float64)
-                v[pos] = w
-                nrm = float(np.sqrt((w * w).sum()))
-                if nrm > 0.0:
-                    v = v / nrm
-            out.append(np.round(v, 6).tolist())
-        return pd.Series(out)
-
+    dense = _dense_unit_vec_udf(dim, "_n")
     return entries.select(
-        F.col(id_col), _dense(F.col("_e")).alias("embedding")
+        F.col(id_col),
+        F.transform(
+            dense(F.col("_e")), lambda x: F.round(x, 6)
+        ).alias("embedding"),
     )
 
 
@@ -2853,28 +2868,12 @@ def tfidf_hash_embed(
     entries = weighted.groupBy(id_col).agg(
         F.collect_list(F.struct("_pos", "_w")).alias("_e")
     )
-
-    @pandas_udf("array<double>")
-    def _dense(e: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for row in e:
-            v = np.zeros(dim)
-            if len(row):
-                pos = np.fromiter(
-                    (r["_pos"] for r in row), dtype=np.int64
-                )
-                w = np.fromiter((r["_w"] for r in row), dtype=np.float64)
-                v[pos] = w
-                nrm = float(np.sqrt((w * w).sum()))
-                if nrm > 0.0:
-                    v = v / nrm
-            out.append(np.round(v, 6).tolist())
-        return pd.Series(out)
-
+    dense = _dense_unit_vec_udf(dim, "_w")
     return entries.select(
-        F.col(id_col), _dense(F.col("_e")).alias("embedding")
+        F.col(id_col),
+        F.transform(
+            dense(F.col("_e")), lambda x: F.round(x, 6)
+        ).alias("embedding"),
     )
 
 
@@ -2937,12 +2936,24 @@ def entropy_stats(
     )
     ch = _entropy_agg(chars, id_col, "_hc")
     tk = _entropy_agg(toks, id_col, "_ht")
-    return ch.join(tk, id_col, "full_outer").select(
-        F.col(id_col),
-        F.round(F.coalesce(F.col("_hc"), F.lit(0.0)), 6).alias(
-            "char_entropy"
-        ),
-        F.round(F.coalesce(F.col("_ht"), F.lit(0.0)), 6).alias(
-            "token_entropy"
-        ),
+    # TOTAL over the input: an empty/whitespace-only doc produces no
+    # explode rows, so joining only the two aggregates would silently
+    # DROP it (and downstream consumers like quality_ensemble_deciles
+    # would lose the doc from their reports); anchoring on the input
+    # ids gives every doc a row, with entropy 0.0 for the degenerate
+    # cases - the natural convention for a low-entropy-means-drop
+    # signal.
+    base = df.select(F.col(id_col))
+    return (
+        base.join(ch, id_col, "left")
+        .join(tk, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(F.col("_hc"), F.lit(0.0)), 6).alias(
+                "char_entropy"
+            ),
+            F.round(F.coalesce(F.col("_ht"), F.lit(0.0)), 6).alias(
+                "token_entropy"
+            ),
+        )
     )

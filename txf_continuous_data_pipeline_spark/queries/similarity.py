@@ -868,31 +868,47 @@ def _ivfpq_index_path(spark, sf_dir):
             lock = path + ".lock"
             import time as _time
 
+            # Ownership token written INTO the lock file: entering the
+            # critical section requires YOUR token to be in the slot
+            # right before entry, and release removes the lock only if
+            # it still holds your token - so a steal can never lead to
+            # one session deleting another LIVE session's lock, and a
+            # robbed holder detects the theft and backs off instead of
+            # publishing concurrently. Residual assumption (inherent
+            # to any mtime-staleness break): a holder that stalls >60s
+            # INSIDE the critical section can still be broken - the
+            # _SUCCESS re-check inside bounds that blast radius.
+            token = f"{os.getpid()}.{_time.time_ns()}".encode()
+
+            def _slot_token():
+                try:
+                    with open(lock, "rb") as fh:
+                        return fh.read()
+                except OSError:
+                    return None
+
             acquired = False
             deadline = _time.time() + 60
             while _time.time() < deadline:
                 try:
-                    os.close(
-                        os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    fd = os.open(
+                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                     )
-                    acquired = True
-                    break
+                    os.write(fd, token)
+                    os.close(fd)
                 except FileExistsError:
                     try:
                         st = os.stat(lock)
                     except OSError:
                         continue
                     if _time.time() - st.st_mtime > 60:
-                        # Break the stale lock by RENAME, not remove:
-                        # rename is atomic and fails for all but one
-                        # concurrent breaker, so two waiters can never
-                        # both enter (the unlink-based break let waiter
-                        # C delete waiter B's freshly created lock).
-                        # After winning the rename, re-verify staleness
-                        # on the stolen file - if the holder finished
-                        # and a NEW lock appeared in the stat->rename
-                        # window we stole a live one; restore it into
-                        # the (still-empty) slot via link and back off.
+                        # Break a stale lock by RENAME (atomic, one
+                        # winner among concurrent breakers), then
+                        # re-verify staleness on the stolen file: a
+                        # fresh lock stolen in the stat->rename window
+                        # is restored into the (still-empty) slot via
+                        # link; its holder's token-verify below covers
+                        # the case where the slot was re-taken first.
                         steal = (
                             f"{lock}.stale.{os.getpid()}"
                             f".{_time.time_ns()}"
@@ -902,7 +918,10 @@ def _ivfpq_index_path(spark, sf_dir):
                         except OSError:
                             continue  # another breaker won; re-loop
                         try:
-                            if _time.time() - os.path.getmtime(steal) > 60:
+                            if (
+                                _time.time() - os.path.getmtime(steal)
+                                > 60
+                            ):
                                 os.remove(steal)  # confirmed stale
                             else:
                                 try:
@@ -914,6 +933,13 @@ def _ivfpq_index_path(spark, sf_dir):
                             pass
                         continue
                     _time.sleep(0.1)
+                    continue
+                # created the file; verify the slot still holds OUR
+                # token (a breaker may have stolen it between write
+                # and now)
+                if _slot_token() == token:
+                    acquired = True
+                break
             if acquired:
                 try:
                     if not os.path.exists(
@@ -929,13 +955,15 @@ def _ivfpq_index_path(spark, sf_dir):
                     else:
                         shutil.rmtree(staging, ignore_errors=True)
                 finally:
-                    try:
-                        os.remove(lock)
-                    except OSError:
-                        pass
+                    if _slot_token() == token:
+                        try:
+                            os.remove(lock)
+                        except OSError:
+                            pass
             else:
-                # could not acquire within the stale budget: treat the
-                # holder as the winner-in-progress and discard staging
+                # could not acquire within the stale budget (or our
+                # fresh lock was stolen): treat the other session as
+                # the winner-in-progress and discard staging
                 shutil.rmtree(staging, ignore_errors=True)
         _IVFPQ_INDEX_CACHE[key] = path
     return _IVFPQ_INDEX_CACHE[key]

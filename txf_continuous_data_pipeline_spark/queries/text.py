@@ -2740,9 +2740,15 @@ def _logreg_weights(dim: int = 64) -> "list[float]":
     return [((7 * i) % 13 - 6) / 10.0 for i in range(dim)]
 
 
-def _logreg_score_sql(dim: int = 64, bias: float = -0.1) -> str:
-    """Mirror of hashing_trick_embed -> logreg_score: the 6dp-rounded
-    embedding feeds a literal-weight dot product and a sigmoid."""
+def _logreg_score_cte(
+    dim: int = 64, bias: float = -0.1, carry: str = ""
+) -> str:
+    """The shared t/v/n/emb/s CTE chain of every serving-path oracle
+    (_logreg_score_sql, _calibration_sql, _pr_curve_sql): ONE literal
+    model, one definition - the three fragments cannot drift apart.
+    `carry` names extra document columns (e.g. "lang") threaded
+    through to the final `s` CTE."""
+    c = f", {carry}" if carry else ""
     toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
     raw = (
         f"list_transform(range(0, {dim}), i -> "
@@ -2750,20 +2756,26 @@ def _logreg_score_sql(dim: int = 64, bias: float = -0.1) -> str:
     )
     wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
     return f"""
-WITH t AS (SELECT doc_id, {toks_h} AS hs FROM documents),
-v AS (SELECT doc_id, {raw} AS raw FROM t),
-n AS (SELECT doc_id, raw,
+WITH t AS (SELECT doc_id{c}, {toks_h} AS hs FROM documents),
+v AS (SELECT doc_id{c}, {raw} AS raw FROM t),
+n AS (SELECT doc_id{c}, raw,
              sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
       FROM v),
-emb AS (SELECT doc_id,
+emb AS (SELECT doc_id{c},
                list_transform(raw, x -> round(x / nrm, 6)) AS e
         FROM n),
-s AS (SELECT doc_id,
+s AS (SELECT doc_id{c},
              round(1.0 / (1.0 + exp(-(
                list_sum(list_transform(range(1, {dim + 1}),
                                        i -> e[i] * ({wlit})[i]))
                + ({bias!r})))), 6) AS score
-      FROM emb)
+      FROM emb)"""
+
+
+def _logreg_score_sql(dim: int = 64, bias: float = -0.1) -> str:
+    """Mirror of hashing_trick_embed -> logreg_score: the 6dp-rounded
+    embedding feeds a literal-weight dot product and a sigmoid."""
+    return f"""{_logreg_score_cte(dim, bias)}
 SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS pred FROM s
 """
 
@@ -3225,13 +3237,17 @@ def _entropy_sql() -> str:
     substring indexing, tokens by _TOKS)."""
 
     def h(arr: str) -> str:
-        return (
+        # CASE guard: DuckDB evaluates ln(0) eagerly for an empty
+        # array (the coalesce never sees it - verified error), and the
+        # engine defines degenerate entropy as 0.0
+        body = (
             f"coalesce(ln(len({arr}))"
             f" - list_sum(list_transform(list_sort(list_distinct({arr})),"
             f" u -> CAST(len(list_filter({arr}, x -> x = u)) AS DOUBLE)"
             f" * ln(len(list_filter({arr}, x -> x = u)))))"
             f" / len({arr}), 0.0)"
         )
+        return f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE {body} END"
 
     chars = (
         "list_transform(range(1, length(lower(text)) + 1),"
@@ -3960,29 +3976,9 @@ def domain_blocklist_stats_q(spark, sf_dir):
 
 
 def _calibration_sql(dim: int = 64, bias: float = -0.1) -> str:
-    """The serving-path score pipeline (same literal weights as
-    quality_logreg_score) carried through to reliability bins."""
-    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
-    raw = (
-        f"list_transform(range(0, {dim}), i -> "
-        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
-    )
-    wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
-    return f"""
-WITH t AS (SELECT doc_id, lang, {toks_h} AS hs FROM documents),
-v AS (SELECT doc_id, lang, {raw} AS raw FROM t),
-n AS (SELECT doc_id, lang, raw,
-             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
-      FROM v),
-emb AS (SELECT doc_id, lang,
-               list_transform(raw, x -> round(x / nrm, 6)) AS e
-        FROM n),
-s AS (SELECT doc_id, lang,
-             round(1.0 / (1.0 + exp(-(
-               list_sum(list_transform(range(1, {dim + 1}),
-                                       i -> e[i] * ({wlit})[i]))
-               + ({bias!r})))), 6) AS score
-      FROM emb)
+    """The serving-path score pipeline (the SHARED _logreg_score_cte
+    fragment, lang carried) rolled up to reliability bins."""
+    return f"""{_logreg_score_cte(dim, bias, carry="lang")}
 SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(score), 6) AS mean_score,
        round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
@@ -4088,13 +4084,17 @@ def _ensemble_sql() -> str:
 
     def h_tk() -> str:
         arr = f"list_filter({_TOKS}, w -> len(w) > 0)"
-        return (
+        body = (
             f"coalesce(ln(len({arr}))"
             f" - list_sum(list_transform(list_sort(list_distinct({arr})),"
             f" u -> CAST(len(list_filter({arr}, x -> x = u)) AS DOUBLE)"
             f" * ln(len(list_filter({arr}, x -> x = u)))))"
             f" / len({arr}), 0.0)"
         )
+        # same ln(0) guard as _entropy_sql: a token-less doc scores
+        # entropy 0.0 instead of crashing the oracle, so no doc ever
+        # vanishes from the ensemble report
+        return f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE {body} END"
 
     qs = "[" + ", ".join(str(i / 10.0) for i in range(1, 10)) + "]"
     return f"""
@@ -4191,28 +4191,12 @@ _PR_THRESHOLDS = tuple(i / 10.0 for i in range(1, 10))
 
 
 def _pr_curve_sql(dim: int = 64, bias: float = -0.1) -> str:
-    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
-    raw = (
-        f"list_transform(range(0, {dim}), i -> "
-        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
-    )
-    wlit = "[" + ", ".join(repr(v) for v in _logreg_weights(dim)) + "]"
+    """Confusion counts at 9 thresholds over the SHARED
+    _logreg_score_cte fragment (lang carried; y derived from it)."""
     ths = ", ".join(str(t) for t in _PR_THRESHOLDS)
-    return f"""
-WITH t AS (SELECT doc_id, lang, {toks_h} AS hs FROM documents),
-v AS (SELECT doc_id, lang, {raw} AS raw FROM t),
-n AS (SELECT doc_id, lang, raw,
-             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
-      FROM v),
-emb AS (SELECT doc_id, lang,
-               list_transform(raw, x -> round(x / nrm, 6)) AS e
-        FROM n),
-s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             round(1.0 / (1.0 + exp(-(
-               list_sum(list_transform(range(1, {dim + 1}),
-                                       i -> e[i] * ({wlit})[i]))
-               + ({bias!r})))), 6) AS score
-      FROM emb),
+    return f"""{_logreg_score_cte(dim, bias, carry="lang")},
+sy AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, score
+       FROM s),
 c AS (
   SELECT th AS threshold,
          CAST(count(*) FILTER (WHERE score >= th AND y = 1) AS BIGINT)
@@ -4221,7 +4205,7 @@ c AS (
            AS fp,
          CAST(count(*) FILTER (WHERE score < th AND y = 1) AS BIGINT)
            AS fn
-  FROM s CROSS JOIN unnest([{ths}]) AS u(th)
+  FROM sy CROSS JOIN unnest([{ths}]) AS u(th)
   GROUP BY th
 )
 SELECT threshold, tp, fp, fn,

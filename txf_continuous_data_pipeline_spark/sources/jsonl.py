@@ -68,6 +68,18 @@ def write_jsonl(
         F.col(key_col).alias("_key"),
         F.to_json(F.struct(*payload_cols)).alias("_line"),
     )
+    # Validate the shard range BEFORE any file lands: a caller-supplied
+    # shard outside [0, n_shards) would write a file the full-overwrite
+    # cleanup below then deletes (silent data loss), or a name the
+    # fixed-width pattern cannot clean. Loud beats silent.
+    n_bad = rec.where(
+        (F.col("_shard") < 0) | (F.col("_shard") >= n_shards)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"write_jsonl: {n_bad} rows have shard ids outside "
+            f"[0, {n_shards}) - fix the shard expression or n_shards"
+        )
     os.makedirs(path, exist_ok=True)
 
     def _write_one(pdf: pd.DataFrame) -> pd.DataFrame:

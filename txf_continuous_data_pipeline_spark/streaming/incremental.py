@@ -655,10 +655,15 @@ def streaming_kmeans_run(
         # crash mid-overwrite that left zero or a subset of rows is
         # corrupt/partial state, and reseeding (or zeroing the missing
         # clusters) would silently drop accumulated statistics
-        if len(rows) != k:
+        ids = sorted(r["cluster_id"] for r in rows)
+        if ids != list(range(k)):
+            # row COUNT alone is not enough: a torn overwrite mixing
+            # old+new part files can hold k rows with duplicated /
+            # missing cluster ids, silently swapping one cluster's
+            # statistics for another's
             raise ValueError(
                 f"streaming k-means state at {state_path} is corrupt: "
-                f"{len(rows)} rows for k={k} clusters - refusing to "
+                f"cluster ids {ids} != 0..{k - 1} - refusing to "
                 "reseed over committed batches; delete the state dir "
                 "to restart from scratch"
             )
