@@ -155,6 +155,7 @@ FLAGSHIPS = [
     "quality_ensemble_deciles",
     "classifier_pr_curve",
     "web_pipeline_funnel",
+    "embedding_drift_report",
 ]
 
 

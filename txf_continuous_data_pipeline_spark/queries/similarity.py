@@ -1990,3 +1990,61 @@ def knn_label_propagation_q(spark, sf_dir):
         .where(F.col("vr") == 1)
         .select("q_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+_EMB_DRIFT_SQL = """
+WITH v1 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+v2 AS (
+  SELECT vec_id, label, v,
+         CASE WHEN vec_id % 9 = 0 THEN
+           list_transform(range(1, len(v) + 1),
+             i -> v[i] + 0.05 * (CASE WHEN (vec_id + (i - 1)) % 2 = 0
+                                      THEN 1.0 ELSE -1.0 END))
+         ELSE v END AS w
+  FROM v1
+)
+SELECT vec_id, label,
+       round(list_cosine_similarity(v, w), 6) AS cos_v1_v2,
+       CAST(round(list_cosine_similarity(v, w), 6) < 1.0 AS INT)
+         AS drifted
+FROM v2
+"""
+
+
+@q("embedding_drift_report", _EMB_DRIFT_SQL)
+def embedding_drift_report_q(spark, sf_dir):
+    """Embedding-space version drift monitor - the VECTOR analogue of
+    snapshot_diff (which audits row content by digest): when the
+    encoder version changes, per-id cosine between the stored vectors
+    and the re-embedded batch tells you whether the space moved and
+    WHERE (re-embedding a corpus is expensive; a drifted space also
+    invalidates IVFPQ cells - this is the report the
+    ivfpq_index_cell_stats retrain tripwire reads next to). The v2
+    side is a PLANTED deterministic re-embedding (every ninth vector
+    shifts by an alternating +-0.05 pattern; the rest are unchanged),
+    so cosines, per-id verdicts and the unchanged-ids' exact 1.0 all
+    value-check. Scale shape: a co-partitioned id zip (here a pure
+    projection since v2 derives in-plan), one JVM cosine per row,
+    zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    delta = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, i: x
+        + F.lit(0.05)
+        * F.when((F.col("vec_id") + i) % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        ),
+    )
+    w = F.when(F.col("vec_id") % 9 == 0, delta).otherwise(v)
+    cos = F.round(cosine(v, w), 6)
+    return emb.select(
+        "vec_id",
+        "label",
+        cos.alias("cos_v1_v2"),
+        (cos < 1.0).cast("int").alias("drifted"),
+    )
