@@ -467,3 +467,14 @@ def test_source_overlap_join_moves_hashes_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "source_overlap_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_label_propagation_no_corpus_broadcast(spark, sf_dir):
+    # VERDICT r9 #1: the default plan must carry no corpus-proportional
+    # broadcast - candidates come from a KEYED cluster_id equi-join
+    # (ivf_knn_join), never a broadcast nested-loop cross join of the
+    # query frame against the corpus. (A BroadcastHashJoin is fine:
+    # it is keyed, and AQE may pick it at test scale.)
+    plan = _plan(spark, sf_dir, "knn_label_propagation")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -552,3 +552,40 @@ def test_semantic_contamination_flags_planted_leak(spark):
     assert out[10]["eval_id"] == 0 and out[10]["max_cos"] == 1.0
     assert out[10]["contaminated"] == 1
     assert out[11]["contaminated"] == 0 and out[11]["max_cos"] == 0.0
+
+
+def test_ivf_knn_join_full_probe_is_exact_and_nprobe2_recall(
+    spark, sf_dir
+):
+    """ivf_knn_join (the corpus-proportional-query-side k-NN join that
+    replaced knn_label_propagation's broadcast brute force, VERDICT r9
+    #1): at nprobe = n_cells every query probes every cell, so the
+    result must EQUAL knn_join_bruteforce row-for-row (brute force
+    stays as the oracle twin); at the registered nprobe=2 the recall
+    against the exact top-5 stays above the pinned floor."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_join_bruteforce,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    cents = _fixed_centroids()
+    exact = knn_join_bruteforce(queries, corpus, k=5)
+    full = ivf_knn_join(queries, corpus, cents, k=5, nprobe=len(cents))
+    exact_rows = sorted(map(tuple, exact.collect()))
+    full_rows = sorted(map(tuple, full.collect()))
+    assert exact_rows == full_rows
+    approx = ivf_knn_join(queries, corpus, cents, k=5, nprobe=2)
+    rec = _recall_at_k(approx, exact)
+    # random fixed centroids over near-uniform synthetic embeddings are
+    # a weak router, so the floor is the 2-of-4-cells candidate mass
+    # plus routing correlation, not a production-recall claim; the
+    # REGRESSION property is that the dial keeps working end to end.
+    assert rec >= 0.5, f"recall@5 at nprobe=2 fell to {rec}"

@@ -139,3 +139,91 @@ def test_webdataset_corrupt_shard_quarantined(spark, sf_dir, tmp_path):
     with tarfile.open(os.path.join(path, good[0])) as t:
         n_members = len([m for m in t.getmembers() if m.isfile()])
     assert n_members > 0
+
+
+def test_webdataset_truncated_member_is_quarantined(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r9 (medium): a consumer filtering error IS NULL must
+    never keep a torn payload as clean. On this Python (3.11)
+    extractfile().read() raises ReadError at the truncation point, so
+    the torn member lands in the shard-level quarantine; the reader
+    ADDITIONALLY length-checks every member against its header size
+    (the 'truncated member' row) for tarfile paths that return short
+    bytes without raising. This test pins the CONTRACT: every clean
+    row is byte-identical to an original, and the torn shard is
+    flagged one way or the other."""
+    long_form = _samples(spark, sf_dir, n=8)
+    path = str(tmp_path / "wds")
+    write_webdataset(long_form, path, n_shards=1, key_col="sample_key")
+    shard = os.path.join(path, "shard-000000.tar")
+    raw = open(shard, "rb").read()
+    with tarfile.open(shard) as t:
+        members = [m for m in t.getmembers() if m.isfile()]
+    # cut INSIDE the last member's payload: keep its 512-byte header
+    # and half its data, so the walk yields it with short bytes
+    last = members[-1]
+    cut = last.offset + 512 + max(1, last.size // 2)
+    with open(
+        os.path.join(path, "shard-000001.tar"), "wb"
+    ) as f:  # planted torn twin
+        f.write(raw[:cut])
+
+    back = read_webdataset(spark, path).collect()
+    originals = {
+        (r["sample_key"], r["ext"]): bytes(r["payload"])
+        for r in long_form.collect()
+    }
+    torn_flagged = False
+    for r in back:
+        if r["error"] is None:
+            key = (r["sample_key"], r["ext"])
+            assert bytes(r["payload"]) == originals[key], (
+                f"clean row {key} carries torn bytes"
+            )
+        else:
+            assert r["payload"] is None
+            if r["shard_path"].endswith("shard-000001.tar"):
+                torn_flagged = True
+    assert torn_flagged, "torn shard produced no quarantine row"
+
+
+def test_webdataset_write_is_full_overwrite(spark, sf_dir, tmp_path):
+    """ADVICE r9 (low): re-writing a path with fewer shards or a
+    narrower filter must not leave stale shard files for
+    read_webdataset to silently mix in - and a shard id no row hashed
+    to still gets a valid empty tar (layout is not data-dependent)."""
+    long_form = _samples(spark, sf_dir, n=20)
+    path = str(tmp_path / "wds")
+    write_webdataset(long_form, path, n_shards=5, key_col="sample_key")
+    assert len([f for f in os.listdir(path) if f.endswith(".tar")]) == 5
+
+    narrow = long_form.limit(1)
+    manifest = write_webdataset(
+        narrow, path, n_shards=2, key_col="sample_key"
+    )
+    tars = sorted(f for f in os.listdir(path) if f.endswith(".tar"))
+    assert tars == ["shard-000000.tar", "shard-000001.tar"]
+    mrows = {r["shard_id"]: r for r in manifest.collect()}
+    assert set(mrows) == {0, 1}  # manifest covers filled empties too
+    for r in mrows.values():
+        assert os.path.getsize(r["path"]) == r["shard_bytes"]
+    back = read_webdataset(spark, path)
+    assert back.where(F.col("error").isNotNull()).count() == 0
+    assert back.where(F.col("sample_key").isNotNull()).count() == 1
+
+
+def test_webdataset_out_of_range_shard_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    long_form = _samples(spark, sf_dir, n=6).withColumn(
+        "sid", F.lit(7).cast("long")
+    )
+    with pytest.raises(ValueError, match="outside"):
+        write_webdataset(
+            long_form,
+            str(tmp_path / "wds"),
+            n_shards=2,
+            key_col="sample_key",
+            shard_col="sid",
+        )

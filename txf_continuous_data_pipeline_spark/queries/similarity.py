@@ -818,22 +818,168 @@ def ivfpq_topk_q(spark, sf_dir):
 _IVFPQ_INDEX_CACHE: dict = {}
 
 
-def _ivfpq_index_path(spark, sf_dir):
-    import hashlib
+def _publish_shared_index(spark, path: str, build) -> None:
+    """Build-once, publish-atomically protocol for an on-disk index
+    SHARED across sessions (ADVICE r7/r8; factored out in r10 so the
+    appended-index path reuses it instead of rebuilding per session):
+    `build(staging)` writes the complete index into a
+    per-applicationId staging dir, which is atomically renamed to
+    `path` under an O_EXCL lock. A completed index (parquet's _SUCCESS
+    marker at the root) is NEVER rewritten, so no session can delete
+    partition files out from under another session's pruned scan; the
+    rename loser just discards its staging copy and reads the
+    winner's. No-op if `path` is already published."""
     import os
     import re
     import shutil
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    app = re.sub(
+        r"[^A-Za-z0-9_-]", "_",
+        spark.sparkContext.applicationId,
+    )
+    staging = f"{path}_stage_{app}"
+    build(staging)
+    # Publish under an O_EXCL lock (ADVICE r8 TOCTOU): the
+    # check-then-rmtree of a crashed session's leftover and
+    # the atomic rename must be ONE critical section, or a
+    # concurrent session's just-renamed complete index could
+    # be rmtree'd out from under its readers. A lock older
+    # than 60s is a crashed holder and is broken. Losing the
+    # lock (or finding _SUCCESS inside it) discards staging
+    # and reads the winner's index.
+    lock = path + ".lock"
+    import time as _time
+
+    # Ownership token written INTO the lock file: entering the
+    # critical section requires YOUR token to be in the slot
+    # right before entry, and release removes the lock only if
+    # it still holds your token - so a steal can never lead to
+    # one session deleting another LIVE session's lock, and a
+    # robbed holder detects the theft and backs off instead of
+    # publishing concurrently. Residual assumption (inherent
+    # to any mtime-staleness break): a holder that stalls >60s
+    # INSIDE the critical section can still be broken - the
+    # _SUCCESS re-check inside bounds that blast radius.
+    token = f"{os.getpid()}.{_time.time_ns()}".encode()
+
+    def _slot_token():
+        try:
+            with open(lock, "rb") as fh:
+                return fh.read()
+        except OSError:
+            return None
+
+    acquired = False
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            fd = os.open(
+                lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            os.write(fd, token)
+            os.close(fd)
+        except FileExistsError:
+            try:
+                st = os.stat(lock)
+            except OSError:
+                continue
+            if _time.time() - st.st_mtime > 60:
+                # Break a stale lock by RENAME (atomic, one
+                # winner among concurrent breakers), then
+                # re-verify staleness on the stolen file: a
+                # fresh lock stolen in the stat->rename window
+                # is restored into the (still-empty) slot via
+                # link; its holder's token-verify below covers
+                # the case where the slot was re-taken first.
+                steal = (
+                    f"{lock}.stale.{os.getpid()}"
+                    f".{_time.time_ns()}"
+                )
+                try:
+                    os.rename(lock, steal)
+                except OSError:
+                    continue  # another breaker won; re-loop
+                try:
+                    if (
+                        _time.time() - os.path.getmtime(steal)
+                        > 60
+                    ):
+                        os.remove(steal)  # confirmed stale
+                    else:
+                        try:
+                            os.link(steal, lock)
+                        except OSError:
+                            pass
+                        os.remove(steal)
+                except OSError:
+                    pass
+                continue
+            _time.sleep(0.1)
+            continue
+        # created the file; verify the slot still holds OUR
+        # token (a breaker may have stolen it between write
+        # and now)
+        if _slot_token() == token:
+            acquired = True
+        break
+    if acquired:
+        try:
+            if not os.path.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                # leftover from a crashed pre-rename-era
+                # session - never a live reader
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.rename(staging, path)
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            if _slot_token() == token:
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+    else:
+        # could not acquire within the stale budget (or our
+        # fresh lock was stolen): treat the other session as
+        # the winner-in-progress and discard staging
+        shutil.rmtree(staging, ignore_errors=True)
+    # Publish-confirmation gate (ADVICE r9): never cache a
+    # path whose _SUCCESS never appears - a presumed winner
+    # that stalled or died inside its critical section would
+    # otherwise pin a missing/partial index for the whole app
+    # lifetime. Poll briefly (the winner is mid-rename, so
+    # normally instant), then raise LOUDLY: the caller retries
+    # a fresh build instead of reading torn parquet.
+    success = os.path.join(path, "_SUCCESS")
+    wait_until = _time.time() + 30
+    while (
+        not os.path.exists(success)
+        and _time.time() < wait_until
+    ):
+        _time.sleep(0.25)
+    if not os.path.exists(success):
+        raise RuntimeError(
+            f"IVFPQ index publish did not complete: {success} "
+            "absent 30s after the lock window - presumed "
+            "winner crashed mid-publish; retry the build"
+        )
+
+
+def _ivfpq_index_path(spark, sf_dir):
+    import hashlib
+    import os
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     stamp = (sf_dir, os.path.getmtime(p), os.path.getsize(p))
-    # Deterministic on-disk location per corpus stamp, made safe for
-    # CONCURRENT sessions (ADVICE r7): each session builds the index
-    # in a per-applicationId staging dir and atomically renames it to
-    # the shared path. A completed index (parquet's _SUCCESS marker at
-    # the root) is NEVER rewritten, so no session can delete partition
-    # files out from under another session's pruned scan; the rename
-    # loser just discards its staging copy and reads the winner's.
+    # Deterministic on-disk location per corpus stamp (ADVICE r7):
+    # concurrency safety lives in _publish_shared_index.
     path = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_ivfpq_"
@@ -841,14 +987,9 @@ def _ivfpq_index_path(spark, sf_dir):
     )
     key = (spark.sparkContext.applicationId, stamp)
     if key not in _IVFPQ_INDEX_CACHE:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            from ..operators.similarity import write_ivfpq_index
+        from ..operators.similarity import write_ivfpq_index
 
-            app = re.sub(
-                r"[^A-Za-z0-9_-]", "_",
-                spark.sparkContext.applicationId,
-            )
-            staging = f"{path}_stage_{app}"
+        def build(staging):
             emb = read_table(spark, sf_dir, "embeddings")
             write_ivfpq_index(
                 emb.where(F.col("vec_id") >= 5),
@@ -857,114 +998,8 @@ def _ivfpq_index_path(spark, sf_dir):
                 staging,
                 m=_PQ_M,
             )
-            # Publish under an O_EXCL lock (ADVICE r8 TOCTOU): the
-            # check-then-rmtree of a crashed session's leftover and
-            # the atomic rename must be ONE critical section, or a
-            # concurrent session's just-renamed complete index could
-            # be rmtree'd out from under its readers. A lock older
-            # than 60s is a crashed holder and is broken. Losing the
-            # lock (or finding _SUCCESS inside it) discards staging
-            # and reads the winner's index.
-            lock = path + ".lock"
-            import time as _time
 
-            # Ownership token written INTO the lock file: entering the
-            # critical section requires YOUR token to be in the slot
-            # right before entry, and release removes the lock only if
-            # it still holds your token - so a steal can never lead to
-            # one session deleting another LIVE session's lock, and a
-            # robbed holder detects the theft and backs off instead of
-            # publishing concurrently. Residual assumption (inherent
-            # to any mtime-staleness break): a holder that stalls >60s
-            # INSIDE the critical section can still be broken - the
-            # _SUCCESS re-check inside bounds that blast radius.
-            token = f"{os.getpid()}.{_time.time_ns()}".encode()
-
-            def _slot_token():
-                try:
-                    with open(lock, "rb") as fh:
-                        return fh.read()
-                except OSError:
-                    return None
-
-            acquired = False
-            deadline = _time.time() + 60
-            while _time.time() < deadline:
-                try:
-                    fd = os.open(
-                        lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                    )
-                    os.write(fd, token)
-                    os.close(fd)
-                except FileExistsError:
-                    try:
-                        st = os.stat(lock)
-                    except OSError:
-                        continue
-                    if _time.time() - st.st_mtime > 60:
-                        # Break a stale lock by RENAME (atomic, one
-                        # winner among concurrent breakers), then
-                        # re-verify staleness on the stolen file: a
-                        # fresh lock stolen in the stat->rename window
-                        # is restored into the (still-empty) slot via
-                        # link; its holder's token-verify below covers
-                        # the case where the slot was re-taken first.
-                        steal = (
-                            f"{lock}.stale.{os.getpid()}"
-                            f".{_time.time_ns()}"
-                        )
-                        try:
-                            os.rename(lock, steal)
-                        except OSError:
-                            continue  # another breaker won; re-loop
-                        try:
-                            if (
-                                _time.time() - os.path.getmtime(steal)
-                                > 60
-                            ):
-                                os.remove(steal)  # confirmed stale
-                            else:
-                                try:
-                                    os.link(steal, lock)
-                                except OSError:
-                                    pass
-                                os.remove(steal)
-                        except OSError:
-                            pass
-                        continue
-                    _time.sleep(0.1)
-                    continue
-                # created the file; verify the slot still holds OUR
-                # token (a breaker may have stolen it between write
-                # and now)
-                if _slot_token() == token:
-                    acquired = True
-                break
-            if acquired:
-                try:
-                    if not os.path.exists(
-                        os.path.join(path, "_SUCCESS")
-                    ):
-                        # leftover from a crashed pre-rename-era
-                        # session - never a live reader
-                        shutil.rmtree(path, ignore_errors=True)
-                        try:
-                            os.rename(staging, path)
-                        except OSError:
-                            shutil.rmtree(staging, ignore_errors=True)
-                    else:
-                        shutil.rmtree(staging, ignore_errors=True)
-                finally:
-                    if _slot_token() == token:
-                        try:
-                            os.remove(lock)
-                        except OSError:
-                            pass
-            else:
-                # could not acquire within the stale budget (or our
-                # fresh lock was stolen): treat the other session as
-                # the winner-in-progress and discard staging
-                shutil.rmtree(staging, ignore_errors=True)
+        _publish_shared_index(spark, path, build)
         _IVFPQ_INDEX_CACHE[key] = path
     return _IVFPQ_INDEX_CACHE[key]
 
@@ -1002,12 +1037,14 @@ def _ivfpq_appended_index_path(spark, sf_dir):
     an append_ivfpq_index batch (same frozen centroids/codebook). The
     final at-rest content equals the full-build index, which is what
     lets ivfpq_append_topk share ivfpq_index_topk's value-level
-    oracle. Built in this session's OWN staging-named directory (not
-    the shared full-build path) so the two caches never race."""
+    oracle. The base write AND the append both run inside the staging
+    dir of _publish_shared_index (VERDICT r9 #2b: previously rebuilt
+    per session under a per-app name; now built once per corpus stamp
+    and shared across sessions - append==rebuild equality, replay
+    idempotency and the skew tripwire stay pinned on their own tmp
+    paths in tests/test_pq.py, so the machinery is still exercised)."""
     import hashlib
     import os
-    import re
-    import shutil
     import tempfile
 
     p = os.path.join(sf_dir, "embeddings.parquet")
@@ -1019,28 +1056,27 @@ def _ivfpq_appended_index_path(spark, sf_dir):
             write_ivfpq_index,
         )
 
-        app = re.sub(
-            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
-        )
         path = os.path.join(
             tempfile.gettempdir(),
-            "spark_graft_ivfpq_app_"
-            + hashlib.md5(repr(stamp).encode()).hexdigest()[:12]
-            + "_" + app,
+            "spark_graft_ivfpq_apnd_"
+            + hashlib.md5(repr(stamp).encode()).hexdigest()[:12],
         )
-        shutil.rmtree(path, ignore_errors=True)
-        emb = read_table(spark, sf_dir, "embeddings")
-        corpus = emb.where(F.col("vec_id") >= 5)
-        cb = _pq_seed_codebook(spark, sf_dir)
-        write_ivfpq_index(
-            corpus.where(F.col("vec_id") % 3 != 0),
-            _fixed_centroids(), cb, path, m=_PQ_M,
-        )
-        append_ivfpq_index(
-            spark, path,
-            corpus.where(F.col("vec_id") % 3 == 0),
-            _fixed_centroids(), cb, m=_PQ_M,
-        )
+
+        def build(staging):
+            emb = read_table(spark, sf_dir, "embeddings")
+            corpus = emb.where(F.col("vec_id") >= 5)
+            cb = _pq_seed_codebook(spark, sf_dir)
+            write_ivfpq_index(
+                corpus.where(F.col("vec_id") % 3 != 0),
+                _fixed_centroids(), cb, staging, m=_PQ_M,
+            )
+            append_ivfpq_index(
+                spark, staging,
+                corpus.where(F.col("vec_id") % 3 == 0),
+                _fixed_centroids(), cb, m=_PQ_M,
+            )
+
+        _publish_shared_index(spark, path, build)
         _IVFPQ_APPEND_INDEX_CACHE[key] = path
     return _IVFPQ_APPEND_INDEX_CACHE[key]
 
@@ -1927,16 +1963,41 @@ def semantic_decontamination_q(spark, sf_dir):
     )
 
 
-_KNN_LABEL_SQL = """
-WITH scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id, c.label,
-         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6)
-           AS cos_sim
-  FROM embeddings c
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id % 5 = 0) q
-  WHERE c.vec_id % 5 != 0
+_KNN_LABEL_SQL = f"""
+WITH cent(cluster_id, centroid) AS (
+  VALUES {_cent_values_sql(_fixed_centroids())}
+),
+q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+qp AS (
+  SELECT q_id, q_vec, cluster_id FROM (
+    SELECT q.q_id, q.q_vec, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_distance(q.q_vec, c.centroid),
+                      c.cluster_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+ca AS (
+  SELECT vec_id, label, v, cluster_id FROM (
+    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+           c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                    c.centroid),
+                      c.cluster_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % 5 != 0
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT qp.q_id, ca.vec_id, ca.label,
+         round(list_cosine_similarity(ca.v, qp.q_vec), 6) AS cos_sim
+  FROM qp JOIN ca USING (cluster_id)
 ),
 nn AS (
   SELECT q_id, label FROM (
@@ -1961,20 +2022,31 @@ SELECT q_id, label AS pred_label, votes FROM (
 def knn_label_propagation_q(spark, sf_dir):
     """Weak-supervision label propagation: every 'unlabeled' vector
     (vec_id % 5 == 0) takes the MAJORITY label of its 5 nearest
-    labeled neighbors by cosine (ties to the smallest label) - the
-    semi-supervised labeling pass that bootstraps quality/topic
-    labels from a small annotated seed set before classifier
-    training. Composition of knn_join_bruteforce (broadcast query
-    side - the seam an ANN index drops into at 100 TB) with a vote
-    aggregate over the neighbor set (5 x n_query rows, never
-    corpus-sized). Deterministic via the rounded-cosine + id
-    tie-break discipline, so fully oracle-checked."""
+    labeled neighbors among its 2 probed IVF cells (ties to the
+    smallest label) - the semi-supervised labeling pass that
+    bootstraps quality/topic labels from a small annotated seed set
+    before classifier training. VERDICT r9 #1: the earlier
+    knn_join_bruteforce form broadcast a corpus-proportional query
+    frame (O(0.2n x 0.8n) work + a broadcast that grows with the
+    corpus); the default plan is now ivf_knn_join - both sides routed
+    by zero-shuffle literal-centroid projections, candidates via a
+    plain cluster_id equi-join, nothing corpus-sized broadcast or
+    collected (plan pinned in tests/test_plans.py; exactness at
+    nprobe=n_cells and recall at nprobe=2 pinned in
+    tests/test_similarity.py, with brute force kept as the oracle
+    twin). The DuckDB oracle re-derives the probed cells from the
+    same fixed literal centroids, so the approximate path stays
+    fully value-checked."""
+    from ..operators.similarity import ivf_knn_join
+
     emb = read_table(spark, sf_dir, "embeddings")
     unlabeled = emb.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     labeled = emb.where(F.col("vec_id") % 5 != 0)
-    nn = knn_join_bruteforce(unlabeled, labeled, k=5)
+    nn = ivf_knn_join(
+        unlabeled, labeled, _fixed_centroids(), k=5, nprobe=2
+    )
     voted = (
         nn.join(
             labeled.select("vec_id", "label"), "vec_id"

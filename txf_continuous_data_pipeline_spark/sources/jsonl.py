@@ -72,6 +72,12 @@ def write_jsonl(
     # shard outside [0, n_shards) would write a file the full-overwrite
     # cleanup below then deletes (silent data loss), or a name the
     # fixed-width pattern cannot clean. Loud beats silent.
+    # Materialize first (ADVICE r9): without it the validation count
+    # re-executes the caller's whole upstream pipeline a second time
+    # when the write runs (column pruning drops _line from the count's
+    # plan, but not the upstream scan/joins). One eager checkpoint =
+    # one upstream execution; both the count and the write read blocks.
+    rec = rec.localCheckpoint(eager=True)
     n_bad = rec.where(
         (F.col("_shard") < 0) | (F.col("_shard") >= n_shards)
     ).count()

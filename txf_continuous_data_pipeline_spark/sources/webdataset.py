@@ -121,6 +121,20 @@ def write_webdataset(
         F.col("ext").cast("string").alias("ext"),
         F.col("payload").cast("binary").alias("payload"),
     )
+    # Validate the shard range BEFORE any file lands (the write_jsonl
+    # discipline): a caller-supplied id outside [0, n_shards) would
+    # either write a file the full-overwrite cleanup below deletes
+    # (silent data loss) or a name the fixed-width pattern cannot
+    # clean. The count's plan prunes every column but shard_id, so
+    # this is a scan+hash pass, not a second tar build.
+    n_bad = slim.where(
+        (F.col("shard_id") < 0) | (F.col("shard_id") >= n_shards)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"write_webdataset: {n_bad} rows have shard ids outside "
+            f"[0, {n_shards}) - fix the shard expression or n_shards"
+        )
 
     def _write_one(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["shard_id"].iloc[0])
@@ -161,7 +175,44 @@ def write_webdataset(
         _write_one, MANIFEST_SCHEMA
     )
     spark = df.sparkSession
-    rows = manifest.collect()  # bounded: one row per shard
+    # bounded: one row per shard
+    rows = [r.asDict() for r in manifest.collect()]
+    # FULL-overwrite semantics (ADVICE r9; the write_jsonl discipline):
+    # the directory afterwards holds exactly shard-000000..n_shards-1
+    # and nothing else. A shard id no row hashed to still gets a valid
+    # EMPTY tar (the layout is not data-dependent), and stale shards
+    # from an earlier, wider or differently-filtered write are removed
+    # so read_webdataset can never silently mix old samples into a
+    # rewritten corpus.
+    import glob as _glob
+    import re as _re
+
+    written = {int(r["shard_id"]) for r in rows}
+    for sid in sorted(set(range(n_shards)) - written):
+        buf = _io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ):
+            pass
+        data = buf.getvalue()
+        tmp = os.path.join(path, f".{_shard_name(sid)}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        final = os.path.join(path, _shard_name(sid))
+        os.replace(tmp, final)
+        rows.append(
+            {
+                "shard_id": sid,
+                "path": final,
+                "n_samples": 0,
+                "n_members": 0,
+                "shard_bytes": len(data),
+            }
+        )
+    for f in _glob.glob(os.path.join(path, "shard-*.tar")):
+        m = _re.fullmatch(r"shard-(\d{6})\.tar", os.path.basename(f))
+        if m and int(m.group(1)) >= n_shards:
+            os.remove(f)
     return spark.createDataFrame(rows, MANIFEST_SCHEMA)
 
 
@@ -203,12 +254,32 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                             if not dot:
                                 key, ext = name, ""
                             fobj = tar.extractfile(member)
+                            payload = (
+                                fobj.read() if fobj is not None else b""
+                            )
+                            # A tar truncated MID-member does not make
+                            # extractfile().read() raise - it just
+                            # returns short bytes - so verify the read
+                            # length against the header's size and
+                            # quarantine the member on mismatch
+                            # (ADVICE r9: consumers filtering
+                            # error IS NULL must never keep a torn
+                            # payload as clean).
+                            if len(payload) != member.size:
+                                out["shard_path"].append(spath)
+                                out["sample_key"].append(key)
+                                out["ext"].append(ext)
+                                out["payload"].append(None)
+                                out["error"].append(
+                                    "truncated member: got "
+                                    f"{len(payload)} of {member.size} "
+                                    "bytes"
+                                )
+                                continue
                             out["shard_path"].append(spath)
                             out["sample_key"].append(key)
                             out["ext"].append(ext)
-                            out["payload"].append(
-                                fobj.read() if fobj is not None else b""
-                            )
+                            out["payload"].append(payload)
                             out["error"].append(None)
                 except (tarfile.TarError, EOFError, OSError) as exc:
                     # Quarantine, never abort: one corrupt shard in a
