@@ -1,0 +1,251 @@
+"""Scale probe for the END-of-r9 operators (VERDICT r9 #6): the ops
+that landed after the last probe run (embedding_drift_report,
+classifier_pr_curve, quality_ensemble_deciles, web_pipeline_funnel)
+get measured 10x growth exponents like their siblings in SCALE.md.
+Nothing is written to /root/testdata; derived corpora live in-memory.
+
+Expectations under test:
+  - embedding_drift_report: a pure per-row projection (cosine of a
+    vector against its in-plan planted re-embedding) - wall must be
+    ~flat-to-linear in rows with zero shuffle.
+  - classifier_pr_curve: hashing-trick featurize + frozen-weight
+    score + 9-literal threshold explode into one map-side-combined
+    9-group aggregate - linear scan cost, constant shuffle (9 groups).
+  - quality_ensemble_deciles: one signal projection + doc-keyed
+    entropy join + 1-row broadcast cutoffs + per-row decile
+    arithmetic - linear, never a global rank window.
+  - web_pipeline_funnel stages: blocklist/quality predicates scan-
+    side; the pair stage's candidate mass tracks posting-list sizes.
+    Replicas carry per-replica token prefixes (disjoint shingles), so
+    near-dup density stays the baseline's and pair mass must grow
+    ~linearly with the corpus.
+
+roll_yield_report is NOT probed: its input is the settlement config
+(a contract-month dimension, 6 rows at every sf; size is set by the
+calendar, not the corpus) - there is no corpus axis to scale.
+
+Usage: python scripts/late_scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.graph import (
+    connected_components,
+)
+from txf_continuous_data_pipeline_spark.operators.similarity import cosine
+from txf_continuous_data_pipeline_spark.operators.textstats import (
+    entropy_stats,
+    hashing_trick_embed,
+    logreg_score,
+    quality_score,
+    token_count,
+)
+from txf_continuous_data_pipeline_spark.queries.text import (
+    _build_shingle_index,
+    _logreg_weights,
+    _pairs_from_index,
+    _PAIRS_FLOOR,
+    _PR_THRESHOLDS,
+)
+from txf_continuous_data_pipeline_spark.session import get_spark
+from txf_continuous_data_pipeline_spark.sources import read_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def drift_report(emb):
+    """embedding_drift_report's projection (queries/similarity.py)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    delta = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, i: x
+        + F.lit(0.05)
+        * F.when((F.col("vec_id") + i) % 2 == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        ),
+    )
+    w = F.when(F.col("vec_id") % 9 == 0, delta).otherwise(v)
+    cos = F.round(cosine(v, w), 6)
+    return emb.select(
+        "vec_id",
+        cos.alias("cos_v1_v2"),
+        (cos < 1.0).cast("int").alias("drifted"),
+    )
+
+
+def pr_curve(docs):
+    """classifier_pr_curve's plan (queries/text.py)."""
+    scored = logreg_score(
+        hashing_trick_embed(docs, dim=64), _logreg_weights(64), -0.1
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    s = scored.select(
+        "score", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in _PR_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        s.select("score", "y", th)
+        .groupBy("threshold")
+        .agg(
+            F.count_if(
+                (F.col("score") >= F.col("threshold")) & (F.col("y") == 1)
+            ).alias("tp"),
+            F.count_if(
+                (F.col("score") >= F.col("threshold")) & (F.col("y") == 0)
+            ).alias("fp"),
+        )
+    )
+
+
+def ensemble_deciles(docs):
+    """quality_ensemble_deciles' plan (queries/text.py)."""
+    base = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("s1"),
+        token_count(F.col("text")).cast("double").alias("s3"),
+    )
+    ent = entropy_stats(docs).select(
+        "doc_id", F.col("token_entropy").alias("s2")
+    )
+    s = base.join(ent, "doc_id").localCheckpoint(eager=True)
+    pcts = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = s.agg(
+        *[
+            F.transform(
+                F.percentile(F.col(c), pcts), lambda x: F.round(x, 6)
+            ).alias(f"c{i}")
+            for i, c in ((1, "s1"), (2, "s2"), (3, "s3"))
+        ]
+    )
+    j = s.crossJoin(F.broadcast(cuts))
+
+    def dec(sig, cut):
+        return F.size(F.filter(F.col(cut), lambda c: F.col(sig) > c))
+
+    return j.select(
+        "doc_id",
+        dec("s1", "c1").alias("d1"),
+        dec("s2", "c2").alias("d2"),
+        dec("s3", "c3").alias("d3"),
+    )
+
+
+def funnel(docs):
+    """web_pipeline_funnel's stage chain (queries/text.py), pair
+    frame built fresh for the probe corpus (the registry query reads
+    it from the per-corpus cache)."""
+    d1 = docs.where(~F.col("source").isin("src2", "src3"))
+    sc = d1.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(quality_score(F.col("text")), 6).alias("score"),
+    )
+    cut = sc.groupBy("source").agg(
+        F.round(F.percentile(F.col("score"), F.lit(0.25)), 6).alias(
+            "cutoff"
+        )
+    )
+    d2 = (
+        sc.join(F.broadcast(cut), "source")
+        .where(F.col("score") >= F.col("cutoff"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=True)
+    )
+    pairs = _pairs_from_index(
+        _build_shingle_index(d2), _PAIRS_FLOOR
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("id") != F.col("component")).count()
+    return {
+        "n_in": docs.count(),
+        "n_blocklist": d1.count(),
+        "n_quality": d2.count(),
+        "n_pairs": n_pairs,
+        "n_kept": d2.count() - losers,
+    }
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("late_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"replicas": reps}
+
+    emb = read_table(spark, SF_DIR, "embeddings").localCheckpoint(
+        eager=True
+    )
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    emb_big = (
+        emb.crossJoin(r)
+        .select(
+            (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w, n = _t(lambda: drift_report(emb).count())
+    out["drift_1x"] = {"wall_s": w, "rows": n}
+    w, n = _t(lambda: drift_report(emb_big).count())
+    out[f"drift_{reps}x"] = {"wall_s": w, "rows": n}
+
+    docs = read_table(spark, SF_DIR, "documents").localCheckpoint(
+        eager=True
+    )
+    # clean replication: per-replica token prefix keeps shingle sets
+    # disjoint across replicas (near-dup density stays the baseline's)
+    rep_s = F.col("rep").cast("string")
+    docs_big = (
+        docs.crossJoin(r)
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            "source",
+            "lang",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(rep_s, F.lit("_"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w, n = _t(lambda: pr_curve(docs).count())
+    out["pr_curve_1x"] = {"wall_s": w, "rows": n}
+    w, n = _t(lambda: pr_curve(docs_big).count())
+    out[f"pr_curve_{reps}x"] = {"wall_s": w, "rows": n}
+
+    w, n = _t(lambda: ensemble_deciles(docs).count())
+    out["deciles_1x"] = {"wall_s": w, "rows": n}
+    w, n = _t(lambda: ensemble_deciles(docs_big).count())
+    out[f"deciles_{reps}x"] = {"wall_s": w, "rows": n}
+
+    w, d = _t(lambda: funnel(docs))
+    out["funnel_1x"] = {"wall_s": w, **d}
+    w, d = _t(lambda: funnel(docs_big))
+    out[f"funnel_{reps}x"] = {"wall_s": w, **d}
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

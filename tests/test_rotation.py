@@ -114,3 +114,36 @@ def test_live_registry_core_present():
     assert all(n in Q.REGISTRY for n in Q.CORE)
     order = Q.rotation_order()
     assert order[: len(Q.CORE)] == Q.CORE
+
+
+def test_retry_reenters_ahead_of_greens():
+    """A query in RETRY (changed semantics/oracle) is treated as
+    never-green: it re-enters the window ahead of every green even
+    when its old form has a recent green row."""
+    reg = _fake_registry()
+    hist = {f"oq{i:03d}": 1 + (i % 4) for i in range(40)}
+    retried = "oq000"
+    assert retried in hist
+    order = Q.rotation_order(reg, history=hist)
+    base_pos = order.index(retried)
+    try:
+        Q.RETRY = frozenset(Q.RETRY | {retried})
+        order2 = Q.rotation_order(reg, history=hist)
+        greens = [
+            n for n in order2[len(Q.CORE):]
+            if n in hist and n not in Q.RETRY
+        ]
+        assert order2.index(retried) < min(order2.index(n) for n in greens)
+        assert order2.index(retried) <= base_pos
+    finally:
+        Q.RETRY = frozenset(Q.RETRY - {retried})
+
+
+def test_live_retry_in_window():
+    """Every RETRY name is a real oracle-paired registry entry and sits
+    inside this round's window (the point of the mechanism)."""
+    order = Q.rotation_order()
+    window = set(order[: Q.WINDOW])
+    for name in Q.RETRY:
+        assert name in Q.REGISTRY and Q.REGISTRY[name][1] is not None
+        assert name in window, name

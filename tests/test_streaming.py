@@ -187,3 +187,86 @@ def test_stream_stream_conversion_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert want, "batch twin found no conversions - test data changed?"
     assert got == want
+
+
+def test_gate_failure_leaves_sink_byte_identical_under_redelivery(
+    spark, tmp_path
+):
+    """VERDICT r9 #7 - Gate 1 under at-least-once redelivery: a batch
+    that fails the expected-count gate must abort BEFORE any byte
+    lands (abort-then-retry = exactly-once, the reference's
+    better-missing-than-wrong rule main.py:399-400 under replay), a
+    repeated failing redelivery must change nothing, and once the
+    gate passes the commit lands exactly once however many times the
+    batch is redelivered."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        gated_idempotent_sink,
+    )
+
+    sink = str(tmp_path / "gate_sink")
+
+    def bars(day: str, kind: str, n: int, base_hour: int = 9):
+        rows = [
+            (
+                f"2024-01-{day} {base_hour + i // 12:02d}:"
+                f"{(i % 12) * 5:02d}:00",
+                f"2024-01-{day}_{kind}",
+                float(100 + i),
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "bar_ts string, session_id string, close double"
+        ).select(
+            F.to_timestamp("bar_ts").alias("bar_ts"),
+            "session_id",
+            "close",
+        )
+
+    def sink_state():
+        out = {}
+        for root, _dirs, fs in os.walk(sink):
+            for f in fs:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, sink)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    write = gated_idempotent_sink(sink, expected={"D": 24})
+    # batch 0: complete day session (24 bars) commits
+    write(bars("02", "D", 24), 0)
+    committed = sink_state()
+    assert committed, "first valid batch did not commit"
+
+    # batch 1: INCOMPLETE session (23 bars) - gate must abort with the
+    # sink untouched, byte for byte
+    bad = bars("03", "D", 23)
+    with pytest.raises(ValueError, match="completeness"):
+        write(bad, 1)
+    assert sink_state() == committed
+    # at-least-once redelivery of the same failing batch: still aborts,
+    # still byte-identical (abort-then-retry never half-commits)
+    with pytest.raises(ValueError, match="completeness"):
+        write(bad, 1)
+    assert sink_state() == committed
+
+    # the feed repairs (the missing bar arrives): the SAME batch id now
+    # passes and commits exactly once...
+    good = bars("03", "D", 24)
+    write(good, 1)
+    n_after = spark.read.parquet(sink).count()
+    assert n_after == 48
+    # ...and a post-commit redelivery (crash between commit and
+    # checkpoint ack) appends nothing
+    write(good, 1)
+    assert spark.read.parquet(sink).count() == 48
+    assert (
+        spark.read.parquet(sink).select("bar_ts").distinct().count()
+        == 48
+    )

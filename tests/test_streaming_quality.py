@@ -98,3 +98,146 @@ def test_unscorable_rows_quarantine_not_vanish(spark, tmp_path):
     assert all_ids == {1, 2, 3}  # nothing vanished
     by_id = {r["doc_id"]: r for r in quar}
     assert 2 in by_id and by_id[2]["score"] is None
+
+
+def test_web_funnel_ingest_equals_sequential_batch_fold(
+    spark, sf_dir, tmp_path
+):
+    """web_funnel_ingest_run (VERDICT r9 #4): the streaming funnel's
+    per-batch monitor rows and kept set must equal a sequential batch
+    fold of the same stages (blocklist -> prefix-adaptive p25 cutoff
+    -> greedy first-arrival near-dup) over the same feed, and a
+    checkpoint-wiped replay must rewrite, not double-append."""
+    import shutil
+    import time as _time
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_pairs,
+        minhash_neardup_pairs,
+    )
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        quality_score,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        web_funnel_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n = docs.count()
+    files = [
+        docs.where(F.col("doc_id") < n // 3),
+        docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        ),
+        docs.where(F.col("doc_id") >= 2 * n // 3),
+    ]
+    feed = str(tmp_path / "wf_feed")
+    os.makedirs(feed)
+    now = _time.time()
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "wf_work")
+    funnel_dir = web_funnel_ingest_run(spark, feed, work)
+    stream_funnel = {
+        (r.batch_id, r.stage_idx, r.stage): r.n_docs
+        for r in spark.read.parquet(funnel_dir).collect()
+    }
+    stream_kept = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(work, "kept")).collect()
+    }
+
+    # sequential batch fold, same per-batch semantics
+    fold_funnel = {}
+    kept_ids = set()
+    seen_scores = None
+    index = None
+    for bid, frame in enumerate(files):
+        n0 = frame.count()
+        d1 = frame.where(~F.col("source").isin("src2", "src3"))
+        sc = d1.select(
+            "doc_id",
+            "source",
+            "text",
+            F.round(quality_score(F.col("text")), 6).alias("score"),
+        ).localCheckpoint(eager=True)
+        n1 = d1.count()
+        seen = sc.select("source", "score")
+        if seen_scores is not None:
+            seen = seen.unionByName(seen_scores)
+        cut = seen.groupBy("source").agg(
+            F.round(
+                F.percentile(F.col("score"), F.lit(0.25)), 6
+            ).alias("cutoff")
+        )
+        d2 = (
+            sc.join(F.broadcast(cut), "source")
+            .where(F.col("score") >= F.col("cutoff"))
+            .select("doc_id", "source", "text")
+            .localCheckpoint(eager=True)
+        )
+        n2 = d2.count()
+        self_pairs = minhash_neardup_pairs(d2, threshold=0.5)
+        survivors = d2.join(
+            self_pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        if index is not None:
+            hits = (
+                minhash_delta_pairs(survivors, index, threshold=0.5)
+                .select(F.col("delta_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        n3 = survivors.count()
+        kept_ids |= {r.doc_id for r in survivors.select("doc_id").collect()}
+        seen_scores = (
+            seen.localCheckpoint(eager=True)
+        )
+        add = build_minhash_index(survivors, persist=False)
+        if index is None:
+            index = add
+        else:
+            index = {
+                k: index[k].unionByName(add[k]).localCheckpoint(eager=True)
+                for k in index
+            }
+        fold_funnel.update(
+            {
+                (bid, 0, "ingest"): n0,
+                (bid, 1, "domain_blocklist"): n1,
+                (bid, 2, "quality_cutoff"): n2,
+                (bid, 3, "neardup_keep"): n3,
+            }
+        )
+
+    assert stream_funnel == fold_funnel
+    assert stream_kept == kept_ids
+    # stage monotonicity within each batch: the funnel only narrows
+    for bid in {k[0] for k in stream_funnel}:
+        seq = [stream_funnel[(bid, i, s)] for i, s in
+               [(0, "ingest"), (1, "domain_blocklist"),
+                (2, "quality_cutoff"), (3, "neardup_keep")]]
+        assert seq == sorted(seq, reverse=True)
+
+    # crash-retry idempotency: wipe the checkpoint so every file
+    # replays - committed batch partitions must be rewritten in place
+    shutil.rmtree(os.path.join(work, "ckpt"))
+    web_funnel_ingest_run(spark, feed, work)
+    again_funnel = {
+        (r.batch_id, r.stage_idx, r.stage): r.n_docs
+        for r in spark.read.parquet(funnel_dir).collect()
+    }
+    again_kept = spark.read.parquet(os.path.join(work, "kept"))
+    assert again_funnel == stream_funnel
+    assert {r.doc_id for r in again_kept.collect()} == stream_kept
+    assert again_kept.count() == len(stream_kept)

@@ -63,6 +63,14 @@ CORE = [
     "settlement_schedule",
 ]
 
+# Queries whose SEMANTICS or oracle changed this round: their old
+# green rows certify the old form, so the rotation treats them as
+# never-green until the driver re-verifies the new form (then remove
+# them from the set). r10: knn_label_propagation switched from the
+# broadcast brute-force plan to the IVF-probed equi-join with a
+# probed-cells oracle (VERDICT r9 #1).
+RETRY = frozenset({"knn_label_propagation"})
+
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
@@ -118,9 +126,9 @@ def rotation_order(
         n for n in names if n not in core and registry[n][1] is None
     ]
 
-    never = [n for n in oracle if n not in history]
+    never = [n for n in oracle if n not in history or n in RETRY]
     stale = sorted(
-        (n for n in oracle if n in history),
+        (n for n in oracle if n in history and n not in RETRY),
         key=lambda n: (history[n], pos[n]),
     )
     return core + never + stale + rows_only

