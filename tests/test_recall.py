@@ -589,3 +589,37 @@ def test_ivf_knn_join_full_probe_is_exact_and_nprobe2_recall(
     # plus routing correlation, not a production-recall claim; the
     # REGRESSION property is that the dial keeps working end to end.
     assert rec >= 0.5, f"recall@5 at nprobe=2 fell to {rec}"
+
+
+def test_ivf_knn_join_salted_is_row_identical(spark, sf_dir):
+    """Within-cell salting (the hot-cell lever ivf_knn_join's
+    docstring promises): a corpus row lands in exactly one
+    (cell, salt) bucket and a probed (query, cell) pair replicates
+    across every salt, so the salted join must return the IDENTICAL
+    rows - salting changes the shuffle key fan-out, never the
+    candidate set."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    cents = _fixed_centroids()
+    plain = sorted(
+        map(tuple, ivf_knn_join(queries, corpus, cents, k=5).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            ivf_knn_join(
+                queries, corpus, cents, k=5, n_salt=8
+            ).collect(),
+        )
+    )
+    assert plain == salted

@@ -424,6 +424,7 @@ def ivf_knn_join(
     *,
     k: int = 5,
     nprobe: int = 2,
+    n_salt: int = 1,
     q_id: str = "q_id",
     c_id: str = "vec_id",
     q_vec: str = "q_vec",
@@ -445,17 +446,51 @@ def ivf_knn_join(
     cluster_id-partitioned IVFPQ index (write_ivfpq_index) - assignment
     is then a partition read, not a compute pass - and the cell count
     is trained ~sqrt(n) so no single cell's candidate block grows
-    super-linearly; with a handful of fixed cells (as here, for oracle
-    determinism) a hot cell would need within-cell salting. Ties break
+    super-linearly; for a HOT cell (or a handful of fixed cells, as
+    here for oracle determinism) `n_salt` spreads each cell over
+    n_salt join keys: every corpus row lands in exactly one
+    (cell, salt) bucket via a deterministic id hash and every probed
+    (query, cell) pair replicates across all salts, so the result set
+    is ROW-IDENTICAL to the unsalted join (pinned in
+    tests/test_recall.py) while the per-key candidate block shrinks
+    n_salt-fold - the salted_join recipe applied to ANN. Ties break
     by (distance, cluster_id) on the routing side and
     (cos_sim desc, id) on the ranking side, so the whole approximate
     path is deterministic and oracle-checkable."""
     from pyspark.sql import Window
 
-    c_assigned = kmeans_assign(corpus, centroids, vec_col=c_vec)
-    q_probed = kmeans_probe(queries, centroids, nprobe=nprobe, vec_col=q_vec)
-    cand = c_assigned.join(q_probed, "cluster_id").withColumn(
-        "cos_sim", F.round(cosine_fast(F.col(c_vec), F.col(q_vec)), 6)
+    # Arrow fast paths (same argmin + tie-break as the expression
+    # forms, pinned equal in tests/test_similarity-family pytests):
+    # the k*dim literal Catalyst trees cost ~1 s of analysis per
+    # occurrence, which dominated this operator's bench cost.
+    c_assigned = kmeans_assign_fast(corpus, centroids, vec_col=c_vec)
+    q_probed = kmeans_probe_fast(
+        queries, centroids, nprobe=nprobe, vec_col=q_vec
+    )
+    if n_salt > 1:
+        join_keys = ["cluster_id", "_salt"]
+        c_assigned = c_assigned.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(c_id)), F.lit(n_salt))
+        )
+        # two-step: an explode generator cannot be nested inside the
+        # cast expression (the kmeans_probe projection caveat)
+        q_probed = q_probed.withColumn(
+            "_s0", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        ).withColumn("_salt", F.col("_s0").cast("long")).drop("_s0")
+    else:
+        join_keys = ["cluster_id"]
+    # score inside the join projection, then DROP the vectors before
+    # the ranking window: the row_number sort shuffles candidate rows
+    # a second time (keyed on q_id), and carrying two dim-wide arrays
+    # through it multiplies that exchange ~60x for columns the rank
+    # never reads.
+    cand = (
+        c_assigned.join(q_probed, join_keys)
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_fast(F.col(c_vec), F.col(q_vec)), 6),
+        )
+        .select(q_id, c_id, "cos_sim")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.col(c_id))
     return (
@@ -546,6 +581,40 @@ def kmeans_probe(
     return df.withColumn("_probe", F.explode(top)).withColumn(
         out_col, F.col("_probe.c")
     ).drop("_probe")
+
+
+def kmeans_probe_fast(
+    df: DataFrame,
+    centroids: list,
+    *,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """kmeans_probe's Arrow fast path: top-nprobe nearest centroids per
+    row as exploded rows, the k*dim distance matrix one numpy
+    broadcast per batch (the kmeans_assign_fast rationale). Tie-break
+    matches the expression form exactly: stable argsort on distance
+    with `centroids` ordered by id picks the smaller cluster id
+    first."""
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    ids = np.array([int(c) for c, _ in centroids])
+    if not (ids[:-1] <= ids[1:]).all():
+        order = np.argsort(ids, kind="stable")
+        C, ids = C[order], ids[order]
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(ids[top]))
+
+    return (
+        df.withColumn("_pr", _probe(F.col(vec_col)))
+        .withColumn(out_col, F.explode("_pr"))
+        .drop("_pr")
+    )
 
 
 def kmeans_assign_fast(

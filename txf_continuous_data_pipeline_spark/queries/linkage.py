@@ -241,12 +241,12 @@ def _pagerank_sql(n_iter: int = 8, damping: float = 0.85) -> str:
     steps = []
     for t in range(1, n_iter + 1):
         steps.append(f"""
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT e.d AS id, sum(p.rank * e.w / g.deg) AS m
   FROM e JOIN pr{t - 1} p ON e.s = p.id JOIN deg g ON e.s = g.s
   GROUP BY e.d
 ),
-pr{t} AS (
+pr{t} AS MATERIALIZED (
   SELECT n.id,
          (1.0 - {damping}) / (SELECT nn FROM cnt)
            + {damping} * coalesce(c.m, 0.0) AS rank
@@ -262,7 +262,7 @@ WITH trans AS (
   ) WHERE dst IS NOT NULL
   GROUP BY src, dst
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT s, d, sum(w) AS w FROM (
     SELECT src AS s, dst AS d, n AS w FROM trans
     UNION ALL
@@ -270,13 +270,13 @@ e AS (
   ) GROUP BY s, d
 ),
 deg AS (SELECT s, sum(w) AS deg FROM e GROUP BY s),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT s AS id FROM e
   UNION
   SELECT DISTINCT d AS id FROM e
 ),
 cnt AS (SELECT count(*) AS nn FROM nodes),
-pr0 AS (
+pr0 AS MATERIALIZED (
   SELECT id, 1.0 / (SELECT nn FROM cnt) AS rank FROM nodes
 ),{",".join(steps)}
 SELECT id, round(rank, 8) AS rank FROM pr{n_iter}

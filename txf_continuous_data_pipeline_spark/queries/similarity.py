@@ -317,7 +317,7 @@ def _kmeans_lloyd_sql(k: int = 8, n_iter: int = 5) -> str:
     steps = []
     for t in range(1, n_iter + 1):
         steps.append(f"""
-a{t} AS (
+a{t} AS MATERIALIZED (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
@@ -325,7 +325,7 @@ a{t} AS (
     FROM emb e CROSS JOIN cents{t - 1} c
   ) WHERE rn = 1
 ),
-m{t} AS (
+m{t} AS MATERIALIZED (
   SELECT cid, list(mv ORDER BY pos) AS cent FROM (
     SELECT cid, pos, avg(x) AS mv FROM (
       SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
@@ -333,7 +333,7 @@ m{t} AS (
     ) GROUP BY cid, pos
   ) GROUP BY cid
 ),
-cents{t} AS (
+cents{t} AS MATERIALIZED (
   SELECT p.cid, coalesce(m.cent, p.cent) AS cent
   FROM cents{t - 1} p LEFT JOIN m{t} m USING (cid)
 )""")
@@ -341,7 +341,7 @@ cents{t} AS (
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-cents0 AS (
+cents0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
          AS INTEGER) AS cid,
@@ -750,14 +750,104 @@ def pq_adc_topk_qtable_q(spark, sf_dir):
     )
 
 
-@q("pq_trained_summary", None)
+def _pq_train_ctes(
+    n_iter: int, *, m: int = 8, k: int = 16, d_sub: int = 8,
+    prefix: str = "p",
+) -> str:
+    """CTE chain replicating pq_train (the _kmeans_lloyd_sql unrolling
+    discipline applied to joint per-subspace Lloyd): md5-seeded
+    full-dim codebook, then per iteration one assignment CTE (argmin
+    per (vector, subspace), ties to the lower codeword - list_distance
+    is sqrt of the Spark side's squared distance, sqrt monotonic) and
+    one recompute CTE (per-(codeword, global position) mean; a cell no
+    vector maps to keeps its previous value via the LEFT JOIN
+    coalesce, pq_train's rule). Ends with {prefix}cw: the trained
+    per-subspace codeword slices. Early Spark-side convergence is an
+    exact no-op under unrolling (fixpoint assignments recompute
+    identical means)."""
+    parts = [f"""
+{prefix}ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{prefix}ss AS (SELECT unnest(range({m})) AS s),
+{prefix}esub AS MATERIALIZED (
+  SELECT vec_id, s,
+         list_slice(v, s*{d_sub} + 1, s*{d_sub} + {d_sub}) AS ev
+  FROM {prefix}ev CROSS JOIN {prefix}ss
+),
+{prefix}cb0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INTEGER) AS j, v
+  FROM {prefix}ev
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+{prefix}w{t - 1} AS MATERIALIZED (
+  SELECT j, s, list_slice(v, s*{d_sub} + 1, s*{d_sub} + {d_sub}) AS c
+  FROM {prefix}cb{t - 1} CROSS JOIN {prefix}ss
+),
+{prefix}a{t} AS MATERIALIZED (
+  SELECT vec_id, s, j, ev FROM (
+    SELECT e.vec_id, e.s, c.j, e.ev,
+           row_number() OVER (PARTITION BY e.vec_id, e.s
+             ORDER BY list_distance(e.ev, c.c), c.j) AS rn
+    FROM {prefix}esub e JOIN {prefix}w{t - 1} c ON e.s = c.s
+  ) WHERE rn = 1
+),
+{prefix}m{t} AS MATERIALIZED (
+  SELECT j, s*{d_sub} + p AS pos, avg(x) AS mv FROM (
+    SELECT j, s, unnest(ev) AS x,
+           generate_subscripts(ev, 1) - 1 AS p
+    FROM {prefix}a{t}
+  ) GROUP BY j, s, p
+),
+{prefix}cb{t} AS MATERIALIZED (
+  SELECT pv.j, list(coalesce(m.mv, pv.x) ORDER BY pv.pos) AS v FROM (
+    SELECT j, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS pos
+    FROM {prefix}cb{t - 1}
+  ) pv LEFT JOIN {prefix}m{t} m ON pv.j = m.j AND pv.pos = m.pos
+  GROUP BY pv.j
+)""")
+    parts.append(f""",
+{prefix}cw AS MATERIALIZED (
+  SELECT j, s, list_slice(v, s*{d_sub} + 1, s*{d_sub} + {d_sub}) AS c
+  FROM {prefix}cb{n_iter} CROSS JOIN {prefix}ss
+)""")
+    return "".join(parts)
+
+
+_PQ_TRAINED_SQL = f"""
+WITH {_pq_train_ctes(3)},
+fbest AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, e.s, c.j,
+           row_number() OVER (PARTITION BY e.vec_id, e.s
+             ORDER BY list_distance(e.ev, c.c), c.j) AS rn
+    FROM pesub e JOIN pcw c ON e.s = c.s
+  ) WHERE rn = 1
+)
+SELECT CAST(s AS INT) AS s, CAST(j AS INT) AS code,
+       CAST(count(*) AS BIGINT) AS n
+FROM fbest GROUP BY s, j ORDER BY s, code
+"""
+
+
+@q("pq_trained_summary", _PQ_TRAINED_SQL)
 def pq_trained_summary_q(spark, sf_dir):
     """Learned-codebook PQ (the real trainer behind the seeded
     stand-in): joint per-subspace Lloyd (one corpus pass per iteration
     for ALL subspaces), then the per-subspace code histogram of the
-    trained encoder. Iterative fixpoint -> rows-only for the driver;
-    tests/test_pq.py pins the trainer differentially against a
-    single-node numpy PQ with the identical deterministic init."""
+    trained encoder. Fully oracle-checked since r10: the md5 init +
+    fixed max_iter unroll into assignment/recompute CTEs
+    (_pq_train_ctes - the _kmeans_lloyd_sql discipline, with subspace
+    as a COLUMN rather than an unrolled axis, so the SQL stays
+    iteration-count-sized); tests/test_pq.py additionally pins the
+    trainer differentially against a single-node numpy PQ with the
+    identical deterministic init."""
     from ..operators.similarity import pq_encode, pq_train
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1364,17 +1454,130 @@ def ivfpq_residual_topk_q(spark, sf_dir):
     )
 
 
-@q("ivfpq_trained_topk", None)
+def _lloyd_ctes(k: int, n_iter: int, *, prefix: str = "g") -> str:
+    """Generic unrolled-Lloyd CTE chain (the _kmeans_lloyd_sql body as
+    a reusable generator, prefixed to compose with other chains): md5
+    init, per-iteration argmin assignment + per-(cluster, position)
+    mean with the empty-cluster keep-previous rule. Ends with
+    {prefix}c{n_iter} (cid, cent) and exposes {prefix}emb
+    (vec_id, v)."""
+    parts = [f"""
+{prefix}emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{prefix}c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+         AS INTEGER) AS cid,
+         v AS cent
+  FROM {prefix}emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {k}
+)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+{prefix}a{t} AS MATERIALIZED (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cent), c.cid) AS rn
+    FROM {prefix}emb e CROSS JOIN {prefix}c{t - 1} c
+  ) WHERE rn = 1
+),
+{prefix}m{t} AS MATERIALIZED (
+  SELECT cid, list(mv ORDER BY pos) AS cent FROM (
+    SELECT cid, pos, avg(x) AS mv FROM (
+      SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      FROM {prefix}a{t}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+),
+{prefix}c{t} AS MATERIALIZED (
+  SELECT p.cid, coalesce(m.cent, p.cent) AS cent
+  FROM {prefix}c{t - 1} p LEFT JOIN {prefix}m{t} m USING (cid)
+)""")
+    return "".join(parts)
+
+
+_IVFPQ_TRAINED_SQL = f"""
+WITH {_lloyd_ctes(4, 2, prefix="g")},
+{_pq_train_ctes(2, prefix="p")},
+cc AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cent), c.cid) AS rn
+    FROM gemb e CROSS JOIN gc2 c
+    WHERE e.vec_id >= 5
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT q_id, cid AS cluster_id FROM (
+    SELECT e.vec_id AS q_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.v, c.cent), c.cid) AS rn
+    FROM gemb e CROSS JOIN gc2 c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= 2
+),
+qv AS (SELECT vec_id AS q_id, v FROM gemb WHERE vec_id < 5),
+best AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, e.s, c.j,
+           row_number() OVER (PARTITION BY e.vec_id, e.s
+             ORDER BY list_distance(e.ev, c.c), c.j) AS rn
+    FROM pesub e JOIN pcw c ON e.s = c.s
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT b.vec_id, qp.q_id,
+         round(sum(list_sum(list_transform(
+                 list_zip(list_slice(q.v, b.s*8 + 1, b.s*8 + 8), c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS adc_dist
+  FROM best b
+  JOIN cc ON cc.vec_id = b.vec_id
+  JOIN qp ON qp.cluster_id = cc.cluster_id
+  JOIN qv q ON q.q_id = qp.q_id
+  JOIN pcw c ON b.s = c.s AND b.j = c.j
+  GROUP BY b.vec_id, qp.q_id
+),
+sl AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_sum(list_transform(
+           list_zip(e.v, q.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
+  FROM sl s
+  JOIN gemb e ON e.vec_id = s.vec_id
+  JOIN qv q ON q.q_id = s.q_id
+)
+SELECT q_id, vec_id, sq_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY sq_dist, vec_id) AS rn
+  FROM exact
+) WHERE rn <= 3
+"""
+
+
+@q("ivfpq_trained_topk", _IVFPQ_TRAINED_SQL)
 def ivfpq_trained_topk_q(spark, sf_dir):
     """IVFADC with LEARNED components - kmeans_fit trains the coarse
     quantizer and pq_train the codebooks, both feeding the identical
     composed search (ivfpq_topk) the seeded oracle query verifies.
-    Downstream of two iterative trainers -> rows-only for the driver
-    (like kmeans_clusters / pq_trained_summary, whose trainers are
-    numpy-differential-pinned); the composition wiring is pinned by the
-    exact-recovery pytest in tests/test_recall.py (full probe +
-    corpus-wide shortlist == exact top-k even with trained parts,
-    because the rescore stage is full-precision)."""
+    Fully oracle-checked since r10: both trainers unroll
+    (_lloyd_ctes + _pq_train_ctes, the _kmeans_lloyd_sql discipline)
+    and the serving chain (route -> probe -> ADC -> shortlist ->
+    exact rescore) is the same SQL skeleton _IVFPQ_SQL pins for the
+    seeded twin; the exact-recovery pytest in tests/test_recall.py
+    additionally pins full probe + corpus-wide shortlist == exact
+    top-k even with trained parts (the rescore stage is
+    full-precision)."""
     from ..operators.similarity import ivfpq_topk, kmeans_fit, pq_train
 
     emb = read_table(spark, sf_dir, "embeddings")

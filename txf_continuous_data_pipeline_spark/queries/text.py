@@ -2814,7 +2814,89 @@ def quality_logreg_score_q(spark, sf_dir):
     )
 
 
-@q("langid_logreg_train", None)
+def _logreg_train_sql(
+    n_iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    dim: int = 64,
+) -> str:
+    """Unrolled full-batch GD oracle (the _kmeans_lloyd_sql /
+    _pagerank_sql discipline applied to the classifier trainer):
+    zero-init weights, then per iteration one residual CTE
+    (sigmoid margin minus label), one per-dimension gradient
+    aggregate, and one elementwise weight update - exactly
+    logreg_train's numpy loop, operand order preserved
+    (lr * (g/n + l2*w); (lr * sum_r) / n) so both engines walk the
+    same float path. The features are the 6dp-ROUNDED hashed
+    embeddings (identical across engines - text_hash_embeddings pins
+    that), so the only divergence is summation order and libm exp,
+    ~1e-15 against the 1e-9 output rounding."""
+    toks_h = f"list_transform({_TOKS}, t -> {_h60_sql('t')} % {dim})"
+    raw = (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE))"
+    )
+    steps = []
+    for t in range(1, n_iters + 1):
+        steps.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT f.doc_id, f.x,
+         1.0 / (1.0 + exp(-(list_dot_product(f.x, w.w) + w.b))) - f.y
+           AS r
+  FROM feats f, w{t - 1} w
+),
+g{t} AS MATERIALIZED (
+  SELECT pos, sum(r * xv) AS g FROM (
+    SELECT r, unnest(x) AS xv, generate_subscripts(x, 1) - 1 AS pos
+    FROM p{t}
+  ) GROUP BY pos
+),
+u{t} AS MATERIALIZED (
+  SELECT wo.pos,
+         wo.wv - {lr} * (coalesce(g.g, 0.0) / nn.n + {l2} * wo.wv)
+           AS nv
+  FROM (SELECT unnest(w) AS wv, generate_subscripts(w, 1) - 1 AS pos
+        FROM w{t - 1}) wo
+  LEFT JOIN g{t} g USING (pos) CROSS JOIN nn
+),
+w{t} AS MATERIALIZED (
+  SELECT (SELECT list(nv ORDER BY pos) FROM u{t}) AS w,
+         (SELECT b FROM w{t - 1})
+           - {lr} * (SELECT sum(r) FROM p{t}) / (SELECT n FROM nn)
+           AS b
+)""")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {toks_h} AS hs
+  FROM documents WHERE doc_id % 5 = 0
+),
+v AS (SELECT doc_id, lang, {raw} AS raw FROM t),
+nz AS (SELECT doc_id, lang, raw,
+              sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+       FROM v),
+feats AS MATERIALIZED (
+  -- MATERIALIZED: the iteration chain references feats once per
+  -- unrolled step; inlined CTE re-execution would re-scan documents
+  -- n_iters times (and exhaust file descriptors under a busy host)
+  SELECT doc_id,
+         list_transform(raw, x -> round(x / nrm, 6)) AS x,
+         CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y
+  FROM nz WHERE nrm > 0
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+w0 AS MATERIALIZED (
+  SELECT list_transform(range(0, {dim}), i -> 0.0) AS w, 0.0 AS b){"".join(steps)}
+SELECT CAST(-1 AS INT) AS pos, round(b, 9) AS weight FROM w{n_iters}
+UNION ALL
+SELECT CAST(pos AS INT) AS pos, round(wv, 9) AS weight FROM (
+  SELECT unnest(w) AS wv, generate_subscripts(w, 1) - 1 AS pos
+  FROM w{n_iters}
+)
+ORDER BY pos
+"""
+
+
+@q("langid_logreg_train", _logreg_train_sql())
 def langid_logreg_train_q(spark, sf_dir):
     """TRAIN the classifier: full-batch gradient descent for a
     lang=='en' logistic classifier over the corpus-cached 64-dim
@@ -2824,9 +2906,12 @@ def langid_logreg_train_q(spark, sf_dir):
     driver, so logreg_train's collected-numpy path runs; the
     distributed aggregate loop it falls back to above
     driver_row_limit is pinned to agree in tests/test_classifier.py.
-    Rows-only (an iterative driver loop has no SQL form); the GD loop
-    is pinned against a numpy reference and the fitted model beats
-    the majority baseline on held-out docs."""
+    Fully oracle-checked since r10: the fixed iteration count unrolls
+    into residual/gradient/update CTEs (_logreg_train_sql) over the
+    same 6dp-rounded feature frame, so the fitted weights themselves
+    value-check at 9dp; the GD loop additionally stays pinned against
+    a numpy reference, and the fitted model beats the majority
+    baseline on held-out docs."""
     from ..operators.textstats import logreg_train
 
     docs = read_table(spark, sf_dir, "documents")
