@@ -440,7 +440,8 @@ def ivf_knn_join(
     is a plain equi-join on cluster_id. Nothing corpus-sized is ever
     broadcast or collected; work is ~nprobe/n_cells of the full cross
     product, and nprobe = n_cells degenerates to the exact join
-    (pinned against knn_join_bruteforce in tests/test_similarity.py).
+    (pinned against knn_join_bruteforce in tests/test_recall.py;
+    plan pin in tests/test_plans.py).
 
     At 100 TB the corpus side of this join IS the persisted
     cluster_id-partitioned IVFPQ index (write_ivfpq_index) - assignment
@@ -452,7 +453,8 @@ def ivf_knn_join(
     (cell, salt) bucket via a deterministic id hash and every probed
     (query, cell) pair replicates across all salts, so the result set
     is ROW-IDENTICAL to the unsalted join (pinned in
-    tests/test_recall.py) while the per-key candidate block shrinks
+    tests/test_recall.py::test_ivf_knn_join_salted_is_row_identical)
+    while the per-key candidate block shrinks
     n_salt-fold - the salted_join recipe applied to ANN. Ties break
     by (distance, cluster_id) on the routing side and
     (cos_sim desc, id) on the ranking side, so the whole approximate
@@ -460,7 +462,7 @@ def ivf_knn_join(
     from pyspark.sql import Window
 
     # Arrow fast paths (same argmin + tie-break as the expression
-    # forms, pinned equal in tests/test_similarity-family pytests):
+    # forms; exactness pinned in tests/test_recall.py):
     # the k*dim literal Catalyst trees cost ~1 s of analysis per
     # occurrence, which dominated this operator's bench cost.
     c_assigned = kmeans_assign_fast(corpus, centroids, vec_col=c_vec)

@@ -311,9 +311,11 @@ def _kmeans_lloyd_sql(k: int = 8, n_iter: int = 5) -> str:
     distance, and sqrt is monotonic) plus one recompute-CTE
     (per-cluster per-position mean; an emptied cluster keeps its
     previous centroid via the LEFT JOIN coalesce, kmeans_fit's rule).
-    Early convergence on the Spark side is harmless: a converged
-    assignment recomputes the identical means, so extra unrolled
-    iterations are exact no-ops."""
+    The registered queries pin tol=0.0, so the trainer runs EXACTLY
+    n_iter iterations (a tol>0 early stop is a NEAR-fixpoint whose
+    extra unrolled iterations could flip a boundary vector; with
+    tol=0.0 the loop breaks only on an exact fixpoint, where extra
+    iterations are true no-ops)."""
     steps = []
     for t in range(1, n_iter + 1):
         steps.append(f"""
@@ -377,7 +379,11 @@ def kmeans_clusters(spark, sf_dir):
     from ..operators.similarity import kmeans_fit, kmeans_score_fast
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents, _, _ = kmeans_fit(emb, 8, max_iter=5)
+    # tol=0.0: run EXACTLY max_iter iterations (break only on an exact
+    # fixpoint, where extra unrolled iterations are true no-ops) - a
+    # tol=1e-6 early stop is a NEAR-fixpoint, and the oracle's extra
+    # unrolled iterations could flip a boundary vector (r10 review)
+    cents, _, _ = kmeans_fit(emb, 8, max_iter=5, tol=0.0)
     return (
         kmeans_score_fast(emb, cents)
         .groupBy("cluster_id")
@@ -762,9 +768,9 @@ def _pq_train_ctes(
     one recompute CTE (per-(codeword, global position) mean; a cell no
     vector maps to keeps its previous value via the LEFT JOIN
     coalesce, pq_train's rule). Ends with {prefix}cw: the trained
-    per-subspace codeword slices. Early Spark-side convergence is an
-    exact no-op under unrolling (fixpoint assignments recompute
-    identical means)."""
+    per-subspace codeword slices. The registered queries pin tol=0.0
+    (exactly n_iter iterations; only an exact fixpoint breaks early,
+    where extra unrolled iterations are true no-ops)."""
     parts = [f"""
 {prefix}ev AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -851,7 +857,8 @@ def pq_trained_summary_q(spark, sf_dir):
     from ..operators.similarity import pq_encode, pq_train
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=3)
+    # tol=0.0: exact fixed-iteration contract (see kmeans_clusters)
+    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=3, tol=0.0)
     coded = pq_encode(emb, cb, m=_PQ_M)
     return (
         coded.select(F.posexplode("codes").alias("s", "code"))
@@ -1581,8 +1588,9 @@ def ivfpq_trained_topk_q(spark, sf_dir):
     from ..operators.similarity import ivfpq_topk, kmeans_fit, pq_train
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents, _, _ = kmeans_fit(emb, 4, max_iter=2)
-    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2)
+    # tol=0.0: exact fixed-iteration contract (see kmeans_clusters)
+    cents, _, _ = kmeans_fit(emb, 4, max_iter=2, tol=0.0)
+    cb, _, _ = pq_train(emb, m=_PQ_M, k=_PQ_K, max_iter=2, tol=0.0)
     return ivfpq_topk(
         emb,
         cents,
@@ -2213,7 +2221,25 @@ def pca_variance_explained_q(spark, sf_dir):
     from ..operators.similarity import pca_fit
 
     emb = read_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded driver scalar (the kmeans_fit discipline)
+    # bounded driver scalars (the kmeans_fit discipline). LOUD
+    # contiguity tripwire (r10 review): the complete-32-block Walsh
+    # orthogonality both engines' agreement rests on requires vec_id
+    # to be EXACTLY 0..n-1 - a gapped id space would silently put
+    # off-diagonal mass in the covariance and hash-mismatch forever.
+    st = emb.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.countDistinct("vec_id").alias("d"),
+    ).first()
+    n = st["n"]
+    if not (st["lo"] == 0 and st["hi"] == n - 1 and st["d"] == n):
+        raise ValueError(
+            "pca_variance_explained: vec_id must be contiguous 0..n-1 "
+            f"for the Walsh fixture (got min={st['lo']} max={st['hi']} "
+            f"distinct={st['d']} n={n}); regenerate ids or re-derive a "
+            "dense index upstream"
+        )
     m = (n // 32) * 32
     walsh = [
         (

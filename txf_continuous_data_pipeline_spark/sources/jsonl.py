@@ -127,7 +127,8 @@ def write_jsonl(
             pass
         os.replace(tmp, os.path.join(path, f"shard-{sid:05d}.jsonl"))
     for f in _glob.glob(os.path.join(path, "shard-*.jsonl")):
-        m = _re.fullmatch(r"shard-(\d{5})\.jsonl", os.path.basename(f))
+        # \d{5,}: the %05d name grows past 5 digits above 10^5 shards
+        m = _re.fullmatch(r"shard-(\d{5,})\.jsonl", os.path.basename(f))
         if m and int(m.group(1)) >= n_shards:
             os.remove(f)
 

@@ -121,12 +121,17 @@ def write_webdataset(
         F.col("ext").cast("string").alias("ext"),
         F.col("payload").cast("binary").alias("payload"),
     )
+    # Materialize BEFORE the validation count (the write_jsonl fix,
+    # ADVICE r9 applied here too): without it the count re-executes
+    # the caller's whole upstream pipeline a second time when the tar
+    # write runs - column pruning drops the payload from the count's
+    # plan, but not the upstream scans/joins that produced it.
+    slim = slim.localCheckpoint(eager=True)
     # Validate the shard range BEFORE any file lands (the write_jsonl
     # discipline): a caller-supplied id outside [0, n_shards) would
     # either write a file the full-overwrite cleanup below deletes
     # (silent data loss) or a name the fixed-width pattern cannot
-    # clean. The count's plan prunes every column but shard_id, so
-    # this is a scan+hash pass, not a second tar build.
+    # clean.
     n_bad = slim.where(
         (F.col("shard_id") < 0) | (F.col("shard_id") >= n_shards)
     ).count()
@@ -210,7 +215,9 @@ def write_webdataset(
             }
         )
     for f in _glob.glob(os.path.join(path, "shard-*.tar")):
-        m = _re.fullmatch(r"shard-(\d{6})\.tar", os.path.basename(f))
+        # \d{6,}: f"{sid:06d}" GROWS past 6 digits above 10^6 shards,
+        # and a fixed-width pattern would silently skip cleaning them
+        m = _re.fullmatch(r"shard-(\d{6,})\.tar", os.path.basename(f))
         if m and int(m.group(1)) >= n_shards:
             os.remove(f)
     return spark.createDataFrame(rows, MANIFEST_SCHEMA)

@@ -306,6 +306,24 @@ def streaming_enriched_bars(
     return backadjust(bars, config, ts_col="bar_ts", end_inclusive=False)
 
 
+def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
+    """Subdirs of strictly earlier batches that hold data files (an
+    all-dropped batch writes only _SUCCESS - no schema to read, and
+    nothing to join against). Shared by every batch=<id>-layout ingest
+    loop; reading ONLY strictly earlier batches is what makes a
+    replayed batch see the exact snapshot its first attempt saw."""
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for d in os.listdir(base):
+        if not (d.startswith("batch=") and int(d.split("=", 1)[1]) < bid):
+            continue
+        full = os.path.join(base, d)
+        if any(f.startswith("part-") for f in os.listdir(full)):
+            out.append(full)
+    return out
+
+
 def neardup_ingest_run(
     spark: SparkSession,
     feed_dir: str,
@@ -366,21 +384,6 @@ def neardup_ingest_run(
     bands_dir = os.path.join(work_dir, "index_bands")
     sh_dir = os.path.join(work_dir, "index_shingles")
 
-    def _earlier_batches(base: str, bid: int) -> list[str]:
-        """Subdirs of strictly earlier batches that hold data files
-        (an all-dropped batch writes only _SUCCESS - no schema to read,
-        and nothing to join against)."""
-        if not os.path.isdir(base):
-            return []
-        out = []
-        for d in os.listdir(base):
-            if not (d.startswith("batch=") and int(d.split("=", 1)[1]) < bid):
-                continue
-            full = os.path.join(base, d)
-            if any(f.startswith("part-") for f in os.listdir(full)):
-                out.append(full)
-        return out
-
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
@@ -405,12 +408,12 @@ def neardup_ingest_run(
         # (2) against the stored index of docs kept by STRICTLY EARLIER
         # batches - a replayed batch therefore sees the exact snapshot
         # its first attempt saw, never its own partial output.
-        band_paths = _earlier_batches(bands_dir, batch_id)
+        band_paths = _earlier_batch_dirs(bands_dir, batch_id)
         if band_paths:
             index = {
                 "bands": spark_b.read.parquet(*band_paths),
                 "shingles": spark_b.read.parquet(
-                    *_earlier_batches(sh_dir, batch_id)
+                    *_earlier_batch_dirs(sh_dir, batch_id)
                 ),
             }
             surv_sets = sets.join(
@@ -896,25 +899,11 @@ def line_dedup_ingest_run(
     kept_dir = os.path.join(work_dir, "kept")
     index_dir = os.path.join(work_dir, "index_lines")
 
-    def _earlier(base: str, bid: int) -> list[str]:
-        if not os.path.isdir(base):
-            return []
-        out = []
-        for d in os.listdir(base):
-            if not (
-                d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
-            ):
-                continue
-            full = os.path.join(base, d)
-            if any(f.startswith("part-") for f in os.listdir(full)):
-                out.append(full)
-        return out
-
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
         sess = batch.sparkSession
-        paths = _earlier(index_dir, batch_id)
+        paths = _earlier_batch_dirs(index_dir, batch_id)
         index = (
             sess.read.parquet(*paths)
             if paths
@@ -1161,6 +1150,7 @@ def web_funnel_ingest_run(
         build_minhash_index,
         minhash_delta_pairs,
         minhash_neardup_pairs,
+        shingle_array,
     )
     from ..operators.textstats import quality_score
 
@@ -1169,20 +1159,6 @@ def web_funnel_ingest_run(
     bands_dir = os.path.join(work_dir, "index_bands")
     sh_dir = os.path.join(work_dir, "index_shingles")
     funnel_dir = os.path.join(work_dir, "funnel")
-
-    def _earlier(base: str, bid: int) -> list:
-        if not os.path.isdir(base):
-            return []
-        out = []
-        for d in os.listdir(base):
-            if not (
-                d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
-            ):
-                continue
-            full = os.path.join(base, d)
-            if any(f.startswith("part-") for f in os.listdir(full)):
-                out.append(full)
-        return out
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -1202,7 +1178,7 @@ def web_funnel_ingest_run(
             "text",
             F.round(quality_score(F.col("text")), 6).alias("score"),
         ).localCheckpoint(eager=True)
-        score_paths = _earlier(scores_dir, batch_id)
+        score_paths = _earlier_batch_dirs(scores_dir, batch_id)
         seen = sc.select("source", "score")
         if score_paths:
             seen = seen.unionByName(
@@ -1220,38 +1196,62 @@ def web_funnel_ingest_run(
             .localCheckpoint(eager=True)
         )
         n2 = d2.count()
-        # stage 3: greedy online near-dup (first arrival wins)
-        self_pairs = minhash_neardup_pairs(d2, threshold=threshold)
+        # stage 3: greedy online near-dup (first arrival wins). ONE
+        # interpreted shingle build serves all consumers (within-batch
+        # signature + verify, delta signature + verify, index build) -
+        # the shingle_sets discipline neardup_ingest_run applies
+        # (VERDICT r04 #7; r10 review caught this loop missing it).
+        sets = d2.select(
+            F.col("doc_id"),
+            shingle_array(F.col("text"), n=3, hashed=True).alias("sh"),
+        ).localCheckpoint(eager=True)
+        self_pairs = minhash_neardup_pairs(
+            d2, threshold=threshold, shingle_sets=sets
+        )
         survivors = d2.join(
             self_pairs.select(F.col("id_b").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
         )
-        band_paths = _earlier(bands_dir, batch_id)
+        band_paths = _earlier_batch_dirs(bands_dir, batch_id)
         if band_paths:
             index = {
                 "bands": sess.read.parquet(*band_paths),
                 "shingles": sess.read.parquet(
-                    *_earlier(sh_dir, batch_id)
+                    *_earlier_batch_dirs(sh_dir, batch_id)
                 ),
             }
+            surv_sets = sets.join(
+                survivors.select("doc_id"), "doc_id", "left_semi"
+            )
             hits = (
-                minhash_delta_pairs(survivors, index, threshold=threshold)
+                minhash_delta_pairs(
+                    survivors, index, threshold=threshold,
+                    shingle_sets=surv_sets,
+                )
                 .select(F.col("delta_id").alias("doc_id"))
                 .distinct()
             )
             survivors = survivors.join(hits, "doc_id", "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
         n3 = survivors.count()
-        # commits: own batch partitions only (replay overwrites)
+        # commits: own batch partitions only (replay overwrites). The
+        # scores sink persists ONLY what the cutoff consumer reads
+        # (r10 review: writing the full text column duplicated the
+        # surviving corpus as pure write amplification).
         part = f"batch={batch_id}"
-        sc.write.mode("overwrite").parquet(
-            os.path.join(scores_dir, part)
-        )
+        sc.select("doc_id", "source", "score").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scores_dir, part))
         survivors.write.mode("overwrite").parquet(
             os.path.join(kept_dir, part)
         )
-        add = build_minhash_index(survivors, persist=False)
+        kept_sets = sets.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        add = build_minhash_index(
+            survivors, persist=False, shingle_sets=kept_sets
+        )
         add["bands"].write.mode("overwrite").parquet(
             os.path.join(bands_dir, part)
         )
