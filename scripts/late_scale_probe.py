@@ -247,5 +247,68 @@ def main() -> None:
     print(json.dumps(out, indent=2))
 
 
+
+
+def ivf_knn_probe() -> None:
+    """Separate entry: ivf_knn_join growth exponents (r10's
+    knn_label_propagation engine). Three axes: corpus 10x at fixed
+    queries (candidate mass ~ corpus share per probed cell -> linear),
+    queries 10x at fixed corpus (linear), both 10x at the FIXED 4-cell
+    layout (quadratic BY DESIGN - the fixed-cell degenerate case whose
+    production answer is training ~sqrt(n) cells, exactly the
+    ivfpq_index_cell_stats retrain trigger).
+
+    Usage: python scripts/late_scale_probe.py knn [replicas]
+    """
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+    )
+
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("ivf_knn_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, SF_DIR, "embeddings").localCheckpoint(
+        eager=True
+    )
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+
+    def rep_frame(df, id_col):
+        return (
+            df.crossJoin(r)
+            .select(
+                (F.col(id_col) * reps + F.col("rep")).alias(id_col),
+                *[c for c in df.columns if c != id_col],
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    q1 = emb.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).localCheckpoint(eager=True)
+    c1 = emb.where(F.col("vec_id") % 5 != 0).localCheckpoint(eager=True)
+    qN = rep_frame(q1, "q_id")
+    cN = rep_frame(c1, "vec_id")
+    cents = _fixed_centroids()
+    out: dict = {"replicas": reps}
+    for tag, qq, cc in (
+        ("1x_1x", q1, c1),
+        (f"q1x_c{reps}x", q1, cN),
+        (f"q{reps}x_c1x", qN, c1),
+        (f"q{reps}x_c{reps}x", qN, cN),
+    ):
+        t0 = time.perf_counter()
+        n = ivf_knn_join(qq, cc, cents, k=5, nprobe=2).count()
+        out[tag] = {
+            "wall_s": round(time.perf_counter() - t0, 2), "rows": n
+        }
+    print(json.dumps(out, indent=2))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "knn":
+        ivf_knn_probe()
+    else:
+        main()
