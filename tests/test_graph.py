@@ -303,3 +303,84 @@ def test_unweighted_pagerank_ignores_duplicate_edges(spark):
     r2 = {r["id"]: r["rank"] for r in pagerank(dup, n_iter=6).collect()}
     for k in r1:
         assert abs(r1[k] - r2[k]) < 1e-12, k
+
+
+def test_incremental_components_fold_equals_batch(spark, sf_dir):
+    """incremental_components: folding edge batches into a stored
+    label table must equal batch connected_components over the union
+    edge set EXACTLY - including cross-batch merges of previously
+    separate components and a later-arriving node whose id undercuts
+    (and therefore relabels) an entire stored component."""
+    from txf_continuous_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    # hand-built edge batches engineering every interesting case:
+    #   batch 0: {10,11,12} one component (label 10); {20,21} (label 20)
+    #   batch 1: bridge 11-20 merges them (label 10); new {30,31}
+    #   batch 2: node 5 attaches to 21 -> the whole merged component
+    #            relabels to 5; new singleton pair {40,41}; an edge
+    #            INSIDE an existing component (10-12, must be a no-op)
+    batches = [
+        [(10, 11), (11, 12), (20, 21)],
+        [(11, 20), (30, 31)],
+        [(5, 21), (40, 41), (10, 12)],
+    ]
+    labels = spark.createDataFrame([], "id long, component long")
+    for rows in batches:
+        edges = spark.createDataFrame(rows, "id_a long, id_b long")
+        labels = incremental_components(labels, edges).localCheckpoint(
+            eager=True
+        )
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+
+    union = spark.createDataFrame(
+        [e for rows in batches for e in rows], "id_a long, id_b long"
+    )
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(union, "id_a", "id_b").collect()
+    }
+    assert got == want
+    # the undercut actually happened: everything reachable from 5
+    # carries label 5
+    comp5 = {i for i, c in got if c == 5}
+    assert comp5 == {5, 10, 11, 12, 20, 21}
+
+
+def test_incremental_components_fold_on_corpus_pairs(spark, sf_dir):
+    """Same fold==batch identity on REAL near-dup pairs: the corpus
+    pair frame split into 3 doc-id ranges (cross-range pairs exercise
+    the contracted-merge path) folds to exactly the batch CC result."""
+    from txf_continuous_data_pipeline_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from txf_continuous_data_pipeline_spark.queries.text import (
+        _shared_pairs,
+    )
+
+    from pyspark.sql import functions as F
+
+    pairs = _shared_pairs(spark, sf_dir).select("id_a", "id_b")
+    hi = pairs.agg(
+        F.greatest(F.max("id_a"), F.max("id_b")).alias("m")
+    ).first()["m"]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    batches = [
+        pairs.where(F.col("id_b") <= cut1),
+        pairs.where((F.col("id_b") > cut1) & (F.col("id_b") <= cut2)),
+        pairs.where(F.col("id_b") > cut2),
+    ]
+    labels = spark.createDataFrame([], "id long, component long")
+    for b in batches:
+        labels = incremental_components(labels, b).localCheckpoint(
+            eager=True
+        )
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == want

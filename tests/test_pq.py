@@ -564,3 +564,99 @@ def test_rotate_vectors_preserves_norms(spark, sf_dir):
         np.linalg.norm(Xr, axis=1), np.linalg.norm(X, axis=1), atol=1e-9
     )
     assert np.allclose(Xr, X @ Q, atol=1e-12)
+
+
+def test_ivfpq_index_ingest_stream_equals_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_index_ingest_run: an index maintained ONE MICRO-BATCH AT
+    A TIME must hold exactly the rows a from-scratch build over the
+    union holds, serve identical top-k, log a monitor row per batch,
+    and survive a checkpoint-wiped full replay with zero new rows."""
+    import os
+    import shutil
+    import time as _time
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+    from txf_continuous_data_pipeline_spark.queries.similarity import (
+        _fixed_centroids,
+        _pq_seed_codebook,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        ivfpq_index_ingest_run,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    cents = _fixed_centroids()
+    cb = _pq_seed_codebook(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qraw = emb.where(F.col("vec_id") < 5)
+    n = emb.count()
+
+    feed = str(tmp_path / "ivfpq_feed")
+    os.makedirs(feed)
+    now = _time.time()
+    files = [
+        corpus.where(F.col("vec_id") < n // 3),
+        corpus.where(
+            (F.col("vec_id") >= n // 3) & (F.col("vec_id") < 2 * n // 3)
+        ),
+        corpus.where(F.col("vec_id") >= 2 * n // 3),
+    ]
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "ivfpq_work")
+    index_dir, monitor_dir = ivfpq_index_ingest_run(
+        spark, feed, work, cents, cb, m=M
+    )
+
+    full = str(tmp_path / "full")
+    write_ivfpq_index(corpus, cents, cb, full, m=M)
+
+    def stored(path):
+        return {
+            (r["vec_id"], r["cluster_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(path)
+            .select("vec_id", "cluster_id", "codes")
+            .collect()
+        }
+
+    assert stored(index_dir) == stored(full)
+
+    def served(path):
+        return sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    spark, path, qraw, cents, cb, m=M, k=3, nprobe=2,
+                    shortlist=20,
+                ).collect(),
+            )
+        )
+
+    assert served(index_dir) == served(full)
+
+    mon = spark.read.parquet(monitor_dir).collect()
+    assert sum(r["n_appended"] for r in mon) == corpus.count()
+    assert all(r["skew"] >= 1.0 for r in mon)
+
+    # checkpoint-wiped replay: every batch redelivers; the replay
+    # guard must append nothing and the monitor rows must rewrite
+    shutil.rmtree(os.path.join(work, "ckpt"))
+    ivfpq_index_ingest_run(spark, feed, work, cents, cb, m=M)
+    assert stored(index_dir) == stored(full)
+    mon2 = spark.read.parquet(monitor_dir).collect()
+    assert sum(r["n_appended"] for r in mon2) == 0

@@ -220,3 +220,62 @@ def test_partial_state_raises_instead_of_silent_reseed(
         streaming_kmeans_run(
             spark, feed, work, seed_centroids=seeds
         )
+
+
+def test_pca_stats_stream_equals_batch_fit(spark, sf_dir, tmp_path):
+    """pca_stats_run: the stream-maintained spectrum must equal batch
+    pca_fit over the union corpus (the statistics are algebraically
+    additive, so agreement is to fp-summation noise, not an
+    approximation bound), and a checkpoint-wiped replay must rewrite
+    its batch partitions, leaving the spectrum identical."""
+    import shutil
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        pca_stats_run,
+        read_current_spectrum,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    n = emb.count()
+    files = [
+        emb.where(F.col("vec_id") < n // 3),
+        emb.where(
+            (F.col("vec_id") >= n // 3) & (F.col("vec_id") < 2 * n // 3)
+        ),
+        emb.where(F.col("vec_id") >= 2 * n // 3),
+    ]
+    feed = str(tmp_path / "pca_feed")
+    os.makedirs(feed)
+    now = time.time()
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "pca_work")
+    pca_stats_run(spark, feed, work)
+    eigs, total = read_current_spectrum(spark, work, k=8)
+
+    _m, _c, ref_eigs, ref_total = pca_fit(emb, k=8, with_total_var=True)
+    assert np.allclose(eigs, ref_eigs, rtol=1e-9, atol=1e-12)
+    assert np.isclose(total, ref_total, rtol=1e-9)
+    # the stats store is batch-bounded, never corpus-bounded
+    stats_rows = spark.read.parquet(os.path.join(work, "stats")).count()
+    assert stats_rows <= 3 * 8  # n_batches x partitions, tiny
+
+    # replay idempotence: wipe the checkpoint, re-run, same spectrum
+    shutil.rmtree(os.path.join(work, "ckpt"))
+    pca_stats_run(spark, feed, work)
+    eigs2, total2 = read_current_spectrum(spark, work, k=8)
+    assert np.allclose(eigs2, eigs, rtol=0, atol=0)  # byte-identical
+    assert total2 == total

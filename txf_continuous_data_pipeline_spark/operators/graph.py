@@ -429,3 +429,73 @@ def triangle_count(
         & (F.greatest("x", "y") == F.col("_y")),
     )
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fold a batch of NEW edges into a stored (id, component) table -
+    the incremental form of connected_components for ingest loops
+    (online near-dup keeps arriving; recomputing CC over the
+    accumulated pair store per batch is O(corpus) and climbing).
+
+    Algorithm (the standard label-contraction fold):
+      1. endpoints of the new edges look up their current component
+         (unseen node -> its own id) - a batch-bounded broadcast join;
+      2. new edges CONTRACT to component-label space; edges inside one
+         component vanish, so the contracted graph is bounded by the
+         BATCH edge count, never the corpus;
+      3. connected_components runs on the contracted graph only
+         (min-label semantics compose: a stored label is the min id of
+         its members, a fresh node's label is its id, so the merged
+         min-of-labels IS the global min id);
+      4. the stored table relabels via the (old label -> new label)
+         mapping - one scan of the label table with the mapping
+         BROADCAST (batch-bounded), no corpus shuffle; at 100 TB a
+         label table bucketed on a component-hash prunes this to the
+         touched buckets.
+
+    Returns the updated (id, component) table covering all previously
+    stored nodes plus the batch's nodes. The sequential fold over edge
+    batches equals batch connected_components over the union edge set
+    EXACTLY (pinned in tests/test_graph.py, including the adversarial
+    case of a later-arriving node whose id undercuts - and therefore
+    relabels - an entire stored component)."""
+    e = _canon_edges(new_edges, src, dst)
+    eps = (
+        new_edges.select(F.col(src).alias("id"))
+        .unionByName(new_edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    ep_lab = (
+        eps.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("c0")
+        )
+        .localCheckpoint(eager=True)  # batch-bounded; feeds 3 consumers
+    )
+    ma = ep_lab.select(F.col("id").alias("a"), F.col("c0").alias("ca"))
+    mb = ep_lab.select(F.col("id").alias("b"), F.col("c0").alias("cb"))
+    contracted = (
+        e.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
+    )
+    new_nodes = ep_lab.join(labels.select("id"), "id", "left_anti")
+    base = labels.unionByName(
+        new_nodes.select("id", F.col("c0").alias("component"))
+    )
+    if contracted.isEmpty():
+        return base
+    merged = connected_components(contracted, "id_a", "id_b")
+    mapping = merged.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("component"), F.col("component").alias("_new")
+    )
+    return base.join(F.broadcast(mapping), "component", "left").select(
+        "id",
+        F.coalesce("_new", F.col("component")).alias("component"),
+    )

@@ -2025,6 +2025,63 @@ def embedding_outliers(
     )
 
 
+PCA_STATS_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def pca_sufficient_stats(
+    emb: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """The mergeable sufficient statistics of PCA as a DataFrame: one
+    (count, sum vector, flattened X^T X Gram) row per PARTITION, from
+    a single Arrow pass. Algebraically additive - sum any grouping of
+    these rows and the covariance (hence the spectrum) is identical -
+    which is what makes both pca_fit (driver-summed) and the
+    streaming maintenance loop (pca_stats_run: per-batch rows
+    persisted, spectrum served from the running sum) exact rather
+    than approximate. Factored out of pca_fit in r10 so the batch and
+    streaming paths share one definition."""
+
+    def _partials(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        n, s, g = 0, None, None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += M.shape[0]
+            cs = M.sum(axis=0)
+            cg = M.T @ M
+            s = cs if s is None else s + cs
+            g = cg if g is None else g + cg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return emb.select(vec_col).mapInPandas(_partials, PCA_STATS_SCHEMA)
+
+
+def pca_spectrum_from_stats(
+    parts: "list", *, k: int = 8
+) -> "tuple[list, float]":
+    """(top-k eigenvalues desc, trace of covariance) from collected
+    sufficient-statistic rows - the serving half shared by pca_fit's
+    spectrum output and read_current_spectrum (streaming). Driver
+    cost: summing a handful of (1 + dim + dim^2)-double rows and one
+    bounded dim x dim eigh."""
+    if not parts:
+        raise ValueError("pca_spectrum_from_stats: no statistics rows")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    dim = len(s)
+    g = np.sum(
+        [np.asarray(r["g"]).reshape(dim, dim) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals = np.linalg.eigvalsh(cov)[::-1][:k]
+    return [float(v) for v in vals], float(np.trace(cov))
+
+
 def pca_fit(
     emb: DataFrame,
     *,
@@ -2050,25 +2107,7 @@ def pca_fit(
     Sign convention: each component's largest-|.| coordinate is made
     positive, so the factorization is deterministic across partition
     orders (eigh's sign is otherwise arbitrary)."""
-    schema = "n long, s array<double>, g array<double>"
-
-    def _partials(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        n, s, g = 0, None, None
-        for pdf in it:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n += M.shape[0]
-            cs = M.sum(axis=0)
-            cg = M.T @ M
-            s = cs if s is None else s + cs
-            g = cg if g is None else g + cg
-        if n:
-            yield pd.DataFrame(
-                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
-            )
-
-    parts = emb.select(vec_col).mapInPandas(_partials, schema).collect()
+    parts = pca_sufficient_stats(emb, vec_col=vec_col).collect()
     if not parts:
         raise ValueError("pca_fit: empty input")
     n = sum(r["n"] for r in parts)

@@ -1289,3 +1289,165 @@ def web_funnel_ingest_run(
     if q.exception() is not None:
         raise q.exception()
     return funnel_dir
+
+
+def pca_stats_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    timeout_s: int = 240,
+) -> str:
+    """Streaming maintenance of PCA sufficient statistics: each
+    arriving micro-batch of embeddings contributes its (count, sum,
+    Gram) rows (operators/similarity.pca_sufficient_stats - the SAME
+    definition pca_fit sums) to a batch=<id> subdirectory, and the
+    live spectrum is served by summing ALL persisted rows
+    (read_current_spectrum). Exact, not approximate: the statistics
+    are algebraically additive, so the stream-maintained spectrum
+    equals batch pca_fit over the union corpus to fp-summation noise
+    (pytest-pinned at 1e-9) - no re-scan of history ever happens, the
+    per-arrival cost is one Arrow pass over the batch, and the stats
+    store grows by a handful of (1 + dim + dim^2)-double rows per
+    batch regardless of corpus size.
+
+    This is the monitoring companion to embedding_drift_report: a
+    drifting encoder shows up as a moving spectrum/trace without
+    re-reading a byte of history. Exactly-once via the batch=<id>
+    overwrite layout (gated on the stream checkpoint, like every
+    ingest loop in this module). Returns the stats directory."""
+    from ..operators.similarity import pca_sufficient_stats
+
+    stats_dir = os.path.join(work_dir, "stats")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        part = f"batch={batch_id}"
+        pca_sufficient_stats(batch).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stats_dir, part))
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"pca stats ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return stats_dir
+
+
+def read_current_spectrum(
+    spark: SparkSession, work_dir: str, *, k: int = 8
+) -> "tuple[list, float]":
+    """The live PCA spectrum from the stream-maintained statistics:
+    sum the persisted rows (n_batches x partitions rows of
+    1 + dim + dim^2 doubles - nothing corpus-sized) and
+    eigendecompose once on the driver. Returns (top-k eigenvalues
+    desc, trace of covariance); raises on an empty store (a spectrum
+    of nothing is a caller bug, not a zero)."""
+    from ..operators.similarity import pca_spectrum_from_stats
+
+    stats_dir = os.path.join(work_dir, "stats")
+    if not os.path.isdir(stats_dir):
+        raise ValueError(
+            f"read_current_spectrum: no statistics at {stats_dir}"
+        )
+    rows = spark.read.parquet(stats_dir).collect()
+    return pca_spectrum_from_stats(rows, k=k)
+
+
+def ivfpq_index_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    centroids: list,
+    codebook,
+    *,
+    m: int,
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Continuous maintenance of the persisted IVFPQ index: each
+    arriving micro-batch of embeddings routes to its coarse cells
+    under the FROZEN quantizers and appends via append_ivfpq_index
+    (O(batch) assign+encode + a touched-cells-only pruned replay
+    guard - an at-least-once redelivery appends 0), and every batch
+    logs a monitor row (batch_id, n_appended, cell skew, retrain
+    tripwire) to monitor/batch=<id> - the live feed of the
+    ivfpq_index_cell_stats retrain loop, watched next to
+    embedding_drift_report / pca_stats_run (all three answer "has the
+    vector space outgrown its frozen quantizers?" from different
+    angles).
+
+    The final at-rest index equals a from-scratch write_ivfpq_index
+    over the union corpus, so ivfpq_topk_from_index serves it with
+    values identical to the in-memory search - both pinned in
+    tests/test_pq.py. Returns (index_dir, monitor_dir)."""
+    from ..operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_index_cell_stats,
+    )
+
+    index_dir = os.path.join(work_dir, "index")
+    monitor_dir = os.path.join(work_dir, "monitor")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        n = append_ivfpq_index(
+            sess, index_dir, batch, centroids, codebook, m=m
+        )
+        st = ivfpq_index_cell_stats(sess, index_dir)
+        sess.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(n),
+                    int(st["max"]),
+                    float(st["mean"]),
+                    float(st["skew"]),
+                    bool(st["retrain"]),
+                )
+            ],
+            "batch_id long, n_appended long, max_cell long, "
+            "mean_cell double, skew double, retrain boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(monitor_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ivfpq index ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return index_dir, monitor_dir
