@@ -156,6 +156,10 @@ FLAGSHIPS = [
     "classifier_pr_curve",
     "web_pipeline_funnel",
     "embedding_drift_report",
+    "training_mix_pack",
+    "pca_variance_explained",
+    "kmeans_clusters",
+    "event_type_pagerank",
 ]
 
 

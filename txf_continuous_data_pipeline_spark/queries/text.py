@@ -866,6 +866,92 @@ def mixture_sample_q(spark, sf_dir):
     return mixture_sample(docs, weight=weight, budget_tokens=12000)
 
 
+_TRAIN_MIX_PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5
+              THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents
+), dim AS (
+  SELECT source, max(w) AS w, CAST(sum(n_tokens) AS DOUBLE) AS toks
+  FROM sized GROUP BY source
+), rated AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(12000.0 AS DOUBLE) * (w / sum(w) OVER ()) / toks)
+           AS rate
+  FROM dim
+), kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM sized s JOIN rated r USING (source)
+  WHERE r.rate >= 1.0
+     OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
+        < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0)
+                                 AS BIGINT))), 8, '0')
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_before
+  FROM kept
+), p AS (
+  SELECT source, n_tokens,
+         CAST(floor((tok_before + n_tokens - 1) / 256.0) AS BIGINT)
+           > CAST(floor(tok_before / 256.0) AS BIGINT) AS spans
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_sequences,
+       CAST(CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) * 256
+            - sum(n_tokens) AS BIGINT) AS pad_tail_tokens,
+       CAST(count(*) FILTER (WHERE spans) AS BIGINT) AS n_boundary_docs
+FROM p GROUP BY source
+"""
+
+
+@q("training_mix_pack", _TRAIN_MIX_PACK_SQL)
+def training_mix_pack_q(spark, sf_dir):
+    """The training-set LAST MILE, composed: mixture-weighted
+    deterministic sampling (src0-4 upweighted 2x under the 12k-token
+    budget - mixture_sample's exact semantics) feeds concat-and-chunk
+    packing into 256-token sequences per source shard
+    (pack_sequences), and the report a loader config consumes comes
+    out: per source, kept docs/tokens, sequence count, tail padding
+    waste, and boundary-crossing docs. Each stage reuses the
+    standalone operator; the whole composition is value-checked by
+    one chained-CTE oracle (the web_pipeline_funnel discipline
+    applied to the export side). Scale shape: one tiny broadcast rate
+    dim + a per-row md5 keep predicate (zero fact shuffle), one
+    window exchange on the shard key, one map-side-combined
+    per-source aggregate."""
+    from ..operators.textstats import mixture_sample, pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    weight = F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    kept_ids = mixture_sample(
+        docs, weight=weight, budget_tokens=12000
+    ).select("doc_id")
+    kept_docs = docs.join(kept_ids, "doc_id", "left_semi")
+    packed = pack_sequences(kept_docs, seq_tokens=256)
+    seqs = F.ceil(F.sum("n_tokens") / F.lit(256.0)).cast("long")
+    return packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        seqs.alias("n_sequences"),
+        (seqs * 256 - F.sum("n_tokens")).cast("long").alias(
+            "pad_tail_tokens"
+        ),
+        F.count_if(F.col("spans_boundary")).cast("long").alias(
+            "n_boundary_docs"
+        ),
+    )
+
+
 def _ngram_sql(n: int) -> str:
     """DuckDB word-n-gram list over the _TOKS token array (1-based
     indexing; range() is exclusive-end so short docs yield [])."""
