@@ -458,6 +458,13 @@ def incremental_components(
          label table bucketed on a component-hash prunes this to the
          touched buckets.
 
+    Per-batch corpus-side cost is exactly TWO scans of the label
+    table (the endpoint lookup probes it against a broadcast of the
+    batch's endpoints; the relabel pass rewrites it) and ZERO corpus
+    shuffles - every join broadcasts a batch-bounded side (r10 review:
+    an earlier eps-LEFT-JOIN-labels form could not build-broadcast
+    the outer side and sort-merged the full label table per batch).
+
     Returns the updated (id, component) table covering all previously
     stored nodes plus the batch's nodes. The sequential fold over edge
     batches equals batch connected_components over the union edge set
@@ -469,13 +476,22 @@ def incremental_components(
         new_edges.select(F.col(src).alias("id"))
         .unionByName(new_edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)  # batch-bounded
+    )
+    # endpoint lookup: probe the corpus-sized label table against a
+    # BROADCAST of the batch endpoints (build-right semi join - one
+    # label scan, no shuffle); the eps-left-join form would sort-merge
+    # the whole table per batch
+    seen = labels.join(
+        F.broadcast(eps), "id", "left_semi"
+    ).localCheckpoint(eager=True)  # batch-bounded result
+    new_nodes = eps.join(
+        F.broadcast(seen.select("id")), "id", "left_anti"
     )
     ep_lab = (
-        eps.join(labels, "id", "left")
-        .select(
-            "id", F.coalesce("component", F.col("id")).alias("c0")
-        )
-        .localCheckpoint(eager=True)  # batch-bounded; feeds 3 consumers
+        seen.select("id", F.col("component").alias("c0"))
+        .unionByName(new_nodes.select("id", F.col("id").alias("c0")))
+        .localCheckpoint(eager=True)  # feeds both contraction sides
     )
     ma = ep_lab.select(F.col("id").alias("a"), F.col("c0").alias("ca"))
     mb = ep_lab.select(F.col("id").alias("b"), F.col("c0").alias("cb"))
@@ -485,9 +501,8 @@ def incremental_components(
         .where(F.col("ca") != F.col("cb"))
         .select(F.col("ca").alias("id_a"), F.col("cb").alias("id_b"))
     )
-    new_nodes = ep_lab.join(labels.select("id"), "id", "left_anti")
     base = labels.unionByName(
-        new_nodes.select("id", F.col("c0").alias("component"))
+        new_nodes.select("id", F.col("id").alias("component"))
     )
     if contracted.isEmpty():
         return base

@@ -2060,6 +2060,23 @@ def pca_sufficient_stats(
     return emb.select(vec_col).mapInPandas(_partials, PCA_STATS_SCHEMA)
 
 
+def _cov_from_stats(parts: "list") -> "tuple[float, np.ndarray, np.ndarray]":
+    """(n, mean, covariance) from collected sufficient-statistic rows -
+    the ONE reduce-side derivation both pca_fit and
+    pca_spectrum_from_stats call, so the batch spectrum and the
+    stream-maintained spectrum can never desynchronize (r10 review:
+    they were verbatim copies)."""
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    dim = len(s)
+    g = np.sum(
+        [np.asarray(r["g"]).reshape(dim, dim) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
 def pca_spectrum_from_stats(
     parts: "list", *, k: int = 8
 ) -> "tuple[list, float]":
@@ -2070,14 +2087,7 @@ def pca_spectrum_from_stats(
     bounded dim x dim eigh."""
     if not parts:
         raise ValueError("pca_spectrum_from_stats: no statistics rows")
-    n = sum(r["n"] for r in parts)
-    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
-    dim = len(s)
-    g = np.sum(
-        [np.asarray(r["g"]).reshape(dim, dim) for r in parts], axis=0
-    )
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)
+    _n, _mean, cov = _cov_from_stats(parts)
     vals = np.linalg.eigvalsh(cov)[::-1][:k]
     return [float(v) for v in vals], float(np.trace(cov))
 
@@ -2110,14 +2120,7 @@ def pca_fit(
     parts = pca_sufficient_stats(emb, vec_col=vec_col).collect()
     if not parts:
         raise ValueError("pca_fit: empty input")
-    n = sum(r["n"] for r in parts)
-    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
-    dim = len(s)
-    g = np.sum(
-        [np.asarray(r["g"]).reshape(dim, dim) for r in parts], axis=0
-    )
-    mean = s / n
-    cov = g / n - np.outer(mean, mean)
+    _n, mean, cov = _cov_from_stats(parts)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []

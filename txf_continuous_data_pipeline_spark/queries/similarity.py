@@ -2233,6 +2233,10 @@ def pca_variance_explained_q(spark, sf_dir):
         F.countDistinct("vec_id").alias("d"),
     ).first()
     n = st["n"]
+    if n == 0:
+        # a misleading contiguity message on zero rows would send the
+        # operator chasing id generation (r10 review)
+        raise ValueError("pca_variance_explained: empty embeddings table")
     if not (st["lo"] == 0 and st["hi"] == n - 1 and st["d"] == n):
         raise ValueError(
             "pca_variance_explained: vec_id must be contiguous 0..n-1 "

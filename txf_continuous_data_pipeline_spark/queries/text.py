@@ -822,11 +822,13 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
-# Sources src0..src4 are upweighted 2x against src5..src19; the token
-# budget (12k of the corpus' ~25k ws-tokens at sf0.01) forces keep-rates
-# below 1 so the deterministic md5 predicate actually bites.
-_MIXTURE_SQL = f"""
-WITH sized AS (
+# The mixture POLICY (src0-4 upweighted 2x, 12k-token budget) lives
+# exactly once per engine: _mixture_weight() for the Spark queries and
+# _MIXTURE_KEPT_CTES for their oracles - mixture_sample and
+# training_mix_pack both consume these, so the audited sample and the
+# exported pack can never silently diverge (r10 review).
+_MIXTURE_KEPT_CTES = f"""
+sized AS (
   SELECT doc_id, source,
          CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
          CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5
@@ -841,13 +843,28 @@ WITH sized AS (
                CAST(12000.0 AS DOUBLE) * (w / sum(w) OVER ()) / toks)
            AS rate
   FROM dim
-)
-SELECT s.doc_id, s.source, s.n_tokens, round(r.rate, 6) AS keep_rate
-FROM sized s JOIN rated r USING (source)
-WHERE r.rate >= 1.0
-   OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
-      < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
-             8, '0')
+), kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens, r.rate
+  FROM sized s JOIN rated r USING (source)
+  WHERE r.rate >= 1.0
+     OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
+        < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0)
+                                 AS BIGINT))), 8, '0')
+)"""
+
+
+def _mixture_weight():
+    """The Spark-side mixture weight expression (same policy as the
+    CASE in _MIXTURE_KEPT_CTES)."""
+    return F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+
+
+_MIXTURE_SQL = f"""
+WITH {_MIXTURE_KEPT_CTES}
+SELECT doc_id, source, n_tokens, round(rate, 6) AS keep_rate
+FROM kept
 """
 
 
@@ -860,35 +877,13 @@ def mixture_sample_q(spark, sf_dir):
     from ..operators.textstats import mixture_sample
 
     docs = read_table(spark, sf_dir, "documents")
-    weight = F.when(
-        F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
-    ).otherwise(F.lit(1.0))
-    return mixture_sample(docs, weight=weight, budget_tokens=12000)
+    return mixture_sample(
+        docs, weight=_mixture_weight(), budget_tokens=12000
+    )
 
 
 _TRAIN_MIX_PACK_SQL = f"""
-WITH sized AS (
-  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5
-              THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
-  FROM documents
-), dim AS (
-  SELECT source, max(w) AS w, CAST(sum(n_tokens) AS DOUBLE) AS toks
-  FROM sized GROUP BY source
-), rated AS (
-  SELECT source,
-         least(CAST(1.0 AS DOUBLE),
-               CAST(12000.0 AS DOUBLE) * (w / sum(w) OVER ()) / toks)
-           AS rate
-  FROM dim
-), kept AS (
-  SELECT s.doc_id, s.source, s.n_tokens
-  FROM sized s JOIN rated r USING (source)
-  WHERE r.rate >= 1.0
-     OR substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)
-        < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0)
-                                 AS BIGINT))), 8, '0')
-), c AS (
+WITH {_MIXTURE_KEPT_CTES}, c AS (
   SELECT doc_id, source, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (
                 PARTITION BY source ORDER BY doc_id
@@ -930,11 +925,8 @@ def training_mix_pack_q(spark, sf_dir):
     from ..operators.textstats import mixture_sample, pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    weight = F.when(
-        F.substring(F.col("source"), 4, 10).cast("int") < 5, F.lit(2.0)
-    ).otherwise(F.lit(1.0))
     kept_ids = mixture_sample(
-        docs, weight=weight, budget_tokens=12000
+        docs, weight=_mixture_weight(), budget_tokens=12000
     ).select("doc_id")
     kept_docs = docs.join(kept_ids, "doc_id", "left_semi")
     packed = pack_sequences(kept_docs, seq_tokens=256)

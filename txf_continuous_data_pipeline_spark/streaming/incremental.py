@@ -306,6 +306,42 @@ def streaming_enriched_bars(
     return backadjust(bars, config, ts_col="bar_ts", end_inclusive=False)
 
 
+def _run_available_now(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    *,
+    schema: str,
+    ingest,
+    timeout_s: int,
+    label: str,
+) -> None:
+    """The one availableNow micro-batch runner every ingest loop in
+    this module shares (r10 review: it existed as verbatim copies per
+    loop): schema'd file stream over feed_dir, one file per trigger,
+    checkpoint under work_dir/ckpt, `ingest(batch_df, batch_id)` as
+    the foreachBatch body; raises on timeout (after stopping the
+    query) and re-raises the stream's own exception."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .foreachBatch(ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{label} exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+
+
 def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
     """Subdirs of strictly earlier batches that hold data files (an
     all-dropped batch writes only _SUCCESS - no schema to read, and
@@ -450,24 +486,13 @@ def neardup_ingest_run(
                 os.path.join(work_dir, name, part)
             )
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="neardup ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"neardup ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
 
 
 def conversion_join_stream(
@@ -579,24 +604,13 @@ def ann_index_ingest_run(
             m=m,
         )
 
-    stream = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="vec_id long, embedding array<float>",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="ann index ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"ann index ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return index_path
 
 
@@ -728,24 +742,13 @@ def streaming_kmeans_run(
                 counted.add(r["cluster_id"])
         _write_state(sess, S2, N2, batch_id)
 
-    stream = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="vec_id long, embedding array<float>",
+        ingest=_fold,
+        timeout_s=timeout_s,
+        label="streaming kmeans",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_fold)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"streaming kmeans exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return state_path
 
 
@@ -847,24 +850,13 @@ def drift_monitor_run(
             "batch_id long, psi double, n_rows long, tripped boolean",
         ).coalesce(1).write.mode("append").parquet(log_path)
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema=EVENTS_SCHEMA,
+        ingest=_score,
+        timeout_s=timeout_s,
+        label="drift monitor",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_score)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"drift monitor exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return log_path
 
 
@@ -920,24 +912,13 @@ def line_dedup_ingest_run(
             "overwrite"
         ).parquet(os.path.join(index_dir, part))
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="line dedup ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"line dedup ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return kept_dir
 
 
@@ -999,24 +980,13 @@ def quality_filter_ingest_run(
             F.col("score").isNull() | (F.col("score") < threshold)
         ).write.mode("overwrite").parquet(os.path.join(quar_dir, part))
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="quality filter ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"quality filter ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return kept_dir, quar_dir
 
 
@@ -1065,26 +1035,13 @@ def sample_maintain_run(
             os.path.join(cand_dir, f"batch={batch_id}")
         )
 
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, source string, lang string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, source string, lang string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="sample maintenance",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"sample maintenance exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return cand_dir
 
 
@@ -1270,24 +1227,13 @@ def web_funnel_ingest_run(
             os.path.join(funnel_dir, part)
         )
 
-    stream = (
-        spark.readStream.schema("doc_id long, source string, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, source string, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="web funnel ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"web funnel ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return funnel_dir
 
 
@@ -1328,26 +1274,13 @@ def pca_stats_run(
             "overwrite"
         ).parquet(os.path.join(stats_dir, part))
 
-    stream = (
-        spark.readStream.schema(
-            "vec_id long, embedding array<double>, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="vec_id long, embedding array<double>, label int",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="pca stats ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"pca stats ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return stats_dir
 
 
@@ -1430,24 +1363,11 @@ def ivfpq_index_ingest_run(
             os.path.join(monitor_dir, f"batch={batch_id}")
         )
 
-    stream = (
-        spark.readStream.schema(
-            "vec_id long, embedding array<double>, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="vec_id long, embedding array<double>, label int",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="ivfpq index ingest",
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(_ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"ivfpq index ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return index_dir, monitor_dir
