@@ -307,8 +307,67 @@ def ivf_knn_probe() -> None:
     print(json.dumps(out, indent=2))
 
 
+
+
+def salt_probe() -> None:
+    """Hot-cell salting A/B: force every corpus vector into ONE
+    effective cell (a single centroid at the data mean wins every
+    assignment) so the cluster_id equi-join has exactly one key, then
+    time n_salt=1 vs n_salt=8. The candidate SET is identical (the
+    salted join is row-identity-pinned); what changes is the shuffle
+    key fan-out - one hot key serializes the scoring into one task,
+    salting spreads it across 8.
+
+    Usage: python scripts/late_scale_probe.py salt [replicas]
+    """
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("salt_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, SF_DIR, "embeddings").localCheckpoint(
+        eager=True
+    )
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    big = (
+        emb.crossJoin(r)
+        .select(
+            (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = big.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).localCheckpoint(eager=True)
+    c = big.where(F.col("vec_id") % 20 != 0).localCheckpoint(eager=True)
+    # one centroid at the mean = every vector lands in cell 0 (plus 3
+    # unreachable far-away cells so nprobe=1 of 4 keeps the plan shape)
+    import numpy as np
+
+    mean = (
+        emb.select(F.posexplode("embedding").alias("p", "x"))
+        .groupBy("p").agg(F.avg("x").alias("m")).orderBy("p").collect()
+    )
+    mvec = [float(r["m"]) for r in mean]
+    far = [[1e6 + i] * len(mvec) for i in range(3)]
+    cents = [(0, mvec)] + [(i + 1, v) for i, v in enumerate(far)]
+    out: dict = {"replicas": reps, "n_q": q.count(), "n_c": c.count()}
+    for tag, salt in (("hot_unsalted", 1), ("hot_salt8", 8)):
+        t0 = time.perf_counter()
+        n = ivf_knn_join(q, c, cents, k=5, nprobe=1, n_salt=salt).count()
+        out[tag] = {
+            "wall_s": round(time.perf_counter() - t0, 2), "rows": n
+        }
+    print(json.dumps(out, indent=2))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "knn":
         ivf_knn_probe()
+    elif len(sys.argv) > 1 and sys.argv[1] == "salt":
+        salt_probe()
     else:
         main()
