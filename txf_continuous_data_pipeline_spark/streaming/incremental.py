@@ -1371,3 +1371,115 @@ def ivfpq_index_ingest_run(
         label="ivfpq index ingest",
     )
     return index_dir, monitor_dir
+
+
+def budgeted_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    budgets: "dict[str, int]",
+    *,
+    default_budget: int = 0,
+    timeout_s: int = 240,
+) -> str:
+    """Per-source token-budget enforcement AT ingest: each source s
+    may contribute at most budgets[s] whitespace tokens to the kept
+    corpus (default_budget for unlisted sources; 0 = drop), and
+    arrival order decides who gets the budget - the streaming
+    enforcement arm of mixture_plan's rate table (the planner says
+    how much of each source the mixture WANTS; this loop guarantees
+    the sink never exceeds it however much the feed sends).
+
+    Within a batch, docs are considered in doc_id order per source
+    (deterministic under replay, where arrival order inside a batch
+    is not) under PREFIX admission: doc i is kept iff the source's
+    already-spent total plus the batch-prefix token sum through i
+    fits the budget. The prefix sum is monotone, so the admitted set
+    is always a clean doc_id-prefix of the batch - whole documents
+    only, never partial (better-missing-than-wrong applied to quota)
+    - and any gap the cutoff leaves is backfilled by LATER batches'
+    prefixes, since the ledger records admitted tokens only.
+
+    Exactly-once via the batch=<id> layout: kept/batch=<id> rewrites
+    on replay, and the per-source running totals are re-derived from
+    strictly-earlier ledger partitions (ledger/batch=<id> holds this
+    batch's per-source admitted tokens), so a replayed batch admits
+    the identical doc set. Scale shape: the ledger is
+    n_batches x n_sources tiny rows; the per-batch work is one
+    source-keyed window cumsum over the batch plus a broadcast join
+    of the totals - nothing corpus-sized moves. Returns the kept
+    path; pytest pins stream == sequential batch fold and that no
+    source ever exceeds its budget."""
+    from pyspark.sql import Window
+
+    from ..operators.textstats import token_count
+
+    kept_dir = os.path.join(work_dir, "kept")
+    ledger_dir = os.path.join(work_dir, "ledger")
+    bspark_rows = [
+        (s, int(b)) for s, b in sorted(budgets.items())
+    ]
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        bud = sess.createDataFrame(
+            bspark_rows, "source string, budget long"
+        )
+        ledger_paths = _earlier_batch_dirs(ledger_dir, batch_id)
+        if ledger_paths:
+            spent = (
+                sess.read.parquet(*ledger_paths)
+                .groupBy("source")
+                .agg(F.sum("admitted_tokens").alias("spent"))
+            )
+        else:
+            spent = sess.createDataFrame([], "source string, spent long")
+        w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        sized = batch.select(
+            "doc_id",
+            "source",
+            "text",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        staged = (
+            sized.withColumn(
+                "_before",
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast(
+                    "long"
+                ),
+            )
+            .join(F.broadcast(bud), "source", "left")
+            .join(F.broadcast(spent), "source", "left")
+            .withColumn(
+                "_budget",
+                F.coalesce("budget", F.lit(int(default_budget))),
+            )
+            .withColumn("_spent", F.coalesce("spent", F.lit(0)))
+        )
+        kept = staged.where(
+            F.col("_spent") + F.col("_before") + F.col("n_tokens")
+            <= F.col("_budget")
+        ).select("doc_id", "source", "text", "n_tokens")
+        kept = kept.localCheckpoint(eager=True)
+        part = f"batch={batch_id}"
+        kept.write.mode("overwrite").parquet(
+            os.path.join(kept_dir, part)
+        )
+        kept.groupBy("source").agg(
+            F.sum("n_tokens").alias("admitted_tokens")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, part)
+        )
+
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, source string, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="budgeted ingest",
+    )
+    return kept_dir
