@@ -61,6 +61,19 @@ from txf_continuous_data_pipeline_spark.sources import read_table
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def _rep_frame(df, id_col, r, reps):
+    """Replicate df `reps`-fold with collision-free remapped ids
+    (id*reps + replica) - shared by the knn and salt probes."""
+    return (
+        df.crossJoin(r)
+        .select(
+            (F.col(id_col) * reps + F.col("rep")).alias(id_col),
+            *[c for c in df.columns if c != id_col],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _t(fn):
     t0 = time.perf_counter()
     n = fn()
@@ -275,22 +288,12 @@ def ivf_knn_probe() -> None:
     )
     r = spark.range(reps).select(F.col("id").alias("rep"))
 
-    def rep_frame(df, id_col):
-        return (
-            df.crossJoin(r)
-            .select(
-                (F.col(id_col) * reps + F.col("rep")).alias(id_col),
-                *[c for c in df.columns if c != id_col],
-            )
-            .localCheckpoint(eager=True)
-        )
-
     q1 = emb.where(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).localCheckpoint(eager=True)
     c1 = emb.where(F.col("vec_id") % 5 != 0).localCheckpoint(eager=True)
-    qN = rep_frame(q1, "q_id")
-    cN = rep_frame(c1, "vec_id")
+    qN = _rep_frame(q1, "q_id", r, reps)
+    cN = _rep_frame(c1, "vec_id", r, reps)
     cents = _fixed_centroids()
     out: dict = {"replicas": reps}
     for tag, qq, cc in (
@@ -331,14 +334,7 @@ def salt_probe() -> None:
         eager=True
     )
     r = spark.range(reps).select(F.col("id").alias("rep"))
-    big = (
-        emb.crossJoin(r)
-        .select(
-            (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"),
-            "embedding",
-        )
-        .localCheckpoint(eager=True)
-    )
+    big = _rep_frame(emb.select("vec_id", "embedding"), "vec_id", r, reps)
     q = big.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).localCheckpoint(eager=True)
@@ -355,6 +351,12 @@ def salt_probe() -> None:
     far = [[1e6 + i] * len(mvec) for i in range(3)]
     cents = [(0, mvec)] + [(i + 1, v) for i, v in enumerate(far)]
     out: dict = {"replicas": reps, "n_q": q.count(), "n_c": c.count()}
+    # untimed warmup: the first pandas-UDF stage pays Python worker
+    # spin-up + Arrow init, which otherwise lands on whichever arm
+    # runs first and biases the A/B (r10 review wave 3)
+    ivf_knn_join(
+        q.limit(10), c, cents, k=5, nprobe=1
+    ).write.format("noop").mode("overwrite").save()
     for tag, salt in (("hot_unsalted", 1), ("hot_salt8", 8)):
         t0 = time.perf_counter()
         n = ivf_knn_join(q, c, cents, k=5, nprobe=1, n_salt=salt).count()

@@ -364,3 +364,46 @@ def test_budgeted_ingest_equals_fold_and_respects_budgets(
     again = spark.read.parquet(kept_dir)
     assert {r["doc_id"] for r in again.collect()} == stream_ids
     assert again.count() == len(stream_ids)
+
+
+def test_budgeted_ingest_quarantines_null_text(spark, tmp_path):
+    """A NULL-text row has no token count: the admission predicate
+    would NULL out and silently drop it (r10 review wave 3) - it must
+    land in the quarantine partition instead, without disturbing any
+    other doc's prefix sum."""
+    import time as _time
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        budgeted_ingest_run,
+    )
+
+    rows = [
+        (1, "srcA", "alpha beta gamma"),
+        (2, "srcA", None),
+        (3, "srcA", "delta epsilon"),
+        (4, "srcB", "zeta"),
+    ]
+    feed = str(tmp_path / "nq_feed")
+    os.makedirs(feed)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(feed, "f0")
+    )
+    now = _time.time()
+    for part in os.listdir(os.path.join(feed, "f0")):
+        os.utime(os.path.join(feed, "f0", part), (now, now))
+
+    work = str(tmp_path / "nq_work")
+    kept_dir = budgeted_ingest_run(
+        spark, feed, work, {"srcA": 100, "srcB": 100}
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_dir).collect()}
+    quar = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(work, "quarantine")
+        ).collect()
+    }
+    assert kept == {1, 3, 4}  # the NULL row blocks nobody behind it
+    assert quar == {2}

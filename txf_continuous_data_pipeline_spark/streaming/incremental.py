@@ -1404,7 +1404,8 @@ def budgeted_ingest_run(
     on replay, and the per-source running totals are re-derived from
     strictly-earlier ledger partitions (ledger/batch=<id> holds this
     batch's per-source admitted tokens), so a replayed batch admits
-    the identical doc set. Scale shape: the ledger is
+    the identical doc set. NULL-text rows (no token count) go to
+    quarantine/batch=<id> rather than vanishing at the gate. Scale shape: the ledger is
     n_batches x n_sources tiny rows; the per-batch work is one
     source-keyed window cumsum over the batch plus a broadcast join
     of the totals - nothing corpus-sized moves. Returns the kept
@@ -1444,7 +1445,18 @@ def budgeted_ingest_run(
             "source",
             "text",
             token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ).localCheckpoint(eager=True)
+        # NULL-text rows have no token count: the admission predicate
+        # would evaluate NULL and drop them SILENTLY (r10 review wave
+        # 3) - route them to an explicit quarantine partition instead
+        # (the quality_filter_ingest_run discipline: rejects stay
+        # auditable), and keep them out of every prefix sum.
+        sized.where(F.col("n_tokens").isNull()).select(
+            "doc_id", "source"
+        ).write.mode("overwrite").parquet(
+            os.path.join(work_dir, "quarantine", f"batch={batch_id}")
         )
+        sized = sized.where(F.col("n_tokens").isNotNull())
         staged = (
             sized.withColumn(
                 "_before",
