@@ -475,3 +475,112 @@ def test_read_current_sample_empty_feed_yields_empty_not_crash(
     out = read_current_sample(spark, str(tmp_path / "nowhere"))
     assert out.count() == 0
     assert out.columns == ["doc_id", "source", "lang", "sample_key"]
+
+
+def test_compact_batch_store_preserves_ingest_semantics(
+    spark, sf_dir, tmp_path
+):
+    """compact_batch_store: rolling the index's batch dirs into one
+    rollup partition must change NOTHING the ingest loop computes -
+    a post-compaction batch reads the rollup as its earlier-snapshot
+    stand-in and keeps exactly what the uncompacted twin keeps - and
+    the rollup must actually shrink the directory count. Wholesale
+    readers keep working (negative batch id keeps the partition
+    column integer-typed)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        compact_batch_store,
+        neardup_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+
+    # planted cross-batch dups: file-2 docs cloning file-0 docs must
+    # drop via the (compacted) stored index
+    def clone(pred):
+        return docs.where(pred).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit("rollmark")).alias(
+                "text"
+            ),
+        )
+
+    files = [
+        docs.where(F.col("doc_id") < n // 3),
+        docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        ),
+        docs.where(F.col("doc_id") >= 2 * n // 3).unionByName(
+            clone(F.col("doc_id") < 20)
+        ),
+    ]
+
+    def stage(feed):
+        os.makedirs(feed)
+        now = _time.time()
+        for i, frame in enumerate(files):
+            fp = os.path.join(feed, f"f{i}")
+            frame.coalesce(1).write.mode("overwrite").parquet(fp)
+            for part in os.listdir(fp):
+                os.utime(
+                    os.path.join(fp, part), (now + i * 10, now + i * 10)
+                )
+        return feed
+
+    # twin A: feed first two files, compact the index through batch 1,
+    # then deliver file 2 (its dedup must read the rollup)
+    feed_a = stage(str(tmp_path / "cmp_feed_a"))
+    work_a = str(tmp_path / "cmp_work_a")
+    # hold back file 2 by staging it late: run over the 2-file prefix
+    f2 = os.path.join(feed_a, "f2")
+    hidden = str(tmp_path / "hidden_f2")
+    os.rename(f2, hidden)
+    neardup_ingest_run(spark, feed_a, work_a, threshold=0.5)
+    for store in ("index_bands", "index_shingles"):
+        rolled = compact_batch_store(
+            spark, os.path.join(work_a, store), upto=1
+        )
+        assert rolled >= 1
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(work_a, store))
+            if d.startswith("batch=")
+        ]
+        assert dirs == ["batch=-2"], dirs
+    os.rename(hidden, f2)
+    neardup_ingest_run(spark, feed_a, work_a, threshold=0.5)
+    kept_a = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(work_a, "kept")).collect()
+    }
+
+    # twin B: identical feed, never compacted
+    feed_b = stage(str(tmp_path / "cmp_feed_b"))
+    work_b = str(tmp_path / "cmp_work_b")
+    neardup_ingest_run(spark, feed_b, work_b, threshold=0.5)
+    kept_b = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(work_b, "kept")).collect()
+    }
+    assert kept_a == kept_b
+    # the planted clones exercised the rollup read: all dropped
+    assert not any(d >= 50000 for d in kept_a)
+
+    # wholesale read across rollup + live dirs still works and the
+    # inferred batch partition column stays integer-typed
+    whole = spark.read.parquet(os.path.join(work_a, "index_bands"))
+    assert dict(whole.dtypes)["batch"] in ("int", "bigint")
+
+    # idempotent re-run: only garbage collection, content unchanged
+    n_rows = whole.count()
+    compact_batch_store(
+        spark, os.path.join(work_a, "index_bands"), upto=1
+    )
+    assert (
+        spark.read.parquet(os.path.join(work_a, "index_bands")).count()
+        == n_rows
+    )

@@ -347,17 +347,109 @@ def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
     all-dropped batch writes only _SUCCESS - no schema to read, and
     nothing to join against). Shared by every batch=<id>-layout ingest
     loop; reading ONLY strictly earlier batches is what makes a
-    replayed batch see the exact snapshot its first attempt saw."""
+    replayed batch see the exact snapshot its first attempt saw.
+
+    Compaction-aware: compact_batch_store rolls batches 0..k into a
+    `batch=-(k+1)` dir (a NEGATIVE id keeps the store's inferred
+    `batch` partition column integer-typed for wholesale readers);
+    the most negative such dir stands in for every live id <= k, and
+    surviving batch dirs with id <= k (or superseded older rollups)
+    are IGNORED - so the window between the rollup commit and the old
+    dirs' garbage collection can never double-count."""
     if not os.path.isdir(base):
         return []
-    out = []
+    upto = -1
+    comp_dir = None
     for d in os.listdir(base):
-        if not (d.startswith("batch=") and int(d.split("=", 1)[1]) < bid):
+        if d.startswith("batch=") and d[6:].startswith("-"):
+            k = -int(d.split("=", 1)[1]) - 1
+            if k > upto:
+                upto, comp_dir = k, os.path.join(base, d)
+    out = []
+    if comp_dir is not None and any(
+        f.startswith("part-") for f in os.listdir(comp_dir)
+    ):
+        out.append(comp_dir)
+    for d in os.listdir(base):
+        if not d.startswith("batch="):
+            continue
+        i = int(d.split("=", 1)[1])
+        if i < 0 or not (upto < i < bid):
             continue
         full = os.path.join(base, d)
         if any(f.startswith("part-") for f in os.listdir(full)):
             out.append(full)
     return out
+
+
+def compact_batch_store(
+    spark: SparkSession, base: str, upto: int, *, target_files: int = 1
+) -> int:
+    """Roll batch=<0..upto> partitions of ONE batch-layout store into
+    a single `batch=-(upto+1)` rollup dir - the small-file maintenance
+    the append-only ingest layouts need at 100 TB (every micro-batch
+    adds a directory forever; index reads list and open them all).
+    A NEGATIVE id keeps the store's inferred `batch` partition column
+    integer-typed, so wholesale `spark.read.parquet(store)` readers
+    keep working across the rollup.
+
+    Safety contract: _earlier_batch_dirs treats the most negative
+    rollup as standing in for every id <= upto and ignores surviving
+    batch dirs below it (and superseded older rollups), so the
+    sequence commit-then-delete is crash-safe at every point: before
+    the rollup's atomic rename nothing changed; after it, the stale
+    dirs are invisible double-count-free garbage this function
+    (re-run) or any janitor may remove. Only compact batches that can
+    no longer REPLAY - upto must be < the stream's last committed
+    batch id under a LIVE checkpoint (a replayed batch must never
+    find its own output standing in its input snapshot; a full
+    checkpoint reset already requires a fresh work_dir by the ingest
+    loops' documented contract). Wholesale readers see both the
+    rollup and the not-yet-deleted originals only inside this call's
+    rename-to-rmtree window - compact during a read-quiet moment for
+    stores read whole (kept/), any time for stores read via
+    _earlier_batch_dirs (indexes, ledgers, scores). Returns the
+    number of batch dirs rolled up + removed. Idempotent: re-running
+    with the same `upto` only garbage-collects leftovers."""
+    import shutil
+
+    if not os.path.isdir(base):
+        return 0
+    target = os.path.join(base, f"batch=-{upto + 1}")
+    victims = []
+    prev_comp = []
+    for d in os.listdir(base):
+        if not d.startswith("batch="):
+            continue
+        i = int(d.split("=", 1)[1])
+        if 0 <= i <= upto:
+            victims.append(os.path.join(base, d))
+        elif i < 0 and -i - 1 < upto:
+            prev_comp.append(os.path.join(base, d))
+    n = len(victims)
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        sources = prev_comp + [
+            v
+            for v in victims
+            if any(f.startswith("part-") for f in os.listdir(v))
+        ]
+        if not sources:
+            return 0
+        # staging lives OUTSIDE the store so partition discovery never
+        # sees a non-key=value directory name mid-build
+        staging = base.rstrip("/") + f"__rollup_{upto}_staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        # target_files=1 suits test/index-sized stores; at 100 TB pass
+        # the file count that keeps partitions inside executor memory
+        spark.read.parquet(*sources).coalesce(
+            max(1, int(target_files))
+        ).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(staging, target)
+    # garbage-collect the rolled-up dirs (readers already ignore them)
+    for v in victims + prev_comp:
+        shutil.rmtree(v, ignore_errors=True)
+    return n
 
 
 def neardup_ingest_run(
