@@ -407,3 +407,88 @@ def test_budgeted_ingest_quarantines_null_text(spark, tmp_path):
     }
     assert kept == {1, 3, 4}  # the NULL row blocks nobody behind it
     assert quar == {2}
+
+
+def test_web_funnel_histogram_mode_bounded_ledger(
+    spark, sf_dir, tmp_path
+):
+    """quantile_mode='histogram': the bounded-state cutoff form - the
+    ledger holds additive per-(source, bucket) counts (never a
+    per-doc row), the stream equals a sequential fold of the same
+    histogram semantics, and the funnel still only narrows."""
+    import time as _time
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        quality_score,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        web_funnel_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n = docs.count()
+    files = [
+        docs.where(F.col("doc_id") < n // 2),
+        docs.where(F.col("doc_id") >= n // 2),
+    ]
+    feed = str(tmp_path / "wfh_feed")
+    os.makedirs(feed)
+    now = _time.time()
+    for i, frame in enumerate(files):
+        fp = os.path.join(feed, f"f{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(fp)
+        for part in os.listdir(fp):
+            os.utime(os.path.join(fp, part), (now + i * 10, now + i * 10))
+
+    work = str(tmp_path / "wfh_work")
+    funnel_dir = web_funnel_ingest_run(
+        spark, feed, work, quantile_mode="histogram"
+    )
+    stream_rows = {
+        (r.batch_id, r.stage_idx): r.n_docs
+        for r in spark.read.parquet(funnel_dir).collect()
+    }
+
+    # ledger is count rows, never per-doc
+    ledger = spark.read.parquet(os.path.join(work, "scores"))
+    assert set(ledger.columns) >= {"source", "bucket", "n"}
+    n_sources = docs.select("source").distinct().count()
+    assert ledger.count() <= 2 * n_sources * 100
+
+    # fold twin for stage 2 only (stages 1/3 are pinned by the exact-
+    # mode test; here the HISTOGRAM cutoff semantics is the new part)
+    hist: dict = {}
+    for bid, frame in enumerate(files):
+        d1 = frame.where(~F.col("source").isin("src2", "src3"))
+        scored = d1.select(
+            "source",
+            F.round(quality_score(F.col("text")), 6).alias("score"),
+        ).collect()
+        cur: dict = {}
+        for r in scored:
+            b = min(int(r["score"] * 100), 99)
+            cur[(r["source"], b)] = cur.get((r["source"], b), 0) + 1
+        merged: dict = dict(hist)
+        for k, v in cur.items():
+            merged[k] = merged.get(k, 0) + v
+        cuts: dict = {}
+        for src in {k[0] for k in merged}:
+            bks = {b: c for (s, b), c in merged.items() if s == src}
+            total = sum(bks.values())
+            running = 0
+            for b in sorted(bks):
+                running += bks[b]
+                if running >= 0.25 * total:
+                    cuts[src] = b / 100
+                    break
+        n2 = sum(
+            1 for r in scored if r["score"] >= cuts[r["source"]]
+        )
+        assert stream_rows[(bid, 2)] == n2, (bid, stream_rows[(bid, 2)], n2)
+        hist = merged
+    # funnel monotone per batch
+    for bid in {k[0] for k in stream_rows}:
+        seq = [stream_rows[(bid, i)] for i in range(4)]
+        assert seq == sorted(seq, reverse=True)

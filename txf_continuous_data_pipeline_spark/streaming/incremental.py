@@ -1164,6 +1164,8 @@ def web_funnel_ingest_run(
     *,
     blocked_sources: tuple = ("src2", "src3"),
     threshold: float = 0.5,
+    quantile_mode: str = "exact",
+    n_hist_buckets: int = 100,
     timeout_s: int = 240,
 ) -> str:
     """The web curation funnel (web_pipeline_funnel's stages) as ONE
@@ -1180,7 +1182,16 @@ def web_funnel_ingest_run(
         (strictly-earlier batches' persisted score rows + the current
         batch) - the honest online form of the batch query's
         corpus-wide bar; scores persist per batch so the cutoff is
-        replay-deterministic.
+        replay-deterministic. The default exact-percentile form
+        re-reads the whole score history each batch (compactable via
+        compact_batch_store, but still corpus-proportional I/O);
+        quantile_mode='histogram' is the 100-TB form - the ledger
+        holds per-(source, bucket) ADDITIVE counts (n_hist_buckets
+        fixed buckets; p25 = the bucket where the cumulative count
+        crosses a quarter of the total, resolution 1/n_hist_buckets),
+        so per-batch state and I/O are bounded by
+        n_sources x n_buckets whatever the corpus size
+        (pytest-pinned against a histogram fold twin).
       3 neardup_keep      greedy first-arrival-wins MinHash ingest
         (the neardup_ingest_run machinery): drop within-batch dups
         (smaller doc_id wins), then anything near-dup'ing the stored
@@ -1203,6 +1214,11 @@ def web_funnel_ingest_run(
     )
     from ..operators.textstats import quality_score
 
+    if quantile_mode not in ("exact", "histogram"):
+        raise ValueError(
+            f"quantile_mode must be 'exact' or 'histogram', "
+            f"got {quantile_mode!r}"
+        )
     kept_dir = os.path.join(work_dir, "kept")
     scores_dir = os.path.join(work_dir, "scores")
     bands_dir = os.path.join(work_dir, "index_bands")
@@ -1228,16 +1244,66 @@ def web_funnel_ingest_run(
             F.round(quality_score(F.col("text")), 6).alias("score"),
         ).localCheckpoint(eager=True)
         score_paths = _earlier_batch_dirs(scores_dir, batch_id)
-        seen = sc.select("source", "score")
-        if score_paths:
-            seen = seen.unionByName(
-                sess.read.parquet(*score_paths).select("source", "score")
+        if quantile_mode == "exact":
+            seen = sc.select("source", "score")
+            if score_paths:
+                seen = seen.unionByName(
+                    sess.read.parquet(*score_paths).select(
+                        "source", "score"
+                    )
+                )
+            cut = seen.groupBy("source").agg(
+                F.round(
+                    F.percentile(F.col("score"), F.lit(0.25)), 6
+                ).alias("cutoff")
             )
-        cut = seen.groupBy("source").agg(
-            F.round(
-                F.percentile(F.col("score"), F.lit(0.25)), 6
-            ).alias("cutoff")
-        )
+        else:
+            # bounded-state form (the docstring's SCALE SEAM, made
+            # real): the ledger holds per-(source, bucket) COUNTS -
+            # additive across batches, n_sources x n_buckets rows per
+            # batch regardless of corpus size - and the p25 bar is the
+            # lower edge of the bucket where the cumulative count
+            # crosses a quarter of the total. Cutoff resolution =
+            # 1/n_hist_buckets of the score range; semantics
+            # deterministic and replay-identical like the exact form.
+            bucket = F.least(
+                F.floor(F.col("score") * n_hist_buckets),
+                F.lit(n_hist_buckets - 1),
+            ).cast("int")
+            cur = (
+                sc.select("source", bucket.alias("bucket"))
+                .groupBy("source", "bucket")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            hist = cur
+            if score_paths:
+                hist = hist.unionByName(
+                    sess.read.parquet(*score_paths).select(
+                        "source", "bucket", "n"
+                    )
+                )
+            rows = (
+                hist.groupBy("source", "bucket")
+                .agg(F.sum("n").alias("n"))
+                .collect()  # bounded: n_sources x n_buckets scalars
+            )
+            per_src: dict = {}
+            for r in rows:
+                per_src.setdefault(r["source"], {})[r["bucket"]] = r["n"]
+            cut_rows = []
+            for src, bks in sorted(per_src.items()):
+                total = sum(bks.values())
+                running = 0
+                cutoff = 0.0
+                for b in sorted(bks):
+                    running += bks[b]
+                    if running >= 0.25 * total:
+                        cutoff = b / n_hist_buckets
+                        break
+                cut_rows.append((src, float(cutoff)))
+            cut = sess.createDataFrame(
+                cut_rows, "source string, cutoff double"
+            )
         d2 = (
             sc.join(F.broadcast(cut), "source")
             .where(F.col("score") >= F.col("cutoff"))
@@ -1287,11 +1353,18 @@ def web_funnel_ingest_run(
         # commits: own batch partitions only (replay overwrites). The
         # scores sink persists ONLY what the cutoff consumer reads
         # (r10 review: writing the full text column duplicated the
-        # surviving corpus as pure write amplification).
+        # surviving corpus as pure write amplification); histogram
+        # mode persists the additive bucket counts - no per-doc row
+        # at all, the ledger stays n_sources x n_buckets per batch.
         part = f"batch={batch_id}"
-        sc.select("doc_id", "source", "score").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(scores_dir, part))
+        if quantile_mode == "exact":
+            sc.select("doc_id", "source", "score").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(scores_dir, part))
+        else:
+            cur.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(scores_dir, part)
+            )
         survivors.write.mode("overwrite").parquet(
             os.path.join(kept_dir, part)
         )
