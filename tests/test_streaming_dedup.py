@@ -584,3 +584,66 @@ def test_compact_batch_store_preserves_ingest_semantics(
         spark.read.parquet(os.path.join(work_a, "index_bands")).count()
         == n_rows
     )
+
+
+def test_compact_batch_store_crash_windows(spark, tmp_path):
+    """r10 review wave 4: the compactor's crash-safety corners.
+    (a) a stale victim dir surviving a previous rollup's GC (crash
+    between commit and delete) must NOT double-count into the next
+    rollup; (b) _SUCCESS-only victim dirs are garbage-collected even
+    when nothing needs rolling up; (c) stale staging dirs from ANY
+    earlier crashed attempt are removed; (d) a replayed batch whose
+    output the rollup covers raises loudly instead of reading itself."""
+    import shutil
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        _earlier_batch_dirs,
+        compact_batch_store,
+    )
+
+    store = str(tmp_path / "store")
+    for bid, vals in ((0, [1, 2]), (1, [3]), (2, [4, 5, 6])):
+        spark.createDataFrame(
+            [(v,) for v in vals], "x long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store, f"batch={bid}")
+        )
+
+    # (a) compact through 1, then resurrect batch=0 as failed-GC debris
+    saved = str(tmp_path / "saved_b0")
+    shutil.copytree(os.path.join(store, "batch=0"), saved)
+    compact_batch_store(spark, store, upto=1)
+    shutil.copytree(saved, os.path.join(store, "batch=0"))
+    # plant a stale staging leftover from a fictional crashed attempt
+    os.makedirs(store + "__rollup_7_staging")
+    compact_batch_store(spark, store, upto=2)
+    rows = sorted(
+        r["x"] for r in spark.read.parquet(store).select("x").collect()
+    )
+    assert rows == [1, 2, 3, 4, 5, 6], rows  # no double count
+    assert not os.path.exists(store + "__rollup_7_staging")  # (c)
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch=")
+    ) == ["batch=-3"]
+
+    # (d) a replayed batch the rollup covers fails loudly
+    import pytest
+
+    with pytest.raises(RuntimeError, match="compacted through"):
+        _earlier_batch_dirs(store, bid=1)
+    # while a genuinely-later batch reads the rollup as its snapshot
+    assert _earlier_batch_dirs(store, bid=3) == [
+        os.path.join(store, "batch=-3")
+    ]
+
+    # (b) _SUCCESS-only dirs still get collected
+    store2 = str(tmp_path / "store2")
+    for bid in (0, 1):
+        d = os.path.join(store2, f"batch={bid}")
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    n = compact_batch_store(spark, store2, upto=1)
+    assert n == 2
+    assert not any(
+        x.startswith("batch=") for x in os.listdir(store2)
+    )

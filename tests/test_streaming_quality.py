@@ -492,3 +492,32 @@ def test_web_funnel_histogram_mode_bounded_ledger(
     for bid in {k[0] for k in stream_rows}:
         seq = [stream_rows[(bid, i)] for i in range(4)]
         assert seq == sorted(seq, reverse=True)
+
+
+def test_web_funnel_mode_switch_raises_loudly(spark, sf_dir, tmp_path):
+    """r10 review wave 4: resuming a funnel work_dir in the other
+    quantile mode would misread the score ledger deep inside
+    foreachBatch - the mode marker must fail loudly at startup."""
+    import time as _time
+
+    import pytest
+
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        web_funnel_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).limit(40)
+    feed = str(tmp_path / "ms_feed")
+    os.makedirs(feed)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(feed, "f0")
+    )
+    now = _time.time()
+    for part in os.listdir(os.path.join(feed, "f0")):
+        os.utime(os.path.join(feed, "f0", part), (now, now))
+    work = str(tmp_path / "ms_work")
+    web_funnel_ingest_run(spark, feed, work, quantile_mode="histogram")
+    with pytest.raises(ValueError, match="quantile_mode"):
+        web_funnel_ingest_run(spark, feed, work)  # defaults to exact

@@ -342,6 +342,13 @@ def _run_available_now(
         raise q.exception()
 
 
+def _has_parts(d: str) -> bool:
+    """A batch/rollup dir holds real data files (an all-dropped batch
+    writes only _SUCCESS). The ONE predicate the reader and the
+    compactor share (r10 review wave 4)."""
+    return any(f.startswith("part-") for f in os.listdir(d))
+
+
 def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
     """Subdirs of strictly earlier batches that hold data files (an
     all-dropped batch writes only _SUCCESS - no schema to read, and
@@ -365,10 +372,18 @@ def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
             k = -int(d.split("=", 1)[1]) - 1
             if k > upto:
                 upto, comp_dir = k, os.path.join(base, d)
+    if bid <= upto:
+        # the rollup covers THIS batch: a replay would read its own
+        # first-attempt output standing in its input snapshot and
+        # silently diverge (r10 review wave 4) - fail loudly instead;
+        # the operator compacted batches that could still replay
+        raise RuntimeError(
+            f"batch {bid} replayed but {base} is compacted through "
+            f"batch {upto} - its own output is inside the rollup; "
+            "compact only batches that can no longer replay"
+        )
     out = []
-    if comp_dir is not None and any(
-        f.startswith("part-") for f in os.listdir(comp_dir)
-    ):
+    if comp_dir is not None and _has_parts(comp_dir):
         out.append(comp_dir)
     for d in os.listdir(base):
         if not d.startswith("batch="):
@@ -377,7 +392,7 @@ def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
         if i < 0 or not (upto < i < bid):
             continue
         full = os.path.join(base, d)
-        if any(f.startswith("part-") for f in os.listdir(full)):
+        if _has_parts(full):
             out.append(full)
     return out
 
@@ -411,43 +426,64 @@ def compact_batch_store(
     _earlier_batch_dirs (indexes, ledgers, scores). Returns the
     number of batch dirs rolled up + removed. Idempotent: re-running
     with the same `upto` only garbage-collects leftovers."""
+    import glob as _glob
     import shutil
 
     if not os.path.isdir(base):
         return 0
+    # clean ALL stale staging leftovers (any upto - a crash during an
+    # earlier attempt must not leak a rollup-sized copy forever; r10
+    # review wave 4)
+    for leftover in _glob.glob(base.rstrip("/") + "__rollup_*_staging"):
+        shutil.rmtree(leftover, ignore_errors=True)
     target = os.path.join(base, f"batch=-{upto + 1}")
     victims = []
     prev_comp = []
+    prev_cover = -1
     for d in os.listdir(base):
         if not d.startswith("batch="):
             continue
         i = int(d.split("=", 1)[1])
         if 0 <= i <= upto:
-            victims.append(os.path.join(base, d))
+            victims.append((i, os.path.join(base, d)))
         elif i < 0 and -i - 1 < upto:
-            prev_comp.append(os.path.join(base, d))
+            prev_comp.append((-i - 1, os.path.join(base, d)))
+            prev_cover = max(prev_cover, -i - 1)
     n = len(victims)
     if not os.path.exists(os.path.join(target, "_SUCCESS")):
-        sources = prev_comp + [
-            v
-            for v in victims
-            if any(f.startswith("part-") for f in os.listdir(v))
+        # sources: the SINGLE best previous rollup (older rollups and
+        # any victim it already covers are stale duplicates - a crash
+        # between a previous commit and its GC must not double-count
+        # rows into the new rollup; r10 review wave 4) plus the
+        # not-yet-covered victims that hold data
+        best_prev = [
+            path for cover, path in prev_comp if cover == prev_cover
+        ][:1]
+        sources = best_prev + [
+            path
+            for i, path in victims
+            if i > prev_cover and _has_parts(path)
         ]
-        if not sources:
-            return 0
-        # staging lives OUTSIDE the store so partition discovery never
-        # sees a non-key=value directory name mid-build
-        staging = base.rstrip("/") + f"__rollup_{upto}_staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        # target_files=1 suits test/index-sized stores; at 100 TB pass
-        # the file count that keeps partitions inside executor memory
-        spark.read.parquet(*sources).coalesce(
-            max(1, int(target_files))
-        ).write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(staging, target)
-    # garbage-collect the rolled-up dirs (readers already ignore them)
-    for v in victims + prev_comp:
+        if sources:
+            # staging lives OUTSIDE the store so partition discovery
+            # never sees a non-key=value directory name mid-build
+            staging = base.rstrip("/") + f"__rollup_{upto}_staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            # target_files=1 suits test/index-sized stores; at 100 TB
+            # pass the file count that keeps partitions inside
+            # executor memory
+            spark.read.parquet(*sources).coalesce(
+                max(1, int(target_files))
+            ).write.mode("overwrite").parquet(staging)
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(staging, target)
+    # garbage-collect the rolled-up dirs (readers already ignore
+    # them). This runs even when nothing needed rolling up - an
+    # all-empty batch range still accumulates _SUCCESS-only dirs, the
+    # exact listing cost compaction exists to remove.
+    for _, v in victims:
+        shutil.rmtree(v, ignore_errors=True)
+    for _, v in prev_comp:
         shutil.rmtree(v, ignore_errors=True)
     return n
 
@@ -1219,6 +1255,24 @@ def web_funnel_ingest_run(
             f"quantile_mode must be 'exact' or 'histogram', "
             f"got {quantile_mode!r}"
         )
+    # The two modes persist structurally different score ledgers; a
+    # resume in the other mode would fail deep inside foreachBatch
+    # with an opaque unresolved-column error (r10 review wave 4) -
+    # pin the mode in the work_dir and fail loudly at startup instead.
+    os.makedirs(work_dir, exist_ok=True)
+    marker = os.path.join(work_dir, "quantile_mode.txt")
+    if os.path.exists(marker):
+        prior = open(marker).read().strip()
+        if prior != quantile_mode:
+            raise ValueError(
+                f"work_dir {work_dir} was created with "
+                f"quantile_mode={prior!r}; resuming with "
+                f"{quantile_mode!r} would misread the score ledger - "
+                "use a fresh work_dir to switch modes"
+            )
+    else:
+        with open(marker, "w") as fh:
+            fh.write(quantile_mode)
     kept_dir = os.path.join(work_dir, "kept")
     scores_dir = os.path.join(work_dir, "scores")
     bands_dir = os.path.join(work_dir, "index_bands")
