@@ -205,6 +205,107 @@ def completeness_gate(spark, sf_dir):
     return completeness_violations(labeled, EXPECTED_5MIN)
 
 
+_MISSING_BARS_SQL = """
+WITH k AS (
+  SELECT ts,
+         CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+  WHERE (ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00')
+     OR (ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00')
+),
+sess AS (
+  SELECT DISTINCT sess_date, kind FROM k WHERE kind IN ('D', 'N')
+),
+grid AS (
+  SELECT strftime(sess_date, '%Y-%m-%d') || '_' || kind AS session_id,
+         unnest(generate_series(
+           sess_date::TIMESTAMP + CASE WHEN kind = 'D'
+             THEN INTERVAL '8 hours 45 minutes'
+             ELSE INTERVAL '15 hours' END,
+           sess_date::TIMESTAMP + CASE WHEN kind = 'D'
+             THEN INTERVAL '13 hours 40 minutes'
+             ELSE INTERVAL '28 hours 55 minutes' END,
+           INTERVAL 5 MINUTE)) AS bar_ts
+  FROM sess
+),
+observed AS (
+  SELECT DISTINCT make_timestamp(
+           CAST(floor((epoch_us(ts) - 1) / 300000000.0)
+                * 300000000 AS BIGINT)) AS bar_ts
+  FROM k WHERE kind IN ('D', 'N')
+)
+SELECT g.session_id, g.bar_ts
+FROM grid g LEFT JOIN observed o USING (bar_ts)
+WHERE o.bar_ts IS NULL
+"""
+
+
+@q("missing_bars_report", _MISSING_BARS_SQL)
+def missing_bars_report_q(spark, sf_dir):
+    """Gate 1's DEBUGGING companion: completeness_gate says a session
+    has the wrong bar count; this says exactly WHICH 5-minute bars
+    are missing - per session, the expected grid marks (D: 08:45 ..
+    13:40, 60 bars; N: 15:00 .. 04:55 next day, 168 bars - the
+    reference's expected map, main.py:62-66) whose closed-right
+    bucket holds zero in-session rows (the same ts-1us bucketing
+    tumbling_ohlcv labels with, so a mark this report flags is
+    exactly a bar ohlcv_5m will not emit). Scale shape: the grid is
+    sessions x 60/168 generated rows (dimension-sized), observed
+    labels are one zero-shuffle projection + distinct, and the gap is
+    one anti-join on the bar label - no window, no per-session
+    collect."""
+    from ..operators.sessions import split_and_label
+
+    labeled = split_and_label(read_table(spark, sf_dir, "events"))
+    sess = (
+        labeled.select(
+            F.substring_index(F.col("session_id"), "_", 1).alias(
+                "sess_date"
+            ),
+            F.substring_index(F.col("session_id"), "_", -1).alias(
+                "kind"
+            ),
+        )
+        .where(F.col("kind").isin("D", "N"))
+        .distinct()
+    )
+    start = F.to_timestamp(
+        F.concat(
+            F.col("sess_date"),
+            F.when(F.col("kind") == "D", F.lit(" 08:45:00")).otherwise(
+                F.lit(" 15:00:00")
+            ),
+        )
+    )
+    end = F.when(
+        F.col("kind") == "D",
+        start + F.expr("INTERVAL 4 HOURS 55 MINUTES"),
+    ).otherwise(start + F.expr("INTERVAL 13 HOURS 55 MINUTES"))
+    grid = sess.select(
+        F.concat_ws("_", "sess_date", "kind").alias("session_id"),
+        F.explode(
+            F.sequence(start, end, F.expr("INTERVAL 5 MINUTES"))
+        ).alias("bar_ts"),
+    )
+    observed = labeled.select(
+        F.timestamp_micros(
+            (
+                F.floor(
+                    (F.unix_micros(F.col("ts")) - 1) / 300000000.0
+                )
+                * 300000000
+            ).cast("long")
+        ).alias("bar_ts")
+    ).distinct()
+    return grid.join(observed, "bar_ts", "left_anti").select(
+        "session_id", "bar_ts"
+    )
+
+
 @q(
     "watermark_filter",
     """
