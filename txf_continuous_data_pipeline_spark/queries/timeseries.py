@@ -244,6 +244,135 @@ WHERE o.bar_ts IS NULL
 """
 
 
+_GAP_STATS_SQL = f"""
+WITH missing AS ({_MISSING_BARS_SQL}),
+runs AS (
+  SELECT session_id, bar_ts,
+         bar_ts - row_number() OVER (PARTITION BY session_id
+                                     ORDER BY bar_ts)
+                  * INTERVAL 5 MINUTE AS grp
+  FROM missing
+),
+islands AS (
+  SELECT session_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY session_id, grp
+)
+SELECT session_id,
+       CAST(sum(run_len) AS BIGINT) AS n_missing,
+       CAST(max(run_len) AS BIGINT) AS longest_gap_bars,
+       CAST(count(*) AS BIGINT) AS n_gap_runs
+FROM islands GROUP BY session_id
+"""
+
+
+@q("session_gap_stats", _GAP_STATS_SQL)
+def session_gap_stats_q(spark, sf_dir):
+    """Triage aggregate over missing_bars_report: per session, how
+    many bars are absent, the LONGEST consecutive run of absent bars
+    (the gaps-and-islands idiom: bar_ts minus 5min x row_number is
+    constant within a run), and the run count - one isolated missing
+    bar reads as feed jitter, a 40-bar run reads as an outage, and
+    Gate 1's pass/fail alone cannot tell them apart. One window + two
+    aggregates over the dimension-sized missing frame."""
+    missing = missing_bars_report_q(spark, sf_dir)
+    w = Window.partitionBy("session_id").orderBy("bar_ts")
+    grp = F.col("bar_ts").cast("long") - F.row_number().over(w) * 300
+    islands = (
+        missing.withColumn("grp", grp)
+        .groupBy("session_id", "grp")
+        .agg(F.count("*").cast("long").alias("run_len"))
+    )
+    return islands.groupBy("session_id").agg(
+        F.sum("run_len").cast("long").alias("n_missing"),
+        F.max("run_len").cast("long").alias("longest_gap_bars"),
+        F.count("*").cast("long").alias("n_gap_runs"),
+    )
+
+
+_VOL_PROFILE_SQL = """
+WITH k AS (
+  SELECT ts, value,
+         CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+  WHERE (ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00')
+     OR (ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00')
+),
+slotted AS (
+  SELECT kind, sess_date, value,
+         strftime(make_timestamp(
+           CAST(floor((epoch_us(ts) - 1) / 300000000.0)
+                * 300000000 AS BIGINT)), '%H:%M') AS slot
+  FROM k WHERE kind IN ('D', 'N')
+),
+per_kind AS (
+  SELECT kind, CAST(count(DISTINCT sess_date) AS BIGINT) AS n_sessions
+  FROM slotted GROUP BY kind
+)
+SELECT s.kind, s.slot,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(count(*) / CAST(p.n_sessions AS DOUBLE), 6)
+         AS events_per_session,
+       round(sum(s.value), 4) AS total_value
+FROM slotted s JOIN per_kind p USING (kind)
+GROUP BY s.kind, s.slot, p.n_sessions
+"""
+
+
+@q("intraday_volume_profile", _VOL_PROFILE_SQL)
+def intraday_volume_profile_q(spark, sf_dir):
+    """The intraday seasonality curve (the open/close U-shape every
+    futures desk charts): per session kind and 5-minute slot
+    time-of-day, total event count, the per-session average (activity
+    normalized by how many sessions contribute to the slot's kind),
+    and summed value. Slots use the same closed-right ts-1us bucket
+    labels as ohlcv_5m, formatted as HH:mm so day and night curves
+    align across dates. One map-side-combined aggregate over a
+    zero-shuffle slot projection + a 2-row broadcast session-count
+    dim."""
+    from ..operators.sessions import split_and_label
+
+    labeled = split_and_label(read_table(spark, sf_dir, "events"))
+    slot_ts = F.timestamp_micros(
+        (
+            F.floor((F.unix_micros(F.col("ts")) - 1) / 300000000.0)
+            * 300000000
+        ).cast("long")
+    )
+    slotted = labeled.select(
+        F.substring_index(F.col("session_id"), "_", -1).alias("kind"),
+        F.substring_index(F.col("session_id"), "_", 1).alias(
+            "sess_date"
+        ),
+        F.date_format(slot_ts, "HH:mm").alias("slot"),
+        "value",
+    ).where(F.col("kind").isin("D", "N"))
+    per_kind = slotted.groupBy("kind").agg(
+        F.countDistinct("sess_date").cast("long").alias("n_sessions")
+    )
+    return (
+        slotted.groupBy("kind", "slot")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("_v"),
+        )
+        .join(F.broadcast(per_kind), "kind")
+        .select(
+            "kind",
+            "slot",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("events_per_session"),
+            F.round("_v", 4).alias("total_value"),
+        )
+    )
+
+
 @q("missing_bars_report", _MISSING_BARS_SQL)
 def missing_bars_report_q(spark, sf_dir):
     """Gate 1's DEBUGGING companion: completeness_gate says a session
