@@ -981,6 +981,88 @@ def session_ohlcv(spark, sf_dir):
     )
 
 
+_CONT_RETURNS_SQL = f"""
+WITH base AS ({_PIPELINE_SQL}),
+r AS (
+  SELECT bar_ts, session_id, close,
+         lag(close) OVER (ORDER BY bar_ts) AS prev_close
+  FROM base
+  WHERE session_id NOT LIKE '%UNKNOWN'
+)
+SELECT bar_ts, session_id, round(close, 4) AS adj_close,
+       CASE WHEN prev_close IS NOT NULL
+                 AND close / prev_close > 0
+            THEN round(ln(close / prev_close), 6) END AS log_return
+FROM r
+"""
+
+
+@q("continuous_returns", _CONT_RETURNS_SQL)
+def continuous_returns_q(spark, sf_dir):
+    """THE reason back-adjustment exists: bar-over-bar log returns on
+    the continuous adjusted series are roll-jump-free (raw closes gap
+    at every contract roll; the accumulated offset removes exactly
+    that gap, so a return computed across a roll measures the market,
+    not the roll). Built on the gated 5-min pipeline output.
+
+    Scale shape vs the oracle: DuckDB lags over ONE global ordering;
+    a global window is the single-task anti-pattern at 100 TB, so the
+    Spark side computes intra-session returns with a
+    SESSION-PARTITIONED lag (parallel) and closes each session's
+    first bar against the previous session's last close via a
+    dimension-sized session summary (one row per session: min_by /
+    max_by closes) lagged on the session level and broadcast back -
+    structurally different plans, value-identical because sessions
+    are time-disjoint (the session_overlap_stats oracle discipline).
+    Guarded ln: a non-positive adjusted ratio yields NULL on both
+    engines instead of engine-specific NaN behavior."""
+    # UNKNOWN-labeled bars (session-boundary bucket artifacts) are a
+    # single pseudo-session spanning every date - they would break the
+    # time-disjoint-sessions equivalence between the oracle's global
+    # lag and the partitioned decomposition, and a return against a
+    # boundary artifact is not a market return anyway
+    bars = (
+        bar_pipeline_5m(spark, sf_dir)
+        .where(
+            F.substring_index(F.col("session_id"), "_", -1)
+            != "UNKNOWN"
+        )
+        .select("bar_ts", "session_id", "close")
+    )
+    w_in = Window.partitionBy("session_id").orderBy("bar_ts")
+    intra = bars.withColumn("prev_close", F.lag("close").over(w_in))
+    ts = F.col("bar_ts")
+    sess = bars.groupBy("session_id").agg(
+        F.min("bar_ts").alias("first_ts"),
+        F.max_by("close", ts).alias("last_close"),
+    )
+    w_s = Window.orderBy("first_ts")  # dimension-sized: one row/session
+    prev_sess = sess.select(
+        "session_id",
+        F.lag("last_close").over(w_s).alias("prev_sess_close"),
+        "first_ts",
+    )
+    out = intra.join(
+        F.broadcast(prev_sess), "session_id"
+    ).withColumn(
+        "prev_close",
+        F.when(
+            F.col("bar_ts") == F.col("first_ts"),
+            F.col("prev_sess_close"),
+        ).otherwise(F.col("prev_close")),
+    )
+    ratio = F.col("close") / F.col("prev_close")
+    return out.select(
+        "bar_ts",
+        "session_id",
+        F.round("close", 4).alias("adj_close"),
+        F.when(
+            F.col("prev_close").isNotNull() & (ratio > 0),
+            F.round(F.log(ratio), 6),
+        ).alias("log_return"),
+    )
+
+
 # Each event lands in width/slide = 2 overlapping windows; the oracle
 # materializes both memberships per row with an unnest.
 _SLIDING_SQL = """
