@@ -1063,6 +1063,40 @@ def continuous_returns_q(spark, sf_dir):
     )
 
 
+_RVOL_SQL = f"""
+WITH cr AS ({_CONT_RETURNS_SQL})
+SELECT session_id,
+       CAST(count(log_return) AS BIGINT) AS n_returns,
+       round(sqrt(sum(log_return * log_return)), 6) AS realized_vol,
+       round(max(abs(log_return)), 6) AS max_abs_return
+FROM cr WHERE log_return IS NOT NULL
+GROUP BY session_id
+"""
+
+
+@q("session_realized_vol", _RVOL_SQL)
+def session_realized_vol_q(spark, sf_dir):
+    """Per-session realized volatility over the continuous adjusted
+    returns (sqrt of the sum of squared 5-min log returns - the
+    standard realized-variance estimator) plus the largest absolute
+    bar return: the risk summary a desk reads off the continuous
+    series, and only meaningful BECAUSE the series is back-adjusted
+    (on raw closes every roll would print as a fake volatility
+    spike). One map-side-combined aggregate over continuous_returns'
+    frame."""
+    cr = continuous_returns_q(spark, sf_dir)
+    lr = F.col("log_return")
+    return (
+        cr.where(lr.isNotNull())
+        .groupBy("session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_returns"),
+            F.round(F.sqrt(F.sum(lr * lr)), 6).alias("realized_vol"),
+            F.round(F.max(F.abs(lr)), 6).alias("max_abs_return"),
+        )
+    )
+
+
 # Each event lands in width/slide = 2 overlapping windows; the oracle
 # materializes both memberships per row with an unnest.
 _SLIDING_SQL = """
