@@ -99,10 +99,15 @@ def main() -> None:
     # bound it (the r5 kmeans_clusters "2x regression" was variance).
     # Top-level fields still describe the LATEST run for readers of the
     # old shape.
+    # BASELINE.md r11 amendment: the regression bar is PER-QUERY
+    # (<= 1.80 s/q, r01's own cost); surface it directly so the bar as
+    # written is the number in the record.
+    per_query = round(total / len(timings), 3) if timings else 0.0
     this_run = {
         "metric": "total_registry_runtime",
         "value": total,
         "unit": "sec",
+        "per_query_sec": per_query,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "n_queries": len(timings),
@@ -148,7 +153,12 @@ def main() -> None:
             payload["omitted"] = omitted
             payload["full_detail"] = "BENCH_DETAIL.json"
         payload.update(
-            sf=sf, unit="sec", metric="total_registry_runtime", value=total
+            sf=sf,
+            unit="sec",
+            metric="total_registry_runtime",
+            value=total,
+            per_query_sec=per_query,
+            n_queries=len(timings),
         )
         return json.dumps(payload, separators=(",", ":"))
 

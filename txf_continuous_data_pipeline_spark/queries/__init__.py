@@ -66,10 +66,10 @@ CORE = [
 # Queries whose SEMANTICS or oracle changed this round: their old
 # green rows certify the old form, so the rotation treats them as
 # never-green until the driver re-verifies the new form (then remove
-# them from the set). r10: knn_label_propagation switched from the
-# broadcast brute-force plan to the IVF-probed equi-join with a
-# probed-cells oracle (VERDICT r9 #1).
-RETRY = frozenset({"knn_label_propagation"})
+# them from the set). r11: empty - knn_label_propagation's IVF-probed
+# form went green in CORRECTNESS_r10, so per the removal rule its slot
+# returns to the stalest-green rotation.
+RETRY: frozenset[str] = frozenset()
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
