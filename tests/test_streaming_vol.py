@@ -1,0 +1,104 @@
+"""Streaming twin of the session_realized_vol risk surface
+(streaming/incremental.realized_vol_ingest_run): per-batch vol rows
+per touched session over the continuous adjusted series, riding the
+Gate-2 bar-ingest loop. Stream's final row per session must equal the
+batch fold of the SAME operators over the same sunk bars, and a full
+replay must append/rewrite nothing."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.adjust import backadjust
+from txf_continuous_data_pipeline_spark.operators.returns import (
+    continuous_log_returns,
+    session_realized_vol,
+)
+from txf_continuous_data_pipeline_spark.operators.sessions import (
+    split_and_label,
+)
+from txf_continuous_data_pipeline_spark.plans.pipeline import (
+    weekly_settle_config,
+)
+from txf_continuous_data_pipeline_spark.sources import read_table
+from txf_continuous_data_pipeline_spark.streaming.incremental import (
+    realized_vol_ingest_run,
+    stage_events_dir,
+)
+
+
+def _tree_hashes(path):
+    out = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, path)] = hashlib.sha256(
+                    fh.read()
+                ).hexdigest()
+    return out
+
+
+def _batch_fold_vol(spark, bars_dir, cfg):
+    """The batch computation over the sunk bars, composed from the
+    exact operators the stream's monitor uses."""
+    stored = spark.read.parquet(bars_dir)
+    adjusted = backadjust(
+        split_and_label(stored, "bar_ts"),
+        cfg,
+        ts_col="bar_ts",
+        end_inclusive=False,
+    ).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+    )
+    return session_realized_vol(continuous_log_returns(adjusted))
+
+
+def test_stream_vol_equals_batch_fold_and_replay_is_noop(
+    spark, sf_dir, tmp_path
+):
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    feed = stage_events_dir(
+        spark, sf_dir, str(tmp_path / "feed"), n_files=4
+    )
+    work = str(tmp_path / "work")
+
+    bars_dir, mon_dir = realized_vol_ingest_run(spark, feed, work, cfg)
+
+    # final monitor row per session = the row from the LAST batch that
+    # touched it (later batches supersede as more bars close)
+    mon = spark.read.parquet(mon_dir)
+    last = mon.groupBy("session_id").agg(
+        F.max("batch_id").alias("batch_id")
+    )
+    final = {
+        (
+            r["session_id"],
+            r["n_returns"],
+            r["realized_vol"],
+            r["max_abs_return"],
+        )
+        for r in mon.join(last, ["session_id", "batch_id"]).collect()
+    }
+    want = {
+        tuple(r) for r in _batch_fold_vol(spark, bars_dir, cfg).collect()
+    }
+    assert final == want and want
+
+    # a session spanning several batches must have been UPDATED (the
+    # monitor is live, not a one-shot report)
+    n_rows = mon.count()
+    n_sessions = mon.select("session_id").distinct().count()
+    assert n_rows > n_sessions, "no session ever updated across batches"
+
+    # full replay over the consumed checkpoint: nothing is appended to
+    # the bar sink and no monitor partition is rewritten
+    before_bars = _tree_hashes(bars_dir)
+    before_mon = _tree_hashes(mon_dir)
+    realized_vol_ingest_run(spark, feed, work, cfg)
+    assert _tree_hashes(bars_dir) == before_bars
+    assert _tree_hashes(mon_dir) == before_mon

@@ -27,9 +27,21 @@ Spark-first replacements, in order of scale:
 derive_accumulated_gap() re-derives accumulated_contract_diff as the
 exclusive prefix sum of next_contract_diff (the invariant at main.py:210)
 instead of trusting stored state.
+
+restate_frame() / restate_adjusted_history() close the reference's
+config-revision blind spot: its sink is append-only behind a watermark
+(Gate 2, main.py:548-558), so a CORRECTED settlement-config row - which
+by the prefix-sum invariant retroactively changes every later contract's
+accumulated offset - silently leaves all already-sunk adjusted bars
+stale. The restatement operator composes pieces the engine already has
+(snapshot_diff on the config dim, the stored per-row
+accumulated_contract_diff, targeted dynamic-partition overwrite) to
+rewrite exactly the affected date partitions and nothing else.
 """
 
 from __future__ import annotations
+
+import datetime as _dt
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -123,6 +135,196 @@ def backadjust_bucketed(
         "left",
     ).drop("_bucket")
     return _apply_shift(joined, bars, cfg, price_cols, start_col, end_col)
+
+
+def restate_frame(
+    sunk: DataFrame,
+    new_cfg: DataFrame,
+    *,
+    ts_col: str = "ts",
+    price_cols: tuple[str, ...] = PRICE_COLS,
+    start_col: str = "start_k",
+    end_col: str = "settle_k",
+    end_inclusive: bool = True,
+) -> DataFrame:
+    """Re-state already-adjusted rows against a REVISED config - the
+    pure-DataFrame core of restate_adjusted_history.
+
+    The sunk frame carries per row exactly the state needed to invert
+    the old adjustment (`accumulated_contract_diff`, the shift that was
+    applied; `contract_year_month`, the label) - so no raw-price source
+    is required: raw = adjusted - stored_diff, then the ordinary
+    backadjust join re-applies the new config. Output = the sunk schema
+    with prices/label/diff re-stated, plus three audit columns:
+    old_accumulated_contract_diff, old_contract_year_month, and
+    `_restated` (true where the revision actually changed the row).
+
+    Float caveat: restating computes fl(fl(adjusted - old) + new); a
+    from-scratch rebuild computes fl(raw + new). For dyadic-rational
+    prices/diffs (market ticks are) the two are bit-identical; for
+    arbitrary doubles they can differ by <=1 ulp.
+    """
+    for required in ("accumulated_contract_diff", "contract_year_month"):
+        if required not in sunk.columns:
+            raise ValueError(
+                f"restate_frame: sunk frame lacks '{required}' - the sink "
+                "must have been written by backadjust (which keeps the "
+                "applied shift on every row) to be restatable"
+            )
+    inverted = sunk.withColumnRenamed(
+        "accumulated_contract_diff", "old_accumulated_contract_diff"
+    ).withColumnRenamed("contract_year_month", "old_contract_year_month")
+    for c in price_cols:
+        inverted = inverted.withColumn(
+            c, F.col(c) - F.col("old_accumulated_contract_diff")
+        )
+    out = backadjust(
+        inverted,
+        new_cfg,
+        ts_col=ts_col,
+        price_cols=price_cols,
+        start_col=start_col,
+        end_col=end_col,
+        end_inclusive=end_inclusive,
+    )
+    return out.withColumn(
+        "_restated",
+        ~F.col("accumulated_contract_diff").eqNullSafe(
+            F.col("old_accumulated_contract_diff")
+        )
+        | ~F.col("contract_year_month").eqNullSafe(
+            F.col("old_contract_year_month")
+        ),
+    )
+
+
+def restate_adjusted_history(
+    spark,
+    sink_path: str,
+    old_cfg: DataFrame,
+    new_cfg: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    price_cols: tuple[str, ...] = PRICE_COLS,
+    start_col: str = "start_k",
+    end_col: str = "settle_k",
+    end_inclusive: bool = True,
+) -> dict:
+    """Targeted restatement of a date-partitioned adjusted-bar sink
+    after a settlement-config revision (the reference's silent blind
+    spot: main.py:210 prefix-sum invariant + main.py:548 append-only
+    gate means a config fix never reaches sunk history).
+
+    Plan - bounded by the revision, never by the sink:
+      1. snapshot_diff on the DERIVED configs (accumulated gap re-run
+         through derive_accumulated_gap on both sides, so a single
+         next_contract_diff edit surfaces every later contract whose
+         prefix sum moved) -> the changed/added/removed intervals;
+      2. affected calendar dates = union of each delta row's old AND
+         new [start, settle] spans -> an explicit `_date IN (...)`
+         partition filter; the sink scan prunes to those directories;
+      3. restate_frame inverts the stored shift and re-adjusts against
+         the new config (broadcast range join - config is a dim);
+      4. dynamic-partition overwrite of ONLY the partitions holding a
+         row the revision actually changed; untouched partitions are
+         never opened for write, so they stay byte-identical, and a
+         re-run finds zero changed rows and writes nothing
+         (idempotent).
+
+    Returns {"restated_rows", "rewritten_partitions", "config_changes",
+    "scanned_partitions"}.
+
+    At 100 TB: the config dim is driver-sized (collect of the delta is
+    rows-per-contract-month), the scan is partition-pruned to the
+    revision's date span, and the rewrite set is further narrowed to
+    partitions with an actual change - a one-contract fix on a decade
+    of history rewrites ~one month of directories.
+    """
+    from .profiling import snapshot_diff
+
+    def _derived(cfg: DataFrame) -> DataFrame:
+        if "accumulated_contract_diff" in cfg.columns:
+            cfg = cfg.drop("accumulated_contract_diff")
+        return derive_accumulated_gap(cfg)
+
+    old_d, new_d = _derived(old_cfg), _derived(new_cfg)
+    delta = snapshot_diff(
+        old_d,
+        new_d,
+        key_cols=["contract_year_month"],
+        compare_cols=[start_col, end_col, "accumulated_contract_diff"],
+    ).collect()
+    stats = {
+        "restated_rows": 0,
+        "rewritten_partitions": 0,
+        "config_changes": len(delta),
+        "scanned_partitions": 0,
+    }
+    if not delta:
+        return stats
+
+    dates: set = set()
+    for r in delta:
+        for s, e in (
+            (r[f"old_{start_col}"], r[f"old_{end_col}"]),
+            (r[f"new_{start_col}"], r[f"new_{end_col}"]),
+        ):
+            if s is None or e is None:
+                continue
+            d = s.date()
+            while d <= e.date():
+                dates.add(d)
+                d += _dt.timedelta(days=1)
+    stats["scanned_partitions"] = len(dates)
+
+    sink = spark.read.parquet(sink_path)
+    affected = sink.where(F.col("_date").isin(sorted(dates)))
+    restated = restate_frame(
+        affected,
+        new_d,
+        ts_col=ts_col,
+        price_cols=price_cols,
+        start_col=start_col,
+        end_col=end_col,
+        end_inclusive=end_inclusive,
+    ).persist()
+    try:
+        changed_dates = [
+            r["_date"]
+            for r in restated.where("_restated")
+            .select("_date")
+            .distinct()
+            .collect()
+        ]
+        stats["restated_rows"] = restated.where("_restated").count()
+        stats["rewritten_partitions"] = len(changed_dates)
+        if not changed_dates:
+            return stats
+        out = (
+            restated.where(F.col("_date").isin(changed_dates))
+            .drop(
+                "_restated",
+                "old_accumulated_contract_diff",
+                "old_contract_year_month",
+            )
+            .select(*sink.columns)
+            .sortWithinPartitions("_date", ts_col)
+            # cut lineage: the overwrite targets the same files the
+            # plan reads (the upsert_date_partitioned discipline)
+            .localCheckpoint(eager=True)
+        )
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("_date").parquet(
+                sink_path
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+    finally:
+        restated.unpersist()
+    return stats
 
 
 def _apply_shift(joined, bars, cfg, price_cols, start_col, end_col):

@@ -1,0 +1,93 @@
+"""Continuous-series returns + realized-volatility aggregates over the
+back-adjusted bar stream - THE consumer back-adjustment exists for
+(raw closes gap at every contract roll; the accumulated offset removes
+exactly that gap, so a return computed across a roll measures the
+market, not the roll; reference invariant at main.py:210).
+
+Factored out of queries/timeseries (r11) so the streaming monitor
+(streaming/incremental.realized_vol_ingest_run) and the batch queries
+(continuous_returns / session_realized_vol) share ONE definition - the
+stream==batch pytest is then an identity over the same frame, not two
+parallel implementations that could drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def continuous_log_returns(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    close_col: str = "close",
+) -> DataFrame:
+    """Bar-over-bar log returns on the continuous adjusted series.
+
+    Scale shape (vs a single global lag, the one-task anti-pattern at
+    100 TB): intra-session returns use a SESSION-PARTITIONED lag
+    (parallel across sessions); each session's first bar closes against
+    the previous session's last close via a DIMENSION-SIZED session
+    summary (one row per session) lagged on the session level and
+    broadcast back. Value-identical to the global lag because sessions
+    are time-disjoint. Guarded ln: a non-positive ratio yields NULL.
+
+    Output: (ts_col, session_col, adj_close, log_return) with the same
+    rounding the oracle pins (close 4dp, return 6dp).
+    """
+    bars = bars.select(ts_col, session_col, close_col)
+    w_in = Window.partitionBy(session_col).orderBy(ts_col)
+    intra = bars.withColumn(
+        "prev_close", F.lag(close_col).over(w_in)
+    )
+    ts = F.col(ts_col)
+    sess = bars.groupBy(session_col).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.max_by(close_col, ts).alias("last_close"),
+    )
+    w_s = Window.orderBy("first_ts")  # dimension-sized: one row/session
+    prev_sess = sess.select(
+        session_col,
+        F.lag("last_close").over(w_s).alias("prev_sess_close"),
+        "first_ts",
+    )
+    out = intra.join(F.broadcast(prev_sess), session_col).withColumn(
+        "prev_close",
+        F.when(
+            F.col(ts_col) == F.col("first_ts"),
+            F.col("prev_sess_close"),
+        ).otherwise(F.col("prev_close")),
+    )
+    ratio = F.col(close_col) / F.col("prev_close")
+    return out.select(
+        ts_col,
+        session_col,
+        F.round(close_col, 4).alias("adj_close"),
+        F.when(
+            F.col("prev_close").isNotNull() & (ratio > 0),
+            F.round(F.log(ratio), 6),
+        ).alias("log_return"),
+    )
+
+
+def session_realized_vol(
+    returns: DataFrame,
+    *,
+    session_col: str = "session_id",
+    return_col: str = "log_return",
+) -> DataFrame:
+    """Per-session realized volatility (sqrt of the sum of squared log
+    returns - the standard realized-variance estimator) plus the
+    largest absolute bar return. One map-side-combined aggregate."""
+    lr = F.col(return_col)
+    return (
+        returns.where(lr.isNotNull())
+        .groupBy(session_col)
+        .agg(
+            F.count("*").cast("long").alias("n_returns"),
+            F.round(F.sqrt(F.sum(lr * lr)), 6).alias("realized_vol"),
+            F.round(F.max(F.abs(lr)), 6).alias("max_abs_return"),
+        )
+    )

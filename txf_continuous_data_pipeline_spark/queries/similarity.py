@@ -982,155 +982,16 @@ _IVFPQ_INDEX_CACHE: dict = {}
 
 def _publish_shared_index(spark, path: str, build) -> None:
     """Build-once, publish-atomically protocol for an on-disk index
-    SHARED across sessions (ADVICE r7/r8; factored out in r10 so the
-    appended-index path reuses it instead of rebuilding per session):
-    `build(staging)` writes the complete index into a
-    per-applicationId staging dir, which is atomically renamed to
-    `path` under an O_EXCL lock. A completed index (parquet's _SUCCESS
-    marker at the root) is NEVER rewritten, so no session can delete
-    partition files out from under another session's pruned scan; the
-    rename loser just discards its staging copy and reads the
-    winner's. No-op if `path` is already published."""
-    import os
-    import re
-    import shutil
+    SHARED across sessions (ADVICE r7/r8): delegate to the factored
+    operators/similarity.publish_index (r11 - the retrain path needed
+    the same lock+rename machinery with replace=True, so the protocol
+    now lives once, operator-side). Semantics unchanged: `build(staging)`
+    writes the complete index into a per-applicationId staging dir,
+    atomically renamed to `path` under the O_EXCL ownership-token lock;
+    a published index (_SUCCESS at the root) is never rewritten."""
+    from ..operators.similarity import publish_index
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
-    app = re.sub(
-        r"[^A-Za-z0-9_-]", "_",
-        spark.sparkContext.applicationId,
-    )
-    staging = f"{path}_stage_{app}"
-    build(staging)
-    # Publish under an O_EXCL lock (ADVICE r8 TOCTOU): the
-    # check-then-rmtree of a crashed session's leftover and
-    # the atomic rename must be ONE critical section, or a
-    # concurrent session's just-renamed complete index could
-    # be rmtree'd out from under its readers. A lock older
-    # than 60s is a crashed holder and is broken. Losing the
-    # lock (or finding _SUCCESS inside it) discards staging
-    # and reads the winner's index.
-    lock = path + ".lock"
-    import time as _time
-
-    # Ownership token written INTO the lock file: entering the
-    # critical section requires YOUR token to be in the slot
-    # right before entry, and release removes the lock only if
-    # it still holds your token - so a steal can never lead to
-    # one session deleting another LIVE session's lock, and a
-    # robbed holder detects the theft and backs off instead of
-    # publishing concurrently. Residual assumption (inherent
-    # to any mtime-staleness break): a holder that stalls >60s
-    # INSIDE the critical section can still be broken - the
-    # _SUCCESS re-check inside bounds that blast radius.
-    token = f"{os.getpid()}.{_time.time_ns()}".encode()
-
-    def _slot_token():
-        try:
-            with open(lock, "rb") as fh:
-                return fh.read()
-        except OSError:
-            return None
-
-    acquired = False
-    deadline = _time.time() + 60
-    while _time.time() < deadline:
-        try:
-            fd = os.open(
-                lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-            os.write(fd, token)
-            os.close(fd)
-        except FileExistsError:
-            try:
-                st = os.stat(lock)
-            except OSError:
-                continue
-            if _time.time() - st.st_mtime > 60:
-                # Break a stale lock by RENAME (atomic, one
-                # winner among concurrent breakers), then
-                # re-verify staleness on the stolen file: a
-                # fresh lock stolen in the stat->rename window
-                # is restored into the (still-empty) slot via
-                # link; its holder's token-verify below covers
-                # the case where the slot was re-taken first.
-                steal = (
-                    f"{lock}.stale.{os.getpid()}"
-                    f".{_time.time_ns()}"
-                )
-                try:
-                    os.rename(lock, steal)
-                except OSError:
-                    continue  # another breaker won; re-loop
-                try:
-                    if (
-                        _time.time() - os.path.getmtime(steal)
-                        > 60
-                    ):
-                        os.remove(steal)  # confirmed stale
-                    else:
-                        try:
-                            os.link(steal, lock)
-                        except OSError:
-                            pass
-                        os.remove(steal)
-                except OSError:
-                    pass
-                continue
-            _time.sleep(0.1)
-            continue
-        # created the file; verify the slot still holds OUR
-        # token (a breaker may have stolen it between write
-        # and now)
-        if _slot_token() == token:
-            acquired = True
-        break
-    if acquired:
-        try:
-            if not os.path.exists(
-                os.path.join(path, "_SUCCESS")
-            ):
-                # leftover from a crashed pre-rename-era
-                # session - never a live reader
-                shutil.rmtree(path, ignore_errors=True)
-                try:
-                    os.rename(staging, path)
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-            else:
-                shutil.rmtree(staging, ignore_errors=True)
-        finally:
-            if _slot_token() == token:
-                try:
-                    os.remove(lock)
-                except OSError:
-                    pass
-    else:
-        # could not acquire within the stale budget (or our
-        # fresh lock was stolen): treat the other session as
-        # the winner-in-progress and discard staging
-        shutil.rmtree(staging, ignore_errors=True)
-    # Publish-confirmation gate (ADVICE r9): never cache a
-    # path whose _SUCCESS never appears - a presumed winner
-    # that stalled or died inside its critical section would
-    # otherwise pin a missing/partial index for the whole app
-    # lifetime. Poll briefly (the winner is mid-rename, so
-    # normally instant), then raise LOUDLY: the caller retries
-    # a fresh build instead of reading torn parquet.
-    success = os.path.join(path, "_SUCCESS")
-    wait_until = _time.time() + 30
-    while (
-        not os.path.exists(success)
-        and _time.time() < wait_until
-    ):
-        _time.sleep(0.25)
-    if not os.path.exists(success):
-        raise RuntimeError(
-            f"IVFPQ index publish did not complete: {success} "
-            "absent 30s after the lock window - presumed "
-            "winner crashed mid-publish; retry the build"
-        )
+    publish_index(spark, path, build, replace=False)
 
 
 def _ivfpq_index_path(spark, sf_dir):

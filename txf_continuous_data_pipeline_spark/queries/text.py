@@ -1797,6 +1797,78 @@ def bpe_pair_counts_q(spark, sf_dir):
     )
 
 
+def _bpe_unroll_sql(n_merges: int = 10) -> str:
+    """Fixed-iteration SQL unroll of the BPE trainer (the r10
+    kmeans/pagerank discipline extended to a tokenizer trainer, VERDICT
+    r10 #2): each merge step is one pair-count CTE + one argmax CTE +
+    one fold-merge CTE, every iteration CTE AS MATERIALIZED (DuckDB
+    otherwise re-executes the chain EXPONENTIALLY in step count).
+
+    The fold-merge - greedy left-to-right non-overlapping replacement
+    of adjacent (l, r) with l||r - runs in list_reduce with a STRING
+    accumulator: output symbols joined by chr(31), and "merge" is
+    simply appending r WITHOUT a separator whenever the accumulator's
+    last symbol equals l (a just-merged symbol l||r can never equal l,
+    so the non-overlap rule needs no extra state; proof in the
+    operator's pytest differential). chr(31) never occurs inside a
+    whitespace token of the corpus - a unit separator in the text would
+    break only the ORACLE, loudly, as a hash mismatch.
+
+    Early stop: the argmax CTE keeps only pairs with n >= 2 (the
+    trainer's break condition); an empty argmax empties every later
+    vocab CTE, so post-stop steps contribute no rows - the UNION of
+    argmax rows IS the merge table."""
+    sep = "chr(31)"
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(tok, ''),
+                     x -> len(x) > 0) AS _sym,
+         count(*)::BIGINT AS _w
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT list_extract(_sym, i) AS l, list_extract(_sym, i + 1) AS r,
+         sum(_w)::BIGINT AS n
+  FROM v{k}, unnest(range(1, len(_sym))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT l, r, n FROM p{k} WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1
+)"""
+        )
+        if k < n_merges - 1:
+            ctes.append(
+                f"""v{k + 1} AS MATERIALIZED (
+  SELECT string_split(
+           list_reduce(_sym, (acc, x) -> CASE
+             WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
+                  AND x = b.r
+             THEN acc || x
+             ELSE acc || {sep} || x END),
+           {sep}) AS _sym,
+         _w
+  FROM v{k}, b{k} b
+)"""
+            )
+    union = "\nUNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, n FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
 # Per-corpus cache of the 10 trained merge rules (a kilobyte-sized
 # driver artifact, like the minhash index / shingle caches above): the
 # iterative trainer runs once per corpus per session even when both BPE
@@ -1815,15 +1887,17 @@ def _trained_merges(spark, sf_dir, n_merges: int = 10):
     return _BPE_MERGES_CACHE[key]
 
 
-@q("bpe_merge_rules", None)
+@q("bpe_merge_rules", _bpe_unroll_sql(10))
 def bpe_merge_rules_q(spark, sf_dir):
     """Ten BPE merge rules trained on the corpus (the iterative loop
     over bpe_pair_counts' statistic: argmax pair -> merge -> recount).
-    Iterative with a driver-side scalar per step -> no SQL oracle
-    (rows-only, like kmeans_clusters); the merge sequence is pinned
-    exactly by the pure-Python differential in tests/test_packing.py.
-    Corpus-sized work is ONE token groupBy; every iteration touches
-    only the distinct-token vocabulary."""
+    Oracle-paired since r11 via the fixed-iteration CTE unroll
+    (_bpe_unroll_sql - each merge is one pair-count + argmax +
+    fold-merge MATERIALIZED CTE triple, the kmeans/pagerank unroll
+    discipline); the merge sequence is ALSO pinned exactly by the
+    pure-Python differential in tests/test_packing.py. Corpus-sized
+    work is ONE token groupBy; every iteration touches only the
+    distinct-token vocabulary."""
     merges = _trained_merges(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, n long"

@@ -528,6 +528,84 @@ def backadjust_rangejoin(spark, sf_dir):
     )
 
 
+_RESTATE_SQL = f"""
+WITH {_CFG_CTE},
+cfg2 AS (
+  SELECT strftime(start_k, '%Y%m%d') AS contract_year_month,
+         coalesce(sum(rn * 10.0 + CASE WHEN rn = 3 THEN 5.0 ELSE 0.0 END)
+             OVER (ORDER BY start_k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS new_acc
+  FROM numbered
+)
+SELECT c.contract_year_month,
+       round(c.accumulated_contract_diff, 6) AS old_diff,
+       round(n.new_acc, 6)                   AS new_diff,
+       round(n.new_acc - c.accumulated_contract_diff, 6) AS shift_delta,
+       count(*) AS restated_rows
+FROM cfg c
+JOIN cfg2 n USING (contract_year_month)
+JOIN events e ON date_trunc('week', e.ts) = c.start_k
+WHERE n.new_acc <> c.accumulated_contract_diff
+GROUP BY 1, 2, 3, 4
+ORDER BY contract_year_month
+"""
+# Same oracle-join note as _BACKADJUST_SQL: the weekly intervals tile
+# calendar weeks exactly, so the equi form is provably the interval join.
+
+
+@q("restate_impact_report", _RESTATE_SQL)
+def restate_impact_report_q(spark, sf_dir):
+    """Config-revision restatement impact - the reference's silent
+    blind spot (main.py:210 prefix-sum invariant + main.py:548
+    append-only Gate 2: a corrected settlement row never reaches sunk
+    adjusted history). Scenario: the 3rd weekly contract's roll gap is
+    revised +5; by the invariant every LATER contract's accumulated
+    offset moves. restate_frame (operators/adjust.py) inverts the
+    stored shift per row and re-adjusts against the revised config;
+    the report is the per-contract blast radius: old/new offset, the
+    shift applied, and how many sunk rows were restated. The on-disk
+    twin (targeted partition rewrite) is restate_adjusted_history,
+    pinned by tests/test_restatement.py."""
+    from ..operators.adjust import derive_accumulated_gap, restate_frame
+
+    events = read_table(spark, sf_dir, "events")
+    cfg_old = weekly_settle_config(events)
+    cfg_new = derive_accumulated_gap(
+        cfg_old.drop("accumulated_contract_diff").withColumn(
+            "next_contract_diff",
+            F.col("next_contract_diff")
+            + F.when(F.col("next_contract_diff") == 30.0, 5.0).otherwise(
+                0.0
+            ),
+        )
+    )
+    bars = events.select(
+        "event_id", "ts", F.col("value").alias("value_adj")
+    )
+    sunk = backadjust(
+        bars, cfg_old, ts_col="ts", price_cols=("value_adj",),
+        end_inclusive=False,
+    )
+    restated = restate_frame(
+        sunk, cfg_new, ts_col="ts", price_cols=("value_adj",),
+        end_inclusive=False,
+    )
+    diff_new = F.col("accumulated_contract_diff")
+    diff_old = F.col("old_accumulated_contract_diff")
+    return (
+        restated.where(F.col("_restated"))
+        .groupBy("contract_year_month")
+        .agg(
+            F.round(F.min(diff_old), 6).alias("old_diff"),
+            F.round(F.min(diff_new), 6).alias("new_diff"),
+            F.round(F.min(diff_new - diff_old), 6).alias("shift_delta"),
+            F.count("*").alias("restated_rows"),
+        )
+        .orderBy("contract_year_month")
+    )
+
+
 _PIPELINE_SQL = f"""
 WITH {_CFG_CTE},
 bars AS (
@@ -1020,47 +1098,15 @@ def continuous_returns_q(spark, sf_dir):
     # single pseudo-session spanning every date - they would break the
     # time-disjoint-sessions equivalence between the oracle's global
     # lag and the partitioned decomposition, and a return against a
-    # boundary artifact is not a market return anyway
-    bars = (
-        bar_pipeline_5m(spark, sf_dir)
-        .where(
-            F.substring_index(F.col("session_id"), "_", -1)
-            != "UNKNOWN"
-        )
-        .select("bar_ts", "session_id", "close")
+    # boundary artifact is not a market return anyway.
+    # The return computation itself lives in operators/returns.py
+    # (r11: shared with the streaming realized-vol monitor).
+    from ..operators.returns import continuous_log_returns
+
+    bars = bar_pipeline_5m(spark, sf_dir).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
     )
-    w_in = Window.partitionBy("session_id").orderBy("bar_ts")
-    intra = bars.withColumn("prev_close", F.lag("close").over(w_in))
-    ts = F.col("bar_ts")
-    sess = bars.groupBy("session_id").agg(
-        F.min("bar_ts").alias("first_ts"),
-        F.max_by("close", ts).alias("last_close"),
-    )
-    w_s = Window.orderBy("first_ts")  # dimension-sized: one row/session
-    prev_sess = sess.select(
-        "session_id",
-        F.lag("last_close").over(w_s).alias("prev_sess_close"),
-        "first_ts",
-    )
-    out = intra.join(
-        F.broadcast(prev_sess), "session_id"
-    ).withColumn(
-        "prev_close",
-        F.when(
-            F.col("bar_ts") == F.col("first_ts"),
-            F.col("prev_sess_close"),
-        ).otherwise(F.col("prev_close")),
-    )
-    ratio = F.col("close") / F.col("prev_close")
-    return out.select(
-        "bar_ts",
-        "session_id",
-        F.round("close", 4).alias("adj_close"),
-        F.when(
-            F.col("prev_close").isNotNull() & (ratio > 0),
-            F.round(F.log(ratio), 6),
-        ).alias("log_return"),
-    )
+    return continuous_log_returns(bars)
 
 
 _RVOL_SQL = f"""
@@ -1084,17 +1130,9 @@ def session_realized_vol_q(spark, sf_dir):
     (on raw closes every roll would print as a fake volatility
     spike). One map-side-combined aggregate over continuous_returns'
     frame."""
-    cr = continuous_returns_q(spark, sf_dir)
-    lr = F.col("log_return")
-    return (
-        cr.where(lr.isNotNull())
-        .groupBy("session_id")
-        .agg(
-            F.count("*").cast("long").alias("n_returns"),
-            F.round(F.sqrt(F.sum(lr * lr)), 6).alias("realized_vol"),
-            F.round(F.max(F.abs(lr)), 6).alias("max_abs_return"),
-        )
-    )
+    from ..operators.returns import session_realized_vol
+
+    return session_realized_vol(continuous_returns_q(spark, sf_dir))
 
 
 # Each event lands in width/slide = 2 overlapping windows; the oracle

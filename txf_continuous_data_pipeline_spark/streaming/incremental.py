@@ -1592,6 +1592,114 @@ def ivfpq_index_ingest_run(
     return index_dir, monitor_dir
 
 
+def realized_vol_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    config: DataFrame,
+    *,
+    width: str = "5 minutes",
+    delay: str = "10 minutes",
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Streaming twin of the session_realized_vol risk surface
+    (VERDICT r10 #7): the bar-ingest loop (available_now_bar_stream's
+    watermarked OHLCV + Gate-2 idempotent bar sink) extended with a
+    per-batch realized-volatility monitor - a desk watches the vol of
+    the continuous adjusted series update as sessions close, instead
+    of waiting for the nightly batch.
+
+    Each micro-batch of CLOSED bars (the event-time watermark upstream
+    is ST2: an open bar never exits streaming_ohlcv):
+      1. appends to bars/ via gated_idempotent_sink (replay appends 0);
+      2. labels the batch's bars to find the sessions it TOUCHED;
+      3. recomputes session_realized_vol over the sunk bar series
+         (label -> back-adjust against the static config dimension ->
+         UNKNOWN filter -> operators/returns.continuous_log_returns,
+         the SAME functions the batch query composes) restricted to
+         the touched sessions, and overwrites monitor/batch=<id>.
+
+    A session's monitor row therefore updates with every batch that
+    closes more of its bars; the row written by the LAST batch touching
+    a session is its complete vol, equal to the batch fold over the
+    same sunk bars (pytest-pinned). Exactly-once: the bar sink is
+    watermark-gated and the monitor partition is overwritten per batch
+    over a sink snapshot a replay reproduces, so redelivery rewrites
+    identical bytes instead of double-appending.
+
+    Cost posture: the recompute reads the whole bar sink per batch -
+    bar grain is ~1/300th of tick grain and the returns decomposition
+    is session-parallel, so this is the web_funnel exact-mode class of
+    cost (compactable; the O(batch) form would persist per-session
+    (sum_sq, count, max, boundary closes) partials and merge - the
+    documented next step if bar history itself reaches fact scale).
+
+    Returns (bars_dir, monitor_dir)."""
+    from ..operators.adjust import backadjust
+    from ..operators.returns import (
+        continuous_log_returns,
+        session_realized_vol,
+    )
+    from ..operators.sessions import split_and_label
+
+    bars_dir = os.path.join(work_dir, "bars")
+    monitor_dir = os.path.join(work_dir, "monitor")
+    gate = gated_idempotent_sink(bars_dir, ts_col="bar_ts")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        gate(batch, batch_id)
+        touched = [
+            r["session_id"]
+            for r in split_and_label(batch, "bar_ts")
+            .select("session_id")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return
+        stored = sess.read.parquet(bars_dir)
+        adjusted = backadjust(
+            split_and_label(stored, "bar_ts"),
+            config,
+            ts_col="bar_ts",
+            end_inclusive=False,
+        ).where(
+            F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+        )
+        vol = (
+            session_realized_vol(continuous_log_returns(adjusted))
+            .where(F.col("session_id").isin(touched))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        vol.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(monitor_dir, f"batch={batch_id}")
+        )
+
+    bars = streaming_ohlcv(
+        stream_events(spark, feed_dir, max_files_per_trigger=1),
+        width=width,
+        delay=delay,
+    )
+    q = (
+        bars.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "ckpt")
+        )
+        .foreachBatch(_ingest)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"realized vol ingest exceeded {timeout_s}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return bars_dir, monitor_dir
+
+
 def budgeted_ingest_run(
     spark: SparkSession,
     feed_dir: str,
