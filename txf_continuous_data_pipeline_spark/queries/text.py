@@ -1797,31 +1797,37 @@ def bpe_pair_counts_q(spark, sf_dir):
     )
 
 
-def _bpe_unroll_sql(n_merges: int = 10) -> str:
-    """Fixed-iteration SQL unroll of the BPE trainer (the r10
-    kmeans/pagerank discipline extended to a tokenizer trainer, VERDICT
-    r10 #2): each merge step is one pair-count CTE + one argmax CTE +
-    one fold-merge CTE, every iteration CTE AS MATERIALIZED (DuckDB
+def _bpe_vocab_ctes(n_merges: int) -> str:
+    """Shared CTE chain of the BPE trainer unroll (the r10
+    kmeans/pagerank discipline extended to tokenizer trainers, VERDICT
+    r10 #2): per merge step one pair-count CTE + one argmax CTE + one
+    fold-merge CTE, every iteration CTE AS MATERIALIZED (DuckDB
     otherwise re-executes the chain EXPONENTIALLY in step count).
+    v{n_merges} is the FINAL vocab, keyed by the original token, so
+    encode-side consumers (bpe_token_counts) read per-token lengths
+    off the same chain the merge table comes from.
 
     The fold-merge - greedy left-to-right non-overlapping replacement
     of adjacent (l, r) with l||r - runs in list_reduce with a STRING
     accumulator: output symbols joined by chr(31), and "merge" is
     simply appending r WITHOUT a separator whenever the accumulator's
     last symbol equals l (a just-merged symbol l||r can never equal l,
-    so the non-overlap rule needs no extra state; proof in the
-    operator's pytest differential). chr(31) never occurs inside a
-    whitespace token of the corpus - a unit separator in the text would
-    break only the ORACLE, loudly, as a hash mismatch.
+    so the non-overlap rule needs no extra state; the semantics are
+    pinned by tests/test_packing.py's pure-Python differential).
+    chr(31) never occurs inside a whitespace token of the corpus - a
+    unit separator in the text would break only the ORACLE, loudly, as
+    a hash mismatch.
 
     Early stop: the argmax CTE keeps only pairs with n >= 2 (the
-    trainer's break condition); an empty argmax empties every later
-    vocab CTE, so post-stop steps contribute no rows - the UNION of
-    argmax rows IS the merge table."""
+    trainer's break condition); the fold LEFT-JOINs its argmax so an
+    empty step FREEZES the vocab (matching the trainer's break)
+    instead of emptying it, and every post-stop argmax stays empty
+    because the pair counts are unchanged."""
     sep = "chr(31)"
     ctes = [
         f"""v0 AS MATERIALIZED (
-  SELECT list_filter(string_split_regex(tok, ''),
+  SELECT tok,
+         list_filter(string_split_regex(tok, ''),
                      x -> len(x) > 0) AS _sym,
          count(*)::BIGINT AS _w
   FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
@@ -1843,20 +1849,26 @@ def _bpe_unroll_sql(n_merges: int = 10) -> str:
   SELECT l, r, n FROM p{k} WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1
 )"""
         )
-        if k < n_merges - 1:
-            ctes.append(
-                f"""v{k + 1} AS MATERIALIZED (
-  SELECT string_split(
-           list_reduce(_sym, (acc, x) -> CASE
-             WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
-                  AND x = b.r
-             THEN acc || x
-             ELSE acc || {sep} || x END),
-           {sep}) AS _sym,
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+  SELECT tok,
+         CASE WHEN b.l IS NULL THEN _sym
+              ELSE string_split(
+                list_reduce(_sym, (acc, x) -> CASE
+                  WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
+                       AND x = b.r
+                  THEN acc || x
+                  ELSE acc || {sep} || x END),
+                {sep}) END AS _sym,
          _w
-  FROM v{k}, b{k} b
+  FROM v{k} LEFT JOIN b{k} b ON TRUE
 )"""
-            )
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_unroll_sql(n_merges: int = 10) -> str:
+    """bpe_merge_rules' oracle: the merge table off _bpe_vocab_ctes."""
     union = "\nUNION ALL ".join(
         f'SELECT {k} AS step, l AS "left", r AS "right", '
         f"l || r AS merged, n FROM b{k}"
@@ -1864,8 +1876,37 @@ def _bpe_unroll_sql(n_merges: int = 10) -> str:
     )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _bpe_vocab_ctes(n_merges)
         + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
+def _bpe_counts_sql(n_merges: int = 10) -> str:
+    """bpe_token_counts' oracle: the encode replay IS the final vocab
+    of the trainer chain - per corpus-distinct token, the trained
+    symbol count is len(_sym) in v{n_merges} (the vocab-amortization
+    the Spark operator uses, expressed as a CTE join instead of an
+    Arrow stage); per-doc totals are one (doc, token) aggregate joined
+    back. Docs with no words emit (0, 0) via the LEFT JOIN, exactly
+    like the operator's final left join."""
+    return (
+        "WITH "
+        + _bpe_vocab_ctes(n_merges)
+        + f""",
+perdoc AS MATERIALIZED (
+  SELECT doc_id, tok, count(*)::BIGINT AS _n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+)
+SELECT d.doc_id,
+       coalesce(sum(p._n), 0)::BIGINT AS n_words,
+       coalesce(sum(p._n * len(v._sym)), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+LEFT JOIN v{n_merges} v ON v.tok = p.tok
+GROUP BY d.doc_id
+"""
     )
 
 
@@ -1904,16 +1945,17 @@ def bpe_merge_rules_q(spark, sf_dir):
     )
 
 
-@q("bpe_token_counts", None)
+@q("bpe_token_counts", _bpe_counts_sql(10))
 def bpe_token_counts_q(spark, sf_dir):
     """Corpus tokenized with the TRAINED tokenizer: per-document word
     and BPE-token counts after replaying the 10 learned merges - the
     token accounting a mixture/budget planner runs (budgets are
-    tokenizer tokens, not whitespace words). Downstream of an iterative
-    trainer -> rows-only, like bpe_merge_rules; the encoder itself is
-    pinned exactly by the pure-Python differential in
-    tests/test_packing.py (counts + the never-grows/zero-merge
-    properties)."""
+    tokenizer tokens, not whitespace words). Oracle-paired since r11:
+    the unrolled trainer chain's FINAL vocab carries per-token encoded
+    lengths (_bpe_counts_sql), so the oracle replays training AND
+    encoding in one CTE pipeline; the encoder is ALSO pinned by the
+    pure-Python differential in tests/test_packing.py (counts + the
+    never-grows/zero-merge properties)."""
     from ..operators.textstats import bpe_encode_counts
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1939,10 +1981,16 @@ def _trained_byte_merges(spark, sf_dir, n_merges: int = 10):
 def byte_bpe_merge_rules_q(spark, sf_dir):
     """Ten BYTE-LEVEL BPE merges (GPT-2 shape: regex pre-tokenization,
     UTF-8 byte alphabet as hex-pair symbols) - bpe_merge_rules' byte
-    twin, sharing the alphabet-agnostic merge loop. Iterative ->
-    rows-only; the exact merge sequence (incl. multi-byte UTF-8 and
-    contraction pretokens) is pinned by the pure-Python byte-level
-    differential in tests/test_packing.py."""
+    twin, sharing the alphabet-agnostic merge loop. Stays rows-only
+    even after the r11 unroll thesis landed for the word-level family:
+    the merge LOOP would unroll fine (_bpe_vocab_ctes is alphabet-
+    agnostic), but the GPT-2 pretokenizer regex contains a negative
+    lookahead (\\s+(?!\\S)) that DuckDB's RE2 engine cannot express,
+    so the oracle could never reproduce the exact pretoken split the
+    Spark side (Java regex) trains on. The exact merge sequence (incl.
+    multi-byte UTF-8 and contraction pretokens) is pinned instead by
+    the pure-Python byte-level differential in tests/test_packing.py
+    (Python re supports the lookahead; DuckDB does not)."""
     merges = _trained_byte_merges(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, n long"
@@ -3096,16 +3144,97 @@ def _trained_wordpiece(spark, sf_dir, n_merges: int = 10):
     return _WORDPIECE_CACHE[key]
 
 
-@q("wordpiece_merge_rules", None)
+def _wordpiece_unroll_sql(n_merges: int = 10) -> str:
+    """Fixed-iteration SQL unroll of the WordPiece trainer - the
+    _bpe_unroll_sql discipline with two deltas per step: a per-step
+    symbol-count CTE feeding the likelihood-gain score
+    n / (count(l) * count(r)) (argmax on score, (l, r) tie-break; the
+    score is an exact-integer ratio computed in DOUBLE identically on
+    both engines, so ordering cannot diverge), and the merged symbol
+    dissolves the right piece's '##' continuation marker
+    (_wp_merge's HuggingFace convention) - in the string-accumulator
+    fold that means appending strip(r) instead of r. Early stop: the
+    argmax CTE requires n >= 2; an empty argmax empties all later
+    vocab CTEs."""
+    sep = "chr(31)"
+    strip_r = "(CASE WHEN b.r LIKE '##%' THEN b.r[3:] ELSE b.r END)"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT [CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END
+          FOR i IN range(1, len(cs) + 1)] AS _sym, _w
+  FROM (
+    SELECT list_filter(string_split_regex(tok, ''),
+                       x -> len(x) > 0) AS cs,
+           count(*)::BIGINT AS _w
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+  )
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT _s, sum(_w)::BIGINT AS _cnt
+  FROM (SELECT unnest(_sym) AS _s, _w FROM w{k}) GROUP BY _s
+)"""
+        )
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT list_extract(_sym, i) AS l, list_extract(_sym, i + 1) AS r,
+         sum(_w)::BIGINT AS n
+  FROM w{k}, unnest(range(1, len(_sym))) AS t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT p.l, p.r, p.n
+  FROM p{k} p
+  JOIN s{k} sl ON sl._s = p.l
+  JOIN s{k} sr ON sr._s = p.r
+  WHERE p.n >= 2
+  ORDER BY p.n::DOUBLE / (sl._cnt::DOUBLE * sr._cnt::DOUBLE) DESC,
+           p.l, p.r
+  LIMIT 1
+)"""
+        )
+        if k < n_merges - 1:
+            ctes.append(
+                f"""w{k + 1} AS MATERIALIZED (
+  SELECT string_split(
+           list_reduce(_sym, (acc, x) -> CASE
+             WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
+                  AND x = b.r
+             THEN acc || {strip_r}
+             ELSE acc || {sep} || x END),
+           {sep}) AS _sym,
+         _w
+  FROM w{k}, b{k} b
+)"""
+            )
+    union = "\nUNION ALL ".join(
+        f'SELECT {k} AS step, b.l AS "left", b.r AS "right", '
+        f"b.l || {strip_r} AS merged, b.n FROM b{k} b"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
+@q("wordpiece_merge_rules", _wordpiece_unroll_sql(10))
 def wordpiece_merge_rules_q(spark, sf_dir):
     """Ten WordPiece merge rules trained on the corpus - the BERT
     tokenizer trainer, completing the family next to word BPE, byte
     BPE and unigram-LM. Same machinery as bpe_merge_rules but each
     step maximizes count(l,r)/(count(l)*count(r)) (likelihood gain)
-    over '##'-marked word-internal symbols. Iterative driver loop ->
-    rows-only; the merge sequence and the driver==distributed paths
-    are pinned by the pure-Python differential in
-    tests/test_wordpiece.py."""
+    over '##'-marked word-internal symbols. Oracle-paired since r11
+    via the fixed-iteration CTE unroll (_wordpiece_unroll_sql); the
+    merge sequence and the driver==distributed paths are ALSO pinned
+    by the pure-Python differential in tests/test_wordpiece.py."""
     merges = _trained_wordpiece(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         merges,
