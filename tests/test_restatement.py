@@ -214,3 +214,80 @@ def test_restate_frame_requires_applied_shift_columns(spark):
     bars = _raw_bars(spark)
     with pytest.raises(ValueError, match="accumulated_contract_diff"):
         restate_frame(bars, _cfg(spark, [10, 20, 30]))
+
+
+def test_config_watch_stream_heals_sunk_history(spark, tmp_path):
+    """The streaming automation arm (config_revision_watch_run): a
+    revised config snapshot landing on the watch feed restates the
+    sunk sink to equal a full rebuild; a replay of the consumed feed
+    rewrites nothing."""
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        config_revision_watch_run,
+    )
+
+    sink = tmp_path / "adjusted"
+    old = _cfg(spark, [10, 20, 30])
+    new = _cfg(spark, [10, 26, 30])
+    _build_sink(spark, sink, old)
+
+    feed = str(tmp_path / "cfg_feed")
+    os.makedirs(feed)
+    # one COMPLETE snapshot per file (the loop's feed contract),
+    # written by Spark (micros timestamps - pandas' to_parquet writes
+    # nanos the schema'd stream read rejects), mtime-stamped in
+    # arrival order (the file source orders batches by mtime)
+    import glob
+    import shutil
+    import time
+
+    cols = [
+        "contract_year_month", "next_contract_diff", "start_k",
+        "settle_k",
+    ]
+    now = time.time()
+    for i, cfg in enumerate((old, new)):
+        stage = str(tmp_path / f"cfg_stage{i}")
+        cfg.select(*cols).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        dst = os.path.join(feed, f"snap{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+
+    work = str(tmp_path / "watch")
+    cur, mon = config_revision_watch_run(
+        spark, feed, work, str(sink),
+        ts_col="ts", price_cols=("close",), end_inclusive=False,
+    )
+
+    rebuilt = backadjust(
+        _raw_bars(spark),
+        derive_accumulated_gap(new),
+        ts_col="ts",
+        price_cols=("close",),
+        end_inclusive=False,
+    )
+    assert _rows(spark.read.parquet(str(sink))) == _rows(rebuilt)
+    # current state = the latest snapshot
+    got_cfg = {
+        (r["contract_year_month"], r["next_contract_diff"])
+        for r in spark.read.parquet(cur).collect()
+    }
+    assert got_cfg == {("2024w1", 10.0), ("2024w2", 26.0),
+                       ("2024w3", 30.0)}
+    monitor = {
+        r["batch_id"]: (r["seeded"], r["restated_rows"],
+                        r["rewritten_partitions"])
+        for r in spark.read.parquet(mon).collect()
+    }
+    assert monitor[0] == (True, 0, 0)  # seeding batch restates nothing
+    assert monitor[1] == (False, 7 * 24, 7)  # week-3 shift applied
+
+    # full replay over the consumed checkpoint: nothing changes
+    before = _file_hashes(sink)
+    before_cur = _file_hashes(cur)
+    config_revision_watch_run(
+        spark, feed, work, str(sink),
+        ts_col="ts", price_cols=("close",), end_inclusive=False,
+    )
+    assert _file_hashes(sink) == before
+    assert _file_hashes(cur) == before_cur

@@ -224,11 +224,22 @@ def _corpus_key(spark, sf_dir):
 
 
 def _shingle_index(spark, sf_dir):
+    # derived from the ONE checkpointed per-doc array build (r11: the
+    # exploded index and the minhash shingle sets previously each ran
+    # their own text->tokens->shingles->hash transform; now both slice
+    # the same _shingle_base, so the corpus pays the interpreted
+    # transform exactly once per session). Exploding the checkpointed
+    # arrays is cheap; the frame stays lazy so _pairs_from_index's
+    # self-join still reuses one exchange for both sides.
     key = _corpus_key(spark, sf_dir)
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = _build_shingle_index(
-            read_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
+        base = _shingle_base(spark, sf_dir)
+        _INDEX_CACHE[key] = base.select(
+            "doc_id",
+            "source",
+            F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("sh"),
+        )
     return _INDEX_CACHE[key]
 
 
@@ -478,23 +489,34 @@ FROM documents
 """
 
 
-# Per-corpus cache of the per-doc hashed shingle-set frame (doc_id,
-# sh: array<long>) - the input both MinHash stages (signature + exact
-# verify) consume. One interpreted shingle-transform pass per corpus
-# instead of one per consumer (the r02 minhash_neardup regression was
-# exactly this rebuild).
-_SHINGLE_SETS_CACHE: dict = {}
+# Per-corpus cache of the per-doc hashed shingle-ARRAY frame
+# (doc_id, source, sh: array<long>) - the ONE interpreted
+# shingle-transform pass per corpus. Every shingle consumer slices it:
+# the MinHash signature+verify stages take (doc_id, sh), the exploded
+# inverted index (_shingle_index) takes explode(sh) with source/n_sh.
+# (The r02 minhash_neardup regression was a per-consumer rebuild of
+# this transform; r11 merged the last two remaining builds - sets and
+# index - into this one.)
+_SHINGLE_BASE_CACHE: dict = {}
+
+
+def _shingle_base(spark, sf_dir):
+    key = _corpus_key(spark, sf_dir)
+    if key not in _SHINGLE_BASE_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        _SHINGLE_BASE_CACHE[key] = docs.select(
+            F.col("doc_id"),
+            F.col("source"),
+            shingle_array(F.col("text"), n=3, hashed=True).alias("sh"),
+        ).localCheckpoint(eager=True)
+    return _SHINGLE_BASE_CACHE[key]
 
 
 def _shingle_sets(spark, sf_dir):
-    key = _corpus_key(spark, sf_dir)
-    if key not in _SHINGLE_SETS_CACHE:
-        docs = read_table(spark, sf_dir, "documents")
-        _SHINGLE_SETS_CACHE[key] = docs.select(
-            F.col("doc_id"),
-            shingle_array(F.col("text"), n=3, hashed=True).alias("sh"),
-        ).localCheckpoint(eager=True)
-    return _SHINGLE_SETS_CACHE[key]
+    """(doc_id, sh) slice of _shingle_base - the shape the MinHash
+    operators' shingle_sets parameter contracts (extra columns would
+    leak into their exploded aggregates)."""
+    return _shingle_base(spark, sf_dir).select("doc_id", "sh")
 
 
 @q("minhash_neardup", _minhash_sql())

@@ -1700,6 +1700,104 @@ def realized_vol_ingest_run(
     return bars_dir, monitor_dir
 
 
+def config_revision_watch_run(
+    spark: SparkSession,
+    config_feed_dir: str,
+    work_dir: str,
+    sink_path: str,
+    *,
+    ts_col: str = "bar_ts",
+    price_cols: "tuple[str, ...]" = ("open", "high", "low", "close"),
+    end_inclusive: bool = True,
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Watch the settlement-config dimension and RESTATE sunk adjusted
+    history when a revision lands - the automation arm of
+    operators/adjust.restate_adjusted_history, closing the reference's
+    config-fix blind spot end to end (the retrain-loop pattern applied
+    to the J1/A7 lane: the monitor no longer just reports staleness,
+    the loop heals it).
+
+    Feed contract: each arriving file is a COMPLETE config snapshot
+    (the reference reloads the whole sheet per run, main.py:174-187 -
+    same shape). Per micro-batch:
+      1. first-ever snapshot seeds work_dir/current (the sink is
+         presumed adjusted under it - the caller built the sink with
+         the config it had);
+      2. later snapshots diff against current via
+         restate_adjusted_history (snapshot_diff on DERIVED configs ->
+         partition-pruned targeted rewrite; a no-op diff writes
+         nothing);
+      3. the applied snapshot replaces work_dir/current, and a monitor
+         row (batch_id, config_changes, scanned/rewritten partitions,
+         restated_rows) lands in monitor/batch=<id>.
+
+    Exactly-once under redelivery BY CONVERGENCE rather than layout: a
+    replayed snapshot diffs against the already-updated current as
+    zero changes (or, if the crash hit between restate and the current
+    swap, re-runs a restate whose every row already matches - the
+    operator's idempotency pytest), so the sink and current end
+    byte-identical either way. Returns (current_dir, monitor_dir)."""
+    from ..operators.adjust import restate_adjusted_history
+
+    current_dir = os.path.join(work_dir, "current")
+    monitor_dir = os.path.join(work_dir, "monitor")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        snapshot = batch.localCheckpoint(eager=True)
+        stats = {
+            "restated_rows": 0,
+            "rewritten_partitions": 0,
+            "config_changes": 0,
+            "scanned_partitions": 0,
+        }
+        seeded = not os.path.exists(
+            os.path.join(current_dir, "_SUCCESS")
+        )
+        if not seeded:
+            old = sess.read.parquet(current_dir)
+            stats = restate_adjusted_history(
+                sess, sink_path, old, snapshot,
+                ts_col=ts_col, price_cols=price_cols,
+                end_inclusive=end_inclusive,
+            )
+        snapshot.coalesce(1).write.mode("overwrite").parquet(
+            current_dir
+        )
+        sess.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    bool(seeded),
+                    int(stats["config_changes"]),
+                    int(stats["scanned_partitions"]),
+                    int(stats["rewritten_partitions"]),
+                    int(stats["restated_rows"]),
+                )
+            ],
+            "batch_id long, seeded boolean, config_changes long, "
+            "scanned_partitions long, rewritten_partitions long, "
+            "restated_rows long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(monitor_dir, f"batch={batch_id}")
+        )
+
+    _run_available_now(
+        spark, config_feed_dir, work_dir,
+        schema=(
+            "contract_year_month string, next_contract_diff double, "
+            "start_k timestamp, settle_k timestamp"
+        ),
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="config revision watch",
+    )
+    return current_dir, monitor_dir
+
+
 def budgeted_ingest_run(
     spark: SparkSession,
     feed_dir: str,
