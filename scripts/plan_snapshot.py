@@ -160,6 +160,15 @@ FLAGSHIPS = [
     "pca_variance_explained",
     "kmeans_clusters",
     "event_type_pagerank",
+    # r10/r11 reference-domain flagships
+    "missing_bars_report",
+    "session_gap_stats",
+    "intraday_volume_profile",
+    "continuous_returns",
+    "session_realized_vol",
+    "restate_impact_report",
+    "bpe_merge_rules",
+    "wordpiece_merge_rules",
 ]
 
 
