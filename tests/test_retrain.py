@@ -125,6 +125,121 @@ def test_retrain_is_idempotent(spark, tmp_path):
     assert _stored(spark, path) == first
 
 
+def test_retrain_reconciles_concurrent_appends(spark, tmp_path):
+    """Appends that land between the retrain's corpus snapshot and its
+    atomic swap must survive: the retired copy is reconciled - rows
+    absent from the rebuilt index re-append under the NEW quantizers -
+    before it is removed (r11 review finding: they previously vanished
+    with the retired dir). Simulated by driving the same publish +
+    reconcile sequence retrain_ivfpq_index runs, with the append
+    injected after the snapshot."""
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    cents = _frozen_cents()
+    path = str(tmp_path / "idx")
+    base = _pts(spark, 0, [0.0, 10.0, 20.0, 30.0])
+    write_ivfpq_index(base, cents, CB, path, m=M)
+
+    # retrain stages, unrolled: snapshot -> fit -> (concurrent append
+    # lands) -> staging build -> swap -> reconcile
+    corpus = spark.read.parquet(path).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    new_cents, _, _ = kmeans_fit(corpus, 4)
+    late = _pts(spark, 9000, [5.0], n_per=4)  # lands mid-retrain
+    assert append_ivfpq_index(spark, path, late, cents, CB, m=M) == 4
+
+    retired = publish_index(
+        spark,
+        path,
+        lambda staging: write_ivfpq_index(
+            corpus, new_cents, CB, staging, m=M
+        ),
+        replace=True,
+        keep_retired=True,
+    )
+    assert retired is not None and os.path.isdir(retired)
+    # pre-reconcile: the rebuilt index lacks the late rows
+    ids = {r["vec_id"] for r in spark.read.parquet(path)
+           .select("vec_id").collect()}
+    assert not any(9000 <= i < 9004 for i in ids)
+    # reconcile exactly as retrain_ivfpq_index does
+    lost = spark.read.parquet(retired).select(
+        "vec_id", "embedding"
+    ).join(
+        spark.read.parquet(path).select("vec_id"), "vec_id",
+        "left_anti",
+    )
+    assert append_ivfpq_index(
+        spark, path, lost, new_cents, CB, m=M
+    ) == 4
+    ids = {r["vec_id"] for r in spark.read.parquet(path)
+           .select("vec_id").collect()}
+    assert {9000, 9001, 9002, 9003} <= ids
+    # and the full entry point performs the same reconcile end to end
+    late2 = _pts(spark, 9500, [6.0], n_per=3)
+    append_ivfpq_index(spark, path, late2, new_cents, CB, m=M)
+    c2, st = retrain_ivfpq_index(spark, path, CB, m=M, n_cells=4)
+    assert sum(st["cell_sizes"].values()) == 64 + 4 + 3
+
+
+def test_publish_replace_raises_when_lock_lost(spark, tmp_path):
+    """A replace publisher that cannot acquire the lock must RAISE -
+    silently losing would hand the caller quantizers that disagree
+    with the concurrent winner's index (r11 review finding)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "idx")
+
+    def build(staging):
+        spark.createDataFrame([(1,)], "v long").coalesce(
+            1
+        ).write.parquet(staging)
+
+    publish_index(spark, path, build)  # live index exists
+    # a FRESH foreign lock occupies the slot; the publisher's short
+    # wait expires before the 60s staleness breaker would fire
+    with open(path + ".lock", "wb") as fh:
+        fh.write(b"foreign-holder")
+    try:
+        with _pytest.raises(RuntimeError, match="lost the publish lock"):
+            publish_index(
+                spark, path, build, replace=True, _lock_wait_s=1.0
+            )
+        # build-once loser stays silent (success-equivalent)
+        publish_index(spark, path, build, _lock_wait_s=1.0)
+    finally:
+        os.remove(path + ".lock")
+
+
+def test_publish_heals_orphaned_retired_dir(spark, tmp_path):
+    """A publisher killed between its two renames leaves no live dir
+    but an intact retired copy; the next publisher's critical section
+    restores it (r11 review finding: the gap previously required a
+    manual rename)."""
+    path = str(tmp_path / "idx")
+
+    def build_v(tag):
+        def build(staging):
+            spark.createDataFrame([(tag,)], "v long").coalesce(
+                1
+            ).write.parquet(staging)
+
+        return build
+
+    publish_index(spark, path, build_v(1))
+    # simulate the crash window: live dir renamed aside, no swap-in
+    os.rename(path, path + "_retired_999.1")
+    assert not os.path.exists(path)
+    # build-once publisher heals: restores the retired copy and treats
+    # it as published (never overwrites)
+    publish_index(spark, path, build_v(2))
+    assert [r["v"] for r in spark.read.parquet(path).collect()] == [1]
+    assert not os.path.exists(path + "_retired_999.1")
+
+
 def test_publish_index_replace_swaps_and_buildonce_noops(
     spark, tmp_path
 ):

@@ -221,8 +221,10 @@ def restate_adjusted_history(
          next_contract_diff edit surfaces every later contract whose
          prefix sum moved) -> the changed/added/removed intervals;
       2. affected calendar dates = union of each delta row's old AND
-         new [start, settle] spans -> an explicit `_date IN (...)`
-         partition filter; the sink scan prunes to those directories;
+         new [start, settle] spans, MERGED into ranges -> one
+         `_date BETWEEN` clause per merged span (bounded by the
+         number of changed contracts, never per-day literals); the
+         sink scan prunes to those directories;
       3. restate_frame inverts the stored shift and re-adjusts against
          the new config (broadcast range join - config is a dim);
       4. dynamic-partition overwrite of ONLY the partitions holding a
@@ -263,7 +265,15 @@ def restate_adjusted_history(
     if not delta:
         return stats
 
-    dates: set = set()
+    # Affected date ranges as MERGED spans, never a per-day
+    # materialization: a sentinel settle date (year 9999) or an
+    # open-ended interval would make a day-by-day loop iterate
+    # millions of times and build a plan-exploding isin() literal list
+    # (r11 review finding). The predicate is one BETWEEN per merged
+    # span - bounded by the number of changed contracts - and range
+    # predicates on the partition column prune directories just like
+    # the literal list did.
+    spans: list = []
     for r in delta:
         for s, e in (
             (r[f"old_{start_col}"], r[f"old_{end_col}"]),
@@ -271,14 +281,27 @@ def restate_adjusted_history(
         ):
             if s is None or e is None:
                 continue
-            d = s.date()
-            while d <= e.date():
-                dates.add(d)
-                d += _dt.timedelta(days=1)
-    stats["scanned_partitions"] = len(dates)
+            spans.append((s.date(), e.date()))
+    spans.sort()
+    merged: list = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1] + _dt.timedelta(days=1):
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    stats["scanned_partitions"] = sum(
+        (e - s).days + 1 for s, e in merged
+    )
 
+    if not merged:
+        # every delta row had a null boundary: nothing locatable
+        return stats
+    pred = None
+    for s, e in merged:
+        clause = F.col("_date").between(F.lit(s), F.lit(e))
+        pred = clause if pred is None else (pred | clause)
     sink = spark.read.parquet(sink_path)
-    affected = sink.where(F.col("_date").isin(sorted(dates)))
+    affected = sink.where(pred)
     restated = restate_frame(
         affected,
         new_d,
@@ -289,14 +312,16 @@ def restate_adjusted_history(
         end_inclusive=end_inclusive,
     ).persist()
     try:
-        changed_dates = [
-            r["_date"]
-            for r in restated.where("_restated")
-            .select("_date")
-            .distinct()
+        # one job yields both the changed-partition list and the row
+        # total (previously a distinct + a count = two passes)
+        changed = (
+            restated.where("_restated")
+            .groupBy("_date")
+            .agg(F.count("*").alias("n"))
             .collect()
-        ]
-        stats["restated_rows"] = restated.where("_restated").count()
+        )
+        changed_dates = [r["_date"] for r in changed]
+        stats["restated_rows"] = int(sum(r["n"] for r in changed))
         stats["rewritten_partitions"] = len(changed_dates)
         if not changed_dates:
             return stats

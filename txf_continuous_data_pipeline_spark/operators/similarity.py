@@ -1575,7 +1575,29 @@ def ivfpq_index_cell_stats(
     }
 
 
-def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
+def _retired_dirs(path: str) -> "list[str]":
+    """Complete (`_SUCCESS`-marked) retired copies of an index left by
+    publish_index(replace=True, keep_retired=True) callers or by a
+    publisher that crashed between its swap and its cleanup."""
+    import glob as _glob
+    import os
+
+    return [
+        d
+        for d in _glob.glob(path + "_retired_*")
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+
+
+def publish_index(
+    spark,
+    path: str,
+    build,
+    *,
+    replace: bool = False,
+    keep_retired: bool = False,
+    _lock_wait_s: float = 60,
+) -> "str | None":
     """Atomic on-disk index publication, shared across sessions.
 
     `build(staging)` writes a COMPLETE index into a per-applicationId
@@ -1586,19 +1608,35 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
 
     replace=False (build-once): a published index (_SUCCESS at the
     root) is NEVER rewritten - no-op if already published; the rename
-    loser discards its staging copy and reads the winner's.
+    loser discards its staging copy and reads the winner's. Losing the
+    lock race is success-equivalent (the winner's index is the same
+    corpus), so it never raises.
 
     replace=True (atomic swap, the retrain path): inside the same
-    critical section the live index is renamed aside, the staging copy
-    renamed in, and the retired copy removed - concurrent publishers
-    serialize on the lock, and a reader sees either the old complete
-    index or the new complete index. POSIX caveat (documented, not
-    hidden): a reader that LISTS the directory in the microseconds
-    between the two renames can miss it; readers holding open file
-    handles on the old files are undisturbed. The production posture at
-    100 TB is versioned index dirs behind a pointer file (or a table
-    format); the swap keeps the engine dependency-free with the same
-    observable contract for non-pathological timing.
+    critical section the live index is renamed aside and the staging
+    copy renamed in - concurrent publishers serialize on the lock, and
+    a reader sees either the old complete index or the new complete
+    index. Failing to ACQUIRE the lock here RAISES instead of silently
+    dropping the publication (the caller's quantizers would otherwise
+    disagree with whatever the concurrent winner published - an r11
+    review finding). keep_retired=True returns the retired copy's path
+    instead of deleting it, so the caller can reconcile state that
+    changed between its snapshot and the swap (retrain does) before
+    removing it; default is delete.
+
+    Crash healing: a publisher killed between its two renames leaves
+    NO live dir but an intact retired copy; every later publisher's
+    critical section restores the newest complete retired copy before
+    proceeding, so the gap closes on the next publish attempt (and the
+    confirmation gate below bounds how long a reader can observe it).
+
+    POSIX caveat (documented, not hidden): a reader that LISTS the
+    directory in the microseconds between the two renames can miss it;
+    readers holding open file handles on the old files are
+    undisturbed. The production posture at 100 TB is versioned index
+    dirs behind a pointer file (or a table format); the swap keeps the
+    engine dependency-free with the same observable contract for
+    non-pathological timing.
     """
     import os
     import re
@@ -1606,7 +1644,7 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
     import time as _time
 
     if not replace and os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+        return None
     app = re.sub(
         r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
     )
@@ -1626,7 +1664,7 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
             return None
 
     acquired = False
-    deadline = _time.time() + 60
+    deadline = _time.time() + _lock_wait_s
     while _time.time() < deadline:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -1662,9 +1700,24 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
         if _slot_token() == token:
             acquired = True
         break
+    kept_retired: "str | None" = None
     if acquired:
         try:
             published = os.path.exists(os.path.join(path, "_SUCCESS"))
+            if not published:
+                # crash healing: a prior publisher killed between its
+                # two renames left an intact retired copy and no live
+                # dir - restore the newest complete copy before doing
+                # anything else (r11 review finding)
+                orphans = _retired_dirs(path)
+                if orphans:
+                    try:
+                        os.rename(
+                            max(orphans, key=os.path.getmtime), path
+                        )
+                        published = True
+                    except OSError:
+                        pass
             if published and not replace:
                 # lost the build-once race inside the lock window
                 shutil.rmtree(staging, ignore_errors=True)
@@ -1700,7 +1753,10 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
                                 pass
                             retired = None
                 if retired is not None:
-                    shutil.rmtree(retired, ignore_errors=True)
+                    if keep_retired:
+                        kept_retired = retired
+                    else:
+                        shutil.rmtree(retired, ignore_errors=True)
         finally:
             if _slot_token() == token:
                 try:
@@ -1710,6 +1766,18 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
     else:
         # another session is the winner-in-progress
         shutil.rmtree(staging, ignore_errors=True)
+        if replace:
+            # build-once losers read the winner's equivalent index;
+            # a REPLACE loser's quantizers now disagree with whatever
+            # the winner published - silent loss would hand the caller
+            # centroids that mismatch the live index (r11 review
+            # finding). Fail loudly; the caller re-reads or re-runs.
+            raise RuntimeError(
+                f"index replace at {path} lost the publish lock "
+                f"within {_lock_wait_s}s - a concurrent publisher "
+                "holds it; re-run the replace against the winner's "
+                "index"
+            )
     # Publish-confirmation gate (ADVICE r9): never return with a
     # missing/partial index - poll for _SUCCESS, then raise loudly.
     success = os.path.join(path, "_SUCCESS")
@@ -1722,6 +1790,7 @@ def publish_index(spark, path: str, build, *, replace: bool = False) -> None:
             "after the lock window - presumed winner crashed "
             "mid-publish; retry the build"
         )
+    return kept_retired
 
 
 def retrain_ivfpq_index(
@@ -1753,15 +1822,28 @@ def retrain_ivfpq_index(
          via write_ivfpq_index into a staging dir (the PQ codebook
          stays frozen: cell residual drift is the coarse quantizer's
          problem; pass a re-trained codebook to refresh both);
-      4. publish_index(replace=True) swaps the staging dir in under
-         the shared-index lock - readers see old-complete or
-         new-complete, never partial.
+      4. publish_index(replace=True, keep_retired=True) swaps the
+         staging dir in under the shared-index lock - readers see
+         old-complete or new-complete, never partial; a concurrent
+         replace RAISES instead of silently losing (the winner's
+         quantizers would disagree with ours);
+      5. RECONCILE: rows present in the retired copy (or in any
+         retired leftover of a previously crashed retrain) but absent
+         from the live index are appends that landed between the
+         corpus snapshot and the swap - re-append them under the NEW
+         quantizers via append_ivfpq_index (whose pruned anti-join
+         makes the re-append replay-safe), then remove the retired
+         dirs. The index has no delete path - append-only plus
+         retrain - so a missing id is always a lost append, never a
+         removal (r11 review finding: without this step a concurrent
+         append_ivfpq_index batch vanished with the retired dir).
 
     n_cells defaults to the count of non-empty cells in the current
     index (an all-cells-occupied index preserves its cell count; pass
     explicitly to grow/shrink the quantizer). Returns
     (new_centroids, post_retrain_cell_stats).
     """
+    import shutil
     idx = spark.read.parquet(path)
     if n_cells is None:
         n_cells = idx.select("cluster_id").distinct().count()
@@ -1789,7 +1871,22 @@ def retrain_ivfpq_index(
             m=m, id_col=id_col, vec_col=vec_col,
         )
 
-    publish_index(spark, path, build, replace=True)
+    retired = publish_index(
+        spark, path, build, replace=True, keep_retired=True
+    )
+    leftovers = _retired_dirs(path)
+    for d in ([retired] if retired else []) + [
+        d for d in leftovers if d != retired
+    ]:
+        old_rows = spark.read.parquet(d).select(id_col, vec_col)
+        lost = old_rows.join(
+            spark.read.parquet(path).select(id_col), id_col, "left_anti"
+        )
+        append_ivfpq_index(
+            spark, path, lost, centroids, codebook,
+            m=m, id_col=id_col, vec_col=vec_col,
+        )
+        shutil.rmtree(d, ignore_errors=True)
     return centroids, ivfpq_index_cell_stats(spark, path)
 
 

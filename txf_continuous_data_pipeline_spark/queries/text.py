@@ -1193,7 +1193,7 @@ def minhash_delta_dedup_q(spark, sf_dir):
 # stand-in): built once per corpus per session, checkpointed so repeat
 # invocations (driver verify + bench in one session) neither rebuild
 # the interpreted shingle transform nor leak new persisted frames -
-# the same pattern as _SHINGLE_SETS_CACHE.
+# the same pattern as _SHINGLE_BASE_CACHE.
 _MINHASH_INDEX_CACHE: dict = {}
 
 

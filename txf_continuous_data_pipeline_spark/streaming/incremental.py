@@ -311,23 +311,28 @@ def _run_available_now(
     feed_dir: str,
     work_dir: str,
     *,
-    schema: str,
+    schema: "str | None" = None,
+    stream: "DataFrame | None" = None,
     ingest,
     timeout_s: int,
     label: str,
 ) -> None:
     """The one availableNow micro-batch runner every ingest loop in
     this module shares (r10 review: it existed as verbatim copies per
-    loop): schema'd file stream over feed_dir, one file per trigger,
+    loop; r11 review: loops whose source is a TRANSFORMED stream - the
+    realized-vol monitor's watermarked OHLCV - can pass it via
+    `stream` instead of growing another scaffold copy): schema'd file
+    stream over feed_dir (or the given stream), one file per trigger,
     checkpoint under work_dir/ckpt, `ingest(batch_df, batch_id)` as
     the foreachBatch body; raises on timeout (after stopping the
     query) and re-raises the stream's own exception."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_dir)
-    )
+    if stream is None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_dir)
+        )
     q = (
         stream.writeStream.outputMode("append")
         .trigger(availableNow=True)
@@ -1683,20 +1688,13 @@ def realized_vol_ingest_run(
         width=width,
         delay=delay,
     )
-    q = (
-        bars.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join(work_dir, "ckpt")
-        )
-        .foreachBatch(_ingest)
-        .start()
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        stream=bars,
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="realized vol ingest",
     )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"realized vol ingest exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
     return bars_dir, monitor_dir
 
 
