@@ -2646,13 +2646,19 @@ def unigram_lm_vocab_q(spark, sf_dir):
     """SentencePiece-style unigram-LM tokenizer vocabulary trained on
     the corpus (Kudo 2018): seed substring inventory -> EM over every
     word's segmentation lattice -> expected-count pruning to the
-    target size. Iterative with driver-side scalars per round -> no
-    SQL oracle (rows-only, like bpe_merge_rules); the whole
-    seed/EM/prune loop is pinned exactly by the pure-Python
-    differential in tests/test_textstats_unigram.py, which also pins
-    driver path == distributed path. Corpus-sized work is ONE word
-    groupBy; every EM pass touches only the distinct-word frame with
-    the piece table broadcast."""
+    target size. Stays rows-only even after the r11 unroll thesis
+    reached the BPE/WordPiece trainers AND WordPiece's runtime
+    segmenter: the E-step is forward-backward marginalization over
+    the segmentation lattice - sums of PRODUCTS of float
+    probabilities whose value depends on accumulation order at the
+    ulp level (the operator pins 'identical accumulation order' even
+    between its own two paths), so a SQL re-derivation cannot
+    hash-match robustly; the whole seed/EM/prune loop is pinned
+    exactly by the pure-Python differential in
+    tests/test_textstats_unigram.py, which also pins driver path ==
+    distributed path. Corpus-sized work is ONE word groupBy; every EM
+    pass touches only the distinct-word frame with the piece table
+    broadcast."""
     vocab = _trained_unigram_vocab(spark, sf_dir)
     return spark.createDataFrame(
         [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(vocab)],
@@ -2665,9 +2671,12 @@ def unigram_piece_counts_q(spark, sf_dir):
     """Corpus piece-frequency table under the TRAINED unigram
     tokenizer: Viterbi-segment every distinct word once (vocab
     broadcast, the vocab-amortized bpe_token_counts discipline) and
-    scale by word frequency. Downstream of an iterative trainer ->
-    rows-only; the Viterbi encoder is pinned against brute-force
-    enumeration in tests/test_textstats_unigram.py."""
+    scale by word frequency. Rows-only BY NECESSITY: Viterbi argmaxes
+    over summed float log-probs from the EM-trained vocab - both the
+    training (see unigram_lm_vocab) and the path comparison are
+    accumulation-order-sensitive at the ulp, so no SQL oracle can
+    hash-match robustly; the Viterbi encoder is pinned against
+    brute-force enumeration in tests/test_textstats_unigram.py."""
     from ..operators.textstats import unigram_encode_counts
 
     docs = read_table(spark, sf_dir, "documents")
@@ -3166,9 +3175,9 @@ def _trained_wordpiece(spark, sf_dir, n_merges: int = 10):
     return _WORDPIECE_CACHE[key]
 
 
-def _wordpiece_unroll_sql(n_merges: int = 10) -> str:
-    """Fixed-iteration SQL unroll of the WordPiece trainer - the
-    _bpe_unroll_sql discipline with two deltas per step: a per-step
+def _wordpiece_ctes(n_merges: int) -> str:
+    """Shared CTE chain of the WordPiece trainer unroll - the
+    _bpe_vocab_ctes discipline with two deltas per step: a per-step
     symbol-count CTE feeding the likelihood-gain score
     n / (count(l) * count(r)) (argmax on score, (l, r) tie-break; the
     score is an exact-integer ratio computed in DOUBLE identically on
@@ -3235,15 +3244,119 @@ def _wordpiece_unroll_sql(n_merges: int = 10) -> str:
   FROM w{k}, b{k} b
 )"""
             )
-    union = "\nUNION ALL ".join(
+    return ",\n".join(ctes)
+
+
+def _wordpiece_union(n_merges: int) -> str:
+    strip_r = "(CASE WHEN b.r LIKE '##%' THEN b.r[3:] ELSE b.r END)"
+    return "\nUNION ALL ".join(
         f'SELECT {k} AS step, b.l AS "left", b.r AS "right", '
         f"b.l || {strip_r} AS merged, b.n FROM b{k} b"
         for k in range(n_merges)
     )
+
+
+def _wordpiece_unroll_sql(n_merges: int = 10) -> str:
+    """wordpiece_merge_rules' oracle: the merge table off
+    _wordpiece_ctes."""
     return (
         "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+        + _wordpiece_ctes(n_merges)
+        + "\nSELECT * FROM (\n"
+        + _wordpiece_union(n_merges)
+        + "\n) ORDER BY step"
+    )
+
+
+def _wordpiece_counts_sql(n_merges: int = 10) -> str:
+    """wordpiece_token_counts' oracle: BERT's RUNTIME greedy
+    longest-match-first segmenter expressed relationally (the r11
+    extension of the unroll thesis from trainers to a runtime
+    algorithm). The trick that makes it SQL: `first` is derived from
+    position (pos == 1), so the best match at every (word, pos) is a
+    PURE function precomputable as one join+argmax over the
+    (position x vocab-piece) grid - bounded by total corpus-distinct
+    word length, not corpus size - and the greedy walk is then a
+    recursive CTE following the unique (tok, pos) -> pos + best_len
+    path (deterministic: one row per word per step). A word whose walk
+    stalls before the end has no vocab piece at some position - the
+    dead end that makes the WHOLE word [UNK], exactly the operator's
+    semantics. The trained vocab is derived in-query from the unrolled
+    trainer chain: ascii alphabet (plain + ##) + every argmax's l/r +
+    merged pieces - the same construction the Spark query performs."""
+    import string as _string
+
+    alpha = ", ".join(
+        f"'{c}'" for c in (_string.ascii_lowercase + _string.digits)
+    )
+    strip_r = "(CASE WHEN b.r LIKE '##%' THEN b.r[3:] ELSE b.r END)"
+    merged_union = "\nUNION ALL ".join(
+        f"SELECT b.l AS form FROM b{k} b\n"
+        f"UNION ALL SELECT b.r FROM b{k} b\n"
+        f"UNION ALL SELECT b.l || {strip_r} FROM b{k} b"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH RECURSIVE "
+        + _wordpiece_ctes(n_merges)
+        + f""",
+alpha AS (SELECT unnest([{alpha}]) AS c),
+vocab AS MATERIALIZED (
+  SELECT DISTINCT form FROM (
+    SELECT c AS form FROM alpha
+    UNION ALL SELECT '##' || c FROM alpha
+    UNION ALL {merged_union}
+  )
+),
+vocabl AS MATERIALIZED (
+  SELECT form,
+         CASE WHEN form LIKE '##%' THEN len(form) - 2
+              ELSE len(form) END AS rawlen,
+         (form LIKE '##%') AS cont
+  FROM vocab
+),
+wordfreq AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS _w
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+),
+positions AS (
+  SELECT tok, i AS pos
+  FROM wordfreq, unnest(range(1, len(tok) + 1)) AS t(i)
+),
+best AS MATERIALIZED (
+  SELECT p.tok, p.pos, max(v.rawlen) AS blen
+  FROM positions p JOIN vocabl v
+    ON v.cont = (p.pos > 1)
+   AND v.rawlen <= len(p.tok) - p.pos + 1
+   AND substr(p.tok, p.pos, v.rawlen)
+       = (CASE WHEN v.cont THEN v.form[3:] ELSE v.form END)
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT tok, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wordfreq
+  UNION ALL
+  SELECT s.tok, s.pos + b.blen,
+         CASE WHEN s.pos = 1 THEN substr(s.tok, s.pos, b.blen)
+              ELSE '##' || substr(s.tok, s.pos, b.blen) END
+  FROM seg s JOIN best b ON b.tok = s.tok AND b.pos = s.pos
+  WHERE s.pos <= len(s.tok)
+),
+walked AS MATERIALIZED (
+  SELECT tok, max(pos) AS maxpos FROM seg GROUP BY tok
+),
+pieces AS (
+  SELECT s.tok, s.piece
+  FROM seg s JOIN walked d ON d.tok = s.tok
+  WHERE s.piece IS NOT NULL AND d.maxpos = len(s.tok) + 1
+  UNION ALL
+  SELECT d.tok, '[UNK]' FROM walked d WHERE d.maxpos <= len(d.tok)
+)
+SELECT p.piece, sum(w._w)::BIGINT AS n
+FROM pieces p JOIN wordfreq w ON w.tok = p.tok
+GROUP BY p.piece
+"""
     )
 
 
@@ -3264,15 +3377,18 @@ def wordpiece_merge_rules_q(spark, sf_dir):
     )
 
 
-@q("wordpiece_token_counts", None)
+@q("wordpiece_token_counts", _wordpiece_counts_sql(10))
 def wordpiece_token_counts_q(spark, sf_dir):
     """Corpus piece frequencies under the TRAINED WordPiece vocab via
     the real runtime algorithm - greedy longest-match-first with
     [UNK] dead-end fallback (BERT's tokenizer, NOT merge replay).
     Vocab-amortized: segmentation runs once per distinct word.
-    Downstream of an iterative trainer -> rows-only; the greedy
-    segmenter is pinned on hand-built words in
-    tests/test_wordpiece.py."""
+    Oracle-paired since r11 (_wordpiece_counts_sql): the best match at
+    each (word, position) is a pure function - `first` derives from
+    position - precomputed as one join+argmax, and the greedy walk is
+    a recursive CTE following the unique path; a stalled walk makes
+    the whole word [UNK], exactly this operator's semantics. ALSO
+    pinned on hand-built words in tests/test_wordpiece.py."""
     from ..operators.textstats import wordpiece_encode_counts
 
     docs = read_table(spark, sf_dir, "documents")
