@@ -210,6 +210,45 @@ def test_interval_boundary_move_restates_label(spark, sink):
     assert _rows(spark.read.parquet(str(path))) == _rows(rebuilt)
 
 
+def test_sentinel_settle_date_stays_bounded(spark, sink):
+    """A typo'd far-future settle date (year 9999) must not hang the
+    driver or explode the plan: the affected-date set is merged
+    BETWEEN spans (one clause per changed contract), never a per-day
+    literal list (r11 review finding). The restatement itself still
+    lands: only partitions with an actual change are rewritten."""
+    import time
+
+    path, old, _ = sink
+    new = _cfg(spark, [10, 20, 30]).withColumn(
+        "settle_k",
+        F.when(
+            F.col("contract_year_month") == "2024w3",
+            F.lit(dt.datetime(9999, 1, 1)),
+        ).otherwise(F.col("settle_k")),
+    )
+    t0 = time.monotonic()
+    stats = restate_adjusted_history(
+        spark, str(path), old, new,
+        ts_col="ts", price_cols=("close",), end_inclusive=False,
+    )
+    assert time.monotonic() - t0 < 60  # per-day loop would take hours
+    # widening week-3's interval changes no row values (same offset,
+    # same label for every existing bar), so nothing rewrites - but
+    # the span arithmetic reflects the sentinel
+    assert stats["config_changes"] == 1
+    assert stats["scanned_partitions"] > 2_000_000
+    assert stats["restated_rows"] == 0
+    assert stats["rewritten_partitions"] == 0
+    rebuilt = backadjust(
+        _raw_bars(spark),
+        derive_accumulated_gap(new),
+        ts_col="ts",
+        price_cols=("close",),
+        end_inclusive=False,
+    )
+    assert _rows(spark.read.parquet(str(path))) == _rows(rebuilt)
+
+
 def test_restate_frame_requires_applied_shift_columns(spark):
     bars = _raw_bars(spark)
     with pytest.raises(ValueError, match="accumulated_contract_diff"):
