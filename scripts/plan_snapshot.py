@@ -169,6 +169,9 @@ FLAGSHIPS = [
     "restate_impact_report",
     "bpe_merge_rules",
     "wordpiece_merge_rules",
+    "session_vwap",
+    "forward_adjusted_series",
+    "roll_calendar",
 ]
 
 

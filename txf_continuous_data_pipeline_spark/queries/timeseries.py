@@ -1135,8 +1135,137 @@ def session_realized_vol_q(spark, sf_dir):
     return session_realized_vol(continuous_returns_q(spark, sf_dir))
 
 
+_VWAP_SQL = f"""
+WITH base AS ({_PIPELINE_SQL})
+SELECT session_id, date_market_type,
+       round(sum(close * volume) / sum(volume), 6) AS vwap,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       round(sum(close * volume), 4) AS notional
+FROM base GROUP BY session_id, date_market_type
+"""
+
+
+@q("session_vwap", _VWAP_SQL)
+def session_vwap_q(spark, sf_dir):
+    """Per-session volume-weighted average price over the adjusted
+    continuous series + traded volume and notional - the execution
+    benchmark a desk marks fills against, and (like realized vol)
+    only meaningful on the BACK-ADJUSTED series: raw closes would
+    bend every session's VWAP that straddles a roll. One
+    map-side-combined aggregate over the gated 5-min pipeline
+    output."""
+    bars = bar_pipeline_5m(spark, sf_dir)
+    pv = F.col("close") * F.col("volume")
+    return bars.groupBy("session_id", "date_market_type").agg(
+        F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
+        F.sum("volume").cast("long").alias("volume"),
+        F.round(F.sum(pv), 4).alias("notional"),
+    )
+
+
+_FWD_ADJUST_SQL = f"""
+WITH {_CFG_CTE},
+base AS ({_PIPELINE_SQL}),
+tot AS (
+  SELECT accumulated_contract_diff AS last_acc
+  FROM cfg ORDER BY start_k DESC LIMIT 1
+)
+SELECT b.bar_ts, b.contract_year_month,
+       round(b.close, 4) AS back_close,
+       round(b.close - t.last_acc, 4) AS forward_close
+FROM base b, tot t
+WHERE b.contract_year_month <> ''
+"""
+
+
+@q("forward_adjusted_series", _FWD_ADJUST_SQL)
+def forward_adjusted_series_q(spark, sf_dir):
+    """The DUAL adjustment convention: the reference back-adjusts
+    (offsets anchor history to each bar's own contract window, so the
+    oldest window is unshifted); the forward-adjusted series anchors
+    the LATEST contract at its raw price instead - the convention a
+    desk uses when today's tradeable level must print unmodified.
+    With additive offsets the two series differ by ONE scalar (the
+    final window's accumulated gap): forward = back - last_acc, so no
+    second interval join is needed - the scalar rides a broadcast
+    1-row cross join (the watermark_filter discipline). Emitting both
+    columns makes the oracle pin the constant-spread invariant on
+    every bar."""
+    events = read_table(spark, sf_dir, "events")
+    bars = bar_pipeline_5m(spark, sf_dir).where(
+        F.col("contract_year_month") != ""
+    )
+    cfg = weekly_settle_config(events)
+    last = (
+        cfg.orderBy(F.col("start_k").desc())
+        .limit(1)
+        .select(F.col("accumulated_contract_diff").alias("last_acc"))
+    )
+    return bars.crossJoin(F.broadcast(last)).select(
+        "bar_ts",
+        "contract_year_month",
+        F.round("close", 4).alias("back_close"),
+        F.round(F.col("close") - F.col("last_acc"), 4).alias(
+            "forward_close"
+        ),
+    )
+
+
+_ROLL_CAL_SQL = f"""
+WITH {_CFG_CTE},
+base AS ({_PIPELINE_SQL})
+SELECT b.contract_year_month,
+       left(b.session_id, 10) AS sess_date,
+       CAST(date_diff('day', CAST(left(b.session_id, 10) AS DATE),
+                      c.settle_k::DATE) AS BIGINT) AS days_to_settle,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(sum(b.volume) AS BIGINT) AS volume
+FROM base b JOIN cfg c USING (contract_year_month)
+WHERE b.contract_year_month <> '' AND b.session_id NOT LIKE '%UNKNOWN'
+GROUP BY 1, 2, 3
+"""
+
+
+@q("roll_calendar", _ROLL_CAL_SQL)
+def roll_calendar_q(spark, sf_dir):
+    """The roll calendar: per (contract window, session date), how
+    many days remain to settlement plus bar count and volume - the
+    countdown a desk watches to time its roll, and the frame where
+    the classic volume-migration-toward-expiry pattern shows up. The
+    config dimension broadcasts; the only shuffle is the dimension-
+    sized (contract, session) aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    bars = bar_pipeline_5m(spark, sf_dir).where(
+        (F.col("contract_year_month") != "")
+        & (
+            F.substring_index(F.col("session_id"), "_", -1)
+            != "UNKNOWN"
+        )
+    )
+    cfg = weekly_settle_config(events).select(
+        "contract_year_month", "settle_k"
+    )
+    sess_date = F.substring(F.col("session_id"), 1, 10)
+    return (
+        bars.join(F.broadcast(cfg), "contract_year_month")
+        .groupBy(
+            "contract_year_month",
+            sess_date.alias("sess_date"),
+            F.datediff(
+                F.to_date("settle_k"), F.to_date(sess_date)
+            )
+            .cast("long")
+            .alias("days_to_settle"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_bars"),
+            F.sum("volume").cast("long").alias("volume"),
+        )
+    )
+
+
 # Each event lands in width/slide = 2 overlapping windows; the oracle
-# materializes both memberships per row with an unnest.
+# materializes both memberships with an unnest.
 _SLIDING_SQL = """
 SELECT win_start,
        count(*) AS n,
