@@ -3190,18 +3190,21 @@ def _wordpiece_ctes(n_merges: int) -> str:
     sep = "chr(31)"
     strip_r = "(CASE WHEN b.r LIKE '##%' THEN b.r[3:] ELSE b.r END)"
     ctes = [
-        f"""w0 AS MATERIALIZED (
+        f"""tokfreq AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS _w
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+)""",
+        """w0 AS MATERIALIZED (
   SELECT [CASE WHEN i = 1 THEN cs[i] ELSE '##' || cs[i] END
           FOR i IN range(1, len(cs) + 1)] AS _sym, _w
   FROM (
     SELECT list_filter(string_split_regex(tok, ''),
-                       x -> len(x) > 0) AS cs,
-           count(*)::BIGINT AS _w
-    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
-    WHERE tok <> ''
-    GROUP BY tok
+                       x -> len(x) > 0) AS cs, _w
+    FROM tokfreq
   )
-)"""
+)""",
     ]
     for k in range(n_merges):
         ctes.append(
@@ -3309,21 +3312,22 @@ vocab AS MATERIALIZED (
   )
 ),
 vocabl AS MATERIALIZED (
-  SELECT form,
-         CASE WHEN form LIKE '##%' THEN len(form) - 2
-              ELSE len(form) END AS rawlen,
-         (form LIKE '##%') AS cont
-  FROM vocab
-),
-wordfreq AS MATERIALIZED (
-  SELECT tok, count(*)::BIGINT AS _w
-  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
-  WHERE tok <> ''
-  GROUP BY tok
+  -- a form's role mirrors the operator's candidate construction
+  -- (word[i:j] if first else '##' + word[i:j]): EVERY form can match
+  -- at position 1 against its full text - including a merged plain
+  -- form that happens to read '##' - and only '##'-prefixed forms
+  -- with NONEMPTY raw text also serve as continuations. Classifying
+  -- by LIKE alone gave a '##' plain form rawlen 0, whose empty-string
+  -- match made the recursive walk spin forever (r11 review wave 2,
+  -- reproduced on a planted '#' corpus).
+  SELECT form, len(form) AS rawlen, false AS cont FROM vocab
+  UNION ALL
+  SELECT form, len(form) - 2, true FROM vocab
+  WHERE form LIKE '##%' AND len(form) > 2
 ),
 positions AS (
   SELECT tok, i AS pos
-  FROM wordfreq, unnest(range(1, len(tok) + 1)) AS t(i)
+  FROM tokfreq, unnest(range(1, len(tok) + 1)) AS t(i)
 ),
 best AS MATERIALIZED (
   SELECT p.tok, p.pos, max(v.rawlen) AS blen
@@ -3335,7 +3339,7 @@ best AS MATERIALIZED (
   GROUP BY 1, 2
 ),
 seg AS (
-  SELECT tok, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wordfreq
+  SELECT tok, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM tokfreq
   UNION ALL
   SELECT s.tok, s.pos + b.blen,
          CASE WHEN s.pos = 1 THEN substr(s.tok, s.pos, b.blen)
@@ -3354,7 +3358,7 @@ pieces AS (
   SELECT d.tok, '[UNK]' FROM walked d WHERE d.maxpos <= len(d.tok)
 )
 SELECT p.piece, sum(w._w)::BIGINT AS n
-FROM pieces p JOIN wordfreq w ON w.tok = p.tok
+FROM pieces p JOIN tokfreq w ON w.tok = p.tok
 GROUP BY p.piece
 """
     )
