@@ -265,6 +265,51 @@ def main() -> None:
         w, n = _t(lambda: vol_profile(ev).count())
         out[f"vol_profile_{tag}"] = {"wall_s": w, "rows": n}
 
+    # late-r11 additions over the same adjusted-bar chain: vwap is a
+    # session aggregate (~linear scan), forward-adjust a broadcast
+    # 1-row scalar join (~linear), roll calendar a dimension-sized
+    # (contract x session) aggregate behind a broadcast config dim
+    for tag, ev in (("1x", ev1), (f"{reps}x", evN)):
+        bars = adjusted_bars(ev).localCheckpoint(eager=True)
+        pv = F.col("close") * F.col("volume")
+        w, n = _t(
+            lambda: bars.groupBy("session_id")
+            .agg((F.sum(pv) / F.sum("volume")).alias("vwap"))
+            .count()
+        )
+        out[f"session_vwap_{tag}"] = {"wall_s": w, "rows": n}
+        cfg = weekly_settle_config(ev)
+        last = (
+            cfg.orderBy(F.col("start_k").desc())
+            .limit(1)
+            .select(
+                F.col("accumulated_contract_diff").alias("last_acc")
+            )
+        )
+        w, n = _t(
+            lambda: bars.where(F.col("contract_year_month") != "")
+            .crossJoin(F.broadcast(last))
+            .select((F.col("close") - F.col("last_acc")).alias("f"))
+            .count()
+        )
+        out[f"forward_adjust_{tag}"] = {"wall_s": w, "rows": n}
+        w, n = _t(
+            lambda: bars.where(F.col("contract_year_month") != "")
+            .join(
+                F.broadcast(
+                    cfg.select("contract_year_month", "settle_k")
+                ),
+                "contract_year_month",
+            )
+            .groupBy(
+                "contract_year_month",
+                F.substring(F.col("session_id"), 1, 10).alias("d"),
+            )
+            .agg(F.sum("volume").alias("v"))
+            .count()
+        )
+        out[f"roll_calendar_{tag}"] = {"wall_s": w, "rows": n}
+
     docs = read_table(spark, SF_DIR, "documents").localCheckpoint(
         eager=True
     )
