@@ -105,6 +105,91 @@ def test_drift_trips_monitor_and_retrain_restores_balance(
     assert got == want and got
 
 
+def test_ingest_loop_auto_retrains_and_persists_quantizer(
+    spark, tmp_path
+):
+    """auto_retrain=True closes the tripwire loop END TO END inside
+    the ingest run: drifted feed batches trip the monitor, the
+    post-drain retrain rebalances the index, the new quantizer
+    persists to work_dir/quantizer, served top-k under the persisted
+    quantizer equals a from-scratch rebuild, and a full replay over
+    the consumed checkpoint changes nothing (live-stats recheck: an
+    already-balanced index never re-triggers)."""
+    import glob
+
+    from txf_continuous_data_pipeline_spark.operators.similarity import (
+        read_quantizer,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        ivfpq_index_ingest_run,
+    )
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def _stage(i, frame):
+        stage = str(tmp_path / f"stage{i}")
+        frame.withColumn(
+            "label", frame["vec_id"].cast("int") * 0
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        os.rename(part, os.path.join(feed, f"b{i}.parquet"))
+
+    import pyspark.sql.functions as _F  # noqa: F401
+
+    _stage(0, _pts(spark, 0, [0.0, 10.0, 20.0, 30.0]))
+    _stage(1, _pts(spark, 1000, [-30.0, -20.0]))
+    _stage(2, _pts(spark, 2000, [-10.0]))
+
+    work = str(tmp_path / "work")
+    idx, mon = ivfpq_index_ingest_run(
+        spark, feed, work, _frozen_cents(), CB, m=M,
+        auto_retrain=True,
+    )
+    st = ivfpq_index_cell_stats(spark, idx)
+    assert not st["retrain"] and st["skew"] < 2.0, st
+    assert sum(st["cell_sizes"].values()) == 112
+    # the monitor recorded the pre-retrain drift
+    monitor = spark.read.parquet(mon).orderBy("batch_id").collect()
+    assert monitor[-1]["retrain"], monitor
+    log = spark.read.parquet(os.path.join(work, "retrain_log")).collect()
+    assert log[0]["skew_before"] > 2.0 > log[0]["skew_after"]
+
+    # the persisted quantizer serves the swapped index identically to
+    # a from-scratch rebuild under the same centroids
+    cents = read_quantizer(spark, os.path.join(work, "quantizer"))
+    assert len(cents) == 4 and cents != _frozen_cents()
+    rebuilt = str(tmp_path / "rebuilt")
+    corpus = spark.read.parquet(idx).select("vec_id", "embedding")
+    write_ivfpq_index(corpus, cents, CB, rebuilt, m=M)
+    assert _stored(spark, idx) == _stored(spark, rebuilt)
+    qraw = _pts(spark, 5000, [-25.0, 15.0], n_per=2)
+
+    def serve(p):
+        return {
+            (r["q_id"], r["rn"]): (r["vec_id"], r["sq_dist"])
+            for r in ivfpq_topk_from_index(
+                spark, p, qraw, cents, CB, m=M, k=3, nprobe=2,
+                shortlist=20,
+            ).collect()
+        }
+
+    got, want = serve(idx), serve(rebuilt)
+    assert got == want and got
+
+    # replay: checkpoint consumed, index balanced -> nothing changes
+    before = _stored(spark, idx)
+    before_q = cents
+    ivfpq_index_ingest_run(
+        spark, feed, work, _frozen_cents(), CB, m=M,
+        auto_retrain=True,
+    )
+    assert _stored(spark, idx) == before
+    assert read_quantizer(
+        spark, os.path.join(work, "quantizer")
+    ) == before_q
+
+
 def test_retrain_is_idempotent(spark, tmp_path):
     cents = _frozen_cents()
     path = str(tmp_path / "idx")

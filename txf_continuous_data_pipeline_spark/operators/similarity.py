@@ -1890,6 +1890,31 @@ def retrain_ivfpq_index(
     return centroids, ivfpq_index_cell_stats(spark, path)
 
 
+def write_quantizer(spark, path: str, centroids: list) -> None:
+    """Persist coarse centroids next to the index they quantize: an
+    index whose quantizer was RETRAINED is unservable to a reader
+    still holding the frozen constructor params, so the at-rest
+    quantizer is part of the index's contract (r11, the auto-retrain
+    wiring). Kilobyte-sized (k x dim doubles); overwrite is replay-safe
+    because retraining is deterministic for a given corpus."""
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_quantizer(spark, path: str) -> list:
+    """The persisted coarse centroids, in write_quantizer's format and
+    kmeans_assign's expected [(cluster_id, [float])] shape."""
+    return [
+        (r["cluster_id"], [float(x) for x in r["centroid"]])
+        for r in sorted(
+            spark.read.parquet(path).collect(),
+            key=lambda r: r["cluster_id"],
+        )
+    ]
+
+
 def pq_train(
     emb: DataFrame,
     *,
