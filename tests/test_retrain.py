@@ -325,6 +325,47 @@ def test_publish_heals_orphaned_retired_dir(spark, tmp_path):
     assert not os.path.exists(path + "_retired_999.1")
 
 
+def test_publish_index_threaded_race_one_winner(spark, tmp_path):
+    """Four same-session threads race a build-once publish of the same
+    path with distinct payloads: exactly one payload wins, every racer
+    returns only after a COMPLETE index exists, and no staging /
+    retired / lock leftovers survive (per-call staging names - the r11
+    hardening; per-app names made in-session racers build into the
+    same staging dir)."""
+    import threading
+
+    path = str(tmp_path / "idx")
+    errors: list = []
+
+    def racer(tag):
+        def build(staging):
+            spark.createDataFrame(
+                [(tag,)], "v long"
+            ).coalesce(1).write.parquet(staging)
+
+        try:
+            publish_index(spark, path, build)
+        except Exception as e:  # noqa: BLE001 - collected for assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=racer, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vals = [r["v"] for r in spark.read.parquet(path).collect()]
+    assert len(vals) == 1 and vals[0] in range(4)
+    leftovers = [
+        d
+        for d in os.listdir(tmp_path)
+        if d.startswith("idx") and d != "idx"
+    ]
+    assert leftovers == [], leftovers
+
+
 def test_publish_index_replace_swaps_and_buildonce_noops(
     spark, tmp_path
 ):

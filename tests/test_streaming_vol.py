@@ -44,7 +44,7 @@ def _tree_hashes(path):
 
 def _batch_fold_vol(spark, bars_dir, cfg):
     """The batch computation over the sunk bars, composed from the
-    exact operators the stream's monitor uses."""
+    exact operators the stream's monitor uses (realized vol + vwap)."""
     stored = spark.read.parquet(bars_dir)
     adjusted = backadjust(
         split_and_label(stored, "bar_ts"),
@@ -54,7 +54,13 @@ def _batch_fold_vol(spark, bars_dir, cfg):
     ).where(
         F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
     )
-    return session_realized_vol(continuous_log_returns(adjusted))
+    vol = session_realized_vol(continuous_log_returns(adjusted))
+    pv = F.col("close") * F.col("volume")
+    vwap = adjusted.groupBy("session_id").agg(
+        F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+    return vol.join(vwap, "session_id")
 
 
 def test_stream_vol_equals_batch_fold_and_replay_is_noop(
@@ -81,6 +87,8 @@ def test_stream_vol_equals_batch_fold_and_replay_is_noop(
             r["n_returns"],
             r["realized_vol"],
             r["max_abs_return"],
+            r["vwap"],
+            r["volume"],
         )
         for r in mon.join(last, ["session_id", "batch_id"]).collect()
     }

@@ -1648,7 +1648,11 @@ def publish_index(
     app = re.sub(
         r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
     )
-    staging = f"{path}_stage_{app}"
+    # per-CALL staging, not just per-app: two publishers inside one
+    # session (e.g. two threads racing the same corpus-stamp index)
+    # would otherwise build into the same staging dir concurrently
+    # (r11 hardening; the threaded race is pytest-pinned)
+    staging = f"{path}_stage_{app}.{os.getpid()}.{_time.time_ns()}"
     build(staging)
     # O_EXCL lock with ownership token (see _publish_shared_index's
     # r8 TOCTOU note): stale (>60s) locks are broken by rename; entry

@@ -1657,12 +1657,13 @@ def realized_vol_ingest_run(
     delay: str = "10 minutes",
     timeout_s: int = 240,
 ) -> "tuple[str, str]":
-    """Streaming twin of the session_realized_vol risk surface
-    (VERDICT r10 #7): the bar-ingest loop (available_now_bar_stream's
-    watermarked OHLCV + Gate-2 idempotent bar sink) extended with a
-    per-batch realized-volatility monitor - a desk watches the vol of
-    the continuous adjusted series update as sessions close, instead
-    of waiting for the nightly batch.
+    """Streaming twin of the session_realized_vol + session_vwap
+    surfaces (VERDICT r10 #7): the bar-ingest loop
+    (available_now_bar_stream's watermarked OHLCV + Gate-2 idempotent
+    bar sink) extended with a per-batch session monitor - realized
+    vol (risk) AND vwap/volume (execution benchmark) per touched
+    session - so a desk watches the continuous adjusted series update
+    as sessions close, instead of waiting for the nightly batch.
 
     Each micro-batch of CLOSED bars (the event-time watermark upstream
     is ST2: an open bar never exits streaming_ohlcv):
@@ -1724,12 +1725,25 @@ def realized_vol_ingest_run(
         ).where(
             F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
         )
-        vol = (
-            session_realized_vol(continuous_log_returns(adjusted))
-            .where(F.col("session_id").isin(touched))
-            .withColumn("batch_id", F.lit(int(batch_id)))
+        # risk (realized vol) + execution (vwap/volume) in one row per
+        # touched session - the same operators the batch queries
+        # session_realized_vol / session_vwap compose
+        vol = session_realized_vol(
+            continuous_log_returns(adjusted)
+        ).where(F.col("session_id").isin(touched))
+        pv = F.col("close") * F.col("volume")
+        vwap = (
+            adjusted.where(F.col("session_id").isin(touched))
+            .groupBy("session_id")
+            .agg(
+                F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
+                F.sum("volume").cast("long").alias("volume"),
+            )
         )
-        vol.coalesce(1).write.mode("overwrite").parquet(
+        row = vol.join(vwap, "session_id").withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(monitor_dir, f"batch={batch_id}")
         )
 
