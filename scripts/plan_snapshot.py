@@ -172,6 +172,7 @@ FLAGSHIPS = [
     "session_vwap",
     "forward_adjusted_series",
     "roll_calendar",
+    "ratio_adjusted_series",
 ]
 
 

@@ -1211,6 +1211,94 @@ def forward_adjusted_series_q(spark, sf_dir):
     )
 
 
+_RATIO_ADJUST_SQL = f"""
+WITH {_CFG_CTE},
+base AS ({_PIPELINE_SQL}),
+sc AS (
+  SELECT contract_year_month,
+         arg_max(close - accumulated_contract_diff, bar_ts)
+           AS raw_settle
+  FROM base WHERE contract_year_month <> ''
+  GROUP BY contract_year_month
+),
+rt AS (
+  SELECT c.contract_year_month, c.start_k,
+         (s.raw_settle + c.next_contract_diff)
+           / nullif(s.raw_settle, 0.0) AS ratio
+  FROM cfg c JOIN sc s USING (contract_year_month)
+),
+cum AS (
+  SELECT contract_year_month,
+         exp(coalesce(sum(ln(ratio)) OVER (ORDER BY start_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0)) AS cum_ratio
+  FROM rt
+)
+SELECT b.bar_ts, b.contract_year_month,
+       round(b.close, 4) AS add_close,
+       round((b.close - b.accumulated_contract_diff) * k.cum_ratio, 4)
+         AS ratio_close
+FROM base b JOIN cum k USING (contract_year_month)
+WHERE b.contract_year_month <> ''
+"""
+
+
+@q("ratio_adjusted_series", _RATIO_ADJUST_SQL)
+def ratio_adjusted_series_q(spark, sf_dir):
+    """The MULTIPLICATIVE continuous-contract adjustment - the other
+    standard method next to the reference's additive one (additive
+    preserves point differences across rolls; ratio preserves
+    RETURNS, the convention long-horizon backtests prefer because an
+    additive offset distorts percentage moves far from the anchor).
+    Per roll the jump is expressed as a ratio against the expiring
+    contract's final raw close ((settle_close + gap) / settle_close);
+    each window's cumulative factor is the EXCLUSIVE prefix product -
+    the multiplicative analogue of the reference's accumulated-sum
+    invariant (main.py:210) - computed as exp(sum(ln)) over the
+    dimension-sized contract window on BOTH engines so the float path
+    matches. Settle closes come off the gated bars themselves
+    (max_by raw close per window; the raw series is recovered by
+    subtracting the stored additive offset - the restate_frame
+    inversion trick). Emitting the additive series beside it lets one
+    query diff the two conventions bar by bar. try_divide/NULLIF
+    guard a degenerate zero settle close identically on both
+    engines."""
+    events = read_table(spark, sf_dir, "events")
+    bars = bar_pipeline_5m(spark, sf_dir).where(
+        F.col("contract_year_month") != ""
+    )
+    cfg = weekly_settle_config(events)
+    raw = F.col("close") - F.col("accumulated_contract_diff")
+    sc = bars.groupBy("contract_year_month").agg(
+        F.max_by(raw, F.col("bar_ts")).alias("raw_settle")
+    )
+    rt = cfg.join(sc, "contract_year_month").select(
+        "contract_year_month",
+        "start_k",
+        F.try_divide(
+            F.col("raw_settle") + F.col("next_contract_diff"),
+            F.nullif(F.col("raw_settle"), F.lit(0.0)),
+        ).alias("ratio"),
+    )
+    w = Window.orderBy("start_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = rt.select(
+        "contract_year_month",
+        F.exp(
+            F.coalesce(F.sum(F.log("ratio")).over(w), F.lit(0.0))
+        ).alias("cum_ratio"),
+    )
+    return bars.join(
+        F.broadcast(cum), "contract_year_month"
+    ).select(
+        "bar_ts",
+        "contract_year_month",
+        F.round("close", 4).alias("add_close"),
+        F.round(raw * F.col("cum_ratio"), 4).alias("ratio_close"),
+    )
+
+
 _ROLL_CAL_SQL = f"""
 WITH {_CFG_CTE},
 base AS ({_PIPELINE_SQL})
