@@ -249,6 +249,9 @@ def main() -> None:
     evN = events_big(spark, ev1, reps)
 
     for tag, ev in (("1x", ev1), (f"{reps}x", evN)):
+        # ONE checkpointed bar build per corpus serves every bar-chain
+        # probe below (r11 review wave 3: the late additions had
+        # re-derived it in a second loop)
         bars = adjusted_bars(ev).localCheckpoint(eager=True)
         w, n = _t(lambda: continuous_log_returns(bars).count())
         out[f"continuous_returns_{tag}"] = {"wall_s": w, "rows": n}
@@ -265,12 +268,6 @@ def main() -> None:
         w, n = _t(lambda: vol_profile(ev).count())
         out[f"vol_profile_{tag}"] = {"wall_s": w, "rows": n}
 
-    # late-r11 additions over the same adjusted-bar chain: vwap is a
-    # session aggregate (~linear scan), forward-adjust a broadcast
-    # 1-row scalar join (~linear), roll calendar a dimension-sized
-    # (contract x session) aggregate behind a broadcast config dim
-    for tag, ev in (("1x", ev1), (f"{reps}x", evN)):
-        bars = adjusted_bars(ev).localCheckpoint(eager=True)
         pv = F.col("close") * F.col("volume")
         w, n = _t(
             lambda: bars.groupBy("session_id")

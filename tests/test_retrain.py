@@ -135,8 +135,6 @@ def test_ingest_loop_auto_retrains_and_persists_quantizer(
         part = glob.glob(os.path.join(stage, "part-*"))[0]
         os.rename(part, os.path.join(feed, f"b{i}.parquet"))
 
-    import pyspark.sql.functions as _F  # noqa: F401
-
     _stage(0, _pts(spark, 0, [0.0, 10.0, 20.0, 30.0]))
     _stage(1, _pts(spark, 1000, [-30.0, -20.0]))
     _stage(2, _pts(spark, 2000, [-10.0]))
@@ -155,9 +153,10 @@ def test_ingest_loop_auto_retrains_and_persists_quantizer(
     log = spark.read.parquet(os.path.join(work, "retrain_log")).collect()
     assert log[0]["skew_before"] > 2.0 > log[0]["skew_after"]
 
-    # the persisted quantizer serves the swapped index identically to
-    # a from-scratch rebuild under the same centroids
-    cents = read_quantizer(spark, os.path.join(work, "quantizer"))
+    # the quantizer travels INSIDE the index (swapped atomically with
+    # it) and serves the swapped index identically to a from-scratch
+    # rebuild under the same centroids
+    cents = read_quantizer(spark, os.path.join(idx, "_quantizer"))
     assert len(cents) == 4 and cents != _frozen_cents()
     rebuilt = str(tmp_path / "rebuilt")
     corpus = spark.read.parquet(idx).select("vec_id", "embedding")
@@ -186,7 +185,7 @@ def test_ingest_loop_auto_retrains_and_persists_quantizer(
     )
     assert _stored(spark, idx) == before
     assert read_quantizer(
-        spark, os.path.join(work, "quantizer")
+        spark, os.path.join(idx, "_quantizer")
     ) == before_q
 
 

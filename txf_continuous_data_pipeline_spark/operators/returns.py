@@ -72,6 +72,28 @@ def continuous_log_returns(
     )
 
 
+def session_vwap(
+    bars: DataFrame,
+    *,
+    session_col: str = "session_id",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    extra_group_cols: tuple = (),
+) -> DataFrame:
+    """Per-session volume-weighted average price + volume + notional
+    over the adjusted series - the execution benchmark. ONE definition
+    shared by the batch query (queries/timeseries.session_vwap_q) and
+    the streaming monitor (r11 review wave 3: it had been hand-copied
+    in three places - the drift mode the realized-vol factoring
+    exists to prevent). One map-side-combined aggregate."""
+    pv = F.col(close_col) * F.col(volume_col)
+    return bars.groupBy(session_col, *extra_group_cols).agg(
+        F.round(F.sum(pv) / F.sum(volume_col), 6).alias("vwap"),
+        F.sum(volume_col).cast("long").alias("volume"),
+        F.round(F.sum(pv), 4).alias("notional"),
+    )
+
+
 def session_realized_vol(
     returns: DataFrame,
     *,

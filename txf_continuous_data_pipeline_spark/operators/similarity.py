@@ -1399,7 +1399,15 @@ def write_ivfpq_index(
     fraction of the data via static partition pruning
     (ivfpq_topk_from_index), which is the property that makes IVF pay
     at 100 TB: the probe prunes I/O, not just compute. One zero-shuffle
-    assign+encode projection feeds the partitioned write."""
+    assign+encode projection feeds the partitioned write.
+
+    The coarse quantizer is embedded at `<path>/_quantizer` (r11
+    review wave 3): an index whose quantizer was retrained is
+    unservable to a reader holding stale centroids, so the pair must
+    travel - and be atomically swapped - TOGETHER. The underscore
+    prefix makes every wholesale `spark.read.parquet(path)` ignore it
+    (the _SUCCESS convention); read_quantizer addresses it
+    directly."""
     assigned = kmeans_assign(emb, centroids, vec_col=vec_col)
     coded = pq_encode(assigned, codebook, m=m, vec_col=vec_col)
     (
@@ -1407,6 +1415,11 @@ def write_ivfpq_index(
         .write.partitionBy("cluster_id")
         .mode("overwrite")
         .parquet(path)
+    )
+    import os as _os
+
+    write_quantizer(
+        emb.sparkSession, _os.path.join(path, "_quantizer"), centroids
     )
 
 
@@ -1707,6 +1720,20 @@ def publish_index(
     kept_retired: "str | None" = None
     if acquired:
         try:
+            # stale-staging sweep (r11 review wave 3): per-call staging
+            # names mean a crashed/failed build strands its dir forever
+            # with no deterministic successor to overwrite it. A live
+            # publisher holds its staging for minutes; anything older
+            # than an hour is a corpse. Swept under the lock so a fresh
+            # racer's staging (young mtime) is never touched.
+            import glob as _glob
+
+            for d in _glob.glob(path + "_stage_*"):
+                try:
+                    if _time.time() - os.path.getmtime(d) > 3600:
+                        shutil.rmtree(d, ignore_errors=True)
+                except OSError:
+                    pass
             published = os.path.exists(os.path.join(path, "_SUCCESS"))
             if not published:
                 # crash healing: a prior publisher killed between its

@@ -1152,14 +1152,14 @@ def session_vwap_q(spark, sf_dir):
     benchmark a desk marks fills against, and (like realized vol)
     only meaningful on the BACK-ADJUSTED series: raw closes would
     bend every session's VWAP that straddles a roll. One
-    map-side-combined aggregate over the gated 5-min pipeline
-    output."""
-    bars = bar_pipeline_5m(spark, sf_dir)
-    pv = F.col("close") * F.col("volume")
-    return bars.groupBy("session_id", "date_market_type").agg(
-        F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
-        F.sum("volume").cast("long").alias("volume"),
-        F.round(F.sum(pv), 4).alias("notional"),
+    map-side-combined aggregate over the gated 5-min pipeline output;
+    the aggregate itself is operators/returns.session_vwap, shared
+    verbatim with the streaming monitor."""
+    from ..operators.returns import session_vwap
+
+    return session_vwap(
+        bar_pipeline_5m(spark, sf_dir),
+        extra_group_cols=("date_market_type",),
     )
 
 
@@ -1229,7 +1229,8 @@ rt AS (
 ),
 cum AS (
   SELECT contract_year_month,
-         exp(coalesce(sum(ln(ratio)) OVER (ORDER BY start_k
+         exp(coalesce(sum(CASE WHEN ratio > 0 THEN ln(ratio) END)
+               OVER (ORDER BY start_k
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              0.0)) AS cum_ratio
   FROM rt
@@ -1260,9 +1261,19 @@ def ratio_adjusted_series_q(spark, sf_dir):
     (max_by raw close per window; the raw series is recovered by
     subtracting the stored additive offset - the restate_frame
     inversion trick). Emitting the additive series beside it lets one
-    query diff the two conventions bar by bar. try_divide/NULLIF
-    guard a degenerate zero settle close identically on both
-    engines."""
+    query diff the two conventions bar by bar.
+
+    Degenerate-input posture, identical on both engines (r11 review
+    wave 3): a zero settle close NULLs its ratio (try_divide/NULLIF),
+    and a non-positive ratio is EXCLUDED from the log-sum on both
+    sides (DuckDB's ln() RAISES on non-positive input where Spark
+    returns NULL - the CASE/when guard is what keeps the engines
+    identical, verified by planting a negative gap). A contract whose
+    bars are all gated away contributes no settle close and hence no
+    factor - the multiplicative chain skips it on both engines; with
+    weekly synthetic windows every contract has bars, and on real
+    data a bar-less contract month means the roll never traded, where
+    no convention defines a jump."""
     events = read_table(spark, sf_dir, "events")
     bars = bar_pipeline_5m(spark, sf_dir).where(
         F.col("contract_year_month") != ""
@@ -1283,10 +1294,13 @@ def ratio_adjusted_series_q(spark, sf_dir):
     w = Window.orderBy("start_k").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # guard non-positive ratios OUTSIDE ln on both engines: DuckDB's
+    # ln() raises where Spark's returns NULL (see docstring)
+    safe_ln = F.when(F.col("ratio") > 0, F.log("ratio"))
     cum = rt.select(
         "contract_year_month",
         F.exp(
-            F.coalesce(F.sum(F.log("ratio")).over(w), F.lit(0.0))
+            F.coalesce(F.sum(safe_ln).over(w), F.lit(0.0))
         ).alias("cum_ratio"),
     )
     return bars.join(

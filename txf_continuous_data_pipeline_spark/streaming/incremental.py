@@ -1560,15 +1560,18 @@ def ivfpq_index_ingest_run(
     auto_retrain=True closes the loop the monitor row points at (r11,
     completing VERDICT r10 #4 beyond the operator): after the stream
     drains, the LIVE cell stats (not a stored row - self-correcting
-    under replay) decide whether to retrain_ivfpq_index; on retrain
-    the new coarse centroids are persisted to work_dir/quantizer, and
-    a summary row lands in work_dir/retrain_log. The quantizer at
-    rest is part of the index's contract: every run RESOLVES its
-    effective centroids from work_dir/quantizer when present (falling
-    back to - and seeding it with - the `centroids` argument), so
-    post-retrain appends route under the quantizer the index is
-    actually encoded with, and a serving reader loads the pair via
-    read_quantizer instead of trusting frozen constructor params.
+    under replay) decide whether to retrain_ivfpq_index, and a
+    summary row lands in work_dir/retrain_log. The quantizer at rest
+    is part of the index's contract and travels INSIDE it
+    (<index>/_quantizer, embedded by write_ivfpq_index and therefore
+    swapped atomically WITH the re-encoded data - a crash can never
+    pair a retrained index with a stale quantizer; r11 review wave
+    3): every run resolves its effective centroids from the index's
+    own quantizer when present (the `centroids` argument covers only
+    a not-yet-retrained index bootstrapped by append_ivfpq_index,
+    which embeds no quantizer), so post-retrain appends route under
+    the quantizer the index is actually encoded with, and a serving
+    reader loads the pair via read_quantizer(<index>/_quantizer).
 
     Returns (index_dir, monitor_dir)."""
     from ..operators.similarity import (
@@ -1576,17 +1579,15 @@ def ivfpq_index_ingest_run(
         ivfpq_index_cell_stats,
         read_quantizer,
         retrain_ivfpq_index,
-        write_quantizer,
     )
 
     index_dir = os.path.join(work_dir, "index")
     monitor_dir = os.path.join(work_dir, "monitor")
-    quantizer_dir = os.path.join(work_dir, "quantizer")
+    quantizer_dir = os.path.join(index_dir, "_quantizer")
     if os.path.exists(os.path.join(quantizer_dir, "_SUCCESS")):
         cents = read_quantizer(spark, quantizer_dir)
     else:
         cents = centroids
-        write_quantizer(spark, quantizer_dir, cents)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -1627,11 +1628,12 @@ def ivfpq_index_ingest_run(
             spark, index_dir, skew_threshold=skew_threshold
         )
         if st["retrain"]:
+            # the retrain's write_ivfpq_index embeds the new quantizer
+            # in the staging dir, so the atomic swap updates the pair
             new_cents, after = retrain_ivfpq_index(
                 spark, index_dir, codebook, m=m,
                 n_cells=len(cents),
             )
-            write_quantizer(spark, quantizer_dir, new_cents)
             spark.createDataFrame(
                 [
                     (
@@ -1695,6 +1697,7 @@ def realized_vol_ingest_run(
     from ..operators.returns import (
         continuous_log_returns,
         session_realized_vol,
+        session_vwap,
     )
     from ..operators.sessions import split_and_label
 
@@ -1725,22 +1728,19 @@ def realized_vol_ingest_run(
         ).where(
             F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
         )
-        # risk (realized vol) + execution (vwap/volume) in one row per
-        # touched session - the same operators the batch queries
-        # session_realized_vol / session_vwap compose
+        # risk (realized vol) + execution (vwap/volume/notional) in
+        # one row per touched session - the SAME operators the batch
+        # queries compose (operators/returns, one definition each).
+        # vwap is the LEFT side: a touched session that holds a single
+        # bar has no return yet but a perfectly computable vwap (r11
+        # review wave 3: the inner join silently dropped its row)
         vol = session_realized_vol(
             continuous_log_returns(adjusted)
-        ).where(F.col("session_id").isin(touched))
-        pv = F.col("close") * F.col("volume")
-        vwap = (
-            adjusted.where(F.col("session_id").isin(touched))
-            .groupBy("session_id")
-            .agg(
-                F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
-                F.sum("volume").cast("long").alias("volume"),
-            )
         )
-        row = vol.join(vwap, "session_id").withColumn(
+        vwap = session_vwap(
+            adjusted.where(F.col("session_id").isin(touched))
+        )
+        row = vwap.join(vol, "session_id", "left").withColumn(
             "batch_id", F.lit(int(batch_id))
         )
         row.coalesce(1).write.mode("overwrite").parquet(
