@@ -16,6 +16,7 @@ from txf_continuous_data_pipeline_spark.operators.adjust import backadjust
 from txf_continuous_data_pipeline_spark.operators.returns import (
     continuous_log_returns,
     session_realized_vol,
+    session_vwap,
 )
 from txf_continuous_data_pipeline_spark.operators.sessions import (
     split_and_label,
@@ -55,12 +56,7 @@ def _batch_fold_vol(spark, bars_dir, cfg):
         F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
     )
     vol = session_realized_vol(continuous_log_returns(adjusted))
-    pv = F.col("close") * F.col("volume")
-    vwap = adjusted.groupBy("session_id").agg(
-        F.round(F.sum(pv) / F.sum("volume"), 6).alias("vwap"),
-        F.sum("volume").cast("long").alias("volume"),
-    )
-    return vol.join(vwap, "session_id")
+    return session_vwap(adjusted).join(vol, "session_id", "left")
 
 
 def test_stream_vol_equals_batch_fold_and_replay_is_noop(
@@ -81,19 +77,17 @@ def test_stream_vol_equals_batch_fold_and_replay_is_noop(
     last = mon.groupBy("session_id").agg(
         F.max("batch_id").alias("batch_id")
     )
+    cols = [
+        "session_id", "vwap", "volume", "notional", "n_returns",
+        "realized_vol", "max_abs_return",
+    ]
     final = {
-        (
-            r["session_id"],
-            r["n_returns"],
-            r["realized_vol"],
-            r["max_abs_return"],
-            r["vwap"],
-            r["volume"],
-        )
+        tuple(r[c] for c in cols)
         for r in mon.join(last, ["session_id", "batch_id"]).collect()
     }
     want = {
-        tuple(r) for r in _batch_fold_vol(spark, bars_dir, cfg).collect()
+        tuple(r[c] for c in cols)
+        for r in _batch_fold_vol(spark, bars_dir, cfg).collect()
     }
     assert final == want and want
 
