@@ -1,0 +1,149 @@
+"""Session-level risk family (operators/returns.py r11 additions):
+session_atr / overnight_gap_returns on planted bar frames with
+numpy-differential expectations, plus the dup-cluster-histogram
+conservation invariant. The oracle-parity suite covers these same
+queries end-to-end; here the semantics are pinned on inputs small
+enough to hand-check (first-session TR convention, window cap,
+transition labels, guarded ln)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from txf_continuous_data_pipeline_spark.operators.returns import (
+    overnight_gap_returns,
+    session_atr,
+    session_ohlc_summary,
+)
+
+
+def _bars(spark, rows):
+    """rows: (bar_ts str, session_id, open, high, low, close, volume)."""
+    df = spark.createDataFrame(
+        rows,
+        "bar_ts string, session_id string, open double, high double,"
+        " low double, close double, volume long",
+    )
+    return df.withColumn("bar_ts", F.to_timestamp("bar_ts"))
+
+
+_FOUR_SESSIONS = [
+    # session A (day): two bars
+    ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 105.0, 99.0, 104.0, 10),
+    ("2024-01-02 09:05:00", "2024-01-02_D", 104.0, 106.0, 103.0, 105.0, 12),
+    # session B (night): gap up, one bar
+    ("2024-01-02 15:00:00", "2024-01-02_N", 110.0, 112.0, 108.0, 111.0, 5),
+    # session C (day): gap down below prior close
+    ("2024-01-03 09:00:00", "2024-01-03_D", 101.0, 103.0, 100.0, 102.0, 7),
+    # session D (night)
+    ("2024-01-03 15:00:00", "2024-01-03_N", 102.0, 104.0, 101.0, 103.0, 9),
+]
+
+
+def test_session_ohlc_summary_rolls_to_one_row_per_session(spark):
+    s = {
+        r["session_id"]: r
+        for r in session_ohlc_summary(_bars(spark, _FOUR_SESSIONS)).collect()
+    }
+    assert len(s) == 4
+    a = s["2024-01-02_D"]
+    # open of FIRST bar, close of LAST bar, extremes across both.
+    assert (a["open"], a["high"], a["low"], a["close"], a["volume"]) == (
+        100.0,
+        106.0,
+        99.0,
+        105.0,
+        22,
+    )
+
+
+def test_session_atr_first_session_and_window(spark):
+    got = {
+        r["session_id"]: r
+        for r in session_atr(_bars(spark, _FOUR_SESSIONS), n=2).collect()
+    }
+    # First session: no previous close -> TR = high - low.
+    assert got["2024-01-02_D"]["true_range"] == 7.0  # 106 - 99
+    # Session B: prev_close=105; TR = max(112-108, |112-105|, |108-105|) = 7.
+    assert got["2024-01-02_N"]["true_range"] == 7.0
+    # Session C: prev_close=111; TR = max(3, |103-111|, |100-111|) = 11.
+    assert got["2024-01-03_D"]["true_range"] == 11.0
+    # ATR(2) of session C = mean(TR_B, TR_C) = 9; window capped at n=2.
+    assert got["2024-01-03_D"]["atr_2"] == 9.0
+    assert got["2024-01-03_D"]["n_in_window"] == 2
+    assert got["2024-01-02_D"]["n_in_window"] == 1
+
+
+def test_overnight_gap_returns_labels_and_values(spark):
+    got = {
+        r["session_id"]: r
+        for r in overnight_gap_returns(_bars(spark, _FOUR_SESSIONS)).collect()
+    }
+    # First session has no predecessor -> absent.
+    assert "2024-01-02_D" not in got
+    b = got["2024-01-02_N"]
+    assert b["transition"] == "D->N"
+    assert b["prev_session_id"] == "2024-01-02_D"
+    assert b["session_open"] == 110.0 and b["prev_close"] == 105.0
+    assert b["gap_return"] == round(math.log(110.0 / 105.0), 6)
+    c = got["2024-01-03_D"]
+    assert c["transition"] == "N->D"
+    assert c["gap_return"] == round(math.log(101.0 / 111.0), 6)
+
+
+def test_overnight_gap_guarded_ln_null_on_nonpositive(spark):
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 10.0, 10.0, 10.0, 10.0, 1),
+        # Adjusted open can go non-positive after a large back-shift:
+        # the guarded ln must yield NULL, not NaN/-inf.
+        ("2024-01-02 15:00:00", "2024-01-02_N", -5.0, 1.0, -5.0, 1.0, 1),
+    ]
+    got = overnight_gap_returns(_bars(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["gap_return"] is None
+
+
+def test_dup_cluster_histogram_conserves_corpus(spark, sf_dir):
+    """sum over the histogram of group_size * n_groups must equal the
+    corpus row count exactly - every doc is in exactly one group."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    hist = REGISTRY["dup_cluster_size_histogram"][0](spark, sf_dir)
+    total = hist.agg(F.sum("n_docs").alias("t")).collect()[0]["t"]
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert total == n_docs
+
+
+def test_fertility_is_volume_weighted_mean_of_doc_fertility(spark, sf_dir):
+    """Per-source fertility must equal sum(tokens)/sum(words) of the
+    per-doc encode frame - i.e. the source row is the exact weighted
+    aggregate of bpe_token_counts, not an unweighted mean of ratios."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    per_source = {
+        r["source"]: r
+        for r in REGISTRY["tokenizer_fertility_by_source"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    perdoc = REGISTRY["bpe_token_counts"][0](spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    expected = {
+        r["source"]: r
+        for r in perdoc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+        )
+        .where(F.col("w") > 0)
+        .collect()
+    }
+    assert set(per_source) == set(expected)
+    for src, row in per_source.items():
+        e = expected[src]
+        assert row["n_words"] == e["w"] and row["n_tokens"] == e["t"]
+        assert row["fertility"] == round(e["t"] / e["w"], 6)

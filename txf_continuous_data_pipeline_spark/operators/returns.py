@@ -113,3 +113,111 @@ def session_realized_vol(
             F.round(F.max(F.abs(lr)), 6).alias("max_abs_return"),
         )
     )
+
+
+def session_ohlc_summary(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """One OHLC row per session off the adjusted bar stream - the
+    DIMENSION-SIZED frame every session-level risk operator below
+    windows over. The rollup is the scale move: a corpus of bars
+    reduces map-side to one row per session, after which a GLOBAL
+    ordered window is a few thousand rows per decade of trading, not
+    a single-task scan of the fact table (the continuous_log_returns
+    session-summary discipline). min_by/max_by on the bar timestamp,
+    never first/last."""
+    ts = F.col(ts_col)
+    return bars.groupBy(session_col).agg(
+        F.min(ts_col).alias("session_start"),
+        F.min_by("open", ts).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts).alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+
+
+def session_atr(
+    bars: DataFrame,
+    *,
+    n: int = 14,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session True Range + simple-moving-average ATR(n) over the
+    back-adjusted session series (Wilder's range components; SMA
+    smoothing, whose fixed window the SQL oracle reproduces exactly -
+    Wilder's recursive EMA would re-open the accumulation-order
+    problem the unigram trainer documents). TR needs the PREVIOUS
+    session's close, so it is only roll-jump-free on the ADJUSTED
+    series - on raw closes every contract roll would print a fake
+    range spike, the same artifact continuous_log_returns exists to
+    remove. First session (no previous close): TR = high - low, the
+    standard convention. The lag/rolling windows run on the
+    session_ohlc_summary frame - dimension-sized, one row per
+    session."""
+    s = session_ohlc_summary(bars, ts_col=ts_col, session_col=session_col)
+    w = Window.orderBy("session_start")
+    prev_close = F.lag("close").over(w)
+    tr = F.when(
+        prev_close.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_close),
+            F.abs(F.col("low") - prev_close),
+        )
+    )
+    with_tr = s.select(
+        session_col, "session_start", tr.alias("_tr")
+    )
+    w_n = Window.orderBy("session_start").rowsBetween(-(n - 1), 0)
+    return with_tr.select(
+        session_col,
+        "session_start",
+        F.round("_tr", 6).alias("true_range"),
+        F.round(F.avg("_tr").over(w_n), 6).alias(f"atr_{n}"),
+        F.count("*").over(w_n).cast("long").alias("n_in_window"),
+    )
+
+
+def overnight_gap_returns(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Session-open-vs-previous-session-close log gap on the adjusted
+    continuous series: the risk continuous_log_returns does NOT
+    measure (its first-bar return closes the first bar's CLOSE
+    against the previous close; the gap a desk marks overnight risk
+    with is the session OPEN against that close). The transition
+    label (D->N / N->D) separates the afternoon break from the true
+    overnight. Same guarded-ln convention as every return operator:
+    a non-positive adjusted ratio yields NULL. Windows run on the
+    dimension-sized session summary only."""
+    s = session_ohlc_summary(bars, ts_col=ts_col, session_col=session_col)
+    w = Window.orderBy("session_start")
+    lagged = s.select(
+        session_col,
+        "session_start",
+        "open",
+        F.lag(session_col).over(w).alias("prev_session_id"),
+        F.lag("close").over(w).alias("prev_close"),
+    ).where(F.col("prev_session_id").isNotNull())
+    ratio = F.col("open") / F.col("prev_close")
+    return lagged.select(
+        session_col,
+        "prev_session_id",
+        F.concat(
+            F.substring(F.col("prev_session_id"), -1, 1),
+            F.lit("->"),
+            F.substring(F.col(session_col), -1, 1),
+        ).alias("transition"),
+        F.round("open", 4).alias("session_open"),
+        F.round("prev_close", 4).alias("prev_close"),
+        F.when(ratio > 0, F.round(F.log(ratio), 6)).alias("gap_return"),
+    )

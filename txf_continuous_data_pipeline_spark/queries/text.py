@@ -4928,3 +4928,140 @@ def web_pipeline_funnel_q(spark, sf_dir):
         .unionByName(row(2, "quality_cutoff", d2))
         .unionByName(s3)
     )
+
+
+def _fertility_sql(n_merges: int = 10) -> str:
+    """tokenizer_fertility_by_source's oracle: the trained-vocab CTE
+    chain (_bpe_vocab_ctes, the r11 unroll) replayed per corpus-
+    distinct token, aggregated per SOURCE instead of per doc - the
+    same v{n}-join encode the bpe_token_counts oracle uses."""
+    return (
+        "WITH "
+        + _bpe_vocab_ctes(n_merges)
+        + f""",
+perdoc AS MATERIALIZED (
+  SELECT doc_id, tok, count(*)::BIGINT AS _n
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+)
+SELECT d.source,
+       sum(p._n)::BIGINT AS n_words,
+       sum(p._n * len(v._sym))::BIGINT AS n_tokens,
+       round(sum(p._n * len(v._sym)) * 1.0 / sum(p._n), 6)
+         AS fertility
+FROM documents d
+JOIN perdoc p ON p.doc_id = d.doc_id
+JOIN v{n_merges} v ON v.tok = p.tok
+GROUP BY d.source
+"""
+    )
+
+
+@q("tokenizer_fertility_by_source", _fertility_sql(10))
+def tokenizer_fertility_by_source_q(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per whitespace word) per
+    source - the datasheet row a tokenizer owner reads before
+    committing a vocab: a source whose fertility is far above the
+    corpus mean is paying more sequence budget per word than its
+    mixture weight assumes. Reuses the session-cached trained merges
+    (_trained_merges) and the vocab-amortized encoder, so the only
+    work beyond bpe_token_counts is a source join + one
+    dimension-sized aggregate; sources with zero nonempty words drop
+    out (inner-join semantics, mirrored by the n_words > 0 guard)."""
+    from ..operators.textstats import bpe_encode_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _trained_merges(spark, sf_dir, n_merges=10)
+    perdoc = bpe_encode_counts(docs, merges)
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+# The recursive comp CTE groups by id; sizes need a second grouping on
+# the component label, so the histogram oracle restates comp explicitly.
+_DUP_HIST_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT component, count(*) AS group_size FROM comp GROUP BY component
+),
+all_sizes AS (
+  SELECT group_size FROM sizes
+  UNION ALL
+  SELECT 1 AS group_size FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(group_size * count(*) AS BIGINT) AS n_docs
+FROM all_sizes GROUP BY group_size
+"""
+
+
+@q("dup_cluster_size_histogram", _DUP_HIST_SQL)
+def dup_cluster_size_histogram_q(spark, sf_dir):
+    """Near-dup cluster-size distribution: how much of the corpus
+    sits in duplicate groups of each size (group_size 1 = unique
+    docs) - the shape a dedup owner checks before picking keep-one
+    vs down-weight (SoftDeDup) policy, and the conservation check
+    sum(n_docs) == corpus size makes it a release-gate row. Reuses
+    the session-cached connected components (_neardup_components -
+    no second pair build or CC run); singletons come from a
+    broadcast left-anti join against the component assignment (the
+    neardup_keep discipline: the clustered-doc list is dup-count
+    sized, never corpus sized)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = _neardup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("group_size")
+    )
+    singles = docs.join(
+        F.broadcast(comp.select(F.col("id").alias("doc_id"))),
+        "doc_id",
+        "left_anti",
+    ).select(F.lit(1).alias("group_size"))
+    return (
+        sizes.select("group_size")
+        .unionByName(singles)
+        .groupBy("group_size")
+        .agg(F.count("*").cast("long").alias("n_groups"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

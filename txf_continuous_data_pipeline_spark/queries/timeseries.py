@@ -1571,3 +1571,169 @@ def roll_yield_report_q(spark, sf_dir):
             6,
         ).alias("accum_step"),
     )
+
+
+# Shared session-summary CTE for the session-level risk family below:
+# one OHLCV row per session off the gated pipeline, UNKNOWN-labeled
+# boundary buckets excluded (the continuous_returns rationale - the
+# UNKNOWN pseudo-session spans every date, so it has no place in a
+# session-ordered window).
+_SESSION_SUMMARY_CTE = f"""
+base AS ({_PIPELINE_SQL}),
+s AS (
+  SELECT session_id,
+         min(bar_ts)            AS session_start,
+         arg_min(open, bar_ts)  AS open,
+         max(high)              AS high,
+         min(low)               AS low,
+         arg_max(close, bar_ts) AS close,
+         CAST(sum(volume) AS BIGINT) AS volume
+  FROM base WHERE session_id NOT LIKE '%UNKNOWN'
+  GROUP BY session_id
+)
+"""
+
+_ATR_SQL = f"""
+WITH {_SESSION_SUMMARY_CTE},
+tr AS (
+  SELECT session_id, session_start, high, low,
+         lag(close) OVER (ORDER BY session_start) AS prev_close
+  FROM s
+),
+tr2 AS (
+  SELECT session_id, session_start,
+         CASE WHEN prev_close IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - prev_close),
+                            abs(low - prev_close)) END AS tr
+  FROM tr
+)
+SELECT session_id, session_start,
+       round(tr, 6) AS true_range,
+       round(avg(tr) OVER (ORDER BY session_start
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr_14,
+       CAST(count(*) OVER (ORDER BY session_start
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_in_window
+FROM tr2
+"""
+
+
+def _adjusted_session_bars(spark, sf_dir):
+    """Gated 5-min pipeline output minus UNKNOWN boundary buckets -
+    the input frame of the session-level risk family (the
+    continuous_returns exclusion, shared)."""
+    return bar_pipeline_5m(spark, sf_dir).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+    )
+
+
+@q("session_atr", _ATR_SQL)
+def session_atr_q(spark, sf_dir):
+    """Per-session True Range + ATR(14) on the back-adjusted session
+    series (Wilder's range components, SMA smoothing). TR spans the
+    previous session's close, so it is only roll-jump-free on the
+    ADJUSTED series - raw closes would print a fake range spike at
+    every contract roll, the same artifact continuous_returns removes
+    for returns. The bar-scale work is one map-side rollup to the
+    dimension-sized session summary; the lag + rolling windows run on
+    one row per session (operators/returns.session_atr)."""
+    from ..operators.returns import session_atr
+
+    return session_atr(_adjusted_session_bars(spark, sf_dir), n=14)
+
+
+_GAP_SQL = f"""
+WITH {_SESSION_SUMMARY_CTE},
+lagged AS (
+  SELECT session_id, session_start, open,
+         lag(session_id) OVER (ORDER BY session_start)
+           AS prev_session_id,
+         lag(close) OVER (ORDER BY session_start) AS prev_close
+  FROM s
+)
+SELECT session_id, prev_session_id,
+       right(prev_session_id, 1) || '->' || right(session_id, 1)
+         AS transition,
+       round(open, 4) AS session_open,
+       round(prev_close, 4) AS prev_close,
+       CASE WHEN open / prev_close > 0
+            THEN round(ln(open / prev_close), 6) END AS gap_return
+FROM lagged WHERE prev_session_id IS NOT NULL
+"""
+
+
+@q("overnight_gap_returns", _GAP_SQL)
+def overnight_gap_returns_q(spark, sf_dir):
+    """Session-open vs previous-session-close log gap on the adjusted
+    continuous series, labeled by transition (D->N afternoon break vs
+    N->D true overnight). This is the risk continuous_returns does
+    NOT measure: its first-bar return uses the first bar's CLOSE; the
+    gap a desk marks overnight exposure with is the session OPEN
+    against the prior close. Same guarded-ln convention as
+    ratio_adjusted_series; windows run on the dimension-sized session
+    summary (operators/returns.overnight_gap_returns)."""
+    from ..operators.returns import overnight_gap_returns
+
+    return overnight_gap_returns(_adjusted_session_bars(spark, sf_dir))
+
+
+_VOL_ANOMALY_SQL = f"""
+WITH {_SESSION_SUMMARY_CTE},
+z AS (
+  SELECT session_id, session_start, volume,
+         avg(volume::DOUBLE) OVER w AS mu,
+         stddev_samp(volume::DOUBLE) OVER w AS sigma,
+         count(*) OVER w AS n_prior
+  FROM s
+  WINDOW w AS (ORDER BY session_start
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT session_id, CAST(volume AS BIGINT) AS volume,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CASE WHEN sigma > 0
+            THEN round((volume - mu) / sigma, 4) END AS vol_zscore,
+       coalesce(CASE WHEN sigma > 0
+                     THEN abs(round((volume - mu) / sigma, 4)) > 2.0
+                END, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+@q("volume_anomaly_sessions", _VOL_ANOMALY_SQL)
+def volume_anomaly_sessions_q(spark, sf_dir):
+    """Rolling z-score surveillance on session volume: each session
+    scored against the mean/stddev of its 20 PRECEDING sessions
+    (trailing-only window - the score is computable live, no
+    lookahead), flagged at |z| > 2. The anomaly flag tests the
+    ROUNDED z-score so the threshold comparison is bit-identical on
+    both engines (stddev accumulation order differs at the ulp
+    between Spark and DuckDB; the 4dp round absorbs it, and the flag
+    must not re-expose it). Sessions with fewer than 2 prior sessions
+    (sigma undefined) or zero variance score NULL, flag false. All
+    windows on the dimension-sized session summary."""
+    s = _adjusted_session_bars(spark, sf_dir)
+    from ..operators.returns import session_ohlc_summary
+
+    summ = session_ohlc_summary(s)
+    w = Window.orderBy("session_start").rowsBetween(-20, -1)
+    vol = F.col("volume").cast("double")
+    scored = summ.select(
+        "session_id",
+        F.col("volume").cast("long").alias("volume"),
+        F.count("*").over(w).cast("long").alias("n_prior"),
+        F.avg(vol).over(w).alias("_mu"),
+        F.stddev_samp(vol).over(w).alias("_sigma"),
+    )
+    z = F.round(
+        (F.col("volume") - F.col("_mu")) / F.col("_sigma"), 4
+    )
+    return scored.select(
+        "session_id",
+        "volume",
+        "n_prior",
+        F.when(F.col("_sigma") > 0, z).alias("vol_zscore"),
+        F.coalesce(
+            F.when(F.col("_sigma") > 0, F.abs(z) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
