@@ -147,3 +147,63 @@ def test_fertility_is_volume_weighted_mean_of_doc_fertility(spark, sf_dir):
         e = expected[src]
         assert row["n_words"] == e["w"] and row["n_tokens"] == e["t"]
         assert row["fertility"] == round(e["t"] / e["w"], 6)
+
+
+def test_price_limit_days_invariants(spark, sf_dir):
+    """Flags must agree with the rounded percents they are defined
+    over; the up excursion can never be below the down excursion; and
+    each contract window loses exactly its FIRST session-contract row
+    to the lag (no cross-contract comparison ever happens)."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.queries.timeseries import (
+        _session_contract_summary,
+    )
+
+    rows = REGISTRY["price_limit_days"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_up_pct"] >= r["max_down_pct"]
+        assert r["limit_up_touch"] == (
+            r["max_up_pct"] is not None and r["max_up_pct"] >= 0.10
+        )
+        assert r["limit_down_touch"] == (
+            r["max_down_pct"] is not None and r["max_down_pct"] <= -0.10
+        )
+    sc = _session_contract_summary(spark, sf_dir)
+    n_pairs = sc.count()
+    n_contracts = sc.select("contract_year_month").distinct().count()
+    assert len(rows) == n_pairs - n_contracts
+
+
+def test_expiry_effect_conserves_session_contracts(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.queries.timeseries import (
+        _session_contract_summary,
+    )
+
+    rep = REGISTRY["expiry_effect_report"][0](spark, sf_dir)
+    total = rep.agg(F2.sum("n_session_contracts").alias("t")).collect()[0][
+        "t"
+    ]
+    assert total == _session_contract_summary(spark, sf_dir).count()
+    # the countdown must never be negative: bars beyond settlement
+    # belong to the NEXT contract window by construction
+    assert rep.where(F2.col("days_to_settle") < 0).count() == 0
+
+
+def test_dedup_rate_matches_neardup_keep(spark, sf_dir):
+    """sum(n_removable) over sources must equal exactly the number of
+    docs neardup_keep drops - the two queries share the component
+    frame, and the rate datasheet must not disagree with the act."""
+    from pyspark.sql import functions as F2
+
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    rate = REGISTRY["dedup_rate_by_source"][0](spark, sf_dir)
+    removed = rate.agg(F2.sum("n_removable").alias("r")).collect()[0]["r"]
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    kept = REGISTRY["neardup_keep"][0](spark, sf_dir).count()
+    assert removed == n_docs - kept

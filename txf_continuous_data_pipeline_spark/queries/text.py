@@ -5065,3 +5065,76 @@ def dup_cluster_size_histogram_q(spark, sf_dir):
             .alias("n_docs"),
         )
     )
+
+
+_DEDUP_RATE_SQL = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION
+  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(c.doc_id) AS BIGINT) AS n_clustered,
+       CAST(sum(CASE WHEN c.doc_id IS NOT NULL
+                          AND c.doc_id <> c.component
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+       round(sum(CASE WHEN c.doc_id IS NOT NULL
+                           AND c.doc_id <> c.component
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@q("dedup_rate_by_source", _DEDUP_RATE_SQL)
+def dedup_rate_by_source_q(spark, sf_dir):
+    """Per-source duplication datasheet: how many docs sit in a
+    near-dup cluster and how many keep-one dedup would REMOVE
+    (non-representatives, the neardup_keep losers), as a rate of the
+    source's corpus share - the row a mixture owner reads next to
+    tokenizer_fertility_by_source before trusting a source's raw
+    token count (a source that is 30% duplicates contributes far
+    fewer effective tokens than its size claims). Reuses the
+    session-cached connected components; the component assignment is
+    dup-count sized and broadcasts into a left join against the
+    corpus, which never shuffles."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    comp = _neardup_components(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    joined = docs.join(F.broadcast(comp), "doc_id", "left")
+    removable = (
+        F.col("component").isNotNull()
+        & (F.col("doc_id") != F.col("component"))
+    ).cast("int")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("component").cast("long").alias("n_clustered"),
+        F.sum(removable).cast("long").alias("n_removable"),
+        F.round(
+            F.sum(removable) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )

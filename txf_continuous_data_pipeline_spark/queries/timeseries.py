@@ -1737,3 +1737,152 @@ def volume_anomaly_sessions_q(spark, sf_dir):
             F.when(F.col("_sigma") > 0, F.abs(z) > 2.0), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+# (session, contract) summary on RAW prices: the per-bar accumulated
+# offset is subtracted back out, so within one contract window the
+# numbers are the exchange's own - the frame for anything that applies
+# an EXCHANGE rule (price limits key off the previous settlement of
+# the SAME contract; a cross-contract percent move is meaningless).
+_SESSION_CONTRACT_CTE = f"""
+base AS ({_PIPELINE_SQL}),
+sc AS (
+  SELECT session_id, contract_year_month,
+         min(bar_ts) AS session_start,
+         max(high - accumulated_contract_diff) AS raw_high,
+         min(low - accumulated_contract_diff)  AS raw_low,
+         arg_max(close - accumulated_contract_diff, bar_ts) AS raw_close,
+         CAST(sum(volume) AS BIGINT) AS volume
+  FROM base
+  WHERE session_id NOT LIKE '%UNKNOWN' AND contract_year_month <> ''
+  GROUP BY session_id, contract_year_month
+)
+"""
+
+
+def _session_contract_summary(spark, sf_dir):
+    """Spark twin of _SESSION_CONTRACT_CTE: one row per (session,
+    contract window) with raw-price OHLC extremes. A session can
+    legitimately straddle two contract windows (settlement lands
+    mid-day-session), hence the two-column key."""
+    bars = _adjusted_session_bars(spark, sf_dir).where(
+        F.col("contract_year_month") != ""
+    )
+    acc = F.col("accumulated_contract_diff")
+    ts = F.col("bar_ts")
+    return bars.groupBy("session_id", "contract_year_month").agg(
+        F.min("bar_ts").alias("session_start"),
+        F.max(F.col("high") - acc).alias("raw_high"),
+        F.min(F.col("low") - acc).alias("raw_low"),
+        F.max_by(F.col("close") - acc, ts).alias("raw_close"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+
+
+_PRICE_LIMIT_SQL = f"""
+WITH {_SESSION_CONTRACT_CTE},
+lagged AS (
+  SELECT session_id, contract_year_month, raw_high, raw_low,
+         lag(raw_close) OVER (PARTITION BY contract_year_month
+                              ORDER BY session_start) AS prev_close
+  FROM sc
+)
+SELECT session_id, contract_year_month,
+       round(prev_close, 4) AS prev_close,
+       round((raw_high - prev_close) / nullif(prev_close, 0.0), 6)
+         AS max_up_pct,
+       round((raw_low - prev_close) / nullif(prev_close, 0.0), 6)
+         AS max_down_pct,
+       coalesce(round((raw_high - prev_close)
+                      / nullif(prev_close, 0.0), 6) >= 0.10, FALSE)
+         AS limit_up_touch,
+       coalesce(round((raw_low - prev_close)
+                      / nullif(prev_close, 0.0), 6) <= -0.10, FALSE)
+         AS limit_down_touch
+FROM lagged WHERE prev_close IS NOT NULL
+"""
+
+
+@q("price_limit_days", _PRICE_LIMIT_SQL)
+def price_limit_days_q(spark, sf_dir):
+    """Exchange price-limit surveillance (TAIFEX futures halt at +/-10%
+    of the previous session close): per (session, contract), the
+    extreme up/down excursion vs the previous close of the SAME
+    contract, with touch flags at the 10% band. Runs on RAW prices -
+    the limit is an exchange rule on the traded contract, so the
+    back-adjustment offset is subtracted back out, and the lag
+    partitions by contract window so a roll never fabricates a
+    cross-contract move. Flags test the ROUNDED percent (the
+    volume_anomaly_sessions discipline: the 6dp round absorbs engine
+    ulp differences; the threshold must not re-expose them). All
+    windows on the dimension-sized (session, contract) summary."""
+    sc = _session_contract_summary(spark, sf_dir)
+    w = Window.partitionBy("contract_year_month").orderBy(
+        "session_start"
+    )
+    lagged = sc.select(
+        "session_id",
+        "contract_year_month",
+        "raw_high",
+        "raw_low",
+        F.lag("raw_close").over(w).alias("prev_close"),
+    ).where(F.col("prev_close").isNotNull())
+    denom = F.nullif(F.col("prev_close"), F.lit(0.0))
+    up = F.round((F.col("raw_high") - F.col("prev_close")) / denom, 6)
+    dn = F.round((F.col("raw_low") - F.col("prev_close")) / denom, 6)
+    return lagged.select(
+        "session_id",
+        "contract_year_month",
+        F.round("prev_close", 4).alias("prev_close"),
+        up.alias("max_up_pct"),
+        dn.alias("max_down_pct"),
+        F.coalesce(up >= 0.10, F.lit(False)).alias("limit_up_touch"),
+        F.coalesce(dn <= -0.10, F.lit(False)).alias(
+            "limit_down_touch"
+        ),
+    )
+
+
+_EXPIRY_EFFECT_SQL = f"""
+WITH {_CFG_CTE},
+{_SESSION_CONTRACT_CTE}
+SELECT datediff('day', session_start::DATE, c.settle_k::DATE)
+         AS days_to_settle,
+       CAST(count(*) AS BIGINT) AS n_session_contracts,
+       CAST(sum(s.volume) AS BIGINT) AS total_volume,
+       round(avg(s.volume), 4) AS avg_volume,
+       round(avg(s.raw_high - s.raw_low), 6) AS avg_range
+FROM sc s
+JOIN cfg c USING (contract_year_month)
+GROUP BY 1
+"""
+
+
+@q("expiry_effect_report", _EXPIRY_EFFECT_SQL)
+def expiry_effect_report_q(spark, sf_dir):
+    """The expiry-effect profile: activity and range keyed by DAYS TO
+    SETTLEMENT - where the classic volume-migration-toward-expiry and
+    expiry-day range patterns show up (roll_calendar gives the
+    per-contract countdown; this is its cross-contract aggregate).
+    Range is raw high - raw low within one contract window, so it is
+    shift-invariant by construction. Config dimension broadcasts; the
+    only shuffle is the dimension-sized (session, contract) rollup
+    then a <=40-key aggregate."""
+    events = read_table(spark, sf_dir, "events")
+    sc = _session_contract_summary(spark, sf_dir)
+    cfg = weekly_settle_config(events).select(
+        "contract_year_month", "settle_k"
+    )
+    joined = sc.join(F.broadcast(cfg), "contract_year_month")
+    return joined.groupBy(
+        F.datediff(
+            F.to_date("settle_k"), F.to_date("session_start")
+        ).alias("days_to_settle")
+    ).agg(
+        F.count("*").cast("long").alias("n_session_contracts"),
+        F.sum("volume").cast("long").alias("total_volume"),
+        F.round(F.avg("volume"), 4).alias("avg_volume"),
+        F.round(
+            F.avg(F.col("raw_high") - F.col("raw_low")), 6
+        ).alias("avg_range"),
+    )
