@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from txf_continuous_data_pipeline_spark.operators.adjust import backadjust
 from txf_continuous_data_pipeline_spark.operators.returns import (
     continuous_log_returns,
+    session_atr,
     session_realized_vol,
     session_vwap,
 )
@@ -45,7 +46,8 @@ def _tree_hashes(path):
 
 def _batch_fold_vol(spark, bars_dir, cfg):
     """The batch computation over the sunk bars, composed from the
-    exact operators the stream's monitor uses (realized vol + vwap)."""
+    exact operators the stream's monitor uses (realized vol + ATR +
+    vwap)."""
     stored = spark.read.parquet(bars_dir)
     adjusted = backadjust(
         split_and_label(stored, "bar_ts"),
@@ -56,7 +58,14 @@ def _batch_fold_vol(spark, bars_dir, cfg):
         F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
     )
     vol = session_realized_vol(continuous_log_returns(adjusted))
-    return session_vwap(adjusted).join(vol, "session_id", "left")
+    atr = session_atr(adjusted, n=14).select(
+        "session_id", "true_range", "atr_14"
+    )
+    return (
+        session_vwap(adjusted)
+        .join(vol, "session_id", "left")
+        .join(atr, "session_id", "left")
+    )
 
 
 def test_stream_vol_equals_batch_fold_and_replay_is_noop(
@@ -79,7 +88,7 @@ def test_stream_vol_equals_batch_fold_and_replay_is_noop(
     )
     cols = [
         "session_id", "vwap", "volume", "notional", "n_returns",
-        "realized_vol", "max_abs_return",
+        "realized_vol", "max_abs_return", "true_range", "atr_14",
     ]
     final = {
         tuple(r[c] for c in cols)

@@ -1659,13 +1659,14 @@ def realized_vol_ingest_run(
     delay: str = "10 minutes",
     timeout_s: int = 240,
 ) -> "tuple[str, str]":
-    """Streaming twin of the session_realized_vol + session_vwap
-    surfaces (VERDICT r10 #7): the bar-ingest loop
+    """Streaming twin of the session_realized_vol + session_vwap +
+    session_atr surfaces (VERDICT r10 #7): the bar-ingest loop
     (available_now_bar_stream's watermarked OHLCV + Gate-2 idempotent
     bar sink) extended with a per-batch session monitor - realized
-    vol (risk) AND vwap/volume (execution benchmark) per touched
-    session - so a desk watches the continuous adjusted series update
-    as sessions close, instead of waiting for the nightly batch.
+    vol (return risk), True Range/ATR(14) (range risk), AND
+    vwap/volume (execution benchmark) per touched session - so a desk
+    watches the continuous adjusted series update as sessions close,
+    instead of waiting for the nightly batch.
 
     Each micro-batch of CLOSED bars (the event-time watermark upstream
     is ST2: an open bar never exits streaming_ohlcv):
@@ -1696,6 +1697,7 @@ def realized_vol_ingest_run(
     from ..operators.adjust import backadjust
     from ..operators.returns import (
         continuous_log_returns,
+        session_atr,
         session_realized_vol,
         session_vwap,
     )
@@ -1737,11 +1739,23 @@ def realized_vol_ingest_run(
         vol = session_realized_vol(
             continuous_log_returns(adjusted)
         )
+        # range risk (True Range / ATR(14)) rides the same monitor
+        # row: the trailing window needs PRIOR sessions' TRs, so ATR
+        # computes over the full (dimension-sized) session summary and
+        # filters to touched after. Final-row correctness shares the
+        # vol argument: Gate 2 drops late bars, so once a session's
+        # last touching batch lands, nothing at-or-before it changes
+        # and its TR/ATR window is frozen (pytest-pinned).
+        atr = session_atr(adjusted, n=14).select(
+            "session_id", "true_range", "atr_14"
+        )
         vwap = session_vwap(
             adjusted.where(F.col("session_id").isin(touched))
         )
-        row = vwap.join(vol, "session_id", "left").withColumn(
-            "batch_id", F.lit(int(batch_id))
+        row = (
+            vwap.join(vol, "session_id", "left")
+            .join(atr, "session_id", "left")
+            .withColumn("batch_id", F.lit(int(batch_id)))
         )
         row.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(monitor_dir, f"batch={batch_id}")
