@@ -103,6 +103,31 @@ def events_big(spark, events, reps):
     )
 
 
+def docs_big(spark, docs, reps):
+    """10x docs by the per-replica token-prefix trick: disjoint
+    shingle sets keep near-dup density at the baseline's. THE
+    document replica convention - the session_risk probe imports this
+    so both probes measure the same derived corpus."""
+    r = spark.range(reps).select(F.col("id").alias("rep"))
+    rep_s = F.col("rep").cast("string")
+    return (
+        docs.crossJoin(r)
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            "source",
+            "lang",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(rep_s, F.lit("_"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def adjusted_bars(events):
     """bar_pipeline_5m's stage chain over an arbitrary events frame
     (plans/pipeline.py), UNKNOWN filtered like continuous_returns_q."""
@@ -310,27 +335,10 @@ def main() -> None:
     docs = read_table(spark, SF_DIR, "documents").localCheckpoint(
         eager=True
     )
-    r = spark.range(reps).select(F.col("id").alias("rep"))
-    rep_s = F.col("rep").cast("string")
-    docs_big = (
-        docs.crossJoin(r)
-        .select(
-            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
-            "source",
-            "lang",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(rep_s, F.lit("_"), t),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    big = docs_big(spark, docs, reps)
     w, n = _t(lambda: mix_pack(docs).count())
     out["mix_pack_1x"] = {"wall_s": w, "rows": n}
-    w, n = _t(lambda: mix_pack(docs_big).count())
+    w, n = _t(lambda: mix_pack(big).count())
     out[f"mix_pack_{reps}x"] = {"wall_s": w, "rows": n}
 
     # compact_batch_store: store bytes 1x vs replicas-x (same batch

@@ -28,7 +28,6 @@ from __future__ import annotations
 import importlib.util
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -49,12 +48,6 @@ _r11 = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_r11)
 
 SF_DIR = _r11.SF_DIR
-
-
-def _t(fn):
-    t0 = time.perf_counter()
-    n = fn()
-    return round(time.perf_counter() - t0, 2), n
 
 
 def vol_anomaly(bars):
@@ -88,7 +81,7 @@ def fertility(docs):
     )
 
 
-def hist_stage(spark, docs, comp):
+def hist_stage(docs, comp):
     """Only the stages dup_cluster_size_histogram ADDS beyond the
     already-probed neardup pair/CC build."""
     sizes = comp.groupBy("component").agg(F.count("*").alias("gs"))
@@ -119,36 +112,19 @@ def main() -> None:
     evN = _r11.events_big(spark, ev1, reps)
     for tag, ev in (("1x", ev1), (f"{reps}x", evN)):
         bars = _r11.adjusted_bars(ev).localCheckpoint(eager=True)
-        w, n = _t(lambda: session_atr(bars, n=14).count())
+        w, n = _r11._t(lambda: session_atr(bars, n=14).count())
         out[f"session_atr_{tag}"] = {"wall_s": w, "rows": n}
-        w, n = _t(lambda: overnight_gap_returns(bars).count())
+        w, n = _r11._t(lambda: overnight_gap_returns(bars).count())
         out[f"overnight_gap_{tag}"] = {"wall_s": w, "rows": n}
-        w, n = _t(lambda: vol_anomaly(bars).count())
+        w, n = _r11._t(lambda: vol_anomaly(bars).count())
         out[f"vol_anomaly_{tag}"] = {"wall_s": w, "rows": n}
 
     docs1 = read_table(spark, SF_DIR, "documents").localCheckpoint(
         eager=True
     )
-    r = spark.range(reps).select(F.col("id").alias("rep"))
-    rep_s = F.col("rep").cast("string")
-    docsN = (
-        docs1.crossJoin(r)
-        .select(
-            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
-            "source",
-            "lang",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(rep_s, F.lit("_"), t),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    docsN = _r11.docs_big(spark, docs1, reps)
     for tag, docs in (("1x", docs1), (f"{reps}x", docsN)):
-        w, n = _t(lambda: fertility(docs).count())
+        w, n = _r11._t(lambda: fertility(docs).count())
         out[f"fertility_{tag}"] = {"wall_s": w, "rows": n}
         # synthetic comp: 10% of docs clustered in groups of ~4 - the
         # added-stage cost axis is corpus size (anti-join) + dup count
@@ -161,7 +137,7 @@ def main() -> None:
             )
             .localCheckpoint(eager=True)
         )
-        w, n = _t(lambda: hist_stage(spark, docs, comp).count())
+        w, n = _r11._t(lambda: hist_stage(docs, comp).count())
         out[f"dup_hist_stage_{tag}"] = {"wall_s": w, "rows": n}
 
     print(json.dumps(out, indent=1))

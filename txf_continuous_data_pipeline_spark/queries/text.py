@@ -549,8 +549,13 @@ def doc_fingerprint_q(spark, sf_dir):
 # Transitive closure via a recursive CTE: reach = every node reachable
 # from `id`; the component label is the minimum reachable id (including
 # id itself) - exactly connected_components' min-label fixpoint.
-_NEARDUP_GROUPS_SQL = f"""
-WITH RECURSIVE s AS (
+# ONE copy of the shingle-pair + transitive-closure CTE chain (the
+# review-wave finding: it had been restated verbatim in four oracles,
+# so a threshold or labeling change could silently diverge them - the
+# _SESSION_SUMMARY_CTE discipline from queries/timeseries.py applied
+# here). Every near-dup oracle composes WITH RECURSIVE + this block.
+_NEARDUP_COMP_CTES = f"""
+s AS (
   SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
 ),
 pairs AS (
@@ -568,10 +573,18 @@ reach AS (
   SELECT a AS id, b AS r FROM edges
   UNION
   SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
+),
+comp AS (
+  SELECT id AS doc_id, least(id, min(r)) AS component
+  FROM reach GROUP BY id
 )
-SELECT id AS doc_id, least(id, min(r)) AS component
-FROM reach GROUP BY id
 """
+
+
+_NEARDUP_GROUPS_SQL = (
+    f"WITH RECURSIVE {_NEARDUP_COMP_CTES}\n"
+    "SELECT doc_id, component FROM comp"
+)
 
 
 _COMPONENTS_CACHE: dict = {}
@@ -617,34 +630,12 @@ def neardup_groups(spark, sf_dir):
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
-_NEARDUP_KEEP_SQL = f"""
-WITH RECURSIVE s AS (
-  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach AS (
-  SELECT a AS id, b AS r FROM edges
-  UNION
-  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
-),
-comp AS (
-  SELECT id AS doc_id, least(id, min(r)) AS component
-  FROM reach GROUP BY id
-)
-SELECT d.doc_id, d.source, d.lang
+_NEARDUP_KEEP_SQL = (
+    f"WITH RECURSIVE {_NEARDUP_COMP_CTES}\n"
+    """SELECT d.doc_id, d.source, d.lang
 FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
-"""
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)"""
+)
 
 
 @q("neardup_keep", _NEARDUP_KEEP_SQL)
@@ -4988,33 +4979,9 @@ def tokenizer_fertility_by_source_q(spark, sf_dir):
     )
 
 
-# The recursive comp CTE groups by id; sizes need a second grouping on
-# the component label, so the histogram oracle restates comp explicitly.
-_DUP_HIST_SQL = f"""
-WITH RECURSIVE s AS (
-  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach AS (
-  SELECT a AS id, b AS r FROM edges
-  UNION
-  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
-),
-comp AS (
-  SELECT id AS doc_id, least(id, min(r)) AS component
-  FROM reach GROUP BY id
-),
-sizes AS (
+_DUP_HIST_SQL = (
+    f"WITH RECURSIVE {_NEARDUP_COMP_CTES},\n"
+    """sizes AS (
   SELECT component, count(*) AS group_size FROM comp GROUP BY component
 ),
 all_sizes AS (
@@ -5026,8 +4993,8 @@ all_sizes AS (
 SELECT CAST(group_size AS BIGINT) AS group_size,
        CAST(count(*) AS BIGINT) AS n_groups,
        CAST(group_size * count(*) AS BIGINT) AS n_docs
-FROM all_sizes GROUP BY group_size
-"""
+FROM all_sizes GROUP BY group_size"""
+)
 
 
 @q("dup_cluster_size_histogram", _DUP_HIST_SQL)
@@ -5067,31 +5034,9 @@ def dup_cluster_size_histogram_q(spark, sf_dir):
     )
 
 
-_DEDUP_RATE_SQL = f"""
-WITH RECURSIVE s AS (
-  SELECT doc_id, source, {_SHINGLES} AS sh FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
-),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach AS (
-  SELECT a AS id, b AS r FROM edges
-  UNION
-  SELECT w.id, e.b FROM reach w JOIN edges e ON w.r = e.a
-),
-comp AS (
-  SELECT id AS doc_id, least(id, min(r)) AS component
-  FROM reach GROUP BY id
-)
-SELECT d.source,
+_DEDUP_RATE_SQL = (
+    f"WITH RECURSIVE {_NEARDUP_COMP_CTES}\n"
+    """SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(c.doc_id) AS BIGINT) AS n_clustered,
        CAST(sum(CASE WHEN c.doc_id IS NOT NULL
@@ -5103,8 +5048,8 @@ SELECT d.source,
          AS dup_rate
 FROM documents d
 LEFT JOIN comp c ON c.doc_id = d.doc_id
-GROUP BY d.source
-"""
+GROUP BY d.source"""
+)
 
 
 @q("dedup_rate_by_source", _DEDUP_RATE_SQL)

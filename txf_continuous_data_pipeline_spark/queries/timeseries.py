@@ -1846,8 +1846,8 @@ def price_limit_days_q(spark, sf_dir):
 _EXPIRY_EFFECT_SQL = f"""
 WITH {_CFG_CTE},
 {_SESSION_CONTRACT_CTE}
-SELECT datediff('day', session_start::DATE, c.settle_k::DATE)
-         AS days_to_settle,
+SELECT CAST(datediff('day', session_start::DATE, c.settle_k::DATE)
+            AS BIGINT) AS days_to_settle,
        CAST(count(*) AS BIGINT) AS n_session_contracts,
        CAST(sum(s.volume) AS BIGINT) AS total_volume,
        round(avg(s.volume), 4) AS avg_volume,
@@ -1875,9 +1875,9 @@ def expiry_effect_report_q(spark, sf_dir):
     )
     joined = sc.join(F.broadcast(cfg), "contract_year_month")
     return joined.groupBy(
-        F.datediff(
-            F.to_date("settle_k"), F.to_date("session_start")
-        ).alias("days_to_settle")
+        F.datediff(F.to_date("settle_k"), F.to_date("session_start"))
+        .cast("long")
+        .alias("days_to_settle")
     ).agg(
         F.count("*").cast("long").alias("n_session_contracts"),
         F.sum("volume").cast("long").alias("total_volume"),
