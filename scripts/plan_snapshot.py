@@ -173,6 +173,15 @@ FLAGSHIPS = [
     "forward_adjusted_series",
     "roll_calendar",
     "ratio_adjusted_series",
+    # late-r11 session-risk family + corpus datasheets
+    "session_atr",
+    "overnight_gap_returns",
+    "volume_anomaly_sessions",
+    "price_limit_days",
+    "expiry_effect_report",
+    "tokenizer_fertility_by_source",
+    "dup_cluster_size_histogram",
+    "dedup_rate_by_source",
 ]
 
 
