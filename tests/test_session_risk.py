@@ -207,3 +207,38 @@ def test_dedup_rate_matches_neardup_keep(spark, sf_dir):
     n_docs = read_table(spark, sf_dir, "documents").count()
     kept = REGISTRY["neardup_keep"][0](spark, sf_dir).count()
     assert removed == n_docs - kept
+
+
+def test_session_vwap_is_partitioning_invariant_on_half_boundary(spark):
+    """The r11 verify flake: a vwap whose true quotient sits exactly on
+    a 6dp rounding half (74.0578125, from the sf0.01 driver data) used
+    to flip its last digit with the double sum's merge order. The
+    exact-sum DECIMAL discipline must make the rounded value identical
+    under ANY partitioning."""
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        session_vwap,
+    )
+
+    rows = [
+        ("2024-01-19 09:00:00", "2024-01-19_D", 74.0, 74.0, 74.0, 74.0, 32),
+        (
+            "2024-01-19 09:05:00",
+            "2024-01-19_D",
+            74.115625,
+            74.115625,
+            74.115625,
+            74.115625,
+            32,
+        ),
+    ]
+    # sum(close*volume) = 2368 + 2371.7 = 4739.7; volume = 64;
+    # quotient = 74.0578125 - exactly on the 6dp half.
+    vals = set()
+    for n_parts in (1, 2, 7):
+        df = _bars(spark, rows).repartition(n_parts)
+        got = session_vwap(df).collect()
+        assert len(got) == 1
+        vals.add((got[0]["vwap"], got[0]["volume"], got[0]["notional"]))
+    assert len(vals) == 1, vals
+    (vwap, volume, notional) = vals.pop()
+    assert volume == 64 and notional == 4739.7

@@ -85,12 +85,25 @@ def session_vwap(
     shared by the batch query (queries/timeseries.session_vwap_q) and
     the streaming monitor (r11 review wave 3: it had been hand-copied
     in three places - the drift mode the realized-vol factoring
-    exists to prevent). One map-side-combined aggregate."""
-    pv = F.col(close_col) * F.col(volume_col)
+    exists to prevent). One map-side-combined aggregate.
+
+    EXACT-SUM DISCIPLINE (r11 verify flake): a parallel double sum's
+    merge order is task-arrival order, so a vwap whose true quotient
+    sits exactly on a 6dp rounding boundary (observed: 74.0578125)
+    flips its last digit between runs. The per-row product is summed
+    in DECIMAL instead - order-independent and exact (prices carry
+    <= 6dp) - then ONE double division and ONE round, which identical
+    inputs make bit-identical on every run and engine. The oracle
+    mirrors the same cast chain."""
+    pv = F.col(close_col).cast("decimal(15,6)") * F.col(
+        volume_col
+    ).cast("decimal(12,0)")
+    sum_pv = F.sum(pv).cast("double")
+    sum_v = F.sum(volume_col)
     return bars.groupBy(session_col, *extra_group_cols).agg(
-        F.round(F.sum(pv) / F.sum(volume_col), 6).alias("vwap"),
-        F.sum(volume_col).cast("long").alias("volume"),
-        F.round(F.sum(pv), 4).alias("notional"),
+        F.round(sum_pv / sum_v.cast("double"), 6).alias("vwap"),
+        sum_v.cast("long").alias("volume"),
+        F.round(sum_pv, 4).alias("notional"),
     )
 
 

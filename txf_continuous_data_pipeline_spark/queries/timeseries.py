@@ -1160,12 +1160,18 @@ def session_realized_vol_q(spark, sf_dir):
     return session_realized_vol(continuous_returns_q(spark, sf_dir))
 
 
+# the DECIMAL product sum mirrors operators/returns.session_vwap's
+# exact-sum discipline: order-independent sum, ONE double division,
+# ONE round - bit-identical across runs and engines (the r11 flake
+# was a true quotient exactly on a 6dp half boundary)
 _VWAP_SQL = f"""
 WITH base AS ({_PIPELINE_SQL})
 SELECT session_id, date_market_type,
-       round(sum(close * volume) / sum(volume), 6) AS vwap,
+       round(CAST(sum(CAST(close AS DECIMAL(15,6)) * volume) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS vwap,
        CAST(sum(volume) AS BIGINT) AS volume,
-       round(sum(close * volume), 4) AS notional
+       round(CAST(sum(CAST(close AS DECIMAL(15,6)) * volume) AS DOUBLE),
+             4) AS notional
 FROM base GROUP BY session_id, date_market_type
 """
 
