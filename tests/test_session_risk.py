@@ -242,3 +242,42 @@ def test_session_vwap_is_partitioning_invariant_on_half_boundary(spark):
     assert len(vals) == 1, vals
     (vwap, volume, notional) = vals.pop()
     assert volume == 64 and notional == 4739.7
+    # half-away-from-zero at the exact half: 74.0578125 -> .057813,
+    # by INTEGER arithmetic on both engines (review wave 2: rounding
+    # the quotient double diverges between engines on halves)
+    assert vwap == 74.057813
+
+
+def test_session_vwap_cross_engine_half_case(spark):
+    """The review counterexample: exact quotient 8.0000355 (a 6dp
+    half whose nearest double sits BELOW the half, so round(double)
+    gave 8.000036 on Spark and 8.000035 on DuckDB). The integer
+    micro-unit rounding must give half-away = 8.000036, and the
+    oracle's identical arithmetic must agree."""
+    import duckdb
+
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        session_vwap,
+    )
+
+    rows = [
+        ("2024-01-19 09:00:00", "S", 8.000035, 8.1, 8.0, 8.000035, 32),
+        ("2024-01-19 09:05:00", "S", 8.000036, 8.1, 8.0, 8.000036, 32),
+    ]
+    got = session_vwap(_bars(spark, rows)).collect()[0]
+    assert got["vwap"] == 8.000036
+    oracle = duckdb.sql(
+        """
+        WITH sums AS (
+          SELECT sum(CAST(close AS DECIMAL(15,6)) * volume) AS pv,
+                 CAST(sum(volume) AS BIGINT) AS volume
+          FROM (VALUES (8.000035::DOUBLE, 32), (8.000036::DOUBLE, 32))
+               t(close, volume)
+        )
+        SELECT (CASE WHEN pv < 0 THEN -1 WHEN pv > 0 THEN 1 ELSE 0 END)
+                 * ((2 * abs(CAST(pv * 1000000 AS BIGINT)) + volume)
+                    // (2 * volume)) / 1000000.0 AS vwap
+        FROM sums
+        """
+    ).fetchone()[0]
+    assert oracle == got["vwap"]

@@ -87,23 +87,42 @@ def session_vwap(
     in three places - the drift mode the realized-vol factoring
     exists to prevent). One map-side-combined aggregate.
 
-    EXACT-SUM DISCIPLINE (r11 verify flake): a parallel double sum's
-    merge order is task-arrival order, so a vwap whose true quotient
-    sits exactly on a 6dp rounding boundary (observed: 74.0578125)
-    flips its last digit between runs. The per-row product is summed
-    in DECIMAL instead - order-independent and exact (prices carry
-    <= 6dp) - then ONE double division and ONE round, which identical
-    inputs make bit-identical on every run and engine. The oracle
-    mirrors the same cast chain."""
+    EXACT-ARITHMETIC DISCIPLINE (r11 verify flake, two review waves):
+    a parallel double sum's merge order is task-arrival order, so a
+    vwap whose true quotient sits exactly on a 6dp rounding half
+    (observed: 74.0578125) flipped its last digit between runs; and
+    round(double) itself diverges between engines on such halves
+    (Spark HALF_UPs the double's shortest decimal repr, DuckDB rounds
+    the binary value). So NO double participates before the final
+    constant division: the product sums in DECIMAL (exact at <= 6dp
+    prices), and the 6dp half-away-from-zero rounding of pv/volume
+    runs in INTEGER micro-units - (2|A| + V) DIV (2V) - identical by
+    construction on both engines; notional rounds the exact DECIMAL
+    sum before its double cast for the same reason. Micro-unit bound:
+    |session pv| < ~9.2e12 fits BIGINT at 1e6 scale - price-domain
+    safe by orders of magnitude. The oracle mirrors the same
+    arithmetic."""
     pv = F.col(close_col).cast("decimal(15,6)") * F.col(
         volume_col
     ).cast("decimal(12,0)")
-    sum_pv = F.sum(pv).cast("double")
-    sum_v = F.sum(volume_col)
-    return bars.groupBy(session_col, *extra_group_cols).agg(
-        F.round(sum_pv / sum_v.cast("double"), 6).alias("vwap"),
-        sum_v.cast("long").alias("volume"),
-        F.round(sum_pv, 4).alias("notional"),
+    agged = bars.groupBy(session_col, *extra_group_cols).agg(
+        F.sum(pv).alias("_pv"),
+        F.sum(volume_col).cast("long").alias("volume"),
+    )
+    half_away = F.expr(
+        "(2 * abs(CAST(_pv * 1000000 AS BIGINT)) + volume)"
+        " DIV (2 * volume)"
+    )
+    return agged.select(
+        session_col,
+        *extra_group_cols,
+        (
+            F.signum(F.col("_pv").cast("double"))
+            * half_away
+            / F.lit(1000000.0)
+        ).alias("vwap"),
+        "volume",
+        F.round(F.col("_pv"), 4).cast("double").alias("notional"),
     )
 
 

@@ -527,11 +527,9 @@ def _wds_path(spark, sf_dir):
 
 
 def _mm_corpus_key(spark, sf_dir):
-    import os
+    from .registry import corpus_key
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    stamp = (os.path.getmtime(p), os.path.getsize(p))
-    return (spark.sparkContext.applicationId, sf_dir, stamp)
+    return corpus_key(spark, sf_dir, "documents")
 
 
 @q("webdataset_roundtrip", _WDS_SQL)

@@ -216,11 +216,9 @@ _INDEX_CACHE: dict = {}
 
 
 def _corpus_key(spark, sf_dir):
-    import os
+    from .registry import corpus_key
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    stamp = (os.path.getmtime(path), os.path.getsize(path))
-    return (spark.sparkContext.applicationId, sf_dir, stamp)
+    return corpus_key(spark, sf_dir, "documents")
 
 
 def _shingle_index(spark, sf_dir):

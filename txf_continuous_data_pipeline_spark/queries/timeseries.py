@@ -678,12 +678,18 @@ _BARS_CACHE: dict = {}
 
 
 def _cached_bar_pipeline(spark, sf_dir):
-    import os as _os
+    from .registry import corpus_key
 
-    path = _os.path.join(sf_dir, "events.parquet")
-    stamp = (_os.path.getmtime(path), _os.path.getsize(path))
-    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    key = corpus_key(spark, sf_dir, "events")
     if key not in _BARS_CACHE:
+        # a rewritten corpus (new stamp) supersedes the old entry:
+        # unpersist and drop it, or its MEMORY_AND_DISK blocks would
+        # stay pinned for the process lifetime (review-wave finding -
+        # the release_materialized() lifecycle cannot see this frame)
+        for stale in [
+            k for k in _BARS_CACHE if k[:2] == key[:2] and k != key
+        ]:
+            _BARS_CACHE.pop(stale).unpersist()
         _BARS_CACHE[key] = bar_pipeline_5m(spark, sf_dir).persist()
     return _BARS_CACHE[key]
 
@@ -1160,19 +1166,27 @@ def session_realized_vol_q(spark, sf_dir):
     return session_realized_vol(continuous_returns_q(spark, sf_dir))
 
 
-# the DECIMAL product sum mirrors operators/returns.session_vwap's
-# exact-sum discipline: order-independent sum, ONE double division,
-# ONE round - bit-identical across runs and engines (the r11 flake
-# was a true quotient exactly on a 6dp half boundary)
+# mirrors operators/returns.session_vwap's exact-arithmetic
+# discipline: DECIMAL product sum (order-independent), 6dp
+# half-away-from-zero rounding in INTEGER micro-units, notional
+# rounded as DECIMAL before the double cast - no double participates
+# before the final constant division, so halves cannot diverge
+# between engines (the r11 flake class, closed for good)
 _VWAP_SQL = f"""
-WITH base AS ({_PIPELINE_SQL})
+WITH base AS ({_PIPELINE_SQL}),
+sums AS (
+  SELECT session_id, date_market_type,
+         sum(CAST(close AS DECIMAL(15,6)) * volume) AS pv,
+         CAST(sum(volume) AS BIGINT) AS volume
+  FROM base GROUP BY session_id, date_market_type
+)
 SELECT session_id, date_market_type,
-       round(CAST(sum(CAST(close AS DECIMAL(15,6)) * volume) AS DOUBLE)
-             / CAST(sum(volume) AS DOUBLE), 6) AS vwap,
-       CAST(sum(volume) AS BIGINT) AS volume,
-       round(CAST(sum(CAST(close AS DECIMAL(15,6)) * volume) AS DOUBLE),
-             4) AS notional
-FROM base GROUP BY session_id, date_market_type
+       (CASE WHEN pv < 0 THEN -1 WHEN pv > 0 THEN 1 ELSE 0 END)
+         * ((2 * abs(CAST(pv * 1000000 AS BIGINT)) + volume)
+            // (2 * volume)) / 1000000.0 AS vwap,
+       volume,
+       CAST(round(pv, 4) AS DOUBLE) AS notional
+FROM sums
 """
 
 
