@@ -108,8 +108,58 @@ def test_stream_vol_equals_batch_fold_and_replay_is_noop(
 
     # full replay over the consumed checkpoint: nothing is appended to
     # the bar sink and no monitor partition is rewritten
+    limits_dir = os.path.join(work, "limits")
     before_bars = _tree_hashes(bars_dir)
     before_mon = _tree_hashes(mon_dir)
+    before_lim = _tree_hashes(limits_dir)
     realized_vol_ingest_run(spark, feed, work, cfg)
     assert _tree_hashes(bars_dir) == before_bars
     assert _tree_hashes(mon_dir) == before_mon
+    assert _tree_hashes(limits_dir) == before_lim
+
+
+def test_stream_limits_feed_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The limits/batch=<id> feed: final row per (session, contract)
+    must equal price_limit_report over the same sunk bars - the shared
+    operator plus the Gate-2 freeze argument, pinned end to end."""
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        price_limit_report,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    feed = stage_events_dir(
+        spark, sf_dir, str(tmp_path / "feed"), n_files=4
+    )
+    work = str(tmp_path / "work")
+    bars_dir, _ = realized_vol_ingest_run(spark, feed, work, cfg)
+
+    lim = spark.read.parquet(os.path.join(work, "limits"))
+    last = lim.groupBy("session_id", "contract_year_month").agg(
+        F.max("batch_id").alias("batch_id")
+    )
+    cols = [
+        "session_id", "contract_year_month", "prev_close",
+        "max_up_pct", "max_down_pct", "limit_up_touch",
+        "limit_down_touch",
+    ]
+    final = {
+        tuple(r[c] for c in cols)
+        for r in lim.join(
+            last, ["session_id", "contract_year_month", "batch_id"]
+        ).collect()
+    }
+    stored = spark.read.parquet(bars_dir)
+    adjusted = backadjust(
+        split_and_label(stored, "bar_ts"),
+        cfg,
+        ts_col="bar_ts",
+        end_inclusive=False,
+    ).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+    )
+    want = {
+        tuple(r[c] for c in cols)
+        for r in price_limit_report(adjusted).collect()
+    }
+    assert final == want and want

@@ -253,3 +253,78 @@ def overnight_gap_returns(
         F.round("prev_close", 4).alias("prev_close"),
         F.when(ratio > 0, F.round(F.log(ratio), 6)).alias("gap_return"),
     )
+
+
+def session_contract_summary(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """One row per (session, contract window) with RAW-price OHLC
+    extremes - the per-bar accumulated offset subtracted back out, so
+    within one contract window the numbers are the exchange's own.
+    The frame for anything applying an EXCHANGE rule (price limits
+    key off the previous settlement of the SAME contract; a
+    cross-contract percent move is meaningless). A session can
+    legitimately straddle two contract windows (settlement lands
+    mid-day-session), hence the two-column key. Dimension-sized."""
+    acc = F.col("accumulated_contract_diff")
+    ts = F.col(ts_col)
+    return (
+        bars.where(F.col("contract_year_month") != "")
+        .groupBy(session_col, "contract_year_month")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(F.col("high") - acc).alias("raw_high"),
+            F.min(F.col("low") - acc).alias("raw_low"),
+            F.max_by(F.col("close") - acc, ts).alias("raw_close"),
+            F.sum("volume").cast("long").alias("volume"),
+        )
+    )
+
+
+def price_limit_report(
+    bars: DataFrame,
+    *,
+    band: float = 0.10,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Exchange price-limit surveillance (TAIFEX futures halt at
+    +/-band of the previous session close): per (session, contract),
+    the extreme up/down excursion vs the previous close of the SAME
+    contract, with touch flags at the band. The lag partitions by
+    contract window so a roll never fabricates a cross-contract move;
+    flags test the ROUNDED percent (the 6dp round absorbs engine ulp
+    differences; the threshold must not re-expose them). ONE
+    definition shared by the batch query (price_limit_days) and the
+    streaming monitor's limits feed. All windows on the
+    dimension-sized (session, contract) summary."""
+    sc = session_contract_summary(
+        bars, ts_col=ts_col, session_col=session_col
+    )
+    w = Window.partitionBy("contract_year_month").orderBy(
+        "session_start"
+    )
+    lagged = sc.select(
+        session_col,
+        "contract_year_month",
+        "raw_high",
+        "raw_low",
+        F.lag("raw_close").over(w).alias("prev_close"),
+    ).where(F.col("prev_close").isNotNull())
+    denom = F.nullif(F.col("prev_close"), F.lit(0.0))
+    up = F.round((F.col("raw_high") - F.col("prev_close")) / denom, 6)
+    dn = F.round((F.col("raw_low") - F.col("prev_close")) / denom, 6)
+    return lagged.select(
+        session_col,
+        "contract_year_month",
+        F.round("prev_close", 4).alias("prev_close"),
+        up.alias("max_up_pct"),
+        dn.alias("max_down_pct"),
+        F.coalesce(up >= band, F.lit(False)).alias("limit_up_touch"),
+        F.coalesce(dn <= -band, F.lit(False)).alias(
+            "limit_down_touch"
+        ),
+    )

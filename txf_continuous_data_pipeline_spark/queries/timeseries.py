@@ -1806,21 +1806,13 @@ sc AS (
 
 
 def _session_contract_summary(spark, sf_dir):
-    """Spark twin of _SESSION_CONTRACT_CTE: one row per (session,
-    contract window) with raw-price OHLC extremes. A session can
-    legitimately straddle two contract windows (settlement lands
-    mid-day-session), hence the two-column key."""
-    bars = _adjusted_session_bars(spark, sf_dir).where(
-        F.col("contract_year_month") != ""
-    )
-    acc = F.col("accumulated_contract_diff")
-    ts = F.col("bar_ts")
-    return bars.groupBy("session_id", "contract_year_month").agg(
-        F.min("bar_ts").alias("session_start"),
-        F.max(F.col("high") - acc).alias("raw_high"),
-        F.min(F.col("low") - acc).alias("raw_low"),
-        F.max_by(F.col("close") - acc, ts).alias("raw_close"),
-        F.sum("volume").cast("long").alias("volume"),
+    """Spark twin of _SESSION_CONTRACT_CTE - the shared operator
+    (operators/returns.session_contract_summary) over the memoized
+    gated bar frame."""
+    from ..operators.returns import session_contract_summary
+
+    return session_contract_summary(
+        _adjusted_session_bars(spark, sf_dir)
     )
 
 
@@ -1861,30 +1853,10 @@ def price_limit_days_q(spark, sf_dir):
     volume_anomaly_sessions discipline: the 6dp round absorbs engine
     ulp differences; the threshold must not re-expose them). All
     windows on the dimension-sized (session, contract) summary."""
-    sc = _session_contract_summary(spark, sf_dir)
-    w = Window.partitionBy("contract_year_month").orderBy(
-        "session_start"
-    )
-    lagged = sc.select(
-        "session_id",
-        "contract_year_month",
-        "raw_high",
-        "raw_low",
-        F.lag("raw_close").over(w).alias("prev_close"),
-    ).where(F.col("prev_close").isNotNull())
-    denom = F.nullif(F.col("prev_close"), F.lit(0.0))
-    up = F.round((F.col("raw_high") - F.col("prev_close")) / denom, 6)
-    dn = F.round((F.col("raw_low") - F.col("prev_close")) / denom, 6)
-    return lagged.select(
-        "session_id",
-        "contract_year_month",
-        F.round("prev_close", 4).alias("prev_close"),
-        up.alias("max_up_pct"),
-        dn.alias("max_down_pct"),
-        F.coalesce(up >= 0.10, F.lit(False)).alias("limit_up_touch"),
-        F.coalesce(dn <= -0.10, F.lit(False)).alias(
-            "limit_down_touch"
-        ),
+    from ..operators.returns import price_limit_report
+
+    return price_limit_report(
+        _adjusted_session_bars(spark, sf_dir), band=0.10
     )
 
 

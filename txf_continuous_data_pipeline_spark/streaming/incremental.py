@@ -1681,7 +1681,10 @@ def realized_vol_ingest_run(
     A session's monitor row therefore updates with every batch that
     closes more of its bars; the row written by the LAST batch touching
     a session is its complete vol, equal to the batch fold over the
-    same sunk bars (pytest-pinned). Exactly-once: the bar sink is
+    same sunk bars (pytest-pinned). A parallel limits/batch=<id> feed
+    carries live exchange price-limit rows (price_limit_report, the
+    operator the batch query shares) for the touched sessions - the
+    same freeze argument pins its final rows. Exactly-once: the bar sink is
     watermark-gated and the monitor partition is overwritten per batch
     over a sink snapshot a replay reproduces, so redelivery rewrites
     identical bytes instead of double-appending.
@@ -1693,10 +1696,12 @@ def realized_vol_ingest_run(
     (sum_sq, count, max, boundary closes) partials and merge - the
     documented next step if bar history itself reaches fact scale).
 
-    Returns (bars_dir, monitor_dir)."""
+    Returns (bars_dir, monitor_dir); the limits feed lands next to
+    them in work_dir/limits."""
     from ..operators.adjust import backadjust
     from ..operators.returns import (
         continuous_log_returns,
+        price_limit_report,
         session_atr,
         session_realized_vol,
         session_vwap,
@@ -1705,6 +1710,7 @@ def realized_vol_ingest_run(
 
     bars_dir = os.path.join(work_dir, "bars")
     monitor_dir = os.path.join(work_dir, "monitor")
+    limits_dir = os.path.join(work_dir, "limits")
     gate = gated_idempotent_sink(bars_dir, ts_col="bar_ts")
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
@@ -1759,6 +1765,18 @@ def realized_vol_ingest_run(
         )
         row.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(monitor_dir, f"batch={batch_id}")
+        )
+        # exchange-rule feed: live limit-touch rows for the touched
+        # sessions, off the SAME shared operator as the batch query
+        # (price_limit_days). The lag spans the SAME contract's prior
+        # session; the Gate-2 freeze argument applies unchanged, so
+        # the last batch touching a (session, contract) writes its
+        # final row.
+        limits = price_limit_report(adjusted).where(
+            F.col("session_id").isin(touched)
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        limits.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(limits_dir, f"batch={batch_id}")
         )
 
     bars = streaming_ohlcv(
