@@ -179,6 +179,8 @@ FLAGSHIPS = [
     "volume_anomaly_sessions",
     "price_limit_days",
     "expiry_effect_report",
+    "volume_clock_bars",
+    "order_flow_imbalance",
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",

@@ -281,3 +281,86 @@ def test_session_vwap_cross_engine_half_case(spark):
         """
     ).fetchone()[0]
     assert oracle == got["vwap"]
+
+
+def test_order_flow_imbalance_tick_rule_semantics(spark):
+    """Hand-checked tick rule on one session: up, down, UNCHANGED
+    (carries the down), up - and a first bar that never gets a sign
+    (neutral volume). Imbalance = (buy-sell)/(buy+sell) at 6dp."""
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        order_flow_imbalance,
+    )
+
+    rows = [
+        # close path: 100 (no sign) -> 102 (+) -> 101 (-) -> 101
+        # (carry -) -> 103 (+)
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 3),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 102.0, 100.0, 102.0, 10),
+        ("2024-01-02 09:10:00", "2024-01-02_D", 102.0, 102.0, 101.0, 101.0, 4),
+        ("2024-01-02 09:15:00", "2024-01-02_D", 101.0, 101.0, 100.0, 101.0, 6),
+        ("2024-01-02 09:20:00", "2024-01-02_D", 101.0, 104.0, 101.0, 103.0, 2),
+    ]
+    out = order_flow_imbalance(_bars(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["buy_volume"] == 12          # bars 2 and 5
+    assert r["sell_volume"] == 10         # bar 3 plus carried bar 4
+    assert r["neutral_volume"] == 3       # the signless first bar
+    assert r["n_bars"] == 5
+    assert r["flow_imbalance"] == round((12 - 10) / 22, 6)
+
+
+def test_order_flow_imbalance_null_when_no_signed_bar(spark):
+    """A flat session (every close equal) has no signed volume: the
+    imbalance quotient is NULL, never a division error or a fake 0."""
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        order_flow_imbalance,
+    )
+
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 100.0, 100.0, 100.0, 3),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 100.0, 100.0, 100.0, 4),
+    ]
+    r = order_flow_imbalance(_bars(spark, rows)).collect()[0]
+    assert r["buy_volume"] == 0 and r["sell_volume"] == 0
+    assert r["neutral_volume"] == 7
+    assert r["flow_imbalance"] is None
+
+
+def test_volume_clock_bars_conservation_and_decomposition(spark):
+    """Volume bars conserve volume and bar count, bucket ids are the
+    exclusive-prefix-sum DIV by construction, and the session-
+    decomposed prefix sum equals the global one (sessions are
+    time-disjoint, so the planted cross-session cut lands exactly
+    where a global cumsum would put it)."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        volume_clock_bars,
+    )
+
+    rows = [
+        # total volume 40; target_buckets=4 -> bucket size 10.
+        # exclusive cumsum:      0   7  13  25  32
+        # bucket = cum DIV 10:   0   0   1   2   3
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 7),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 103.0, 100.0, 102.0, 6),
+        ("2024-01-02 15:00:00", "2024-01-02_N", 102.0, 104.0, 101.0, 103.0, 12),
+        ("2024-01-03 09:00:00", "2024-01-03_D", 103.0, 105.0, 102.0, 104.0, 7),
+        ("2024-01-03 09:05:00", "2024-01-03_D", 104.0, 106.0, 103.0, 105.0, 8),
+    ]
+    out = {
+        r["vbar_seq"]: r
+        for r in volume_clock_bars(
+            _bars(spark, rows), target_buckets=4
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert sum(r["volume"] for r in out.values()) == 40
+    assert sum(r["n_bars"] for r in out.values()) == 5
+    # bucket 0 spans the first two day bars; the night bar starts
+    # bucket 1 because the SESSION OFFSET carries the day volume over
+    b0 = out[0]
+    assert b0["n_bars"] == 2 and b0["volume"] == 13
+    assert b0["open"] == 100.0 and b0["close"] == 102.0
+    assert b0["high"] == 103.0 and b0["low"] == 99.0
+    assert out[1]["n_bars"] == 1 and out[1]["volume"] == 12
+    assert out[3]["open"] == 104.0 and out[3]["close"] == 105.0

@@ -328,3 +328,76 @@ def price_limit_report(
             "limit_down_touch"
         ),
     )
+
+
+def order_flow_imbalance(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Per-session order-flow imbalance via the TICK RULE (Lee-Ready
+    without quotes, the standard when only trades are visible): a bar
+    is buyer-initiated (+1) on an uptick, seller-initiated (-1) on a
+    downtick, and an unchanged close CARRIES the last known sign -
+    realized as last_value(ignore nulls) over the session-partitioned
+    preceding frame. Signs are scoped WITHIN a session by design: the
+    overnight gap is a different auction, not a tick, so a session's
+    opening bars stay neutral until the first intra-session price
+    move (documented choice; the cross-session chain would borrow a
+    sign across a halt). Close comparisons are engine-identical
+    because each close is one deterministic value plus the adjustment
+    offset - no order-sensitive sum participates.
+
+    flow_imbalance = (buy - sell) / (buy + sell), rounded to 6dp in
+    INTEGER micro-units ((2|num| + den) DIV (2 den), the session_vwap
+    half-away-from-zero discipline) so the quotient cannot straddle a
+    rounding half differently across engines; NULL when no bar ever
+    got a sign. Everything is session-partitioned windows plus one
+    map-side-combined aggregate - embarrassingly parallel, nothing
+    global, nothing driver-side.
+    """
+    w = Window.partitionBy(session_col).orderBy(ts_col)
+    prev = F.lag(close_col).over(w)
+    raw = F.when(F.col(close_col) > prev, F.lit(1)).when(
+        F.col(close_col) < prev, F.lit(-1)
+    )
+    carried = F.coalesce(
+        F.last(raw, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.lit(0),
+    )
+    signed = bars.withColumn("_sign", carried)
+    vol = F.col(volume_col)
+    agged = signed.groupBy(session_col).agg(
+        F.sum(F.when(F.col("_sign") == 1, vol).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("buy_volume"),
+        F.sum(F.when(F.col("_sign") == -1, vol).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sell_volume"),
+        F.sum(F.when(F.col("_sign") == 0, vol).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("neutral_volume"),
+        F.count("*").alias("n_bars"),
+    )
+    num = F.col("buy_volume") - F.col("sell_volume")
+    den = F.col("buy_volume") + F.col("sell_volume")
+    magnitude = F.expr(
+        "(2 * abs(buy_volume - sell_volume) * 1000000"
+        " + (buy_volume + sell_volume))"
+        " DIV (2 * (buy_volume + sell_volume))"
+    )
+    return agged.select(
+        session_col,
+        "buy_volume",
+        "sell_volume",
+        "neutral_volume",
+        F.when(
+            den > 0, F.signum(num) * magnitude / F.lit(1000000.0)
+        ).alias("flow_imbalance"),
+        "n_bars",
+    )

@@ -1903,3 +1903,107 @@ def expiry_effect_report_q(spark, sf_dir):
             F.avg(F.col("raw_high") - F.col("raw_low")), 6
         ).alias("avg_range"),
     )
+
+
+_VOLUME_CLOCK_SQL = f"""
+WITH base AS ({_PIPELINE_SQL}),
+b AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
+v AS (
+  SELECT CAST(ceil(sum(volume) / 200.0) AS BIGINT) AS vbucket FROM b
+),
+c AS (
+  SELECT b.*,
+         CAST(coalesce(sum(volume) OVER (
+                ORDER BY bar_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) AS BIGINT) AS cumv
+  FROM b
+)
+SELECT CAST(c.cumv // v.vbucket AS BIGINT) AS vbar_seq,
+       min(bar_ts) AS first_ts, max(bar_ts) AS last_ts,
+       arg_min(open, bar_ts) AS open,
+       max(high) AS high, min(low) AS low,
+       arg_max(close, bar_ts) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       count(*) AS n_bars
+FROM c, v
+GROUP BY 1
+"""
+
+
+@q("volume_clock_bars", _VOLUME_CLOCK_SQL)
+def volume_clock_bars_q(spark, sf_dir):
+    """Information-driven resampling on the volume clock (de Prado's
+    volume bars) over the gated adjusted 5-min stream: one OHLCV row
+    per ceil(total/200) contracts traded, so quiet stretches collapse
+    and bursts expand - the sampling that keeps per-bar information
+    content roughly constant for a training set. The oracle takes the
+    defining GLOBAL prefix sum directly; the Spark side decomposes it
+    into a session-partitioned exclusive prefix sum plus a
+    dimension-sized broadcast session offset (the continuous_returns
+    lag decomposition applied to a running sum - value-identical
+    because sessions are time-disjoint), and the bucket id is BIGINT
+    DIV end to end. See operators/resample.volume_clock_bars."""
+    from ..operators.resample import volume_clock_bars
+
+    return volume_clock_bars(
+        _adjusted_session_bars(spark, sf_dir), target_buckets=200
+    )
+
+
+_FLOW_IMBALANCE_SQL = f"""
+WITH base AS ({_PIPELINE_SQL}),
+b AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
+r AS (
+  SELECT session_id, bar_ts, volume,
+         CASE WHEN close > lag(close) OVER w THEN 1
+              WHEN close < lag(close) OVER w THEN -1 END AS raw_sign
+  FROM b
+  WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
+),
+s AS (
+  SELECT session_id, volume,
+         coalesce(last_value(raw_sign IGNORE NULLS) OVER (
+             PARTITION BY session_id ORDER BY bar_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS sign
+  FROM r
+),
+agged AS (
+  SELECT session_id,
+         CAST(sum(CASE WHEN sign = 1 THEN volume ELSE 0 END)
+              AS BIGINT) AS buy_volume,
+         CAST(sum(CASE WHEN sign = -1 THEN volume ELSE 0 END)
+              AS BIGINT) AS sell_volume,
+         CAST(sum(CASE WHEN sign = 0 THEN volume ELSE 0 END)
+              AS BIGINT) AS neutral_volume,
+         count(*) AS n_bars
+  FROM s GROUP BY session_id
+)
+SELECT session_id, buy_volume, sell_volume, neutral_volume,
+       CASE WHEN buy_volume + sell_volume > 0 THEN
+         (CASE WHEN buy_volume < sell_volume THEN -1
+               WHEN buy_volume > sell_volume THEN 1 ELSE 0 END)
+         * ((2 * abs(buy_volume - sell_volume) * 1000000
+             + (buy_volume + sell_volume))
+            // (2 * (buy_volume + sell_volume))) / 1000000.0
+       END AS flow_imbalance,
+       n_bars
+FROM agged
+"""
+
+
+@q("order_flow_imbalance", _FLOW_IMBALANCE_SQL)
+def order_flow_imbalance_q(spark, sf_dir):
+    """Per-session order-flow imbalance via the tick rule (+1 uptick,
+    -1 downtick, unchanged close carries the last sign within the
+    session): buy/sell/neutral volume and (buy-sell)/(buy+sell) at
+    6dp - the trade-side pressure gauge next to session_vwap's
+    execution benchmark. Signs are session-scoped (an overnight gap
+    is an auction, not a tick). The quotient rounds in INTEGER
+    micro-units (the session_vwap half-away discipline), so no
+    double arithmetic can straddle a rounding half differently
+    across engines. See operators/returns.order_flow_imbalance."""
+    from ..operators.returns import order_flow_imbalance
+
+    return order_flow_imbalance(_adjusted_session_bars(spark, sf_dir))
