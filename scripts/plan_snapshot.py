@@ -181,6 +181,7 @@ FLAGSHIPS = [
     "expiry_effect_report",
     "volume_clock_bars",
     "order_flow_imbalance",
+    "tick_imbalance_bars",
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",

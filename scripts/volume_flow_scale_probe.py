@@ -16,6 +16,11 @@ Expectations (plan citations in the operators):
                         sort + one map-side-combined aggregate ->
                         ~linear, embarrassingly parallel across
                         sessions.
+  tick_imbalance_bars   the sequential cut fold is session-scoped and
+                        a session is physically bounded (<= 168
+                        bars), so the applyInPandas is O(session) per
+                        group, parallel across sessions -> ~linear in
+                        sessions; only bucket rows leave Python.
 
 Usage: python scripts/volume_flow_scale_probe.py [replicas]
 """
@@ -32,6 +37,7 @@ sys.path.insert(0, "/root/repo/scripts")
 from r11_scale_probe import SF_DIR, adjusted_bars, events_big
 
 from txf_continuous_data_pipeline_spark.operators.resample import (
+    tick_imbalance_bars,
     volume_clock_bars,
 )
 from txf_continuous_data_pipeline_spark.operators.returns import (
@@ -68,8 +74,16 @@ def main() -> None:
         out[f"volume_clock_bars_{tag}"] = {"wall_s": w, "rows": n}
         w, n = _t(lambda: order_flow_imbalance(bars).count())
         out[f"order_flow_imbalance_{tag}"] = {"wall_s": w, "rows": n}
+        w, n = _t(
+            lambda: tick_imbalance_bars(bars, target_cuts=800).count()
+        )
+        out[f"tick_imbalance_bars_{tag}"] = {"wall_s": w, "rows": n}
 
-    for op in ("volume_clock_bars", "order_flow_imbalance"):
+    for op in (
+        "volume_clock_bars",
+        "order_flow_imbalance",
+        "tick_imbalance_bars",
+    ):
         a = out[f"{op}_1x"]["wall_s"] or 0.01
         b = out[f"{op}_{reps}x"]["wall_s"]
         out[f"{op}_growth"] = round(b / a, 2)

@@ -364,3 +364,60 @@ def test_volume_clock_bars_conservation_and_decomposition(spark):
     assert b0["high"] == 103.0 and b0["low"] == 99.0
     assert out[1]["n_bars"] == 1 and out[1]["volume"] == 12
     assert out[3]["open"] == 104.0 and out[3]["close"] == 105.0
+
+
+def test_tick_imbalance_bars_cut_rule_semantics(spark):
+    """Hand-folded cut rule (total volume 42, target_cuts=5 -> thr=9):
+    exact bucket boundaries, tripping bar INCLUSIVE, tail bucket
+    emitted, accumulator reset per session, signless opens contribute
+    zero, unchanged closes carry the last sign."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        tick_imbalance_bars,
+    )
+
+    rows = [
+        # session D: close path 100 (no sign, vol 4) -> 102 (+, vol
+        # 10: theta +10 >= 10 TRIP, bucket 0 closes here) -> 101 (-,
+        # vol 6: theta -6) -> 103 (+, vol 3: theta -3) -> tail bucket
+        # 1 emitted with 3 bars
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 4),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 102.0, 100.0, 102.0, 10),
+        ("2024-01-02 09:10:00", "2024-01-02_D", 102.0, 102.0, 101.0, 101.0, 6),
+        ("2024-01-02 09:15:00", "2024-01-02_D", 101.0, 104.0, 101.0, 103.0, 3),
+        # session N: fresh accumulator (session scoping); the +12 bar
+        # trips on its own; 105 -> 105 carries the + sign into the
+        # tail (vol 5, theta 5, no trip)
+        ("2024-01-02 15:00:00", "2024-01-02_N", 103.0, 105.0, 103.0, 104.0, 2),
+        ("2024-01-02 15:05:00", "2024-01-02_N", 104.0, 106.0, 104.0, 105.0, 12),
+        ("2024-01-02 15:10:00", "2024-01-02_N", 105.0, 105.0, 104.0, 105.0, 5),
+    ]
+    # thr = ceil(42/5) = 9. D walk: theta 0 (signless open), +10 >= 9
+    # TRIP; then -6, -3 tail. N walk: 0 (signless), +12 >= 9 TRIP;
+    # +5 tail.
+    out = {
+        (r["session_id"], r["ibar_seq"]): r
+        for r in tick_imbalance_bars(
+            _bars(spark, rows), target_cuts=5
+        ).collect()
+    }
+    assert sorted(out) == [
+        ("2024-01-02_D", 0),
+        ("2024-01-02_D", 1),
+        ("2024-01-02_N", 0),
+        ("2024-01-02_N", 1),
+    ]
+    d0 = out[("2024-01-02_D", 0)]
+    # tripping bar INCLUSIVE: bucket 0 holds the signless open AND
+    # the +10 bar that tripped
+    assert d0["n_bars"] == 2 and d0["volume"] == 14
+    assert d0["signed_volume"] == 10  # signless open contributes 0
+    assert d0["open"] == 100.0 and d0["close"] == 102.0
+    d1 = out[("2024-01-02_D", 1)]
+    assert d1["n_bars"] == 2 and d1["signed_volume"] == -3
+    assert d1["high"] == 104.0 and d1["low"] == 101.0
+    n0 = out[("2024-01-02_N", 0)]
+    # session scoping: N's accumulator starts at 0 despite D's tail
+    assert n0["n_bars"] == 2 and n0["signed_volume"] == 12
+    n1 = out[("2024-01-02_N", 1)]
+    # unchanged close carries the + sign into the tail bucket
+    assert n1["n_bars"] == 1 and n1["signed_volume"] == 5

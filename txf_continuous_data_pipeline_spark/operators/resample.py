@@ -251,3 +251,99 @@ def volume_clock_bars(
         F.sum(volume_col).cast("long").alias("volume"),
         F.count("*").alias("n_bars"),
     )
+
+
+def tick_imbalance_bars(
+    bars: DataFrame,
+    *,
+    target_cuts: int = 800,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Information-driven resampling on the IMBALANCE clock (de
+    Prado's tick-imbalance bars, fixed-threshold form): accumulate
+    tick-rule SIGNED volume and cut a bar whenever the running
+    imbalance |theta| reaches the threshold, then reset - so one-sided
+    bursts (informed-flow footprints) produce many short bars and
+    balanced churn produces few long ones. The cut rule is genuinely
+    SEQUENTIAL (every cut depends on all prior bars through the
+    reset), which no window function expresses - but the accumulator
+    is SESSION-SCOPED by design (an overnight gap is an auction, not
+    order flow), and a session is PHYSICALLY BOUNDED (<= 168 5-min
+    bars), so the irreducible sequential fold is an applyInPandas
+    over session groups: parallel across sessions, O(session) integer
+    arithmetic within one Arrow batch per group, output already
+    aggregated to bucket grain inside the UDF so only bucket rows
+    leave Python. Threshold = ceil(total volume / target_cuts) -
+    scale-invariant, and exact BIGINT end to end (signs from
+    operators/returns.tick_signs, shared with order_flow_imbalance),
+    so Python and any SQL engine fold to identical cuts.
+
+    Output: one row per (session_id, ibar_seq): first_ts, last_ts,
+    open, high, low, close, volume, signed_volume (theta contribution
+    of the bucket), n_bars. The tripping bar closes its bucket
+    (inclusive), and a session's unfinished tail bucket is emitted
+    as-is (the stream is historical; there is nothing to wait for).
+    """
+    import pandas as pd
+
+    from .returns import tick_signs
+
+    signed = tick_signs(
+        bars, ts_col=ts_col, session_col=session_col
+    ).select(
+        session_col,
+        F.col(ts_col).alias("bar_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col(volume_col).cast("long").alias("volume"),
+        "_sign",
+    )
+    thr_frame = bars.agg(
+        F.ceil(F.sum(volume_col).cast("long") / F.lit(target_cuts))
+        .cast("long")
+        .alias("_thr")
+    )
+    with_thr = signed.crossJoin(F.broadcast(thr_frame))
+
+    schema = (
+        f"{session_col} string, ibar_seq long, first_ts timestamp,"
+        " last_ts timestamp, open double, high double, low double,"
+        " close double, volume long, signed_volume long, n_bars long"
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bar_ts", kind="mergesort")
+        thr = int(pdf["_thr"].iloc[0])
+        theta = 0
+        seq = 0
+        seqs = []
+        for sign, vol in zip(pdf["_sign"], pdf["volume"]):
+            seqs.append(seq)
+            theta += int(sign) * int(vol)
+            if abs(theta) >= thr:
+                seq += 1
+                theta = 0
+        pdf = pdf.assign(_seq=seqs, _sv=pdf["_sign"] * pdf["volume"])
+        g = pdf.groupby("_seq", sort=True)
+        out = pd.DataFrame(
+            {
+                session_col: g[session_col].first(),
+                "ibar_seq": g["_seq"].first(),
+                "first_ts": g["bar_ts"].min(),
+                "last_ts": g["bar_ts"].max(),
+                "open": g["open"].first(),
+                "high": g["high"].max(),
+                "low": g["low"].min(),
+                "close": g["close"].last(),
+                "volume": g["volume"].sum(),
+                "signed_volume": g["_sv"].sum(),
+                "n_bars": g["volume"].count(),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return with_thr.groupBy(session_col).applyInPandas(_fold, schema)

@@ -330,6 +330,38 @@ def price_limit_report(
     )
 
 
+def tick_signs(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    close_col: str = "close",
+    out_col: str = "_sign",
+) -> DataFrame:
+    """Tick-rule trade signs (Lee-Ready without quotes): +1 on an
+    uptick, -1 on a downtick, an unchanged close CARRIES the last
+    known sign (last_value ignore-nulls over the session-partitioned
+    preceding frame), and a session's opening run stays 0 until the
+    first intra-session move - the overnight gap is an auction, not a
+    tick. ONE definition shared by order_flow_imbalance and
+    tick_imbalance_bars. Close comparisons are engine-identical
+    because each close is one deterministic value plus the adjustment
+    offset - no order-sensitive sum participates. Two windows sharing
+    one session sort; embarrassingly parallel across sessions."""
+    w = Window.partitionBy(session_col).orderBy(ts_col)
+    prev = F.lag(close_col).over(w)
+    raw = F.when(F.col(close_col) > prev, F.lit(1)).when(
+        F.col(close_col) < prev, F.lit(-1)
+    )
+    carried = F.coalesce(
+        F.last(raw, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.lit(0),
+    )
+    return bars.withColumn(out_col, carried)
+
+
 def order_flow_imbalance(
     bars: DataFrame,
     *,
@@ -355,22 +387,17 @@ def order_flow_imbalance(
     INTEGER micro-units ((2|num| + den) DIV (2 den), the session_vwap
     half-away-from-zero discipline) so the quotient cannot straddle a
     rounding half differently across engines; NULL when no bar ever
-    got a sign. Everything is session-partitioned windows plus one
-    map-side-combined aggregate - embarrassingly parallel, nothing
-    global, nothing driver-side.
+    got a sign. Everything is session-partitioned windows (tick_signs,
+    shared with tick_imbalance_bars) plus one map-side-combined
+    aggregate - embarrassingly parallel, nothing global, nothing
+    driver-side.
     """
-    w = Window.partitionBy(session_col).orderBy(ts_col)
-    prev = F.lag(close_col).over(w)
-    raw = F.when(F.col(close_col) > prev, F.lit(1)).when(
-        F.col(close_col) < prev, F.lit(-1)
+    signed = tick_signs(
+        bars,
+        ts_col=ts_col,
+        session_col=session_col,
+        close_col=close_col,
     )
-    carried = F.coalesce(
-        F.last(raw, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-        F.lit(0),
-    )
-    signed = bars.withColumn("_sign", carried)
     vol = F.col(volume_col)
     agged = signed.groupBy(session_col).agg(
         F.sum(F.when(F.col("_sign") == 1, vol).otherwise(F.lit(0)))

@@ -2007,3 +2007,84 @@ def order_flow_imbalance_q(spark, sf_dir):
     from ..operators.returns import order_flow_imbalance
 
     return order_flow_imbalance(_adjusted_session_bars(spark, sf_dir))
+
+
+_IMBALANCE_BARS_SQL = f"""
+WITH RECURSIVE
+base AS ({_PIPELINE_SQL}),
+b0 AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
+r AS (
+  SELECT session_id, bar_ts, open, high, low, close, volume,
+         CASE WHEN close > lag(close) OVER w THEN 1
+              WHEN close < lag(close) OVER w THEN -1 END AS raw_sign
+  FROM b0
+  WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
+),
+s AS (
+  SELECT session_id, bar_ts, open, high, low, close, volume,
+         coalesce(last_value(raw_sign IGNORE NULLS) OVER (
+             PARTITION BY session_id ORDER BY bar_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS sign
+  FROM r
+),
+t AS (
+  SELECT CAST(ceil(sum(volume) / 800.0) AS BIGINT) AS thr FROM b0
+),
+n AS (
+  SELECT s.*, row_number() OVER (
+           PARTITION BY session_id ORDER BY bar_ts
+         ) AS rn
+  FROM s
+),
+walk AS (
+  SELECT session_id, CAST(0 AS BIGINT) AS rn,
+         CAST(0 AS BIGINT) AS theta, CAST(0 AS BIGINT) AS seq
+  FROM (SELECT DISTINCT session_id FROM n)
+  UNION ALL
+  SELECT w.session_id, w.rn + 1,
+         CASE WHEN abs(w.theta + nb.sign * nb.volume) >= t.thr
+              THEN 0 ELSE w.theta + nb.sign * nb.volume END,
+         CASE WHEN abs(w.theta + nb.sign * nb.volume) >= t.thr
+              THEN w.seq + 1 ELSE w.seq END
+  FROM walk w
+  JOIN n nb ON nb.session_id = w.session_id AND nb.rn = w.rn + 1, t
+),
+assigned AS (
+  SELECT nb.session_id, nb.bar_ts, nb.open, nb.high, nb.low,
+         nb.close, nb.volume, nb.sign, w.seq AS ibar_seq
+  FROM n nb
+  JOIN walk w ON w.session_id = nb.session_id AND w.rn = nb.rn - 1
+)
+SELECT session_id, ibar_seq,
+       min(bar_ts) AS first_ts, max(bar_ts) AS last_ts,
+       arg_min(open, bar_ts) AS open,
+       max(high) AS high, min(low) AS low,
+       arg_max(close, bar_ts) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       CAST(sum(sign * volume) AS BIGINT) AS signed_volume,
+       count(*) AS n_bars
+FROM assigned
+GROUP BY session_id, ibar_seq
+"""
+
+
+@q("tick_imbalance_bars", _IMBALANCE_BARS_SQL)
+def tick_imbalance_bars_q(spark, sf_dir):
+    """Information-driven resampling on the IMBALANCE clock (de
+    Prado's tick-imbalance bars): cut whenever the running tick-rule
+    signed volume reaches ceil(total/800), session-scoped, tripping
+    bar inclusive. The cut rule is genuinely sequential - each cut
+    depends on all prior bars through the reset - so the Spark side
+    is the engine's one batch applyInPandas: a per-SESSION integer
+    fold (sessions are physically bounded at <= 168 bars, parallel
+    across sessions, bucket rows aggregated inside the UDF so only
+    dimension-sized output leaves Python), and the oracle walks the
+    same fold as a recursive CTE advancing every session one bar per
+    step. All arithmetic BIGINT end to end, so the two folds cut
+    identically. See operators/resample.tick_imbalance_bars."""
+    from ..operators.resample import tick_imbalance_bars
+
+    return tick_imbalance_bars(
+        _adjusted_session_bars(spark, sf_dir), target_cuts=800
+    )
