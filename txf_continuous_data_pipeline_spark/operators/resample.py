@@ -226,9 +226,14 @@ def volume_clock_bars(
         .cast("long")
         .alias("_sess_offset"),
     )
-    bucket_size = bars.agg(
+    # the global total is the sum of the dimension-sized session
+    # summary the operator already builds - re-aggregating the
+    # fact-scale bars frame for it would be a redundant third
+    # scan+exchange per invocation (review finding). Integer sums
+    # associate, so sum(_sess_vol) == sum(volume) exactly.
+    bucket_size = sess.agg(
         F.ceil(
-            F.sum(volume_col).cast("long") / F.lit(target_buckets)
+            F.sum("_sess_vol").cast("long") / F.lit(target_buckets)
         )
         .cast("long")
         .alias("_vbucket")

@@ -1951,24 +1951,32 @@ def volume_clock_bars_q(spark, sf_dir):
     )
 
 
-_FLOW_IMBALANCE_SQL = f"""
-WITH base AS ({_PIPELINE_SQL}),
-b AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
+# tick-rule sign CTEs shared by the two microstructure oracles below
+# - the SQL twin of operators/returns.tick_signs, factored (review
+# finding) so a future sign-semantics fix cannot land in one oracle
+# and not the other, exactly as the Spark side shares ONE operator.
+_TICK_SIGN_CTES = f"""
+base AS ({_PIPELINE_SQL}),
+b0 AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
 r AS (
-  SELECT session_id, bar_ts, volume,
+  SELECT session_id, bar_ts, open, high, low, close, volume,
          CASE WHEN close > lag(close) OVER w THEN 1
               WHEN close < lag(close) OVER w THEN -1 END AS raw_sign
-  FROM b
+  FROM b0
   WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
 ),
 s AS (
-  SELECT session_id, volume,
+  SELECT session_id, bar_ts, open, high, low, close, volume,
          coalesce(last_value(raw_sign IGNORE NULLS) OVER (
              PARTITION BY session_id ORDER BY bar_ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 0) AS sign
   FROM r
-),
+)"""
+
+
+_FLOW_IMBALANCE_SQL = f"""
+WITH {_TICK_SIGN_CTES},
 agged AS (
   SELECT session_id,
          CAST(sum(CASE WHEN sign = 1 THEN volume ELSE 0 END)
@@ -2010,24 +2018,7 @@ def order_flow_imbalance_q(spark, sf_dir):
 
 
 _IMBALANCE_BARS_SQL = f"""
-WITH RECURSIVE
-base AS ({_PIPELINE_SQL}),
-b0 AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
-r AS (
-  SELECT session_id, bar_ts, open, high, low, close, volume,
-         CASE WHEN close > lag(close) OVER w THEN 1
-              WHEN close < lag(close) OVER w THEN -1 END AS raw_sign
-  FROM b0
-  WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
-),
-s AS (
-  SELECT session_id, bar_ts, open, high, low, close, volume,
-         coalesce(last_value(raw_sign IGNORE NULLS) OVER (
-             PARTITION BY session_id ORDER BY bar_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 0) AS sign
-  FROM r
-),
+WITH RECURSIVE {_TICK_SIGN_CTES},
 t AS (
   SELECT CAST(ceil(sum(volume) / 800.0) AS BIGINT) AS thr FROM b0
 ),

@@ -1728,6 +1728,11 @@ def realized_vol_ingest_run(
         if not touched:
             return
         stored = sess.read.parquet(bars_dir)
+        # persist: the monitor row and the limits feed are TWO
+        # actions over this frame - without it the second action
+        # re-reads the whole sink and re-runs split/backadjust, so
+        # per-batch latency would grow at double the sink-scan rate
+        # (review finding); unpersisted in the finally below.
         adjusted = backadjust(
             split_and_label(stored, "bar_ts"),
             config,
@@ -1735,7 +1740,15 @@ def realized_vol_ingest_run(
             end_inclusive=False,
         ).where(
             F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
-        )
+        ).persist()
+        try:
+            _write_monitor_and_limits(adjusted, touched, batch_id)
+        finally:
+            adjusted.unpersist()
+
+    def _write_monitor_and_limits(
+        adjusted: DataFrame, touched: list, batch_id: int
+    ) -> None:
         # risk (realized vol) + execution (vwap/volume/notional) in
         # one row per touched session - the SAME operators the batch
         # queries compose (operators/returns, one definition each).
@@ -1763,9 +1776,15 @@ def realized_vol_ingest_run(
             .join(atr, "session_id", "left")
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
-        row.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(monitor_dir, f"batch={batch_id}")
-        )
+        # orderBy before the single-file write: both feeds are
+        # multi-row per batch, and the exactly-once "redelivery
+        # rewrites identical bytes" claim must not rest on a hash
+        # aggregate's iteration order staying stable across replays
+        # under different memory pressure (review finding) - pin the
+        # row order so byte-identity follows from value-identity.
+        row.orderBy("session_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(monitor_dir, f"batch={batch_id}"))
         # exchange-rule feed: live limit-touch rows for the touched
         # sessions, off the SAME shared operator as the batch query
         # (price_limit_days). The lag spans the SAME contract's prior
@@ -1775,7 +1794,9 @@ def realized_vol_ingest_run(
         limits = price_limit_report(adjusted).where(
             F.col("session_id").isin(touched)
         ).withColumn("batch_id", F.lit(int(batch_id)))
-        limits.coalesce(1).write.mode("overwrite").parquet(
+        limits.orderBy(
+            "session_id", "contract_year_month"
+        ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(limits_dir, f"batch={batch_id}")
         )
 
