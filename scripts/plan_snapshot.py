@@ -182,6 +182,7 @@ FLAGSHIPS = [
     "volume_clock_bars",
     "order_flow_imbalance",
     "tick_imbalance_bars",
+    "session_liquidity_metrics",
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",

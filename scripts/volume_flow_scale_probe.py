@@ -42,6 +42,7 @@ from txf_continuous_data_pipeline_spark.operators.resample import (
 )
 from txf_continuous_data_pipeline_spark.operators.returns import (
     order_flow_imbalance,
+    session_liquidity_metrics,
 )
 from txf_continuous_data_pipeline_spark.session import get_spark
 from txf_continuous_data_pipeline_spark.sources import read_table
@@ -78,11 +79,16 @@ def main() -> None:
             lambda: tick_imbalance_bars(bars, target_cuts=800).count()
         )
         out[f"tick_imbalance_bars_{tag}"] = {"wall_s": w, "rows": n}
+        w, n = _t(lambda: session_liquidity_metrics(bars).count())
+        out[f"session_liquidity_metrics_{tag}"] = {
+            "wall_s": w, "rows": n,
+        }
 
     for op in (
         "volume_clock_bars",
         "order_flow_imbalance",
         "tick_imbalance_bars",
+        "session_liquidity_metrics",
     ):
         a = out[f"{op}_1x"]["wall_s"] or 0.01
         b = out[f"{op}_{reps}x"]["wall_s"]

@@ -421,3 +421,47 @@ def test_tick_imbalance_bars_cut_rule_semantics(spark):
     n1 = out[("2024-01-02_N", 1)]
     # unchanged close carries the + sign into the tail bucket
     assert n1["n_bars"] == 1 and n1["signed_volume"] == 5
+
+
+def test_session_liquidity_metrics_hand_computed(spark):
+    """Amihud / Kyle / Roll on one hand-walked session: closes
+    100(v4) 102(v10) 101(v6) 101(v6) 103(v2); dp = -,2,-1,0,2;
+    signed volume = 0,10,-6,-6,2 (unchanged close carries the -).
+    Plus a monotone session whose serial cov is exactly 0: Roll is
+    NULL (no bounce, no estimate), never 0.0."""
+    import math
+
+    from txf_continuous_data_pipeline_spark.operators.returns import (
+        session_liquidity_metrics,
+    )
+
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 4),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 102.0, 100.0, 102.0, 10),
+        ("2024-01-02 09:10:00", "2024-01-02_D", 102.0, 102.0, 101.0, 101.0, 6),
+        ("2024-01-02 09:15:00", "2024-01-02_D", 101.0, 101.0, 100.0, 101.0, 6),
+        ("2024-01-02 09:20:00", "2024-01-02_D", 101.0, 104.0, 101.0, 103.0, 2),
+        # monotone night session: dp = 1,1,1 -> cov(dp, dp_lag) == 0
+        ("2024-01-02 15:00:00", "2024-01-02_N", 100.0, 101.0, 100.0, 100.0, 3),
+        ("2024-01-02 15:05:00", "2024-01-02_N", 100.0, 101.0, 100.0, 101.0, 3),
+        ("2024-01-02 15:10:00", "2024-01-02_N", 101.0, 102.0, 101.0, 102.0, 3),
+        ("2024-01-02 15:15:00", "2024-01-02_N", 102.0, 103.0, 102.0, 103.0, 3),
+    ]
+    out = {
+        r["session_id"]: r
+        for r in session_liquidity_metrics(_bars(spark, rows)).collect()
+    }
+    d = out["2024-01-02_D"]
+    assert d["n_price_changes"] == 4
+    amihud = 1e6 * (2 / 1020 + 1 / 606 + 0.0 + 2 / 206) / 4
+    assert abs(d["amihud_1e6"] - amihud) < 1e-5
+    # kyle: sum(dp*sv) = 20 + 6 + 0 + 4 = 30; sum(sv^2) = 176
+    assert abs(d["kyle_lambda"] - 30 / 176) < 1e-5
+    # roll: pairs (-1,2) (0,-1) (2,0): cov = -2/3 - (1/3)(1/3)
+    cov = -2 / 3 - (1 / 3) * (1 / 3)
+    assert abs(d["roll_spread"] - 2 * math.sqrt(-cov)) < 1e-5
+    n = out["2024-01-02_N"]
+    assert n["n_price_changes"] == 3
+    assert n["roll_spread"] is None  # cov == 0: no estimate, not 0.0
+    # monotone upticks: kyle = (1*3 + 1*3 + 1*3) / (9*3) = 1/3
+    assert abs(n["kyle_lambda"] - 1 / 3) < 1e-5

@@ -428,3 +428,105 @@ def order_flow_imbalance(
         ).alias("flow_imbalance"),
         "n_bars",
     )
+
+
+def session_liquidity_metrics(
+    bars: DataFrame,
+    *,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """The classic microstructure liquidity triple, per session, from
+    the shared tick-signs frame:
+
+      amihud_1e6   - Amihud (2002) illiquidity: mean |price change| per
+                     unit notional, x1e6 (price impact of a dollar).
+      kyle_lambda  - Kyle (1985) lambda via the OLS slope of price
+                     change on tick-rule SIGNED volume:
+                     sum(dp*sv) / sum(sv^2) - how much one signed
+                     contract moves price. The denominator is an exact
+                     BIGINT sum; only the numerator is float.
+      roll_spread  - Roll (1984) implied effective spread:
+                     2*sqrt(-serial-cov of price changes), defined only
+                     when the rounded covariance is negative (bid-ask
+                     bounce makes adjacent changes anti-correlated; a
+                     positive-cov session has no Roll estimate).
+
+    Price changes are intra-session lags (the session-partitioned
+    parallel shape; an overnight gap is an auction, not bounce or
+    impact). Cross-engine discipline: every branch decision and every
+    emitted float tests the 6dp-ROUNDED value (the
+    volume_anomaly_sessions rule) - in particular the Roll cov<0
+    branch, where an ulp-level cov near zero would otherwise round to
+    0.0 on one engine and NULL on the other. One window stack sharing
+    one session sort + one map-side-combined aggregate.
+    """
+    w = Window.partitionBy(session_col).orderBy(ts_col)
+    signed = tick_signs(
+        bars,
+        ts_col=ts_col,
+        session_col=session_col,
+        close_col=close_col,
+    ).select(
+        session_col,
+        ts_col,
+        close_col,
+        F.col(volume_col).cast("long").alias("_vol"),
+        "_sign",
+    )
+    frame = (
+        signed.withColumn(
+            "_dp", F.col(close_col) - F.lag(close_col).over(w)
+        )
+        .withColumn("_dp_lag", F.lag("_dp").over(w))
+        .withColumn("_sv", F.col("_sign").cast("long") * F.col("_vol"))
+    )
+    dp = F.col("_dp")
+    pair = dp.isNotNull() & F.col("_dp_lag").isNotNull()
+    notional = F.col(close_col) * F.col("_vol")
+    agged = frame.groupBy(session_col).agg(
+        F.count("_dp").alias("n_price_changes"),
+        F.avg(
+            F.when(
+                dp.isNotNull() & (notional > 0),
+                F.abs(dp) / notional,
+            )
+        ).alias("_amihud_raw"),
+        F.sum(F.when(dp.isNotNull(), dp * F.col("_sv"))).alias(
+            "_kyle_num"
+        ),
+        F.sum(
+            F.when(
+                dp.isNotNull(), F.col("_sv") * F.col("_sv")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_kyle_den"),
+        F.sum(F.when(pair, dp * F.col("_dp_lag"))).alias("_s_xy"),
+        F.sum(F.when(pair, dp)).alias("_s_x"),
+        F.sum(F.when(pair, F.col("_dp_lag"))).alias("_s_y"),
+        F.count(F.when(pair, F.lit(1))).alias("_m"),
+    )
+    m = F.col("_m")
+    cov_r = F.round(
+        F.col("_s_xy") / m
+        - (F.col("_s_x") / m) * (F.col("_s_y") / m),
+        6,
+    )
+    return agged.select(
+        session_col,
+        "n_price_changes",
+        F.round(F.lit(1000000.0) * F.col("_amihud_raw"), 6).alias(
+            "amihud_1e6"
+        ),
+        F.when(
+            F.col("_kyle_den") > 0,
+            F.round(F.col("_kyle_num") / F.col("_kyle_den"), 6),
+        ).alias("kyle_lambda"),
+        F.when(
+            (m > 0) & (cov_r < 0),
+            F.round(F.lit(2.0) * F.sqrt(-cov_r), 6),
+        ).alias("roll_spread"),
+    )

@@ -2079,3 +2079,71 @@ def tick_imbalance_bars_q(spark, sf_dir):
     return tick_imbalance_bars(
         _adjusted_session_bars(spark, sf_dir), target_cuts=800
     )
+
+
+_LIQUIDITY_SQL = f"""
+WITH {_TICK_SIGN_CTES},
+d AS (
+  SELECT session_id, bar_ts, close, volume, sign,
+         close - lag(close) OVER w AS dp
+  FROM s
+  WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
+),
+d2 AS (
+  SELECT d.*,
+         lag(dp) OVER (
+           PARTITION BY session_id ORDER BY bar_ts
+         ) AS dp_lag
+  FROM d
+),
+agged AS (
+  SELECT session_id,
+         CAST(count(dp) AS BIGINT) AS n_price_changes,
+         avg(CASE WHEN dp IS NOT NULL AND close * volume > 0
+                  THEN abs(dp) / (close * volume) END) AS amihud_raw,
+         sum(CASE WHEN dp IS NOT NULL
+                  THEN dp * (sign * volume) END) AS kyle_num,
+         CAST(sum(CASE WHEN dp IS NOT NULL
+                       THEN (sign * volume) * (sign * volume)
+                       ELSE 0 END) AS BIGINT) AS kyle_den,
+         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
+                  THEN dp * dp_lag END) AS s_xy,
+         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
+                  THEN dp END) AS s_x,
+         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
+                  THEN dp_lag END) AS s_y,
+         CAST(count(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS m
+  FROM d2 GROUP BY session_id
+)
+SELECT session_id, n_price_changes,
+       round(1000000.0 * amihud_raw, 6) AS amihud_1e6,
+       CASE WHEN kyle_den > 0
+            THEN round(kyle_num / kyle_den, 6) END AS kyle_lambda,
+       CASE WHEN m > 0
+                 AND round(s_xy / m - (s_x / m) * (s_y / m), 6) < 0
+            THEN round(2 * sqrt(
+                   -round(s_xy / m - (s_x / m) * (s_y / m), 6)
+                 ), 6) END AS roll_spread
+FROM agged
+"""
+
+
+@q("session_liquidity_metrics", _LIQUIDITY_SQL)
+def session_liquidity_metrics_q(spark, sf_dir):
+    """The microstructure liquidity triple per session off the shared
+    tick-signs frame: Amihud illiquidity (mean |price change| per unit
+    notional, x1e6), Kyle's lambda (OLS slope of price change on
+    tick-rule signed volume, exact-BIGINT denominator), and Roll's
+    implied effective spread (2*sqrt(-serial-cov of price changes),
+    defined only when the ROUNDED covariance is negative - the branch
+    tests the 6dp round so an ulp-level cov near zero cannot round to
+    0.0 on one engine and NULL on the other). Intra-session lags only
+    (overnight gaps are auctions, not bounce/impact); everything
+    session-partitioned + one map-side-combined aggregate. See
+    operators/returns.session_liquidity_metrics."""
+    from ..operators.returns import session_liquidity_metrics
+
+    return session_liquidity_metrics(
+        _adjusted_session_bars(spark, sf_dir)
+    )
