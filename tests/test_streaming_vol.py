@@ -1,7 +1,7 @@
-"""Streaming twin of the session_realized_vol risk surface
-(streaming/incremental.realized_vol_ingest_run): per-batch vol rows
-per touched session over the continuous adjusted series, riding the
-Gate-2 bar-ingest loop. Stream's final row per session must equal the
+"""Streaming twin of the session risk+execution+flow surface
+(streaming/incremental.realized_vol_ingest_run): per-batch monitor
+rows (vol/ATR/vwap/flow-imbalance) per touched session over the
+continuous adjusted series, riding the Gate-2 bar-ingest loop. Stream's final row per session must equal the
 batch fold of the SAME operators over the same sunk bars, and a full
 replay must append/rewrite nothing."""
 
@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from txf_continuous_data_pipeline_spark.operators.adjust import backadjust
 from txf_continuous_data_pipeline_spark.operators.returns import (
     continuous_log_returns,
+    order_flow_imbalance,
     session_atr,
     session_realized_vol,
     session_vwap,
@@ -61,10 +62,15 @@ def _batch_fold_vol(spark, bars_dir, cfg):
     atr = session_atr(adjusted, n=14).select(
         "session_id", "true_range", "atr_14"
     )
+    flow = order_flow_imbalance(adjusted).select(
+        "session_id", "buy_volume", "sell_volume",
+        "neutral_volume", "flow_imbalance",
+    )
     return (
         session_vwap(adjusted)
         .join(vol, "session_id", "left")
         .join(atr, "session_id", "left")
+        .join(flow, "session_id", "left")
     )
 
 
@@ -89,6 +95,8 @@ def test_stream_vol_equals_batch_fold_and_replay_is_noop(
     cols = [
         "session_id", "vwap", "volume", "notional", "n_returns",
         "realized_vol", "max_abs_return", "true_range", "atr_14",
+        "buy_volume", "sell_volume", "neutral_volume",
+        "flow_imbalance",
     ]
     final = {
         tuple(r[c] for c in cols)

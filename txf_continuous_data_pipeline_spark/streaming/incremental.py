@@ -1660,11 +1660,12 @@ def realized_vol_ingest_run(
     timeout_s: int = 240,
 ) -> "tuple[str, str]":
     """Streaming twin of the session_realized_vol + session_vwap +
-    session_atr surfaces (VERDICT r10 #7): the bar-ingest loop
-    (available_now_bar_stream's watermarked OHLCV + Gate-2 idempotent
-    bar sink) extended with a per-batch session monitor - realized
-    vol (return risk), True Range/ATR(14) (range risk), AND
-    vwap/volume (execution benchmark) per touched session - so a desk
+    session_atr + order_flow_imbalance surfaces (VERDICT r10 #7): the
+    bar-ingest loop (available_now_bar_stream's watermarked OHLCV +
+    Gate-2 idempotent bar sink) extended with a per-batch session
+    monitor - realized vol (return risk), True Range/ATR(14) (range
+    risk), vwap/volume (execution benchmark), AND tick-rule flow
+    imbalance (trade-side pressure) per touched session - so a desk
     watches the continuous adjusted series update as sessions close,
     instead of waiting for the nightly batch.
 
@@ -1701,6 +1702,7 @@ def realized_vol_ingest_run(
     from ..operators.adjust import backadjust
     from ..operators.returns import (
         continuous_log_returns,
+        order_flow_imbalance,
         price_limit_report,
         session_atr,
         session_realized_vol,
@@ -1771,9 +1773,21 @@ def realized_vol_ingest_run(
         vwap = session_vwap(
             adjusted.where(F.col("session_id").isin(touched))
         )
+        # trade-side pressure rides the same row: order-flow imbalance
+        # is session-LOCAL (tick signs never cross a session), so
+        # filtering to touched before the fold is value-identical to
+        # folding everything and filtering after - unlike ATR, whose
+        # trailing window needs prior sessions.
+        flow = order_flow_imbalance(
+            adjusted.where(F.col("session_id").isin(touched))
+        ).select(
+            "session_id", "buy_volume", "sell_volume",
+            "neutral_volume", "flow_imbalance",
+        )
         row = (
             vwap.join(vol, "session_id", "left")
             .join(atr, "session_id", "left")
+            .join(flow, "session_id", "left")
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
         # orderBy before the single-file write: both feeds are
