@@ -183,6 +183,7 @@ FLAGSHIPS = [
     "order_flow_imbalance",
     "tick_imbalance_bars",
     "session_liquidity_metrics",
+    "dollar_clock_bars",
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",

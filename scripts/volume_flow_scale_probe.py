@@ -37,6 +37,7 @@ sys.path.insert(0, "/root/repo/scripts")
 from r11_scale_probe import SF_DIR, adjusted_bars, events_big
 
 from txf_continuous_data_pipeline_spark.operators.resample import (
+    dollar_clock_bars,
     tick_imbalance_bars,
     volume_clock_bars,
 )
@@ -83,12 +84,17 @@ def main() -> None:
         out[f"session_liquidity_metrics_{tag}"] = {
             "wall_s": w, "rows": n,
         }
+        w, n = _t(
+            lambda: dollar_clock_bars(bars, target_buckets=200).count()
+        )
+        out[f"dollar_clock_bars_{tag}"] = {"wall_s": w, "rows": n}
 
     for op in (
         "volume_clock_bars",
         "order_flow_imbalance",
         "tick_imbalance_bars",
         "session_liquidity_metrics",
+        "dollar_clock_bars",
     ):
         a = out[f"{op}_1x"]["wall_s"] or 0.01
         b = out[f"{op}_{reps}x"]["wall_s"]

@@ -465,3 +465,46 @@ def test_session_liquidity_metrics_hand_computed(spark):
     assert n["roll_spread"] is None  # cov == 0: no estimate, not 0.0
     # monotone upticks: kyle = (1*3 + 1*3 + 1*3) / (9*3) = 1/3
     assert abs(n["kyle_lambda"] - 1 / 3) < 1e-5
+
+
+def test_dollar_clock_bars_runs_on_raw_notional(spark):
+    """The dollar clock cuts on RAW notional: with the adjustment
+    offset planted at +50, weights must come from close-50, not the
+    adjusted close - and an expensive bar consumes more clock than an
+    equal-volume cheap bar. Conservation holds."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        dollar_clock_bars,
+    )
+
+    rows = [
+        # raw closes 50 and 150 (adjusted 100/200), equal volume 10:
+        # weights 50*1e4*10 = 5e6 and 150*1e4*10 = 1.5e7; total 2e7.
+        # target_buckets=4 -> bucket 5e6. exclusive cumsum: 0, 5e6 ->
+        # bar1 cuts into bucket 0, bar2 into bucket 1.
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 10),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 200.0, 201.0, 199.0, 200.0, 10),
+    ]
+    bars = _bars(spark, rows).withColumn(
+        "accumulated_contract_diff", F.lit(50.0)
+    )
+    out = {
+        r["dbar_seq"]: r
+        for r in dollar_clock_bars(bars, target_buckets=4).collect()
+    }
+    assert sorted(out) == [0, 1]
+    assert out[0]["volume"] == 10 and out[1]["volume"] == 10
+    assert out[0]["close"] == 100.0 and out[1]["close"] == 200.0
+    # 3-bar frame: raw weights 5e6, 1.5e7, 1.5e7 -> total 3.5e7,
+    # bucket ceil(/4) = 8.75e6; exclusive cums 0, 5e6, 2e7 -> buckets
+    # 0, 0, 2 (the middle bucket 1 is legitimately empty: the heavy
+    # second bar's weight spans it). Conservation + exact cut points.
+    rows3 = rows + [
+        ("2024-01-02 09:10:00", "2024-01-02_D", 200.0, 201.0, 199.0, 200.0, 10),
+    ]
+    bars3 = _bars(spark, rows3).withColumn(
+        "accumulated_contract_diff", F.lit(50.0)
+    )
+    out3 = dollar_clock_bars(bars3, target_buckets=4).collect()
+    assert sum(r["volume"] for r in out3) == 30
+    assert sum(r["n_bars"] for r in out3) == 3
+    assert sorted(r["dbar_seq"] for r in out3) == [0, 2]

@@ -200,21 +200,93 @@ def volume_clock_bars(
     Output: one row per volume bucket (vbar_seq, first_ts, last_ts,
     open, high, low, close, volume, n_bars).
     """
+    return _weight_clock_bars(
+        bars,
+        F.col(volume_col).cast("long"),
+        seq_name="vbar_seq",
+        target_buckets=target_buckets,
+        ts_col=ts_col,
+        session_col=session_col,
+        volume_col=volume_col,
+    )
+
+
+def dollar_clock_bars(
+    bars: DataFrame,
+    *,
+    target_buckets: int = 200,
+    ts_col: str = "bar_ts",
+    session_col: str = "session_id",
+    volume_col: str = "volume",
+    price_col: str = "close",
+    offset_col: str = "accumulated_contract_diff",
+) -> DataFrame:
+    """The DOLLAR clock (de Prado's dollar bars): cut on cumulative
+    traded NOTIONAL instead of contract count, so the sampling is
+    invariant to price level - a decade of history samples evenly
+    even after the underlying doubled, where the volume clock would
+    over-sample the cheap years. Weight = floor(raw_price * 1e4) *
+    volume, an exact BIGINT per bar: the RAW (exchange) price - the
+    back-adjustment offset subtracted out, since adjusted closes can
+    go non-positive after a large shift and notional is a property of
+    the trade, not the splice - quantized at 1e4 (well under tick
+    size) so the prefix sum stays integer end to end and nothing can
+    drift at scale; the floor(double) is a single identical IEEE op
+    on both engines. Same decomposed prefix-sum machinery as
+    volume_clock_bars (_weight_clock_bars).
+
+    Output: one row per dollar bucket (dbar_seq, first_ts, last_ts,
+    open, high, low, close, volume, n_bars) - OHLC stay ADJUSTED
+    (the continuous series a consumer charts); only the clock runs on
+    raw notional.
+    """
+    weight = (
+        F.floor(
+            (F.col(price_col) - F.col(offset_col)) * F.lit(10000.0)
+        ).cast("long")
+        * F.col(volume_col).cast("long")
+    )
+    return _weight_clock_bars(
+        bars,
+        weight,
+        seq_name="dbar_seq",
+        target_buckets=target_buckets,
+        ts_col=ts_col,
+        session_col=session_col,
+        volume_col=volume_col,
+    )
+
+
+def _weight_clock_bars(
+    bars: DataFrame,
+    weight,
+    *,
+    seq_name: str,
+    target_buckets: int,
+    ts_col: str,
+    session_col: str,
+    volume_col: str,
+) -> DataFrame:
+    """Shared engine of the information-driven clocks: exclusive
+    prefix sum of an exact BIGINT per-bar weight, decomposed into an
+    intra-session partitioned window + a dimension-sized session
+    offset broadcast back (sessions are time-disjoint, so the sum of
+    the two IS the global prefix sum), bucket id via BIGINT DIV, one
+    map-side-combined OHLCV aggregate."""
     ts = F.col(ts_col)
     w_in = (
         Window.partitionBy(session_col)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    intra = bars.withColumn(
+    weighted = bars.withColumn("_w", weight)
+    intra = weighted.withColumn(
         "_intra_cum",
-        F.coalesce(F.sum(volume_col).over(w_in), F.lit(0)).cast(
-            "long"
-        ),
+        F.coalesce(F.sum("_w").over(w_in), F.lit(0)).cast("long"),
     )
-    sess = bars.groupBy(session_col).agg(
+    sess = weighted.groupBy(session_col).agg(
         F.min(ts_col).alias("_first_ts"),
-        F.sum(volume_col).cast("long").alias("_sess_vol"),
+        F.sum("_w").cast("long").alias("_sess_w"),
     )
     w_s = (
         Window.orderBy("_first_ts")  # dimension-sized: one row/session
@@ -222,7 +294,7 @@ def volume_clock_bars(
     )
     offsets = sess.select(
         session_col,
-        F.coalesce(F.sum("_sess_vol").over(w_s), F.lit(0))
+        F.coalesce(F.sum("_sess_w").over(w_s), F.lit(0))
         .cast("long")
         .alias("_sess_offset"),
     )
@@ -230,11 +302,9 @@ def volume_clock_bars(
     # summary the operator already builds - re-aggregating the
     # fact-scale bars frame for it would be a redundant third
     # scan+exchange per invocation (review finding). Integer sums
-    # associate, so sum(_sess_vol) == sum(volume) exactly.
+    # associate, so sum(_sess_w) == sum(weight) exactly.
     bucket_size = sess.agg(
-        F.ceil(
-            F.sum("_sess_vol").cast("long") / F.lit(target_buckets)
-        )
+        F.ceil(F.sum("_sess_w").cast("long") / F.lit(target_buckets))
         .cast("long")
         .alias("_vbucket")
     )
@@ -242,11 +312,11 @@ def volume_clock_bars(
         intra.join(F.broadcast(offsets), session_col)
         .crossJoin(F.broadcast(bucket_size))  # 1-row scalar frame
         .withColumn(
-            "vbar_seq",
+            seq_name,
             F.expr("(_sess_offset + _intra_cum) DIV _vbucket"),
         )
     )
-    return cum.groupBy("vbar_seq").agg(
+    return cum.groupBy(seq_name).agg(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
         F.min_by("open", ts).alias("open"),

@@ -2147,3 +2147,52 @@ def session_liquidity_metrics_q(spark, sf_dir):
     return session_liquidity_metrics(
         _adjusted_session_bars(spark, sf_dir)
     )
+
+
+_DOLLAR_CLOCK_SQL = f"""
+WITH base AS ({_PIPELINE_SQL}),
+b AS (SELECT *,
+        CAST(floor((close - accumulated_contract_diff) * 10000.0)
+             AS BIGINT) * volume AS w
+      FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
+v AS (
+  SELECT CAST(ceil(sum(w) / 200.0) AS BIGINT) AS vbucket FROM b
+),
+c AS (
+  SELECT b.*,
+         CAST(coalesce(sum(w) OVER (
+                ORDER BY bar_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) AS BIGINT) AS cumw
+  FROM b
+)
+SELECT CAST(c.cumw // v.vbucket AS BIGINT) AS dbar_seq,
+       min(bar_ts) AS first_ts, max(bar_ts) AS last_ts,
+       arg_min(open, bar_ts) AS open,
+       max(high) AS high, min(low) AS low,
+       arg_max(close, bar_ts) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       count(*) AS n_bars
+FROM c, v
+GROUP BY 1
+"""
+
+
+@q("dollar_clock_bars", _DOLLAR_CLOCK_SQL)
+def dollar_clock_bars_q(spark, sf_dir):
+    """The dollar clock (de Prado's dollar bars): resample on
+    cumulative traded NOTIONAL - price-level-invariant sampling,
+    where the volume clock would over-sample cheap-price history.
+    The per-bar weight is floor(raw_price * 1e4) * volume, an exact
+    BIGINT (raw = adjusted close minus the accumulated offset, since
+    notional is a property of the trade, not the splice; the 1e4
+    quantization is far under tick size), so the decomposed prefix
+    sum and bucket DIV are integer end to end on both engines. OHLC
+    stay ADJUSTED - only the clock runs on raw notional. Shares
+    _weight_clock_bars with volume_clock_bars. See
+    operators/resample.dollar_clock_bars."""
+    from ..operators.resample import dollar_clock_bars
+
+    return dollar_clock_bars(
+        _adjusted_session_bars(spark, sf_dir), target_buckets=200
+    )
