@@ -171,3 +171,76 @@ def test_stream_limits_feed_equals_batch_fold(spark, sf_dir, tmp_path):
         for r in price_limit_report(adjusted).collect()
     }
     assert final == want and want
+
+
+def test_volume_clock_stream_equals_batch_minus_pending(
+    spark, sf_dir, tmp_path
+):
+    """The live volume clock (fixed threshold): the final batch dir
+    must equal the batch operator over the same sunk bars MINUS its
+    pending tail bucket, completed buckets must accrue across batches
+    (append-only boundaries), and a full replay rewrites nothing."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        volume_clock_bars,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        volume_clock_ingest_run,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    feed = stage_events_dir(
+        spark, sf_dir, str(tmp_path / "feed"), n_files=4
+    )
+    work = str(tmp_path / "work")
+    bars_dir, vbars_dir = volume_clock_ingest_run(
+        spark, feed, work, cfg, bucket_volume=40
+    )
+
+    vb = spark.read.parquet(vbars_dir)
+    last_batch = vb.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    data_cols = sorted(
+        c for c in vb.columns if c not in ("batch_id", "batch")
+    )
+    final = {
+        tuple(r[c] for c in data_cols)
+        for r in vb.where(F.col("batch_id") == last_batch).collect()
+    }
+
+    stored = spark.read.parquet(bars_dir)
+    adjusted = backadjust(
+        split_and_label(stored, "bar_ts"),
+        cfg,
+        ts_col="bar_ts",
+        end_inclusive=False,
+    ).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+    )
+    batch_vb = volume_clock_bars(adjusted, bucket_volume=40)
+    pending = batch_vb.agg(F.max("vbar_seq").alias("p")).collect()[0][
+        "p"
+    ]
+    want = {
+        tuple(r[c] for c in data_cols)
+        for r in batch_vb.where(
+            F.col("vbar_seq") < pending
+        ).collect()
+    }
+    assert final == want and want
+
+    # boundaries are append-only: every batch's completed set must be
+    # a PREFIX (by vbar_seq) of the final one, byte-for-value
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in vb.groupBy("batch_id")
+        .agg(F.countDistinct("vbar_seq").alias("n"))
+        .collect()
+    }
+    assert per_batch[last_batch] == max(per_batch.values())
+
+    # full replay: no bar appended, no vbars partition rewritten
+    before_bars = _tree_hashes(bars_dir)
+    before_vb = _tree_hashes(vbars_dir)
+    volume_clock_ingest_run(spark, feed, work, cfg, bucket_volume=40)
+    assert _tree_hashes(bars_dir) == before_bars
+    assert _tree_hashes(vbars_dir) == before_vb

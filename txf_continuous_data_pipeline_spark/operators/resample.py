@@ -171,6 +171,7 @@ def volume_clock_bars(
     bars: DataFrame,
     *,
     target_buckets: int = 200,
+    bucket_volume: int | None = None,
     ts_col: str = "bar_ts",
     session_col: str = "session_id",
     volume_col: str = "volume",
@@ -199,12 +200,19 @@ def volume_clock_bars(
 
     Output: one row per volume bucket (vbar_seq, first_ts, last_ts,
     open, high, low, close, volume, n_bars).
+
+    bucket_volume: pass a FIXED bucket size instead of deriving it
+    from the total - the streaming form (a live feed cannot know the
+    final total, and a fixed threshold is what makes completed-bucket
+    boundaries append-only: a prefix sum only ever grows, so a sunk
+    bucket's membership can never be restated).
     """
     return _weight_clock_bars(
         bars,
         F.col(volume_col).cast("long"),
         seq_name="vbar_seq",
         target_buckets=target_buckets,
+        bucket_size=bucket_volume,
         ts_col=ts_col,
         session_col=session_col,
         volume_col=volume_col,
@@ -266,6 +274,7 @@ def _weight_clock_bars(
     ts_col: str,
     session_col: str,
     volume_col: str,
+    bucket_size: int | None = None,
 ) -> DataFrame:
     """Shared engine of the information-driven clocks: exclusive
     prefix sum of an exact BIGINT per-bar weight, decomposed into an
@@ -303,19 +312,24 @@ def _weight_clock_bars(
     # fact-scale bars frame for it would be a redundant third
     # scan+exchange per invocation (review finding). Integer sums
     # associate, so sum(_sess_w) == sum(weight) exactly.
-    bucket_size = sess.agg(
-        F.ceil(F.sum("_sess_w").cast("long") / F.lit(target_buckets))
-        .cast("long")
-        .alias("_vbucket")
-    )
-    cum = (
-        intra.join(F.broadcast(offsets), session_col)
-        .crossJoin(F.broadcast(bucket_size))  # 1-row scalar frame
-        .withColumn(
-            seq_name,
-            F.expr("(_sess_offset + _intra_cum) DIV _vbucket"),
+    cum = intra.join(F.broadcast(offsets), session_col)
+    if bucket_size is None:
+        thr = sess.agg(
+            F.ceil(
+                F.sum("_sess_w").cast("long") / F.lit(target_buckets)
+            )
+            .cast("long")
+            .alias("_vbucket")
         )
-    )
+        cum = cum.crossJoin(F.broadcast(thr))  # 1-row scalar frame
+        div = "(_sess_offset + _intra_cum) DIV _vbucket"
+    else:
+        # fixed threshold (the streaming form): a plain literal, no
+        # scalar frame needed
+        div = (
+            f"(_sess_offset + _intra_cum) DIV {int(bucket_size)}L"
+        )
+    cum = cum.withColumn(seq_name, F.expr(div))
     return cum.groupBy(seq_name).agg(
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),

@@ -1829,6 +1829,89 @@ def realized_vol_ingest_run(
     return bars_dir, monitor_dir
 
 
+def volume_clock_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    config: DataFrame,
+    *,
+    bucket_volume: int,
+    width: str = "5 minutes",
+    delay: str = "10 minutes",
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Live information-driven sampling: the volume clock as a feed
+    riding the Gate-2 bar-ingest loop. A FIXED bucket_volume is what
+    makes this streamable - the defining prefix sum only ever grows
+    as bars sink, so under a fixed threshold every bucket boundary is
+    APPEND-ONLY: once a later bucket has opened, a completed bucket's
+    membership can never be restated (the batch form's derived
+    threshold ceil(total/N) would move every boundary on every
+    batch). Each micro-batch recomputes the clock over the sunk bars
+    (the monitor discipline: correct by the Gate-2 freeze argument,
+    the recompute is bar-grain not tick-grain, and the documented
+    next step at fact-scale history is carrying per-session volume
+    partials) and writes the COMPLETED buckets - every bucket but the
+    maximal one, which is still absorbing volume - to
+    vbars/batch=<id>, ordered so redelivery rewrites identical bytes.
+    The final batch's dir IS the batch operator's output minus its
+    pending tail bucket (pytest-pinned). A feed that ends exactly on
+    a bucket boundary leaves that last bucket pending forever - the
+    streaming semantics of an unclosed window, by design.
+
+    Returns (bars_dir, vbars_dir)."""
+    from ..operators.adjust import backadjust
+    from ..operators.resample import volume_clock_bars
+    from ..operators.sessions import split_and_label
+
+    bars_dir = os.path.join(work_dir, "bars")
+    vbars_dir = os.path.join(work_dir, "vbars")
+    gate = gated_idempotent_sink(bars_dir, ts_col="bar_ts")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        gate(batch, batch_id)
+        stored = sess.read.parquet(bars_dir)
+        adjusted = backadjust(
+            split_and_label(stored, "bar_ts"),
+            config,
+            ts_col="bar_ts",
+            end_inclusive=False,
+        ).where(
+            F.substring_index(F.col("session_id"), "_", -1)
+            != "UNKNOWN"
+        )
+        vb = volume_clock_bars(
+            adjusted, bucket_volume=int(bucket_volume)
+        )
+        pending = vb.agg(F.max("vbar_seq").alias("_pending"))
+        completed = (
+            vb.crossJoin(F.broadcast(pending))
+            .where(F.col("vbar_seq") < F.col("_pending"))
+            .drop("_pending")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        completed.orderBy("vbar_seq").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(vbars_dir, f"batch={batch_id}"))
+
+    bars = streaming_ohlcv(
+        stream_events(spark, feed_dir, max_files_per_trigger=1),
+        width=width,
+        delay=delay,
+    )
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        stream=bars,
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="volume clock ingest",
+    )
+    return bars_dir, vbars_dir
+
+
 def config_revision_watch_run(
     spark: SparkSession,
     config_feed_dir: str,
