@@ -424,11 +424,14 @@ def test_tick_imbalance_bars_cut_rule_semantics(spark):
 
 
 def test_session_liquidity_metrics_hand_computed(spark):
-    """Amihud / Kyle / Roll on one hand-walked session: closes
-    100(v4) 102(v10) 101(v6) 101(v6) 103(v2); dp = -,2,-1,0,2;
-    signed volume = 0,10,-6,-6,2 (unchanged close carries the -).
-    Plus a monotone session whose serial cov is exactly 0: Roll is
-    NULL (no bounce, no estimate), never 0.0."""
+    """Amihud / Kyle / Roll on one hand-walked session: adjusted
+    closes 100(v4) 102(v10) 101(v6) 101(v6) 103(v2) with a +50
+    planted offset (raw = close - 50); dp = -,2,-1,0,2; signed
+    volume = 0,10,-6,-6,2 (unchanged close carries the -). Amihud's
+    notional must use the RAW closes (review finding: notional is a
+    property of the trade, not the splice); Kyle/Roll use dp, which
+    is splice-invariant. Plus a monotone session whose serial cov is
+    exactly 0: Roll is NULL (no bounce, no estimate), never 0.0."""
     import math
 
     from txf_continuous_data_pipeline_spark.operators.returns import (
@@ -447,13 +450,17 @@ def test_session_liquidity_metrics_hand_computed(spark):
         ("2024-01-02 15:10:00", "2024-01-02_N", 101.0, 102.0, 101.0, 102.0, 3),
         ("2024-01-02 15:15:00", "2024-01-02_N", 102.0, 103.0, 102.0, 103.0, 3),
     ]
+    planted = _bars(spark, rows).withColumn(
+        "accumulated_contract_diff", F.lit(50.0)
+    )
     out = {
         r["session_id"]: r
-        for r in session_liquidity_metrics(_bars(spark, rows)).collect()
+        for r in session_liquidity_metrics(planted).collect()
     }
     d = out["2024-01-02_D"]
     assert d["n_price_changes"] == 4
-    amihud = 1e6 * (2 / 1020 + 1 / 606 + 0.0 + 2 / 206) / 4
+    # raw closes 52, 51, 51, 53 on the signed bars
+    amihud = 1e6 * (2 / 520 + 1 / 306 + 0.0 + 2 / 106) / 4
     assert abs(d["amihud_1e6"] - amihud) < 1e-5
     # kyle: sum(dp*sv) = 20 + 6 + 0 + 4 = 30; sum(sv^2) = 176
     assert abs(d["kyle_lambda"] - 30 / 176) < 1e-5
@@ -508,3 +515,21 @@ def test_dollar_clock_bars_runs_on_raw_notional(spark):
     assert sum(r["volume"] for r in out3) == 30
     assert sum(r["n_bars"] for r in out3) == 3
     assert sorted(r["dbar_seq"] for r in out3) == [0, 2]
+
+
+def test_clock_bars_reject_nonpositive_fixed_threshold(spark):
+    """bucket_volume=0 must fail fast, not silently NULL every bucket
+    id under non-ANSI DIV-by-zero (review finding)."""
+    import pytest
+
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        volume_clock_bars,
+    )
+
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 4),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        volume_clock_bars(_bars(spark, rows), bucket_volume=0)
+    with pytest.raises(ValueError, match="positive"):
+        volume_clock_bars(_bars(spark, rows), bucket_volume=-5)

@@ -228,15 +228,24 @@ def test_volume_clock_stream_equals_batch_minus_pending(
     }
     assert final == want and want
 
-    # boundaries are append-only: every batch's completed set must be
-    # a PREFIX (by vbar_seq) of the final one, byte-for-value
-    per_batch = {
-        r["batch_id"]: r["n"]
-        for r in vb.groupBy("batch_id")
-        .agg(F.countDistinct("vbar_seq").alias("n"))
-        .collect()
-    }
-    assert per_batch[last_batch] == max(per_batch.values())
+    # boundaries are append-only UNDER IN-ORDER DELIVERY (this staged
+    # feed is in-order): every batch's completed set must be a
+    # VALUE-IDENTICAL prefix (by vbar_seq) of the final one - not just
+    # the same count (review finding: a restated bucket would keep
+    # countDistinct equal while values differ)
+    seq_i = data_cols.index("vbar_seq")
+    final_by_seq = {row[seq_i]: row for row in final}
+    batch_ids = [
+        r["batch_id"]
+        for r in vb.select("batch_id").distinct().collect()
+    ]
+    for b in sorted(batch_ids):
+        batch_rows = {
+            tuple(r[c] for c in data_cols)
+            for r in vb.where(F.col("batch_id") == b).collect()
+        }
+        for row in batch_rows:
+            assert row == final_by_seq[row[seq_i]], (b, row)
 
     # full replay: no bar appended, no vbars partition rewritten
     before_bars = _tree_hashes(bars_dir)

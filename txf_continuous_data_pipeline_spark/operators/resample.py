@@ -313,6 +313,13 @@ def _weight_clock_bars(
     # scan+exchange per invocation (review finding). Integer sums
     # associate, so sum(_sess_w) == sum(weight) exactly.
     cum = intra.join(F.broadcast(offsets), session_col)
+    if bucket_size is not None and int(bucket_size) <= 0:
+        # fail fast: under non-ANSI mode a DIV 0 silently NULLs every
+        # bucket id and downstream consumers see an empty feed forever
+        # (review finding)
+        raise ValueError(
+            f"bucket size must be positive, got {bucket_size}"
+        )
     if bucket_size is None:
         thr = sess.agg(
             F.ceil(

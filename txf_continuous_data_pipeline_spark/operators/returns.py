@@ -437,12 +437,21 @@ def session_liquidity_metrics(
     session_col: str = "session_id",
     close_col: str = "close",
     volume_col: str = "volume",
+    offset_col: str = "accumulated_contract_diff",
 ) -> DataFrame:
     """The classic microstructure liquidity triple, per session, from
     the shared tick-signs frame:
 
       amihud_1e6   - Amihud (2002) illiquidity: mean |price change| per
                      unit notional, x1e6 (price impact of a dollar).
+                     Notional uses the RAW (exchange) price - the
+                     adjustment offset subtracted out, the
+                     dollar_clock_bars rationale: notional is a
+                     property of the trade, not the splice, and an
+                     adjusted close can go non-positive after a large
+                     back-shift (review finding; |dp| itself is
+                     splice-invariant, so it stays on the adjusted
+                     series).
       kyle_lambda  - Kyle (1985) lambda via the OLS slope of price
                      change on tick-rule SIGNED volume:
                      sum(dp*sv) / sum(sv^2) - how much one signed
@@ -473,6 +482,7 @@ def session_liquidity_metrics(
         session_col,
         ts_col,
         close_col,
+        (F.col(close_col) - F.col(offset_col)).alias("_raw_close"),
         F.col(volume_col).cast("long").alias("_vol"),
         "_sign",
     )
@@ -485,7 +495,7 @@ def session_liquidity_metrics(
     )
     dp = F.col("_dp")
     pair = dp.isNotNull() & F.col("_dp_lag").isNotNull()
-    notional = F.col(close_col) * F.col("_vol")
+    notional = F.col("_raw_close") * F.col("_vol")
     agged = frame.groupBy(session_col).agg(
         F.count("_dp").alias("n_price_changes"),
         F.avg(

@@ -2083,10 +2083,14 @@ def tick_imbalance_bars_q(spark, sf_dir):
 
 _LIQUIDITY_SQL = f"""
 WITH {_TICK_SIGN_CTES},
+raw AS (
+  SELECT s.*, s.close - b0.accumulated_contract_diff AS raw_close
+  FROM s JOIN b0 USING (session_id, bar_ts)
+),
 d AS (
-  SELECT session_id, bar_ts, close, volume, sign,
+  SELECT session_id, bar_ts, close, raw_close, volume, sign,
          close - lag(close) OVER w AS dp
-  FROM s
+  FROM raw
   WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
 ),
 d2 AS (
@@ -2099,8 +2103,9 @@ d2 AS (
 agged AS (
   SELECT session_id,
          CAST(count(dp) AS BIGINT) AS n_price_changes,
-         avg(CASE WHEN dp IS NOT NULL AND close * volume > 0
-                  THEN abs(dp) / (close * volume) END) AS amihud_raw,
+         avg(CASE WHEN dp IS NOT NULL AND raw_close * volume > 0
+                  THEN abs(dp) / (raw_close * volume)
+             END) AS amihud_raw,
          sum(CASE WHEN dp IS NOT NULL
                   THEN dp * (sign * volume) END) AS kyle_num,
          CAST(sum(CASE WHEN dp IS NOT NULL
@@ -2115,17 +2120,21 @@ agged AS (
          CAST(count(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
                          THEN 1 END) AS BIGINT) AS m
   FROM d2 GROUP BY session_id
+),
+cov AS (
+  SELECT agged.*,
+         CASE WHEN m > 0
+              THEN round(s_xy / m - (s_x / m) * (s_y / m), 6)
+         END AS cov_r
+  FROM agged
 )
 SELECT session_id, n_price_changes,
        round(1000000.0 * amihud_raw, 6) AS amihud_1e6,
        CASE WHEN kyle_den > 0
             THEN round(kyle_num / kyle_den, 6) END AS kyle_lambda,
-       CASE WHEN m > 0
-                 AND round(s_xy / m - (s_x / m) * (s_y / m), 6) < 0
-            THEN round(2 * sqrt(
-                   -round(s_xy / m - (s_x / m) * (s_y / m), 6)
-                 ), 6) END AS roll_spread
-FROM agged
+       CASE WHEN cov_r < 0
+            THEN round(2 * sqrt(-cov_r), 6) END AS roll_spread
+FROM cov
 """
 
 

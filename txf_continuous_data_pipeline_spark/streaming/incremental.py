@@ -1763,24 +1763,25 @@ def realized_vol_ingest_run(
         # range risk (True Range / ATR(14)) rides the same monitor
         # row: the trailing window needs PRIOR sessions' TRs, so ATR
         # computes over the full (dimension-sized) session summary and
-        # filters to touched after. Final-row correctness shares the
-        # vol argument: Gate 2 drops late bars, so once a session's
-        # last touching batch lands, nothing at-or-before it changes
-        # and its TR/ATR window is frozen (pytest-pinned).
+        # filters to touched after. Final-row correctness: a bar (even
+        # a late-flushed window - the gate ADMITS those via its keyed
+        # anti-join) always TOUCHES its session, so the batch that
+        # admits it rewrites that session's row; once no further batch
+        # touches a session, its row is final and equals the batch
+        # fold (pytest-pinned).
         atr = session_atr(adjusted, n=14).select(
             "session_id", "true_range", "atr_14"
         )
-        vwap = session_vwap(
-            adjusted.where(F.col("session_id").isin(touched))
+        touched_bars = adjusted.where(
+            F.col("session_id").isin(touched)
         )
+        vwap = session_vwap(touched_bars)
         # trade-side pressure rides the same row: order-flow imbalance
         # is session-LOCAL (tick signs never cross a session), so
         # filtering to touched before the fold is value-identical to
         # folding everything and filtering after - unlike ATR, whose
         # trailing window needs prior sessions.
-        flow = order_flow_imbalance(
-            adjusted.where(F.col("session_id").isin(touched))
-        ).select(
+        flow = order_flow_imbalance(touched_bars).select(
             "session_id", "buy_volume", "sell_volume",
             "neutral_volume", "flow_imbalance",
         )
@@ -1842,18 +1843,23 @@ def volume_clock_ingest_run(
 ) -> "tuple[str, str]":
     """Live information-driven sampling: the volume clock as a feed
     riding the Gate-2 bar-ingest loop. A FIXED bucket_volume is what
-    makes this streamable - the defining prefix sum only ever grows
-    as bars sink, so under a fixed threshold every bucket boundary is
-    APPEND-ONLY: once a later bucket has opened, a completed bucket's
-    membership can never be restated (the batch form's derived
-    threshold ceil(total/N) would move every boundary on every
-    batch). Each micro-batch recomputes the clock over the sunk bars
-    (the monitor discipline: correct by the Gate-2 freeze argument,
-    the recompute is bar-grain not tick-grain, and the documented
-    next step at fact-scale history is carrying per-session volume
-    partials) and writes the COMPLETED buckets - every bucket but the
-    maximal one, which is still absorbing volume - to
-    vbars/batch=<id>, ordered so redelivery rewrites identical bytes.
+    makes this streamable - under IN-ORDER window delivery the
+    defining prefix sum only ever grows, so every completed bucket
+    boundary is append-only (the batch form's derived threshold
+    ceil(total/N) would move every boundary on every batch). The gate
+    ADMITS late-flushed older windows by design (gated_idempotent_
+    sink's keyed anti-join: a windowed aggregate can flush an older
+    window in a later batch), and such a bar restates every
+    downstream bucket - so the CONSUMABLE state is the LATEST batch
+    dir, which every batch rewrites IN FULL over the sunk bars (the
+    monitor's last-write-wins discipline); an earlier dir is a valid
+    prefix only while delivery stayed in-order (review finding).
+    Each micro-batch recomputes the clock over the sunk bars
+    (bar-grain, not tick-grain; the documented next step at
+    fact-scale history is carrying per-session volume partials) and
+    writes the COMPLETED buckets - every bucket but the maximal one,
+    which is still absorbing volume - to vbars/batch=<id>, ordered so
+    redelivery rewrites identical bytes.
     The final batch's dir IS the batch operator's output minus its
     pending tail bucket (pytest-pinned). A feed that ends exactly on
     a bucket boundary leaves that last bucket pending forever - the
