@@ -455,8 +455,8 @@ def session_liquidity_metrics(
       kyle_lambda  - Kyle (1985) lambda via the OLS slope of price
                      change on tick-rule SIGNED volume:
                      sum(dp*sv) / sum(sv^2) - how much one signed
-                     contract moves price. The denominator is an exact
-                     BIGINT sum; only the numerator is float.
+                     contract moves price. Exact BIGINT end to end
+                     (see the discipline paragraph below).
       roll_spread  - Roll (1984) implied effective spread:
                      2*sqrt(-serial-cov of price changes), defined only
                      when the rounded covariance is negative (bid-ask
@@ -465,12 +465,22 @@ def session_liquidity_metrics(
 
     Price changes are intra-session lags (the session-partitioned
     parallel shape; an overnight gap is an auction, not bounce or
-    impact). Cross-engine discipline: every branch decision and every
-    emitted float tests the 6dp-ROUNDED value (the
-    volume_anomaly_sessions rule) - in particular the Roll cov<0
-    branch, where an ulp-level cov near zero would otherwise round to
-    0.0 on one engine and NULL on the other. One window stack sharing
-    one session sort + one map-side-combined aggregate.
+    impact). Cross-engine discipline, two tiers: Kyle and Roll are
+    DYADIC-RATIONAL quotients (integer-grained price diffs over
+    integer denominators - the exact structure that put session_vwap
+    on a 6dp rounding half), so they compute in EXACT integer
+    micro-units end to end: price diffs as DECIMAL(15,6) differences
+    cast to BIGINT micros, the quotient rounded half-away-from-zero
+    via (2|n| + d) DIV (2d), and the Roll cov<0 branch tested on the
+    exact integer - identical by construction on both engines, no
+    double participates. Bounds: |dpm| < 1e12 per bar, sessions <=
+    168 bars, so every sum and the m*s_xy - s_x*s_y cross term sit
+    orders of magnitude under BIGINT. Amihud's terms, by contrast,
+    divide by (raw_close * volume) - non-dyadic denominators whose
+    mean has no half structure to hit - so it follows the
+    realized_vol discipline instead: double sum, 6dp round absorbing
+    engine ulp. One window stack sharing one session sort + one
+    map-side-combined aggregate.
     """
     w = Window.partitionBy(session_col).orderBy(ts_col)
     signed = tick_signs(
@@ -486,44 +496,67 @@ def session_liquidity_metrics(
         F.col(volume_col).cast("long").alias("_vol"),
         "_sign",
     )
+    close_dec = F.col(close_col).cast("decimal(15,6)")
     frame = (
-        signed.withColumn(
-            "_dp", F.col(close_col) - F.lag(close_col).over(w)
+        signed.withColumn("_close_dec", close_dec)
+        .withColumn(
+            "_dpm",
+            (
+                (F.col("_close_dec") - F.lag("_close_dec").over(w))
+                * F.lit(1000000)
+            ).cast("long"),
         )
-        .withColumn("_dp_lag", F.lag("_dp").over(w))
+        .withColumn("_dpm_lag", F.lag("_dpm").over(w))
         .withColumn("_sv", F.col("_sign").cast("long") * F.col("_vol"))
     )
-    dp = F.col("_dp")
-    pair = dp.isNotNull() & F.col("_dp_lag").isNotNull()
+    dpm = F.col("_dpm")
+    pair = dpm.isNotNull() & F.col("_dpm_lag").isNotNull()
     notional = F.col("_raw_close") * F.col("_vol")
     agged = frame.groupBy(session_col).agg(
-        F.count("_dp").alias("n_price_changes"),
+        F.count("_dpm").alias("n_price_changes"),
         F.avg(
             F.when(
-                dp.isNotNull() & (notional > 0),
-                F.abs(dp) / notional,
+                dpm.isNotNull() & (notional > 0),
+                F.abs(dpm) / F.lit(1000000.0) / notional,
             )
         ).alias("_amihud_raw"),
-        F.sum(F.when(dp.isNotNull(), dp * F.col("_sv"))).alias(
-            "_kyle_num"
-        ),
+        F.sum(F.when(dpm.isNotNull(), dpm * F.col("_sv")))
+        .cast("long")
+        .alias("_kyle_num"),
         F.sum(
             F.when(
-                dp.isNotNull(), F.col("_sv") * F.col("_sv")
+                dpm.isNotNull(), F.col("_sv") * F.col("_sv")
             ).otherwise(F.lit(0))
         )
         .cast("long")
         .alias("_kyle_den"),
-        F.sum(F.when(pair, dp * F.col("_dp_lag"))).alias("_s_xy"),
-        F.sum(F.when(pair, dp)).alias("_s_x"),
-        F.sum(F.when(pair, F.col("_dp_lag"))).alias("_s_y"),
+        F.sum(F.when(pair, dpm * F.col("_dpm_lag")))
+        .cast("long")
+        .alias("_s_xy"),
+        F.sum(F.when(pair, dpm)).cast("long").alias("_s_x"),
+        F.sum(F.when(pair, F.col("_dpm_lag")))
+        .cast("long")
+        .alias("_s_y"),
         F.count(F.when(pair, F.lit(1))).alias("_m"),
     )
-    m = F.col("_m")
-    cov_r = F.round(
-        F.col("_s_xy") / m
-        - (F.col("_s_x") / m) * (F.col("_s_y") / m),
-        6,
+    # kyle in 1e-6 units: _kyle_num is already micro-scaled, so
+    # num/den IS the micro value; half-away integer rounding
+    kyle_micro = F.expr(
+        "(2 * abs(_kyle_num) + _kyle_den) DIV (2 * _kyle_den)"
+    )
+    # cov = (m*s_xy - s_x*s_y) / (m^2 * 1e12), exactly; rounded to
+    # 6dp in integer micros: n at 1e-12 grain over d = m^2 * 1e6
+    cov_n = F.expr("_m * _s_xy - _s_x * _s_y")
+    # the m > 0 guard is a LAZY CaseWhen branch, so the division never
+    # runs on an empty pair set (no reliance on non-ANSI
+    # DIV-by-zero-NULL semantics)
+    cov_micro = F.when(
+        F.col("_m") > 0,
+        F.signum(cov_n).cast("long")
+        * F.expr(
+            "(2 * abs(_m * _s_xy - _s_x * _s_y) + _m * _m * 1000000)"
+            " DIV (2 * _m * _m * 1000000)"
+        ),
     )
     return agged.select(
         session_col,
@@ -533,10 +566,14 @@ def session_liquidity_metrics(
         ),
         F.when(
             F.col("_kyle_den") > 0,
-            F.round(F.col("_kyle_num") / F.col("_kyle_den"), 6),
+            F.signum(F.col("_kyle_num")).cast("long")
+            * kyle_micro
+            / F.lit(1000000.0),
         ).alias("kyle_lambda"),
         F.when(
-            (m > 0) & (cov_r < 0),
-            F.round(F.lit(2.0) * F.sqrt(-cov_r), 6),
+            cov_micro < 0,
+            F.round(
+                F.lit(2.0) * F.sqrt(-cov_micro / F.lit(1000000.0)), 6
+            ),
         ).alias("roll_spread"),
     )

@@ -2088,53 +2088,69 @@ raw AS (
   FROM s JOIN b0 USING (session_id, bar_ts)
 ),
 d AS (
-  SELECT session_id, bar_ts, close, raw_close, volume, sign,
-         close - lag(close) OVER w AS dp
+  SELECT session_id, bar_ts, raw_close, volume, sign,
+         CAST((CAST(close AS DECIMAL(15,6))
+               - lag(CAST(close AS DECIMAL(15,6))) OVER w)
+              * 1000000 AS BIGINT) AS dpm
   FROM raw
   WINDOW w AS (PARTITION BY session_id ORDER BY bar_ts)
 ),
 d2 AS (
   SELECT d.*,
-         lag(dp) OVER (
+         lag(dpm) OVER (
            PARTITION BY session_id ORDER BY bar_ts
-         ) AS dp_lag
+         ) AS dpm_lag
   FROM d
 ),
 agged AS (
   SELECT session_id,
-         CAST(count(dp) AS BIGINT) AS n_price_changes,
-         avg(CASE WHEN dp IS NOT NULL AND raw_close * volume > 0
-                  THEN abs(dp) / (raw_close * volume)
+         CAST(count(dpm) AS BIGINT) AS n_price_changes,
+         avg(CASE WHEN dpm IS NOT NULL AND raw_close * volume > 0
+                  THEN abs(dpm) / 1000000.0 / (raw_close * volume)
              END) AS amihud_raw,
-         sum(CASE WHEN dp IS NOT NULL
-                  THEN dp * (sign * volume) END) AS kyle_num,
-         CAST(sum(CASE WHEN dp IS NOT NULL
+         CAST(sum(CASE WHEN dpm IS NOT NULL
+                       THEN dpm * (sign * volume) END)
+              AS BIGINT) AS kyle_num,
+         CAST(sum(CASE WHEN dpm IS NOT NULL
                        THEN (sign * volume) * (sign * volume)
                        ELSE 0 END) AS BIGINT) AS kyle_den,
-         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
-                  THEN dp * dp_lag END) AS s_xy,
-         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
-                  THEN dp END) AS s_x,
-         sum(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
-                  THEN dp_lag END) AS s_y,
-         CAST(count(CASE WHEN dp IS NOT NULL AND dp_lag IS NOT NULL
+         CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
+                       THEN dpm * dpm_lag END) AS BIGINT) AS s_xy,
+         CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
+                       THEN dpm END) AS BIGINT) AS s_x,
+         CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
+                       THEN dpm_lag END) AS BIGINT) AS s_y,
+         CAST(count(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
                          THEN 1 END) AS BIGINT) AS m
   FROM d2 GROUP BY session_id
 ),
 cov AS (
   SELECT agged.*,
-         CASE WHEN m > 0
-              THEN round(s_xy / m - (s_x / m) * (s_y / m), 6)
-         END AS cov_r
+         m * s_xy - s_x * s_y AS cov_n
   FROM agged
+),
+cm AS (
+  SELECT cov.*,
+         CASE WHEN m > 0 THEN
+           (CASE WHEN cov_n < 0 THEN -1 WHEN cov_n > 0 THEN 1
+                 ELSE 0 END)
+           * ((2 * abs(cov_n) + m * m * 1000000)
+              // (2 * m * m * 1000000))
+         END AS cov_micro
+  FROM cov
 )
 SELECT session_id, n_price_changes,
        round(1000000.0 * amihud_raw, 6) AS amihud_1e6,
-       CASE WHEN kyle_den > 0
-            THEN round(kyle_num / kyle_den, 6) END AS kyle_lambda,
-       CASE WHEN cov_r < 0
-            THEN round(2 * sqrt(-cov_r), 6) END AS roll_spread
-FROM cov
+       CASE WHEN kyle_den > 0 THEN
+         (CASE WHEN kyle_num < 0 THEN -1 WHEN kyle_num > 0 THEN 1
+               ELSE 0 END)
+         * ((2 * abs(kyle_num) + kyle_den) // (2 * kyle_den))
+         / 1000000.0
+       END AS kyle_lambda,
+       CASE WHEN cov_micro < 0
+            THEN round(2 * sqrt(-cov_micro / 1000000.0), 6)
+       END AS roll_spread
+FROM cm
 """
 
 
