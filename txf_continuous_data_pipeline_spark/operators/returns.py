@@ -470,12 +470,16 @@ def session_liquidity_metrics(
     integer denominators - the exact structure that put session_vwap
     on a 6dp rounding half), so they compute in EXACT integer
     micro-units end to end: price diffs as DECIMAL(15,6) differences
-    cast to BIGINT micros, the quotient rounded half-away-from-zero
-    via (2|n| + d) DIV (2d), and the Roll cov<0 branch tested on the
-    exact integer - identical by construction on both engines, no
-    double participates. Bounds: |dpm| < 1e12 per bar, sessions <=
-    168 bars, so every sum and the m*s_xy - s_x*s_y cross term sit
-    orders of magnitude under BIGINT. Amihud's terms, by contrast,
+    cast to BIGINT micros; Kyle's quotient rounds half-away-from-zero
+    via (2|n| + d) DIV (2d) with the product sum carried in
+    DECIMAL(38,0) (at production futures prices ~2e4 with 6dp grain,
+    |dpm| reaches ~2e8 and a BIGINT sum of dpm*dpm products would
+    silently wrap under non-ANSI mode - wrong sign, wrong branch);
+    Roll's covariance numerator m*s_xy - s_x*s_y is likewise exact
+    DECIMAL, its cov<0 branch tests the exact value, and only the
+    MAGNITUDE crosses to double - bit-identical on both engines
+    because the numerator is exact and the denominator m^2 * 1e12
+    (< 2^53) is exactly representable. Amihud's terms, by contrast,
     divide by (raw_close * volume) - non-dyadic denominators whose
     mean has no half structure to hit - so it follows the
     realized_vol discipline instead: double sum, 6dp round absorbing
@@ -520,9 +524,12 @@ def session_liquidity_metrics(
                 F.abs(dpm) / F.lit(1000000.0) / notional,
             )
         ).alias("_amihud_raw"),
-        F.sum(F.when(dpm.isNotNull(), dpm * F.col("_sv")))
-        .cast("long")
-        .alias("_kyle_num"),
+        F.sum(
+            F.when(
+                dpm.isNotNull(),
+                dpm.cast("decimal(19,0)") * F.col("_sv"),
+            )
+        ).alias("_kyle_num"),
         F.sum(
             F.when(
                 dpm.isNotNull(), F.col("_sv") * F.col("_sv")
@@ -530,9 +537,12 @@ def session_liquidity_metrics(
         )
         .cast("long")
         .alias("_kyle_den"),
-        F.sum(F.when(pair, dpm * F.col("_dpm_lag")))
-        .cast("long")
-        .alias("_s_xy"),
+        F.sum(
+            F.when(
+                pair,
+                dpm.cast("decimal(19,0)") * F.col("_dpm_lag"),
+            )
+        ).alias("_s_xy"),
         F.sum(F.when(pair, dpm)).cast("long").alias("_s_x"),
         F.sum(F.when(pair, F.col("_dpm_lag")))
         .cast("long")
@@ -540,22 +550,26 @@ def session_liquidity_metrics(
         F.count(F.when(pair, F.lit(1))).alias("_m"),
     )
     # kyle in 1e-6 units: _kyle_num is already micro-scaled, so
-    # num/den IS the micro value; half-away integer rounding
+    # num/den IS the micro value; half-away integral divide - Spark's
+    # IntegralDivide accepts DECIMAL operands and returns LONG, and
+    # both operands are non-negative so floor == truncate on both
+    # engines
     kyle_micro = F.expr(
         "(2 * abs(_kyle_num) + _kyle_den) DIV (2 * _kyle_den)"
     )
-    # cov = (m*s_xy - s_x*s_y) / (m^2 * 1e12), exactly; rounded to
-    # 6dp in integer micros: n at 1e-12 grain over d = m^2 * 1e6
-    cov_n = F.expr("_m * _s_xy - _s_x * _s_y")
-    # the m > 0 guard is a LAZY CaseWhen branch, so the division never
-    # runs on an empty pair set (no reliance on non-ANSI
-    # DIV-by-zero-NULL semantics)
-    cov_micro = F.when(
+    # cov numerator, exact DECIMAL: sign drives the branch; only the
+    # magnitude crosses to double, divided by the exactly-
+    # representable m^2 * 1e12
+    cov_n = F.expr(
+        "CAST(_m AS DECIMAL(19,0)) * _s_xy"
+        " - CAST(_s_x AS DECIMAL(19,0)) * _s_y"
+    )
+    cov_d = F.when(
         F.col("_m") > 0,
-        F.signum(cov_n).cast("long")
-        * F.expr(
-            "(2 * abs(_m * _s_xy - _s_x * _s_y) + _m * _m * 1000000)"
-            " DIV (2 * _m * _m * 1000000)"
+        cov_n.cast("double")
+        / (
+            (F.col("_m") * F.col("_m")).cast("double")
+            * F.lit(1e12)
         ),
     )
     return agged.select(
@@ -571,9 +585,7 @@ def session_liquidity_metrics(
             / F.lit(1000000.0),
         ).alias("kyle_lambda"),
         F.when(
-            cov_micro < 0,
-            F.round(
-                F.lit(2.0) * F.sqrt(-cov_micro / F.lit(1000000.0)), 6
-            ),
+            cov_d < 0,
+            F.round(F.lit(2.0) * F.sqrt(-cov_d), 6),
         ).alias("roll_spread"),
     )

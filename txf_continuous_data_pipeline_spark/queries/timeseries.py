@@ -2081,6 +2081,13 @@ def tick_imbalance_bars_q(spark, sf_dir):
     )
 
 
+# Oracle-side integer-exactness note: the wide products/sums ride
+# HUGEINT (int128) because DuckDB's // on DECIMAL operands performs a
+# DECIMAL division (which ROUNDS to the result scale) before flooring
+# - observed off-by-one vs Spark's exact IntegralDivide at a
+# quotient near .9999997 (kyle_lambda 73.228334 vs 73.228333). Spark
+# has no int128, so its side carries DECIMAL(38,0) sums, whose DIV is
+# exact integral division; HUGEINT // HUGEINT is exact on DuckDB's.
 _LIQUIDITY_SQL = f"""
 WITH {_TICK_SIGN_CTES},
 raw AS (
@@ -2108,14 +2115,15 @@ agged AS (
          avg(CASE WHEN dpm IS NOT NULL AND raw_close * volume > 0
                   THEN abs(dpm) / 1000000.0 / (raw_close * volume)
              END) AS amihud_raw,
-         CAST(sum(CASE WHEN dpm IS NOT NULL
-                       THEN dpm * (sign * volume) END)
-              AS BIGINT) AS kyle_num,
+         sum(CASE WHEN dpm IS NOT NULL
+                  THEN CAST(dpm AS HUGEINT) * (sign * volume)
+             END) AS kyle_num,
          CAST(sum(CASE WHEN dpm IS NOT NULL
                        THEN (sign * volume) * (sign * volume)
                        ELSE 0 END) AS BIGINT) AS kyle_den,
-         CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
-                       THEN dpm * dpm_lag END) AS BIGINT) AS s_xy,
+         sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
+                  THEN CAST(dpm AS HUGEINT) * dpm_lag
+             END) AS s_xy,
          CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
                        THEN dpm END) AS BIGINT) AS s_x,
          CAST(sum(CASE WHEN dpm IS NOT NULL AND dpm_lag IS NOT NULL
@@ -2126,17 +2134,16 @@ agged AS (
 ),
 cov AS (
   SELECT agged.*,
-         m * s_xy - s_x * s_y AS cov_n
+         CAST(m AS HUGEINT) * s_xy
+           - CAST(s_x AS HUGEINT) * s_y AS cov_n
   FROM agged
 ),
 cm AS (
   SELECT cov.*,
          CASE WHEN m > 0 THEN
-           (CASE WHEN cov_n < 0 THEN -1 WHEN cov_n > 0 THEN 1
-                 ELSE 0 END)
-           * ((2 * abs(cov_n) + m * m * 1000000)
-              // (2 * m * m * 1000000))
-         END AS cov_micro
+           CAST(cov_n AS DOUBLE)
+             / (CAST(m * m AS DOUBLE) * 1e12)
+         END AS cov_d
   FROM cov
 )
 SELECT session_id, n_price_changes,
@@ -2144,11 +2151,12 @@ SELECT session_id, n_price_changes,
        CASE WHEN kyle_den > 0 THEN
          (CASE WHEN kyle_num < 0 THEN -1 WHEN kyle_num > 0 THEN 1
                ELSE 0 END)
-         * ((2 * abs(kyle_num) + kyle_den) // (2 * kyle_den))
+         * CAST((2 * abs(kyle_num) + kyle_den)
+                // (2 * kyle_den) AS BIGINT)
          / 1000000.0
        END AS kyle_lambda,
-       CASE WHEN cov_micro < 0
-            THEN round(2 * sqrt(-cov_micro / 1000000.0), 6)
+       CASE WHEN cov_d < 0
+            THEN round(2 * sqrt(-cov_d), 6)
        END AS roll_spread
 FROM cm
 """
