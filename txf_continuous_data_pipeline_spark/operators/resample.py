@@ -280,22 +280,35 @@ def _weight_clock_bars(
     prefix sum of an exact BIGINT per-bar weight, decomposed into an
     intra-session partitioned window + a dimension-sized session
     offset broadcast back (sessions are time-disjoint, so the sum of
-    the two IS the global prefix sum), bucket id via BIGINT DIV, one
-    map-side-combined OHLCV aggregate."""
+    the two IS the global prefix sum), bucket id via exact integral
+    DIV, one map-side-combined OHLCV aggregate.
+
+    The per-bar weight is BIGINT, but the PREFIX SUMS ride
+    DECIMAL(38,0): a corpus-wide cumulative notional at production
+    prices (~2e8 weight-units per contract) exceeds BIGINT well
+    inside the 100-TB design range and would silently wrap under
+    non-ANSI mode (the Kyle/Roll review-wave lesson applied here).
+    Spark's IntegralDivide is exact on DECIMAL operands; the oracles
+    ride DuckDB's HUGEINT, whose // is exact (its DECIMAL // rounds
+    before flooring - see the liquidity oracle note)."""
     ts = F.col(ts_col)
     w_in = (
         Window.partitionBy(session_col)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    weighted = bars.withColumn("_w", weight)
+    weighted = bars.withColumn(
+        "_w", weight.cast("decimal(20,0)")
+    )
     intra = weighted.withColumn(
         "_intra_cum",
-        F.coalesce(F.sum("_w").over(w_in), F.lit(0)).cast("long"),
+        F.coalesce(F.sum("_w").over(w_in), F.lit(0)).cast(
+            "decimal(38,0)"
+        ),
     )
     sess = weighted.groupBy(session_col).agg(
         F.min(ts_col).alias("_first_ts"),
-        F.sum("_w").cast("long").alias("_sess_w"),
+        F.sum("_w").cast("decimal(38,0)").alias("_sess_w"),
     )
     w_s = (
         Window.orderBy("_first_ts")  # dimension-sized: one row/session
@@ -304,7 +317,7 @@ def _weight_clock_bars(
     offsets = sess.select(
         session_col,
         F.coalesce(F.sum("_sess_w").over(w_s), F.lit(0))
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("_sess_offset"),
     )
     # the global total is the sum of the dimension-sized session
@@ -321,9 +334,13 @@ def _weight_clock_bars(
             f"bucket size must be positive, got {bucket_size}"
         )
     if bucket_size is None:
+        # total -> double -> ceil: identical ops on both engines; the
+        # double rounds identically past 2^53, and the threshold
+        # itself sits orders of magnitude under BIGINT
         thr = sess.agg(
             F.ceil(
-                F.sum("_sess_w").cast("long") / F.lit(target_buckets)
+                F.sum("_sess_w").cast("double")
+                / F.lit(float(target_buckets))
             )
             .cast("long")
             .alias("_vbucket")

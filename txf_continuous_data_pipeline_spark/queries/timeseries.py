@@ -1916,7 +1916,7 @@ c AS (
          CAST(coalesce(sum(volume) OVER (
                 ORDER BY bar_ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-              ), 0) AS BIGINT) AS cumv
+              ), 0) AS HUGEINT) AS cumv
   FROM b
 )
 SELECT CAST(c.cumv // v.vbucket AS BIGINT) AS vbar_seq,
@@ -2196,7 +2196,7 @@ c AS (
          CAST(coalesce(sum(w) OVER (
                 ORDER BY bar_ts
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-              ), 0) AS BIGINT) AS cumw
+              ), 0) AS HUGEINT) AS cumw
   FROM b
 )
 SELECT CAST(c.cumw // v.vbucket AS BIGINT) AS dbar_seq,
