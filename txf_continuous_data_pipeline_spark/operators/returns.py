@@ -386,8 +386,13 @@ def order_flow_imbalance(
     flow_imbalance = (buy - sell) / (buy + sell), rounded to 6dp in
     INTEGER micro-units ((2|num| + den) DIV (2 den), the session_vwap
     half-away-from-zero discipline) so the quotient cannot straddle a
-    rounding half differently across engines; NULL when no bar ever
-    got a sign. Everything is session-partitioned windows (tick_signs,
+    rounding half differently across engines. Micro-unit bound: these
+    sums are SESSION-bounded, never corpus-bounded, so
+    2|buy - sell| * 1e6 fits BIGINT up to ~4.6e12 contracts per
+    session - the session_vwap acceptance, orders of magnitude over
+    any real session (the corpus-bounded lanes - the clocks' prefix
+    sums, Kyle/Roll's products - ride DECIMAL/HUGEINT instead). NULL
+    when no bar ever got a sign. Everything is session-partitioned windows (tick_signs,
     shared with tick_imbalance_bars) plus one map-side-combined
     aggregate - embarrassingly parallel, nothing global, nothing
     driver-side.
