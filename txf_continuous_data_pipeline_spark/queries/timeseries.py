@@ -667,7 +667,9 @@ WHERE session_id NOT IN (SELECT session_id FROM open_session)
 
 # Session cache of the gated 5-min pipeline output per corpus (the
 # _neardup_components discipline applied to the reference flagship):
-# thirteen registry queries consume bar_pipeline_5m, and each re-ran
+# twenty registry call sites consume bar_pipeline_5m (the session
+# risk/microstructure family grew it past the original thirteen),
+# and each re-ran
 # the resample -> label -> backadjust -> gate chain from the events
 # scan. The memoized frame is persist()ed, NOT checkpointed - lineage
 # (and every plan pin reading it) is unchanged; only the blocks are
