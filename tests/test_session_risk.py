@@ -533,3 +533,42 @@ def test_clock_bars_reject_nonpositive_fixed_threshold(spark):
         volume_clock_bars(_bars(spark, rows), bucket_volume=0)
     with pytest.raises(ValueError, match="positive"):
         volume_clock_bars(_bars(spark, rows), bucket_volume=-5)
+
+
+def test_clock_bars_zero_total_weight_single_bucket(spark):
+    """Derived-threshold twin of the fixed-threshold guard (r11
+    advice): an all-zero-volume frame gives total weight 0, so
+    ceil(0/target) = 0 and non-ANSI DIV 0 would silently NULL every
+    bucket id, collapsing output into one null-keyed row. The
+    greatest(.,1) guard instead lands everything in bucket 0 - a
+    well-keyed degenerate, and the ONLY case the guard changes."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        volume_clock_bars,
+    )
+
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 101.0, 99.0, 100.0, 0),
+        ("2024-01-02 09:05:00", "2024-01-02_D", 100.0, 103.0, 100.0, 102.0, 0),
+        ("2024-01-02 15:00:00", "2024-01-02_N", 102.0, 104.0, 101.0, 103.0, 0),
+    ]
+    out = volume_clock_bars(_bars(spark, rows), target_buckets=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["vbar_seq"] == 0 and r["vbar_seq"] is not None
+    assert r["n_bars"] == 3 and r["volume"] == 0
+    assert r["open"] == 100.0 and r["close"] == 103.0
+
+
+def test_overnight_gap_zero_prev_close_is_null_not_inf(spark):
+    """r11 advice: a back-shift can push an adjusted close to exactly
+    0.0. Spark's non-ANSI division NULLs while DuckDB's IEEE division
+    yields inf, so without the nullif guard gap_return could print
+    NULL on one engine and inf on the other. Guarded: NULL on both."""
+    rows = [
+        ("2024-01-02 09:00:00", "2024-01-02_D", 100.0, 105.0, -1.0, 0.0, 10),
+        ("2024-01-02 15:00:00", "2024-01-02_N", 110.0, 112.0, 108.0, 111.0, 5),
+    ]
+    out = overnight_gap_returns(_bars(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["prev_close"] == 0.0
+    assert out[0]["gap_return"] is None

@@ -253,3 +253,96 @@ def test_volume_clock_stream_equals_batch_minus_pending(
     volume_clock_ingest_run(spark, feed, work, cfg, bucket_volume=40)
     assert _tree_hashes(bars_dir) == before_bars
     assert _tree_hashes(vbars_dir) == before_vb
+
+
+def test_out_of_order_admission_rewrites_downstream_sessions(
+    spark, sf_dir
+):
+    """r11 advice (medium): the monitor's freeze argument only held
+    for session-local metrics. ATR(14), the first-bar log return, and
+    the limits prev_close lag are cross-session - a late-admitted bar
+    for an earlier session Y (the gate admits those via its keyed
+    anti-join) must also rewrite the downstream sessions whose rows
+    depend on Y, or they stay permanently stale vs the batch fold.
+    Simulated at the exact production frames (_monitor_frames +
+    _monitor_touch_closure): seed last-write state from a snapshot
+    MISSING a middle session Y (every session directly touched, as a
+    prior run would have), then admit Y against the full snapshot
+    touching ONLY Y. Closure on: merged state == batch fold for every
+    session. Closure off (the pre-fix behavior): the merged state
+    must DIFFER - pinning that the closure is load-bearing, not
+    decorative."""
+    from txf_continuous_data_pipeline_spark.operators.resample import (
+        tumbling_ohlcv,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        _monitor_frames,
+        _monitor_touch_closure,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cfg = weekly_settle_config(events)
+    bars = tumbling_ohlcv(
+        events, ts_col="ts", price_col="value",
+        width="5 minutes", closed="right", out_ts="bar_ts",
+    ).drop("n_rows")
+    full = backadjust(
+        split_and_label(bars, "bar_ts"),
+        cfg,
+        ts_col="bar_ts",
+        end_inclusive=False,
+    ).where(
+        F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
+    ).persist()
+    order = [
+        r["session_id"]
+        for r in full.groupBy("session_id")
+        .agg(F.min("bar_ts").alias("s"))
+        .orderBy("s")
+        .collect()
+    ]
+    assert len(order) >= 6, "need enough sessions to stage a gap"
+    y = order[len(order) // 2]
+
+    def _rows(df, key_cols):
+        data = sorted(c for c in df.columns)
+        kidx = [data.index(k) for k in key_cols]
+        out = {}
+        for r in df.collect():
+            t = tuple(r[c] for c in data)
+            out[tuple(t[i] for i in kidx)] = t
+        return out
+
+    # batch fold over the full series = the ground truth final state
+    want_mon, want_lim = _monitor_frames(full, order)
+    want_mon = _rows(want_mon, ["session_id"])
+    want_lim = _rows(
+        want_lim, ["session_id", "contract_year_month"]
+    )
+
+    # seed: a prior run that never saw Y, every session touched
+    snap1 = full.where(F.col("session_id") != y)
+    t1 = [s for s in order if s != y]
+    mon1, lim1 = _monitor_frames(snap1, t1)
+    state_mon = _rows(mon1, ["session_id"])
+    state_lim = _rows(lim1, ["session_id", "contract_year_month"])
+
+    # the late admission WITHOUT the closure: stale downstream rows
+    mon_bare, lim_bare = _monitor_frames(full, [y])
+    broken_mon = dict(state_mon)
+    broken_mon.update(_rows(mon_bare, ["session_id"]))
+    assert broken_mon != want_mon, (
+        "staging failed: Y's admission did not perturb any downstream "
+        "row, the closure test would be vacuous"
+    )
+
+    # the late admission WITH the closure: every dependent rewritten
+    closure = _monitor_touch_closure(full, [y])
+    assert y in closure and len(closure) > 1
+    mon2, lim2 = _monitor_frames(full, closure)
+    state_mon.update(_rows(mon2, ["session_id"]))
+    state_lim.update(_rows(lim2, ["session_id", "contract_year_month"]))
+    full.unpersist()
+
+    assert state_mon == want_mon
+    assert state_lim == want_lim

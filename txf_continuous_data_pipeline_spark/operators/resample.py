@@ -336,14 +336,22 @@ def _weight_clock_bars(
     if bucket_size is None:
         # total -> double -> ceil: identical ops on both engines; the
         # double rounds identically past 2^53, and the threshold
-        # itself sits orders of magnitude under BIGINT
+        # itself sits orders of magnitude under BIGINT. greatest(.,1)
+        # guards the zero-total-weight degenerate (all-zero volume):
+        # without it _vbucket = 0 and non-ANSI DIV 0 silently NULLs
+        # every bucket id, collapsing output into one null-keyed row
+        # (review finding, the bucket_size<=0 guard's derived twin).
+        # With it, a zero total puts every row in bucket 0 -- the only
+        # case greatest changes, since ceil of any positive total is
+        # already >= 1.
         thr = sess.agg(
-            F.ceil(
-                F.sum("_sess_w").cast("double")
-                / F.lit(float(target_buckets))
-            )
-            .cast("long")
-            .alias("_vbucket")
+            F.greatest(
+                F.ceil(
+                    F.sum("_sess_w").cast("double")
+                    / F.lit(float(target_buckets))
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("_vbucket")
         )
         cum = cum.crossJoin(F.broadcast(thr))  # 1-row scalar frame
         div = "(_sess_offset + _intra_cum) DIV _vbucket"

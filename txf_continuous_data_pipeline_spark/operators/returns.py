@@ -240,7 +240,12 @@ def overnight_gap_returns(
         F.lag(session_col).over(w).alias("prev_session_id"),
         F.lag("close").over(w).alias("prev_close"),
     ).where(F.col("prev_session_id").isNotNull())
-    ratio = F.col("open") / F.col("prev_close")
+    # nullif guard: a back-shift can push an adjusted close to exactly
+    # 0.0, where Spark's non-ANSI division NULLs but DuckDB's IEEE
+    # division yields inf -- null the denominator in BOTH engines so
+    # the (ratio > 0) branch agrees (same discipline as
+    # price_limit_report).
+    ratio = F.col("open") / F.nullif(F.col("prev_close"), F.lit(0.0))
     return lagged.select(
         session_col,
         "prev_session_id",

@@ -1704,8 +1704,9 @@ SELECT session_id, prev_session_id,
          AS transition,
        round(open, 4) AS session_open,
        round(prev_close, 4) AS prev_close,
-       CASE WHEN open / prev_close > 0
-            THEN round(ln(open / prev_close), 6) END AS gap_return
+       CASE WHEN open / nullif(prev_close, 0.0) > 0
+            THEN round(ln(open / nullif(prev_close, 0.0)), 6)
+       END AS gap_return
 FROM lagged WHERE prev_session_id IS NOT NULL
 """
 
@@ -1911,7 +1912,8 @@ _VOLUME_CLOCK_SQL = f"""
 WITH base AS ({_PIPELINE_SQL}),
 b AS (SELECT * FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
 v AS (
-  SELECT CAST(ceil(sum(volume) / 200.0) AS BIGINT) AS vbucket FROM b
+  SELECT greatest(CAST(ceil(sum(volume) / 200.0) AS BIGINT), 1)
+           AS vbucket FROM b
 ),
 c AS (
   SELECT b.*,
@@ -2171,9 +2173,10 @@ def session_liquidity_metrics_q(spark, sf_dir):
     notional, x1e6), Kyle's lambda (OLS slope of price change on
     tick-rule signed volume, exact-BIGINT denominator), and Roll's
     implied effective spread (2*sqrt(-serial-cov of price changes),
-    defined only when the ROUNDED covariance is negative - the branch
-    tests the 6dp round so an ulp-level cov near zero cannot round to
-    0.0 on one engine and NULL on the other). Intra-session lags only
+    defined only when the EXACT covariance is negative - both engines
+    branch on the exact DECIMAL/HUGEINT covariance sign, never on a
+    rounded value, so the branch cannot disagree at an ulp; only the
+    emitted spread is rounded to 6dp). Intra-session lags only
     (overnight gaps are auctions, not bounce/impact); everything
     session-partitioned + one map-side-combined aggregate. See
     operators/returns.session_liquidity_metrics."""
@@ -2191,7 +2194,8 @@ b AS (SELECT *,
              AS BIGINT) * volume AS w
       FROM base WHERE session_id NOT LIKE '%UNKNOWN'),
 v AS (
-  SELECT CAST(ceil(sum(w) / 200.0) AS BIGINT) AS vbucket FROM b
+  SELECT greatest(CAST(ceil(sum(w) / 200.0) AS BIGINT), 1)
+           AS vbucket FROM b
 ),
 c AS (
   SELECT b.*,

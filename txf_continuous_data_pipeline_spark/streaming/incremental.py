@@ -1649,6 +1649,128 @@ def ivfpq_index_ingest_run(
     return index_dir, monitor_dir
 
 
+def _monitor_touch_closure(
+    adjusted: DataFrame,
+    touched: "list[str]",
+    *,
+    reach: int = 14,
+) -> "list[str]":
+    """Expand a batch's directly-touched session set to every session
+    whose monitor/limits row DEPENDS on a touched one (r11 advice:
+    the out-of-order-delivery fix). vwap and flow imbalance are
+    session-LOCAL, but three monitor surfaces are cross-session: a
+    session's True Range AND its first-bar log return both use the
+    PREVIOUS session's close (so admitting a bar in session Y changes
+    TR and realized vol of Y+1), ATR(14)'s trailing window then
+    spreads the changed TR(Y)/TR(Y+1) over the next 13 rows (changed
+    ATR set = Y..Y+14, hence reach = 1 prev-close edge + 13 window
+    rows), and the limits feed's prev_close lag spans the SAME
+    contract's previous session. The gate ADMITS a late-flushed bar
+    for an earlier session Y via its keyed anti-join - so the batch
+    admitting it must also rewrite the next `reach` sessions and the
+    next session of each of Y's contracts; otherwise those rows stay
+    permanently stale vs the batch fold. Both lookups run on
+    dimension-sized summaries (one row per session / per
+    session-contract pair), the same grain the loop already collects
+    for `touched` itself."""
+    order = [
+        r["session_id"]
+        for r in adjusted.groupBy("session_id")
+        .agg(F.min("bar_ts").alias("_start"))
+        .orderBy("_start")
+        .collect()
+    ]
+    idx = {s: i for i, s in enumerate(order)}
+    out = set(touched)
+    for s in touched:
+        i = idx.get(s)
+        if i is not None:
+            out.update(order[i + 1 : i + 1 + reach])
+    tset = set(touched)
+    by_contract: "dict[str, list[str]]" = {}
+    for r in (
+        adjusted.where(F.col("contract_year_month") != "")
+        .select("session_id", "contract_year_month")
+        .distinct()
+        .collect()
+    ):
+        by_contract.setdefault(r["contract_year_month"], []).append(
+            r["session_id"]
+        )
+    for sessions in by_contract.values():
+        sessions.sort(key=lambda s: idx.get(s, -1))
+        for j in range(len(sessions) - 1):
+            if sessions[j] in tset:
+                out.add(sessions[j + 1])
+    return sorted(out)
+
+
+def _monitor_frames(
+    adjusted: DataFrame, touched: "list[str]"
+) -> "tuple[DataFrame, DataFrame]":
+    """(monitor rows, limits rows) for the given touched CLOSURE over
+    a full adjusted sink snapshot - the per-batch computation of
+    realized_vol_ingest_run, module-level so the out-of-order pytest
+    can drive the exact production frames directly. `touched` must
+    already be `_monitor_touch_closure` output (the caller owns the
+    expansion so the test can pin both the fixed and the broken
+    touched sets)."""
+    from ..operators.returns import (
+        continuous_log_returns,
+        order_flow_imbalance,
+        price_limit_report,
+        session_atr,
+        session_realized_vol,
+        session_vwap,
+    )
+
+    # risk (realized vol) + execution (vwap/volume/notional) in one
+    # row per touched session - the SAME operators the batch queries
+    # compose (operators/returns, one definition each). vwap is the
+    # LEFT side: a touched session that holds a single bar has no
+    # return yet but a perfectly computable vwap (r11 review wave 3:
+    # the inner join silently dropped its row).
+    vol = session_realized_vol(continuous_log_returns(adjusted))
+    # range risk (True Range / ATR(14)) rides the same monitor row:
+    # the trailing window needs PRIOR sessions' TRs, so ATR computes
+    # over the full (dimension-sized) session summary and filters to
+    # touched after. Final-row correctness: a bar always TOUCHES its
+    # session, and _monitor_touch_closure extends the rewrite to every
+    # session whose ATR window or limits lag can SEE it - so once no
+    # further batch's closure includes a session, its row is final and
+    # equals the batch fold even under out-of-order admission
+    # (pytest-pinned, tests/test_streaming_vol.py).
+    atr = session_atr(adjusted, n=14).select(
+        "session_id", "true_range", "atr_14"
+    )
+    touched_bars = adjusted.where(F.col("session_id").isin(touched))
+    vwap = session_vwap(touched_bars)
+    # trade-side pressure rides the same row: order-flow imbalance is
+    # session-LOCAL (tick signs never cross a session), so filtering
+    # to touched before the fold is value-identical to folding
+    # everything and filtering after - unlike ATR, whose trailing
+    # window needs prior sessions.
+    flow = order_flow_imbalance(touched_bars).select(
+        "session_id", "buy_volume", "sell_volume",
+        "neutral_volume", "flow_imbalance",
+    )
+    row = (
+        vwap.join(vol, "session_id", "left")
+        .join(atr, "session_id", "left")
+        .join(flow, "session_id", "left")
+    )
+    # exchange-rule feed: live limit-touch rows for the touched
+    # sessions, off the SAME shared operator as the batch query
+    # (price_limit_days). The lag spans the SAME contract's prior
+    # session; the closure includes that next session, so the last
+    # batch whose closure covers a (session, contract) writes its
+    # final row.
+    limits = price_limit_report(adjusted).where(
+        F.col("session_id").isin(touched)
+    )
+    return row, limits
+
+
 def realized_vol_ingest_run(
     spark: SparkSession,
     feed_dir: str,
@@ -1679,13 +1801,20 @@ def realized_vol_ingest_run(
          the SAME functions the batch query composes) restricted to
          the touched sessions, and overwrites monitor/batch=<id>.
 
-    A session's monitor row therefore updates with every batch that
-    closes more of its bars; the row written by the LAST batch touching
-    a session is its complete vol, equal to the batch fold over the
-    same sunk bars (pytest-pinned). A parallel limits/batch=<id> feed
+    The touched set is expanded to its DOWNSTREAM CLOSURE before the
+    rewrite (_monitor_touch_closure): ATR(14) and the limits feed are
+    cross-session, so a late-admitted bar for session Y (the gate
+    admits late-flushed older windows by design) also rewrites the
+    next 14 sessions and the next session per Y-contract - without
+    that, those rows would stay permanently stale under out-of-order
+    delivery (r11 advice). A session's monitor row therefore updates
+    with every batch whose closure includes it; the row written by
+    the LAST such batch is its complete vol, equal to the batch fold
+    over the same sunk bars (pytest-pinned, including a staged
+    out-of-order admission). A parallel limits/batch=<id> feed
     carries live exchange price-limit rows (price_limit_report, the
-    operator the batch query shares) for the touched sessions - the
-    same freeze argument pins its final rows. Exactly-once: the bar sink is
+    operator the batch query shares) for the same closure - the same
+    argument pins its final rows. Exactly-once: the bar sink is
     watermark-gated and the monitor partition is overwritten per batch
     over a sink snapshot a replay reproduces, so redelivery rewrites
     identical bytes instead of double-appending.
@@ -1700,14 +1829,6 @@ def realized_vol_ingest_run(
     Returns (bars_dir, monitor_dir); the limits feed lands next to
     them in work_dir/limits."""
     from ..operators.adjust import backadjust
-    from ..operators.returns import (
-        continuous_log_returns,
-        order_flow_imbalance,
-        price_limit_report,
-        session_atr,
-        session_realized_vol,
-        session_vwap,
-    )
     from ..operators.sessions import split_and_label
 
     bars_dir = os.path.join(work_dir, "bars")
@@ -1744,76 +1865,29 @@ def realized_vol_ingest_run(
             F.substring_index(F.col("session_id"), "_", -1) != "UNKNOWN"
         ).persist()
         try:
-            _write_monitor_and_limits(adjusted, touched, batch_id)
+            closure = _monitor_touch_closure(adjusted, touched)
+            row, limits = _monitor_frames(adjusted, closure)
+            # orderBy before the single-file write: both feeds are
+            # multi-row per batch, and the exactly-once "redelivery
+            # rewrites identical bytes" claim must not rest on a hash
+            # aggregate's iteration order staying stable across
+            # replays under different memory pressure (review
+            # finding) - pin the row order so byte-identity follows
+            # from value-identity.
+            row.withColumn("batch_id", F.lit(int(batch_id))).orderBy(
+                "session_id"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(monitor_dir, f"batch={batch_id}")
+            )
+            limits.withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).orderBy("session_id", "contract_year_month").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(limits_dir, f"batch={batch_id}")
+            )
         finally:
             adjusted.unpersist()
-
-    def _write_monitor_and_limits(
-        adjusted: DataFrame, touched: list, batch_id: int
-    ) -> None:
-        # risk (realized vol) + execution (vwap/volume/notional) in
-        # one row per touched session - the SAME operators the batch
-        # queries compose (operators/returns, one definition each).
-        # vwap is the LEFT side: a touched session that holds a single
-        # bar has no return yet but a perfectly computable vwap (r11
-        # review wave 3: the inner join silently dropped its row)
-        vol = session_realized_vol(
-            continuous_log_returns(adjusted)
-        )
-        # range risk (True Range / ATR(14)) rides the same monitor
-        # row: the trailing window needs PRIOR sessions' TRs, so ATR
-        # computes over the full (dimension-sized) session summary and
-        # filters to touched after. Final-row correctness: a bar (even
-        # a late-flushed window - the gate ADMITS those via its keyed
-        # anti-join) always TOUCHES its session, so the batch that
-        # admits it rewrites that session's row; once no further batch
-        # touches a session, its row is final and equals the batch
-        # fold (pytest-pinned).
-        atr = session_atr(adjusted, n=14).select(
-            "session_id", "true_range", "atr_14"
-        )
-        touched_bars = adjusted.where(
-            F.col("session_id").isin(touched)
-        )
-        vwap = session_vwap(touched_bars)
-        # trade-side pressure rides the same row: order-flow imbalance
-        # is session-LOCAL (tick signs never cross a session), so
-        # filtering to touched before the fold is value-identical to
-        # folding everything and filtering after - unlike ATR, whose
-        # trailing window needs prior sessions.
-        flow = order_flow_imbalance(touched_bars).select(
-            "session_id", "buy_volume", "sell_volume",
-            "neutral_volume", "flow_imbalance",
-        )
-        row = (
-            vwap.join(vol, "session_id", "left")
-            .join(atr, "session_id", "left")
-            .join(flow, "session_id", "left")
-            .withColumn("batch_id", F.lit(int(batch_id)))
-        )
-        # orderBy before the single-file write: both feeds are
-        # multi-row per batch, and the exactly-once "redelivery
-        # rewrites identical bytes" claim must not rest on a hash
-        # aggregate's iteration order staying stable across replays
-        # under different memory pressure (review finding) - pin the
-        # row order so byte-identity follows from value-identity.
-        row.orderBy("session_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(monitor_dir, f"batch={batch_id}"))
-        # exchange-rule feed: live limit-touch rows for the touched
-        # sessions, off the SAME shared operator as the batch query
-        # (price_limit_days). The lag spans the SAME contract's prior
-        # session; the Gate-2 freeze argument applies unchanged, so
-        # the last batch touching a (session, contract) writes its
-        # final row.
-        limits = price_limit_report(adjusted).where(
-            F.col("session_id").isin(touched)
-        ).withColumn("batch_id", F.lit(int(batch_id)))
-        limits.orderBy(
-            "session_id", "contract_year_month"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(limits_dir, f"batch={batch_id}")
-        )
 
     bars = streaming_ohlcv(
         stream_events(spark, feed_dir, max_files_per_trigger=1),
