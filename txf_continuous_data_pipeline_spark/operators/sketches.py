@@ -225,3 +225,108 @@ def hll_estimate(sketch: DataFrame, *, p: int = 9) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
     ).otherwise(raw)
     return agg.select(F.round(est).cast("long").alias("n_distinct_est"))
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    id_cols: "list[str]",
+    k: int = 4096,
+    quantiles: "tuple[float, ...]" = (0.50, 0.90, 0.99),
+    prefilter_margin: float = 4.0,
+) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (r11 verdict #2: the
+    value-checkable replacement for the opaque Greenwald-Khanna
+    approx_percentile). Per group, RETAIN the k rows whose h60 over
+    the salted row identity ("QS:" || id_cols joined by ':') is
+    smallest - a deterministic uniform sample, because h60 rank is
+    independent of the value. Compaction IS "keep the k smallest
+    hashes", so merging two sketches = union + keep k smallest + sum
+    the exact counts: associative, partition-invariant, and - unlike
+    KLL, whose compaction depends on arrival order - every retained
+    item is re-derivable in ANSI SQL (row_number over h60), which
+    upgrades the quantile lane from rows-only to a full value oracle.
+    Rank error of the q-quantile from a k-sample is
+    ~ n*sqrt(q(1-q)/k) (binomial), vs n/accuracy for GK: k=4096 gives
+    <= ~0.8% rank error at p50 - the trade for checkability, pinned
+    against the exact percentiles in tests/test_mining.py.
+
+    Scale shape: a naive per-group bottom-k is a full window sort of
+    the fact table. Instead a first map-side-combined count pass sizes
+    a per-group hash THRESHOLD admitting ~prefilter_margin*k expected
+    rows, the fact scan filters on it (scan-side projection, no
+    shuffle), and only the ~margin*k survivors per group pay the
+    window sort. The filter changes nothing: it keeps every true
+    bottom-k row unless fewer than k of n uniform hashes land under a
+    threshold whose expectation is margin*k - a Chernoff tail below
+    e^-1000 at k=4096, and deterministically verified against the
+    unfiltered form in tests (the threshold is data-dependent only
+    through the exact group count, so the result is a pure function
+    of the input).
+
+    Output: one row per group - group_col, n_rows (exact), n_retained,
+    retained_h_sum (DECIMAL(38,0) checksum over the retained set's
+    hashes, so the oracle checks the WHOLE retained set, not just the
+    order statistics), and one p{q}_sketch column per requested
+    quantile (the lower empirical quantile of the sample: 1-indexed
+    rank greatest(1, ceil(q * n_retained)), value-then-hash ordered so
+    ties break identically on every engine)."""
+    from pyspark.sql import Window
+
+    ident = F.concat_ws(
+        ":", F.lit("QS"), *[F.col(c).cast("string") for c in id_cols]
+    )
+    h = h60(ident)
+    val = F.col(value_col)
+    hashed = df.select(
+        F.col(group_col), val.alias("_v"), h.alias("_h")
+    )
+    counts = hashed.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    # double threshold: only a FILTER margin (any ulp slop is absorbed
+    # by prefilter_margin), never part of the retained-set definition
+    thr = F.least(
+        F.lit(float(1 << 60)),
+        F.lit(float(prefilter_margin * k) * float(1 << 60))
+        / F.col("n_rows").cast("double"),
+    )
+    survivors = hashed.join(
+        F.broadcast(counts.select(group_col, thr.alias("_thr"))),
+        group_col,
+    ).where(F.col("_h").cast("double") < F.col("_thr"))
+    w_h = Window.partitionBy(group_col).orderBy("_h", "_v")
+    retained = (
+        survivors.withColumn("rn", F.row_number().over(w_h))
+        .where(F.col("rn") <= k)
+        .drop("rn", "_thr")
+    )
+    w_v = Window.partitionBy(group_col).orderBy("_v", "_h")
+    ranked = retained.withColumn(
+        "vr", F.row_number().over(w_v)
+    ).withColumn(
+        "_ns",
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)),
+    )
+    stats = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_retained"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).alias("retained_h_sum"),
+        *[
+            F.max(
+                F.when(
+                    F.col("vr")
+                    == F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            F.lit(float(q)) * F.col("_ns")
+                        ).cast("int"),
+                    ),
+                    F.col("_v"),
+                )
+            ).alias(f"p{int(round(q * 100))}_sketch")
+            for q in quantiles
+        ],
+    )
+    return stats.join(F.broadcast(counts), group_col)

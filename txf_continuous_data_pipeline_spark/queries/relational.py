@@ -2078,34 +2078,84 @@ def zorder_layout_q(spark, sf_dir):
     )
 
 
-@q("price_quantile_sketch", None)
+_QSKETCH_SQL = """
+WITH h AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST('0x' || substr(md5(
+             'QS:' || l_orderkey || ':' || l_linenumber), 1, 15)
+           AS BIGINT) AS h
+  FROM lineitem
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY h, v) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_all
+  FROM h
+),
+s AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY v, h) AS vr,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_kept
+  FROM r WHERE rn <= 4096
+)
+SELECT l_returnflag,
+       round(max(CASE WHEN vr = greatest(1,
+             CAST(ceil(0.50 * n_kept) AS BIGINT)) THEN v END), 4)
+         AS p50_sketch,
+       round(max(CASE WHEN vr = greatest(1,
+             CAST(ceil(0.90 * n_kept) AS BIGINT)) THEN v END), 4)
+         AS p90_sketch,
+       round(max(CASE WHEN vr = greatest(1,
+             CAST(ceil(0.99 * n_kept) AS BIGINT)) THEN v END), 4)
+         AS p99_sketch,
+       CAST(max(n_all) AS BIGINT) AS n_rows,
+       CAST(max(n_kept) AS BIGINT) AS n_retained,
+       CAST(sum(h) AS DECIMAL(38,0)) AS retained_h_sum
+FROM s GROUP BY l_returnflag
+"""
+
+
+@q("price_quantile_sketch", _QSKETCH_SQL)
 def price_quantile_sketch_q(spark, sf_dir):
-    """The bounded-memory twin of percentile_price_stats:
-    approx_percentile (Greenwald-Khanna style mergeable sketch,
-    accuracy=10000 -> rank error <= 1/10000) per return flag - the
-    call shape percentile_price_stats documents for 100 TB, where
-    exact percentile's buffer-and-sort per group cannot hold. The
-    sketch merges associatively across partitions, so the aggregate
-    stays one map-side-combined shuffle like any sum. Rows-only for
-    the driver (DuckDB's approx sketch differs by construction); the
-    rank-error bound vs the EXACT percentiles is pinned in
-    tests/test_mining.py."""
+    """The bounded-memory twin of percentile_price_stats, VALUE-
+    CHECKABLE (r11 verdict #2: rows-only -> oracle-paired). The
+    opaque Greenwald-Khanna approx_percentile is replaced by the
+    engine-native bottom-k hash sketch: per return flag, retain the
+    4096 rows with smallest h60 over the (orderkey, linenumber)
+    identity - a deterministic uniform sample whose compaction
+    ("keep the k smallest hashes") is arrival-order-free, so the
+    oracle re-derives the EXACT retained set (row_number over the
+    same md5-prefix hash) and the quantiles read off it, plus a
+    DECIMAL(38,0) hash-sum checksum over the whole retained set.
+    Merging shard sketches = union + keep k smallest + sum counts -
+    still the associative one-shuffle shape GK had, with the rank
+    error trade (n*sqrt(q(1-q)/k) vs n/accuracy) pinned against the
+    exact percentiles in tests/test_mining.py, and the prefilter
+    scale path (hash threshold sized off the exact group counts, so
+    only ~4*k rows per group reach the window sort) pinned equal to
+    the unfiltered bottom-k there too
+    (operators/sketches.bottomk_quantile_sketch)."""
+    from ..operators.sketches import bottomk_quantile_sketch
+
     li = read_table(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice")
-    out = li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            price,
-            F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99)),
-            F.lit(10000),
-        ).alias("_p"),
-        F.count("*").cast("long").alias("n_rows"),
+    out = bottomk_quantile_sketch(
+        li,
+        value_col="l_extendedprice",
+        group_col="l_returnflag",
+        id_cols=["l_orderkey", "l_linenumber"],
+        k=4096,
+        quantiles=(0.50, 0.90, 0.99),
     )
     return out.select(
         "l_returnflag",
-        F.round(F.element_at("_p", 1), 4).alias("p50_approx"),
-        F.round(F.element_at("_p", 2), 4).alias("p90_approx"),
-        F.round(F.element_at("_p", 3), 4).alias("p99_approx"),
+        F.round("p50_sketch", 4).alias("p50_sketch"),
+        F.round("p90_sketch", 4).alias("p90_sketch"),
+        F.round("p99_sketch", 4).alias("p99_sketch"),
         "n_rows",
+        "n_retained",
+        "retained_h_sum",
     )
 
 

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # explicit pin of the Spark default: pooled python workers
+        # persist across pandas-UDF/mapInPandas stages, so the
+        # ~3s worker spawn + numpy import is paid once per session,
+        # not once per python-heavy query (r12 A/B,
+        # BENCH_DETAIL.json video_phash_neardup_r12)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
