@@ -618,3 +618,63 @@ def test_temperature_mixture_deterministic_under_repartition(spark, sf_dir):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_byte_pretoken_re2_twin_matches_lookahead_on_corpus():
+    """r11 verdict #3: the DuckDB oracle pretokenizes with the
+    RE2-safe BYTE_BPE_PRETOKEN_RE2 (\\s+$ anchored arm in place of the
+    lookahead \\s+(?!\\S) RE2 cannot express). Pin, per document over
+    EVERY locally staged corpus (all SFs), that DuckDB's RE2 extract
+    of the twin equals Python re's extract of the lookahead form - the
+    corpus-exactness claim the oracle pairing rests on. Also pin the
+    KNOWN divergence class as a tripwire: a multi-space run before
+    non-whitespace is where the forms differ, so if the driver ever
+    regenerates documents with such runs, this test (not a hash
+    mismatch) names the constant to fix."""
+    import glob
+    import re as _re
+
+    import duckdb
+
+    from txf_continuous_data_pipeline_spark.operators.textstats import (
+        BYTE_BPE_PRETOKEN_RE,
+        BYTE_BPE_PRETOKEN_RE2,
+    )
+
+    look = _re.compile(BYTE_BPE_PRETOKEN_RE)
+    con = duckdb.connect()
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        rows = con.execute(
+            "SELECT doc_id, text, regexp_extract_all(text, ?) "
+            f"FROM read_parquet('{path}')",
+            [BYTE_BPE_PRETOKEN_RE2],
+        ).fetchall()
+        for doc_id, text, re2_toks in rows:
+            assert look.findall(text or "") == re2_toks, (path, doc_id)
+            checked += 1
+    assert checked >= 500
+
+    # hand cases where the forms agree (contractions, punct, digits,
+    # space-absorbed apostrophes, trailing whitespace)
+    agree = [
+        "hello world", "it's Bob's 42nd try!", "x '", "don't",
+        "3.14 costs $5", "ABC'll go", "tail   ", "one\n", "",
+        "café price", "a 'street sign",
+    ]
+    for s in agree:
+        got = con.execute(
+            "SELECT regexp_extract_all(?, ?)",
+            [s, BYTE_BPE_PRETOKEN_RE2],
+        ).fetchone()[0]
+        assert got == look.findall(s), s
+
+    # the documented divergence class: multi-whitespace before
+    # non-whitespace (the lookahead donates the run's last space to
+    # the next pretoken; the twin keeps the run whole)
+    s = "a  b"
+    got = con.execute(
+        "SELECT regexp_extract_all(?, ?)", [s, BYTE_BPE_PRETOKEN_RE2]
+    ).fetchone()[0]
+    assert look.findall(s) == ["a", " ", " b"]
+    assert got == ["a", "  ", "b"] and got != look.findall(s)

@@ -1834,8 +1834,7 @@ def _bpe_vocab_ctes(n_merges: int) -> str:
     empty step FREEZES the vocab (matching the trainer's break)
     instead of emptying it, and every post-stop argmax stays empty
     because the pair counts are unchanged."""
-    sep = "chr(31)"
-    ctes = [
+    return _merge_loop_ctes(
         f"""v0 AS MATERIALIZED (
   SELECT tok,
          list_filter(string_split_regex(tok, ''),
@@ -1844,8 +1843,19 @@ def _bpe_vocab_ctes(n_merges: int) -> str:
   FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
   WHERE tok <> ''
   GROUP BY tok
-)"""
-    ]
+)""",
+        n_merges,
+    )
+
+
+def _merge_loop_ctes(v0_sql: str, n_merges: int) -> str:
+    """The alphabet-AGNOSTIC merge-loop unroll shared by the word-level
+    (_bpe_vocab_ctes) and byte-level (_byte_bpe_vocab_ctes) trainer
+    oracles: v0 defines the alphabet (character symbols vs hex byte
+    pairs); the per-step pair-count/argmax/fold triple is identical -
+    the same sharing the Spark trainers get from _bpe_train_loop."""
+    sep = "chr(31)"
+    ctes = [v0_sql]
     for k in range(n_merges):
         ctes.append(
             f"""p{k} AS MATERIALIZED (
@@ -1974,6 +1984,81 @@ def bpe_token_counts_q(spark, sf_dir):
     return bpe_encode_counts(docs, merges).orderBy("doc_id")
 
 
+def _byte_bpe_vocab_ctes(n_merges: int) -> str:
+    """Byte-level trainer unroll (r11 verdict #3: rows-only ->
+    oracle-paired): v0 pretokenizes with the RE2-safe twin of the
+    GPT-2 regex (operators/textstats.BYTE_BPE_PRETOKEN_RE2 - corpus-
+    exact vs the Java lookahead form, pinned per-document in
+    tests/test_packing.py) and splits each pretoken into its UTF-8
+    bytes as uppercase hex-pair symbols (hex() of the token, two
+    chars per byte - the same alphabet byte_symbols builds JVM-side),
+    then runs the SAME alphabet-agnostic merge-loop CTE triple the
+    word-level oracle uses (_merge_loop_ctes)."""
+    from ..operators.textstats import BYTE_BPE_PRETOKEN_RE2
+
+    pat = BYTE_BPE_PRETOKEN_RE2.replace("'", "''")
+    return _merge_loop_ctes(
+        f"""v0 AS MATERIALIZED (
+  SELECT tok,
+         list_transform(range(1, len(hex(tok)) // 2 + 1),
+                        i -> substr(hex(tok), 2 * i - 1, 2)) AS _sym,
+         count(*)::BIGINT AS _w
+  FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+)""",
+        n_merges,
+    )
+
+
+def _byte_bpe_unroll_sql(n_merges: int = 10) -> str:
+    """byte_bpe_merge_rules' oracle: the merge table off
+    _byte_bpe_vocab_ctes (hex-pair left/right/merged symbols, exactly
+    what byte_bpe_train returns)."""
+    union = "\nUNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, n FROM b{k}"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH "
+        + _byte_bpe_vocab_ctes(n_merges)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY step"
+    )
+
+
+def _byte_bpe_counts_sql(n_merges: int = 10) -> str:
+    """byte_bpe_token_counts' oracle: per corpus-distinct PRETOKEN the
+    trained symbol count is len(_sym) in the chain's final vocab -
+    _bpe_counts_sql's shape on the byte alphabet, pretokens from the
+    RE2-safe twin regex."""
+    from ..operators.textstats import BYTE_BPE_PRETOKEN_RE2
+
+    pat = BYTE_BPE_PRETOKEN_RE2.replace("'", "''")
+    return (
+        "WITH "
+        + _byte_bpe_vocab_ctes(n_merges)
+        + f""",
+perdoc AS MATERIALIZED (
+  SELECT doc_id, tok, count(*)::BIGINT AS _n
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '{pat}')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+)
+SELECT d.doc_id,
+       coalesce(sum(p._n), 0)::BIGINT AS n_pretokens,
+       coalesce(sum(p._n * len(v._sym)), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+LEFT JOIN v{n_merges} v ON v.tok = p.tok
+GROUP BY d.doc_id
+"""
+    )
+
+
 _BYTE_BPE_MERGES_CACHE: dict = {}
 
 
@@ -1988,27 +2073,28 @@ def _trained_byte_merges(spark, sf_dir, n_merges: int = 10):
     return _BYTE_BPE_MERGES_CACHE[key]
 
 
-@q("byte_bpe_merge_rules", None)
+@q("byte_bpe_merge_rules", _byte_bpe_unroll_sql(10))
 def byte_bpe_merge_rules_q(spark, sf_dir):
     """Ten BYTE-LEVEL BPE merges (GPT-2 shape: regex pre-tokenization,
     UTF-8 byte alphabet as hex-pair symbols) - bpe_merge_rules' byte
-    twin, sharing the alphabet-agnostic merge loop. Stays rows-only
-    even after the r11 unroll thesis landed for the word-level family:
-    the merge LOOP would unroll fine (_bpe_vocab_ctes is alphabet-
-    agnostic), but the GPT-2 pretokenizer regex contains a negative
-    lookahead (\\s+(?!\\S)) that DuckDB's RE2 engine cannot express,
-    so the oracle could never reproduce the exact pretoken split the
-    Spark side (Java regex) trains on. The exact merge sequence (incl.
-    multi-byte UTF-8 and contraction pretokens) is pinned instead by
-    the pure-Python byte-level differential in tests/test_packing.py
-    (Python re supports the lookahead; DuckDB does not)."""
+    twin, sharing the alphabet-agnostic merge loop. Oracle-paired
+    since r12 (previously rows-only): the blocker was the GPT-2
+    pretokenizer's negative lookahead (\\s+(?!\\S)), which DuckDB's
+    RE2 cannot express - the oracle now pretokenizes with the RE2-safe
+    anchored twin (BYTE_BPE_PRETOKEN_RE2), pinned corpus-exact against
+    the Java/Python lookahead form per document in
+    tests/test_packing.py, and unrolls the merge loop through the same
+    MATERIALIZED CTE triple as the word-level trainer
+    (_byte_bpe_unroll_sql). The exact merge sequence (incl. multi-byte
+    UTF-8 and contraction pretokens) stays ALSO pinned by the
+    pure-Python byte-level differential there."""
     merges = _trained_byte_merges(spark, sf_dir, n_merges=10)
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, n long"
     )
 
 
-@q("byte_bpe_token_counts", None)
+@q("byte_bpe_token_counts", _byte_bpe_counts_sql(10))
 def byte_bpe_token_counts_q(spark, sf_dir):
     """Corpus tokenized with the TRAINED byte-level tokenizer: per-doc
     pretoken + BPE token counts after replaying the 10 learned merges.
@@ -2016,8 +2102,9 @@ def byte_bpe_token_counts_q(spark, sf_dir):
     replay once per corpus-distinct PRETOKEN, corpus-sized work all
     JVM-side) - the amortization survives the byte alphabet because
     the alphabet only lengthens symbol arrays, never changes the
-    vocab row-count class. Rows-only (downstream of the iterative
-    trainer); pinned by the encode differential in
+    vocab row-count class. Oracle-paired since r12 via the unrolled
+    chain's final vocab (_byte_bpe_counts_sql, the RE2-safe pretoken
+    twin); the encoder stays ALSO pinned by the differential in
     tests/test_packing.py."""
     from ..operators.textstats import byte_bpe_encode_counts
 
