@@ -516,3 +516,60 @@ def test_web_funnel_stages_monotone_and_blocklist_respected(
     docs = read_table(spark, sf_dir, "documents")
     blocked = docs.where(F.col("source").isin("src2", "src3")).count()
     assert rows[0] - rows[1] == blocked
+
+
+def test_calendar_aware_gate_passes_planted_early_close(spark):
+    """r11 verdict #5: a PLANTED half-day session on a settlement date
+    (the month's third Wednesday, 2024-01-17) with exactly the
+    calendar's half-day bar count must TRIP the strict reference gate
+    (main.py:331-334 knows only the full-day constant) and PASS the
+    calendar-aware one; a genuinely short session on an ordinary date
+    must trip BOTH (the calendar refines the gate, it does not
+    blind it)."""
+    from txf_continuous_data_pipeline_spark.operators.calendar import (
+        settlement_halfday_calendar,
+    )
+
+    rows = []
+    # settlement-day half session: 30 bars on the third Wednesday
+    rows += [("2024-01-17", 30)]
+    # ordinary full session
+    rows += [("2024-01-18", 60)]
+    # genuinely short ordinary session: must trip both gates
+    rows += [("2024-01-19", 40)]
+    data = []
+    for day, n in rows:
+        for i in range(n):
+            data.append((f"{day} 08:45:00", f"{day}_D", i))
+    df = spark.createDataFrame(
+        data, "base string, session_id string, i int"
+    ).select(
+        (
+            F.col("base").cast("timestamp")
+            + F.expr("make_interval(0, 0, 0, 0, 0, i * 5, 0)")
+        ).alias("bar_ts"),
+        "session_id",
+    )
+    cal = settlement_halfday_calendar(df, halfday_expected=30)
+    assert {r["session_id"] for r in cal.collect()} == {"2024-01-17_D"}
+
+    strict = {
+        r["session_id"]
+        for r in completeness_violations(df, EXPECTED_5MIN).collect()
+    }
+    aware = {
+        r["session_id"]
+        for r in completeness_violations(
+            df, EXPECTED_5MIN, calendar=cal
+        ).collect()
+    }
+    assert "2024-01-17_D" in strict, "strict gate must trip the half-day"
+    assert "2024-01-17_D" not in aware, "calendar gate must pass it"
+    assert "2024-01-19_D" in strict and "2024-01-19_D" in aware
+    assert "2024-01-18_D" not in strict and "2024-01-18_D" not in aware
+
+    # assert_complete honors the calendar too
+    ok = df.where(F.col("session_id") != "2024-01-19_D")
+    with pytest.raises(ValueError):
+        assert_complete(ok, EXPECTED_5MIN)
+    assert_complete(ok, EXPECTED_5MIN, calendar=cal)

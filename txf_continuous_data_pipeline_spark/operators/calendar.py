@@ -73,3 +73,38 @@ def predict_next_contract(cfg: DataFrame) -> DataFrame:
 def with_predicted_contract(cfg: DataFrame) -> DataFrame:
     """O3: config + the predicted next-contract row (main.py:216-222)."""
     return cfg.unionByName(predict_next_contract(cfg).select(*cfg.columns))
+
+
+def settlement_halfday_calendar(
+    df: DataFrame,
+    *,
+    session_col: str = "session_id",
+    halfday_expected: int = 30,
+) -> DataFrame:
+    """Exchange-calendar dimension for the calendar-aware Gate 1 (r11
+    verdict #5): one (session_id, expected_override) row per
+    settlement-day DAY session - each month's third Wednesday, the
+    day TAIFEX expires the front contract - carrying the early-close
+    expected bar count. The reference's gate is deliberately strict
+    (a constant per kind, main.py:331-334); this dimension is the
+    OPT-IN refinement completeness_violations accepts so a half-day
+    session does not trip a false abort. Derived from the frame's own
+    distinct session dates (dimension-sized: one row per session),
+    settlement days via the same third_wednesday column expression
+    the contract calendar uses (P9) - so the whole dimension stays
+    oracle-checkable."""
+    sess_date = F.to_date(F.substring_index(F.col(session_col), "_", 1))
+    return (
+        df.select(session_col)
+        .distinct()
+        .where(
+            (F.substring_index(F.col(session_col), "_", -1) == "D")
+            & (sess_date == third_wednesday(sess_date))
+        )
+        .select(
+            F.col(session_col),
+            F.lit(int(halfday_expected))
+            .cast("long")
+            .alias("expected_override"),
+        )
+    )

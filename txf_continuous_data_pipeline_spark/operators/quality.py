@@ -42,27 +42,53 @@ def completeness_violations(
     df: DataFrame,
     expected: dict[str, int],
     session_col: str = "session_id",
+    calendar: "DataFrame | None" = None,
 ) -> DataFrame:
     """A4 / Gate 1: sessions whose bar count != expected for their kind.
 
     session_id format 'YYYY-MM-DD_D|N'; kind is the suffix. Returns
     (session_id, cnt, expected); the caller aborts if non-empty
     (main.py:399-400 raises ValueError).
-    """
+
+    `calendar` (opt-in, r11 verdict #5) is an exchange-calendar
+    dimension of (session_id, expected_override) rows - holidays /
+    early closes (operators/calendar.settlement_halfday_calendar) -
+    whose per-session override replaces the kind constant, so a
+    half-day session stops tripping a false abort. DEFAULT stays the
+    reference-strict constant map (main.py:331-334; README.md:23-25
+    names the strictness deliberate): the calendar must be handed in,
+    never inferred. Dimension-sized, broadcast."""
     counts = session_counts(df, session_col).withColumn(
         "kind", F.substring_index(session_col, "_", -1)
     )
     exp = _expected_df(df.sparkSession, expected)
-    return (
-        counts.join(F.broadcast(exp), "kind", "left")
-        .where((F.col("expected").isNull()) | (F.col("cnt") != F.col("expected")))
-        .select(session_col, "cnt", "expected")
-    )
+    joined = counts.join(F.broadcast(exp), "kind", "left")
+    if calendar is not None:
+        joined = joined.join(
+            F.broadcast(
+                calendar.select(session_col, "expected_override")
+            ),
+            session_col,
+            "left",
+        ).withColumn(
+            "expected", F.coalesce("expected_override", "expected")
+        )
+    return joined.where(
+        (F.col("expected").isNull()) | (F.col("cnt") != F.col("expected"))
+    ).select(session_col, "cnt", "expected")
 
 
-def assert_complete(df: DataFrame, expected: dict[str, int]) -> None:
+def assert_complete(
+    df: DataFrame,
+    expected: dict[str, int],
+    calendar: "DataFrame | None" = None,
+) -> None:
     """Driver-side Gate 1: raise on any violation, like main.py:399-400."""
-    bad = completeness_violations(df, expected).limit(20).collect()
+    bad = (
+        completeness_violations(df, expected, calendar=calendar)
+        .limit(20)
+        .collect()
+    )
     if bad:
         raise ValueError(f"completeness gate failed for sessions: {bad}")
 

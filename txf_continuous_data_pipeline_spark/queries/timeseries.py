@@ -2235,3 +2235,85 @@ def dollar_clock_bars_q(spark, sf_dir):
     return dollar_clock_bars(
         _adjusted_session_bars(spark, sf_dir), target_buckets=200
     )
+
+
+_EXPECTED_COUNTS_SQL = """
+WITH k AS (
+  SELECT CASE WHEN hour(ts) BETWEEN 8 AND 13 THEN 'D'
+              WHEN hour(ts) >= 15 OR hour(ts) < 5 THEN 'N'
+              ELSE 'UNKNOWN' END AS kind,
+         CASE WHEN hour(ts) < 5 THEN (ts - INTERVAL 1 DAY)::DATE
+              ELSE ts::DATE END AS sess_date
+  FROM events
+  WHERE (ts::TIME >= TIME '08:45:00' AND ts::TIME <= TIME '13:45:00')
+     OR (ts::TIME >= TIME '15:00:00' OR ts::TIME <= TIME '05:00:00')
+),
+counts AS (
+  SELECT strftime(sess_date, '%Y-%m-%d') || '_' || kind AS session_id,
+         kind, sess_date, count(*) AS cnt
+  FROM k WHERE kind IN ('D', 'N') GROUP BY 1, 2, 3
+),
+expected(kind, strict_expected) AS (VALUES ('D', 60), ('N', 168)),
+cal AS (
+  SELECT session_id, CAST(30 AS BIGINT) AS expected_override
+  FROM counts
+  WHERE kind = 'D'
+    AND sess_date = (date_trunc('month', sess_date)::DATE
+          + (((2 - (dayofweek(date_trunc('month', sess_date)::DATE)
+                    + 6) % 7) + 7) % 7 + 14)
+            * INTERVAL 1 DAY)::DATE
+)
+SELECT c.session_id, c.cnt,
+       CAST(e.strict_expected AS BIGINT) AS strict_expected,
+       coalesce(cal.expected_override, e.strict_expected) AS expected,
+       cal.expected_override IS NOT NULL AS is_early_close,
+       c.cnt != e.strict_expected AS trips_strict,
+       c.cnt != coalesce(cal.expected_override, e.strict_expected)
+         AS trips_calendar
+FROM counts c JOIN expected e USING (kind)
+LEFT JOIN cal USING (session_id)
+"""
+
+
+@q("expected_session_counts", _EXPECTED_COUNTS_SQL)
+def expected_session_counts_q(spark, sf_dir):
+    """The per-session expected-count map Gate 1 consumes, with the
+    exchange calendar applied (r11 verdict #5): for every D/N session,
+    the strict kind constant (main.py:331-334), the calendar-adjusted
+    expectation (settlement-day D sessions - each month's third
+    Wednesday, via the P9 column expression - carry the half-day
+    override), and both gate verdicts side by side. The strict gate
+    stays the reference-faithful default; this query is the report a
+    desk reads to see WHICH trips are real gaps vs known early closes.
+    Dimension-sized output; the only fact-scale work is the one
+    session count aggregate Gate 1 already does
+    (operators/quality.completeness_violations +
+    operators/calendar.settlement_halfday_calendar)."""
+    from ..operators.calendar import settlement_halfday_calendar
+    from ..operators.quality import EXPECTED_5MIN, session_counts
+    from ..operators.sessions import split_and_label
+
+    labeled = split_and_label(read_table(spark, sf_dir, "events"))
+    counts = (
+        session_counts(labeled)
+        .withColumn("kind", F.substring_index("session_id", "_", -1))
+        .where(F.col("kind").isin("D", "N"))
+    )
+    exp = spark.createDataFrame(
+        [(k, v) for k, v in EXPECTED_5MIN.items()],
+        "kind string, strict_expected long",
+    )
+    cal = settlement_halfday_calendar(labeled)
+    out = counts.join(F.broadcast(exp), "kind").join(
+        F.broadcast(cal), "session_id", "left"
+    )
+    eff = F.coalesce("expected_override", "strict_expected")
+    return out.select(
+        "session_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        "strict_expected",
+        eff.alias("expected"),
+        F.col("expected_override").isNotNull().alias("is_early_close"),
+        (F.col("cnt") != F.col("strict_expected")).alias("trips_strict"),
+        (F.col("cnt") != eff).alias("trips_calendar"),
+    )
