@@ -573,3 +573,69 @@ def test_calendar_aware_gate_passes_planted_early_close(spark):
     with pytest.raises(ValueError):
         assert_complete(ok, EXPECTED_5MIN)
     assert_complete(ok, EXPECTED_5MIN, calendar=cal)
+
+
+def test_suffix_dup_lengths_matches_pure_python_suffix_array(
+    spark, sf_dir
+):
+    """r11 verdict #4: the exact-substring grain. Per token position,
+    the operator's longest-duplicated-run length must equal the value
+    read off a pure-Python suffix array (sorted suffix tuples +
+    neighbor LCP max) over the same corpus - for BOTH strategies (the
+    one-sort bounded-doc plan and the prefix-doubling unbounded-doc
+    twin), which must also be row-identical to each other. Also pins
+    the doubling path's document-length guard."""
+    import duckdb
+    import pytest as _pytest
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_dup_lengths,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got_sort = {
+        (r["doc_id"], r["pos"]): r["dup_len"]
+        for r in suffix_dup_lengths(docs, strategy="sort").collect()
+    }
+    got_dbl = {
+        (r["doc_id"], r["pos"]): r["dup_len"]
+        for r in suffix_dup_lengths(docs, strategy="doubling").collect()
+    }
+    assert got_sort == got_dbl and got_sort
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lower(trim(text)) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    toks = {d: [w for w in (t or "").split() if w] for d, t in rows}
+    suf = sorted(
+        (tuple(ws[i:]), d, i)
+        for d, ws in toks.items()
+        for i in range(len(ws))
+    )
+    want = {}
+    for a, b in zip(suf, suf[1:]):
+        l = 0
+        for x, y in zip(a[0], b[0]):
+            if x != y:
+                break
+            l += 1
+        for s in (a, b):
+            k = (s[1], s[2])
+            want[k] = max(want.get(k, 0), l)
+    for d, ws in toks.items():
+        for i in range(len(ws)):
+            want.setdefault((d, i), 0)
+    assert got_sort == want
+
+    # doubling refuses documents longer than its 2^n_rounds cap
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="exceeds"):
+        suffix_dup_lengths(long_doc, strategy="doubling", n_rounds=5)
+    # ... and the sort strategy has no cap
+    out = suffix_dup_lengths(long_doc, strategy="sort").collect()
+    assert len(out) == 40 and all(r["dup_len"] == 0 for r in out)

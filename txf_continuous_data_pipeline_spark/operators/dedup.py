@@ -1119,3 +1119,403 @@ def minhash_contamination(
         .where(F.col("jaccard") >= threshold)
         .select(id_col, eval_id, "jaccard")
     )
+
+
+def _order_consistent_ranks(
+    pairs: DataFrame, key_cols: "list[str]", out_col: str = "_rank"
+) -> DataFrame:
+    """Assign every row an EQUALITY-CONSISTENT, ORDER-CONSISTENT rank
+    over `key_cols` without a global single-task window: range-sort
+    the frame (distributed sort), stamp monotonically_increasing_id
+    (partition index in the high bits, so ids follow the range order),
+    and take min(id) per distinct key - equal keys share a rank,
+    smaller keys get smaller ranks. Values are arbitrary longs, never
+    dense; every consumer uses them only for equality and order, both
+    of which are deterministic even though the raw ids depend on
+    partition boundaries (min over a sorted group is boundary-free
+    only in the sense consumers need: key1 < key2 => rank1 < rank2).
+    The suffix-rank doubling below localCheckpoints each round, so the
+    nondeterministic raw ids are pinned before reuse."""
+    sorted_ = pairs.repartitionByRange(*key_cols).sortWithinPartitions(
+        *key_cols
+    )
+    with_id = sorted_.withColumn("_mid", F.monotonically_increasing_id())
+    ranks = with_id.groupBy(*key_cols).agg(F.min("_mid").alias(out_col))
+    return with_id.join(ranks, key_cols).drop("_mid")
+
+
+def _suffix_dup_lengths_sorted(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """strategy='sort' body of suffix_dup_lengths: one global
+    range-sort of the suffix token-hash slices, consecutive
+    suffix-array ids via the two-pass partition-offset assignment
+    (range-sort -> checkpoint -> per-partition counts collected
+    driver-side, a <=#partitions-row collect -> partition-local
+    row_number + broadcast offset; never a global single-task
+    window), one sid/sid+1 equi-join whose two slice payloads feed
+    the first-mismatch LCP column expression, one per-position max."""
+    from pyspark.sql import Window
+
+    toks_arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
+        ).alias("_h"),
+    ).where(F.size("_h") > 0)
+    sfx = base.select(
+        id_col,
+        F.size("_h").alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h")),
+                lambda i: F.slice(F.col("_h"), i, F.size("_h") - i + 1),
+            )
+        ).alias("pos", "_sfx"),
+    )
+    # checkpoint BEFORE the two consumers (counts collect + the main
+    # job): range boundaries are sampled, so without the pin the two
+    # evaluations could partition differently and the offsets would
+    # describe the wrong layout
+    sorted_ = (
+        sfx.repartitionByRange("_sfx", id_col, "pos")
+        .sortWithinPartitions("_sfx", id_col, "pos")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in sorted_.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offs, "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("_sfx", id_col, "pos")
+    sid = (
+        sorted_.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            id_col,
+            "pos",
+            "_sfx",
+            (F.col("_off") + F.col("_lrn") - 1).alias("sid"),
+        )
+    )
+    b = sid.select(
+        (F.col("sid") - F.lit(1)).alias("sid"),
+        F.col(id_col).alias("_bdoc"),
+        F.col("pos").alias("_bpos"),
+        F.col("_sfx").alias("_bsfx"),
+    )
+    pairs = sid.join(b, "sid")
+    m = F.least(F.size("_sfx"), F.size("_bsfx"))
+    # F.get: NULL (not an error) when every compared element matches
+    first_bad = F.get(
+        F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: F.element_at(F.col("_sfx"), i)
+            != F.element_at(F.col("_bsfx"), i),
+        ),
+        0,
+    )
+    pairs = pairs.select(
+        F.col(id_col),
+        "pos",
+        F.col("_bdoc"),
+        F.col("_bpos"),
+        F.coalesce(first_bad - 1, m).alias("_lcp"),
+    )
+    both = pairs.select(id_col, "pos", "_lcp").unionByName(
+        pairs.select(
+            F.col("_bdoc").alias(id_col),
+            F.col("_bpos").alias("pos"),
+            "_lcp",
+        )
+    )
+    per_pos = both.groupBy(id_col, "pos").agg(
+        F.max("_lcp").alias("dup_len")
+    )
+    # posexplode indexes are already 0-based suffix starts
+    all_pos = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_h") - 1)).alias("pos"),
+    )
+    return all_pos.join(per_pos, [id_col, "pos"], "left").select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce("dup_len", F.lit(0)).cast("long").alias("dup_len"),
+    )
+
+
+def suffix_dup_lengths(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "sort",
+    n_rounds: int = 7,
+) -> DataFrame:
+    """Per token position, the length (in tokens) of the LONGEST
+    substring starting there that occurs at least twice in the corpus
+    - the exact-substring grain of Lee et al. 2022 (arXiv:2107.06499)
+    the 5-token span index approximates (r11 verdict #4). Both
+    strategies build the SUFFIX-ARRAY order over h60 token hashes (a
+    permuted alphabet - LCP is alphabet-order-invariant) and read
+    lrs(i) = max(LCP with the two suffix-array neighbors), which is
+    exact because the suffix sharing the longest prefix with S is
+    always adjacent to S in SA order; they differ in how the order is
+    built, trading memory amplification against sort rounds:
+
+    strategy='sort' (default): materialize each suffix as its
+    token-hash slice and range-sort ONCE - arrays are natively
+    orderable, neighbors carry their slices, and LCP is a pure column
+    expression (first mismatching index), so the whole operator is
+    one distributed sort + one neighbor equi-join. The slice explode
+    amplifies the token stream by <= max_doc_len/2, which is the
+    RIGHT trade for bounded-length documents (this corpus caps near
+    100 tokens; amplification ~50x of an 8-byte hash stream), and the
+    plan has no per-round barrier.
+
+    strategy='doubling': the Manber-Myers path for UNBOUNDED document
+    lengths, where slice materialization would be quadratic:
+
+      1. prefix-doubling (Manber-Myers): rank_k orders every suffix by
+         its first 2^k tokens; rank_0 = h60(token) (a permuted
+         alphabet - LCP is alphabet-order-invariant, so hash order is
+         as good as lexicographic), rank_{k+1} = order-consistent rank
+         of the pair (rank_k(i), rank_k(i + 2^k)), sentinel -1 when
+         the offset falls off the document. n_rounds log-rounds of one
+         self-join + one distributed range-sort each - never a global
+         single-task window (_order_consistent_ranks).
+      2. suffix-array neighbors: consecutive ids along the final rank
+         order via RDD zipWithIndex after a range sort (the classic
+         two-pass count+offset, order-deterministic under the total
+         (rank, doc, pos) sort), then an equi-join of sid with sid+1.
+      3. LCP descent: for each neighbor pair walk k = K-1..0, adding
+         2^k and advancing both offsets whenever both windows fit
+         their documents and rank_k agrees - the standard rank-table
+         LCP, as n_rounds chained column-building joins.
+      4. lrs(i) = max(LCP with prev, LCP with next): the suffix with
+         the longest common prefix with suffix S is ALWAYS adjacent to
+         S in suffix-array order, so the per-position answer is exact,
+         not approximate.
+
+    Suffixes never cross documents (each doc is its own sequence, the
+    per-doc analogue of Lee et al.'s separator-joined concatenation).
+    Under 'doubling', documents longer than 2^n_rounds tokens would
+    leave distinct suffixes tied at the final round, so that path
+    RAISES if any doc exceeds the cap (one max aggregate) - raise
+    n_rounds for a longer corpus; rounds grow log(doc length), not
+    corpus size. 'sort' has no cap.
+
+    Returns (id_col, pos, dup_len): one row per token position,
+    dup_len = 0 when even the single token is unique. Both strategies
+    are pinned row-identical to each other AND to a pure-Python
+    suffix array in tests/test_properties.py; report consumer
+    exact_substr_stats."""
+    if strategy == "sort":
+        return _suffix_dup_lengths_sorted(
+            df, id_col=id_col, text_col=text_col
+        )
+    if strategy != "doubling":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "_tok"),
+        )
+        .where(F.col("_tok") != "")
+        .select(
+            id_col, "pos", h60(F.concat(F.lit("S:"), F.col("_tok"))).alias("_rank")
+        )
+    )
+    nlen = toks.groupBy(id_col).agg(F.max("pos").alias("_maxp"))
+    cap = 1 << n_rounds
+    too_long = nlen.where(F.col("_maxp") + 1 > cap).limit(1).collect()
+    if too_long:
+        raise ValueError(
+            f"document {too_long[0][id_col]} exceeds 2^{n_rounds} tokens; "
+            "raise n_rounds"
+        )
+
+    ranks = [toks.localCheckpoint(eager=False)]
+    for k in range(n_rounds):
+        step = 1 << k
+        a = ranks[k].alias("a")
+        b = ranks[k].select(
+            F.col(id_col),
+            (F.col("pos") - F.lit(step)).alias("pos"),
+            F.col("_rank").alias("_r2"),
+        ).alias("b")
+        paired = a.join(b, [id_col, "pos"], "left").select(
+            id_col,
+            "pos",
+            F.col("_rank").alias("_r1"),
+            F.coalesce("_r2", F.lit(-1)).alias("_r2"),
+        )
+        nxt = _order_consistent_ranks(paired, ["_r1", "_r2"]).select(
+            id_col, "pos", "_rank"
+        )
+        # checkpoint: pins the monotonically_increasing_id-based rank
+        # values (nondeterministic across re-evaluation; the checkpoint
+        # stores partitions at FIRST evaluation and every reuse - the
+        # next doubling round and the LCP descent - reads the stored
+        # copy) and cuts the lineage. Lazy, so the 8 rounds pipeline
+        # into one job cascade instead of 8 blocking barriers.
+        ranks.append(nxt.localCheckpoint(eager=False))
+
+    final = ranks[n_rounds]
+    sorted_sfx = final.repartitionByRange(
+        "_rank", id_col, "pos"
+    ).sortWithinPartitions("_rank", id_col, "pos")
+    sid = sorted_sfx.rdd.zipWithIndex().map(
+        lambda t: (t[0][0], t[0][1], t[1])
+    ).toDF([id_col, "pos", "sid"]).localCheckpoint(eager=True)
+
+    a = sid.alias("a")
+    b = sid.select(
+        (F.col("sid") - F.lit(1)).alias("sid"),
+        F.col(id_col).alias("_bdoc"),
+        F.col("pos").alias("_bpos"),
+    ).alias("b")
+    pairs = (
+        a.join(b, "sid")
+        .select(
+            F.col(id_col).alias("_adoc"),
+            F.col("pos").alias("_apos"),
+            "_bdoc",
+            "_bpos",
+        )
+        .join(
+            nlen.select(
+                F.col(id_col).alias("_adoc"),
+                (F.col("_maxp") + 1).alias("_na"),
+            ),
+            "_adoc",
+        )
+        .join(
+            nlen.select(
+                F.col(id_col).alias("_bdoc"),
+                (F.col("_maxp") + 1).alias("_nb"),
+            ),
+            "_bdoc",
+        )
+        .withColumn("_da", F.lit(0))
+        .withColumn("_db", F.lit(0))
+        .withColumn("_lcp", F.lit(0))
+    )
+    for k in reversed(range(n_rounds)):
+        step = 1 << k
+        ra = ranks[k].select(
+            F.col(id_col).alias("_adoc"),
+            (F.col("pos")).alias("_ka"),
+            F.col("_rank").alias("_ra"),
+        )
+        rb = ranks[k].select(
+            F.col(id_col).alias("_bdoc"),
+            (F.col("pos")).alias("_kb"),
+            F.col("_rank").alias("_rb"),
+        )
+        pairs = (
+            pairs.withColumn("_ka", F.col("_apos") + F.col("_da"))
+            .withColumn("_kb", F.col("_bpos") + F.col("_db"))
+            .join(ra, ["_adoc", "_ka"], "left")
+            .join(rb, ["_bdoc", "_kb"], "left")
+        )
+        ok = (
+            (F.col("_ka") + F.lit(step) <= F.col("_na"))
+            & (F.col("_kb") + F.lit(step) <= F.col("_nb"))
+            & F.col("_ra").isNotNull()
+            & (F.col("_ra") == F.col("_rb"))
+        )
+        adv = F.when(ok, F.lit(step)).otherwise(F.lit(0))
+        pairs = (
+            pairs.withColumn("_lcp", F.col("_lcp") + adv)
+            .withColumn("_da", F.col("_da") + adv)
+            .withColumn("_db", F.col("_db") + adv)
+            .drop("_ka", "_kb", "_ra", "_rb")
+        )
+    both = pairs.select(
+        F.col("_adoc").alias(id_col),
+        F.col("_apos").alias("pos"),
+        F.col("_na").alias("n_tokens"),
+        F.col("_lcp").alias("dup_len"),
+    ).unionByName(
+        pairs.select(
+            F.col("_bdoc").alias(id_col),
+            F.col("_bpos").alias("pos"),
+            F.col("_nb").alias("n_tokens"),
+            F.col("_lcp").alias("dup_len"),
+        )
+    )
+    # positions in no neighbor pair exist only in a 1-suffix corpus;
+    # the left join below still emits them with dup_len 0
+    per_pos = both.groupBy(id_col, "pos", "n_tokens").agg(
+        F.max("dup_len").alias("dup_len")
+    )
+    return (
+        toks.select(id_col, "pos")
+        .join(per_pos, [id_col, "pos"], "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce("dup_len", F.lit(0)).cast("long").alias("dup_len"),
+        )
+    )
+
+
+def exact_substr_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    n_rounds: int = 7,
+) -> DataFrame:
+    """Per-document exact-substring duplication report off the suffix
+    grain (dup_span_stats' shape on suffix_dup_lengths): token count,
+    positions starting a duplicated run of >= min_len tokens, the
+    longest duplicated run, and the duplicated-position fraction. The
+    5-token span index answers 'which positions sit in SOME 5-token
+    duplicate'; this answers Lee et al.'s actual question - how LONG
+    the duplicated runs are - exactly."""
+    lens = suffix_dup_lengths(
+        df, id_col=id_col, text_col=text_col, n_rounds=n_rounds
+    )
+    per_doc = lens.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("dup_len") >= min_len, 1))
+        .cast("long")
+        .alias("dup_positions"),
+        F.max("dup_len").cast("long").alias("max_dup_len"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("dup_positions", F.lit(0))
+        .cast("long")
+        .alias("dup_positions"),
+        F.coalesce("max_dup_len", F.lit(0))
+        .cast("long")
+        .alias("max_dup_len"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(
+                F.coalesce("dup_positions", F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ),
+        ).alias("dup_pos_frac"),
+    )

@@ -1285,6 +1285,87 @@ def dup_span_stats_q(spark, sf_dir):
     )
 
 
+_EXACT_SUBSTR_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> ''),
+           x -> CAST('0x' || substr(md5('S:' || x), 1, 15) AS BIGINT))
+           AS h
+  FROM documents
+),
+sfx AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, h[i:] AS sfx
+  FROM t, unnest(range(1, len(h) + 1)) AS u(i)
+),
+sa AS MATERIALIZED (
+  SELECT doc_id, pos, sfx,
+         row_number() OVER (ORDER BY sfx, doc_id, pos) AS sid
+  FROM sfx
+),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS adoc, a.pos AS apos,
+         b.doc_id AS bdoc, b.pos AS bpos,
+         coalesce(
+           -- nullif: DuckDB's list_position returns 0 (not NULL) when
+           -- the value is absent, i.e. when every compared element
+           -- matches - that case must fall through to the full
+           -- shared length, not print -1
+           nullif(list_position(
+             list_transform(
+               range(1, least(len(a.sfx), len(b.sfx)) + 1),
+               i -> a.sfx[i] = b.sfx[i]),
+             false), 0) - 1,
+           least(len(a.sfx), len(b.sfx))) AS lcp
+  FROM sa a JOIN sa b ON b.sid = a.sid + 1
+),
+lrs AS (
+  SELECT doc_id, pos, max(lcp) AS dup_len
+  FROM (SELECT adoc AS doc_id, apos AS pos, lcp FROM p
+        UNION ALL SELECT bdoc, bpos, lcp FROM p)
+  GROUP BY 1, 2
+),
+n AS (SELECT doc_id, len(h) AS n_tokens FROM t)
+SELECT d.doc_id,
+       CAST(coalesce(nn.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(coalesce(s.max_dup_len, 0) AS BIGINT) AS max_dup_len,
+       CASE WHEN coalesce(nn.n_tokens, 0) > 0
+            THEN round(coalesce(s.dup_positions, 0) / nn.n_tokens, 6)
+       END AS dup_pos_frac
+FROM documents d
+LEFT JOIN n nn USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id,
+         count(*) FILTER (WHERE dup_len >= 8) AS dup_positions,
+         max(dup_len) AS max_dup_len
+  FROM lrs GROUP BY 1
+) s USING (doc_id)
+"""
+
+
+@q("exact_substr_stats", _EXACT_SUBSTR_SQL)
+def exact_substr_stats_q(spark, sf_dir):
+    """EXACT-substring duplication report (Lee et al. 2022's suffix
+    grain, r11 verdict #4 - the capability the 5-token span index
+    approximates): per document, how many token positions start a
+    duplicated run of >= 8 tokens and how LONG the longest duplicated
+    run is, read off the corpus-wide suffix-array order over h60
+    token hashes (lrs(i) = max LCP with the two suffix-array
+    neighbors - exact, because the suffix sharing the longest prefix
+    is always SA-adjacent). The engine sorts suffix hash-slices once
+    (bounded-doc-length plan; the prefix-doubling twin for unbounded
+    docs is pinned row-identical in tests/test_properties.py along
+    with a pure-Python suffix-array differential); the oracle sorts
+    DuckDB lists natively and takes the same neighbor LCPs
+    (operators/dedup.suffix_dup_lengths / exact_substr_stats)."""
+    from ..operators.dedup import exact_substr_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_substr_stats(docs, min_len=8)
+
+
 def _dup_span_removal_sql(src: str = "documents") -> str:
     """Full WITH..SELECT mirror of remove_duplicated_spans over `src`
     (a table or an outer CTE name - DuckDB resolves either inside a
