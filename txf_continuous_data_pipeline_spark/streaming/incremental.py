@@ -44,6 +44,17 @@ from pyspark.sql.types import (
 # stage_events_dir, which converts the testdata's TIMESTAMP(NANOS)).
 from pyspark.sql.types import TimestampType
 
+# The batch=<id> exactly-once machinery lives in ONE module
+# (commit_log, r11 verdict #6); the private aliases keep every loop
+# and the existing pytest imports stable.
+from .commit_log import (  # noqa: F401  (re-exported for tests)
+    compact_batch_store,
+    earlier_batch_dirs as _earlier_batch_dirs,
+    has_parts as _has_parts,
+    run_available_now as _run_available_now,
+    write_batch as _write_batch,
+)
+
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -306,193 +317,6 @@ def streaming_enriched_bars(
     return backadjust(bars, config, ts_col="bar_ts", end_inclusive=False)
 
 
-def _run_available_now(
-    spark: SparkSession,
-    feed_dir: str,
-    work_dir: str,
-    *,
-    schema: "str | None" = None,
-    stream: "DataFrame | None" = None,
-    ingest,
-    timeout_s: int,
-    label: str,
-) -> None:
-    """The one availableNow micro-batch runner every ingest loop in
-    this module shares (r10 review: it existed as verbatim copies per
-    loop; r11 review: loops whose source is a TRANSFORMED stream - the
-    realized-vol monitor's watermarked OHLCV - can pass it via
-    `stream` instead of growing another scaffold copy): schema'd file
-    stream over feed_dir (or the given stream), one file per trigger,
-    checkpoint under work_dir/ckpt, `ingest(batch_df, batch_id)` as
-    the foreachBatch body; raises on timeout (after stopping the
-    query) and re-raises the stream's own exception."""
-    if stream is None:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(feed_dir)
-        )
-    q = (
-        stream.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .foreachBatch(ingest)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"{label} exceeded {timeout_s}s")
-    if q.exception() is not None:
-        raise q.exception()
-
-
-def _has_parts(d: str) -> bool:
-    """A batch/rollup dir holds real data files (an all-dropped batch
-    writes only _SUCCESS). The ONE predicate the reader and the
-    compactor share (r10 review wave 4)."""
-    return any(f.startswith("part-") for f in os.listdir(d))
-
-
-def _earlier_batch_dirs(base: str, bid: int) -> "list[str]":
-    """Subdirs of strictly earlier batches that hold data files (an
-    all-dropped batch writes only _SUCCESS - no schema to read, and
-    nothing to join against). Shared by every batch=<id>-layout ingest
-    loop; reading ONLY strictly earlier batches is what makes a
-    replayed batch see the exact snapshot its first attempt saw.
-
-    Compaction-aware: compact_batch_store rolls batches 0..k into a
-    `batch=-(k+1)` dir (a NEGATIVE id keeps the store's inferred
-    `batch` partition column integer-typed for wholesale readers);
-    the most negative such dir stands in for every live id <= k, and
-    surviving batch dirs with id <= k (or superseded older rollups)
-    are IGNORED - so the window between the rollup commit and the old
-    dirs' garbage collection can never double-count."""
-    if not os.path.isdir(base):
-        return []
-    upto = -1
-    comp_dir = None
-    for d in os.listdir(base):
-        if d.startswith("batch=") and d[6:].startswith("-"):
-            k = -int(d.split("=", 1)[1]) - 1
-            if k > upto:
-                upto, comp_dir = k, os.path.join(base, d)
-    if bid <= upto:
-        # the rollup covers THIS batch: a replay would read its own
-        # first-attempt output standing in its input snapshot and
-        # silently diverge (r10 review wave 4) - fail loudly instead;
-        # the operator compacted batches that could still replay
-        raise RuntimeError(
-            f"batch {bid} replayed but {base} is compacted through "
-            f"batch {upto} - its own output is inside the rollup; "
-            "compact only batches that can no longer replay"
-        )
-    out = []
-    if comp_dir is not None and _has_parts(comp_dir):
-        out.append(comp_dir)
-    for d in os.listdir(base):
-        if not d.startswith("batch="):
-            continue
-        i = int(d.split("=", 1)[1])
-        if i < 0 or not (upto < i < bid):
-            continue
-        full = os.path.join(base, d)
-        if _has_parts(full):
-            out.append(full)
-    return out
-
-
-def compact_batch_store(
-    spark: SparkSession, base: str, upto: int, *, target_files: int = 1
-) -> int:
-    """Roll batch=<0..upto> partitions of ONE batch-layout store into
-    a single `batch=-(upto+1)` rollup dir - the small-file maintenance
-    the append-only ingest layouts need at 100 TB (every micro-batch
-    adds a directory forever; index reads list and open them all).
-    A NEGATIVE id keeps the store's inferred `batch` partition column
-    integer-typed, so wholesale `spark.read.parquet(store)` readers
-    keep working across the rollup.
-
-    Safety contract: _earlier_batch_dirs treats the most negative
-    rollup as standing in for every id <= upto and ignores surviving
-    batch dirs below it (and superseded older rollups), so the
-    sequence commit-then-delete is crash-safe at every point: before
-    the rollup's atomic rename nothing changed; after it, the stale
-    dirs are invisible double-count-free garbage this function
-    (re-run) or any janitor may remove. Only compact batches that can
-    no longer REPLAY - upto must be < the stream's last committed
-    batch id under a LIVE checkpoint (a replayed batch must never
-    find its own output standing in its input snapshot; a full
-    checkpoint reset already requires a fresh work_dir by the ingest
-    loops' documented contract). Wholesale readers see both the
-    rollup and the not-yet-deleted originals only inside this call's
-    rename-to-rmtree window - compact during a read-quiet moment for
-    stores read whole (kept/), any time for stores read via
-    _earlier_batch_dirs (indexes, ledgers, scores). Returns the
-    number of batch dirs rolled up + removed. Idempotent: re-running
-    with the same `upto` only garbage-collects leftovers."""
-    import glob as _glob
-    import shutil
-
-    if not os.path.isdir(base):
-        return 0
-    # clean ALL stale staging leftovers (any upto - a crash during an
-    # earlier attempt must not leak a rollup-sized copy forever; r10
-    # review wave 4)
-    for leftover in _glob.glob(base.rstrip("/") + "__rollup_*_staging"):
-        shutil.rmtree(leftover, ignore_errors=True)
-    target = os.path.join(base, f"batch=-{upto + 1}")
-    victims = []
-    prev_comp = []
-    prev_cover = -1
-    for d in os.listdir(base):
-        if not d.startswith("batch="):
-            continue
-        i = int(d.split("=", 1)[1])
-        if 0 <= i <= upto:
-            victims.append((i, os.path.join(base, d)))
-        elif i < 0 and -i - 1 < upto:
-            prev_comp.append((-i - 1, os.path.join(base, d)))
-            prev_cover = max(prev_cover, -i - 1)
-    n = len(victims)
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
-        # sources: the SINGLE best previous rollup (older rollups and
-        # any victim it already covers are stale duplicates - a crash
-        # between a previous commit and its GC must not double-count
-        # rows into the new rollup; r10 review wave 4) plus the
-        # not-yet-covered victims that hold data
-        best_prev = [
-            path for cover, path in prev_comp if cover == prev_cover
-        ][:1]
-        sources = best_prev + [
-            path
-            for i, path in victims
-            if i > prev_cover and _has_parts(path)
-        ]
-        if sources:
-            # staging lives OUTSIDE the store so partition discovery
-            # never sees a non-key=value directory name mid-build
-            staging = base.rstrip("/") + f"__rollup_{upto}_staging"
-            shutil.rmtree(staging, ignore_errors=True)
-            # target_files=1 suits test/index-sized stores; at 100 TB
-            # pass the file count that keeps partitions inside
-            # executor memory
-            spark.read.parquet(*sources).coalesce(
-                max(1, int(target_files))
-            ).write.mode("overwrite").parquet(staging)
-            shutil.rmtree(target, ignore_errors=True)
-            os.rename(staging, target)
-    # garbage-collect the rolled-up dirs (readers already ignore
-    # them). This runs even when nothing needed rolling up - an
-    # all-empty batch range still accumulates _SUCCESS-only dirs, the
-    # exact listing cost compaction exists to remove.
-    for _, v in victims:
-        shutil.rmtree(v, ignore_errors=True)
-    for _, v in prev_comp:
-        shutil.rmtree(v, ignore_errors=True)
-    return n
-
-
 def neardup_ingest_run(
     spark: SparkSession,
     feed_dir: str,
@@ -598,25 +422,18 @@ def neardup_ingest_run(
         # overwrite makes a crash-retry rewrite, not double-append.
         # An all-dropped batch still writes (empty) dirs so the
         # batch=<id> layout records it as processed.
-        part = f"batch={batch_id}"
         kept_sets = sets.join(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, part)
-        )
+        _write_batch(survivors, kept_dir, batch_id)
         new_index = build_minhash_index(
             survivors, persist=False, shingle_sets=kept_sets
         )
-        new_index["bands"].write.mode("overwrite").parquet(
-            os.path.join(bands_dir, part)
-        )
-        new_index["shingles"].write.mode("overwrite").parquet(
-            os.path.join(sh_dir, part)
-        )
+        _write_batch(new_index["bands"], bands_dir, batch_id)
+        _write_batch(new_index["shingles"], sh_dir, batch_id)
         for name, fn in (derived_sinks or {}).items():
-            fn(survivors).write.mode("overwrite").parquet(
-                os.path.join(work_dir, name, part)
+            _write_batch(
+                fn(survivors), os.path.join(work_dir, name), batch_id
             )
 
     _run_available_now(
@@ -1037,13 +854,10 @@ def line_dedup_ingest_run(
         cleaned = dedup_lines_delta(batch, index).localCheckpoint(
             eager=True
         )
-        part = f"batch={batch_id}"
-        cleaned.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, part)
+        _write_batch(cleaned, kept_dir, batch_id)
+        _write_batch(
+            build_line_index(cleaned, persist=False), index_dir, batch_id
         )
-        build_line_index(cleaned, persist=False).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, part))
 
     _run_available_now(
         spark, feed_dir, work_dir,
@@ -1105,13 +919,16 @@ def quality_filter_ingest_run(
             .select("doc_id", "text", "score")
             .localCheckpoint(eager=True)
         )
-        part = f"batch={batch_id}"
-        scored.where(F.col("score") >= threshold).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(kept_dir, part))
-        scored.where(
-            F.col("score").isNull() | (F.col("score") < threshold)
-        ).write.mode("overwrite").parquet(os.path.join(quar_dir, part))
+        _write_batch(
+            scored.where(F.col("score") >= threshold), kept_dir, batch_id
+        )
+        _write_batch(
+            scored.where(
+                F.col("score").isNull() | (F.col("score") < threshold)
+            ),
+            quar_dir,
+            batch_id,
+        )
 
     _run_available_now(
         spark, feed_dir, work_dir,
@@ -1164,9 +981,7 @@ def sample_maintain_run(
             .orderBy("sample_key", "doc_id")
             .limit(k)
         )
-        top.write.mode("overwrite").parquet(
-            os.path.join(cand_dir, f"batch={batch_id}")
-        )
+        _write_batch(top, cand_dir, batch_id)
 
     _run_available_now(
         spark, feed_dir, work_dir,
@@ -1415,40 +1230,36 @@ def web_funnel_ingest_run(
         # surviving corpus as pure write amplification); histogram
         # mode persists the additive bucket counts - no per-doc row
         # at all, the ledger stays n_sources x n_buckets per batch.
-        part = f"batch={batch_id}"
         if quantile_mode == "exact":
-            sc.select("doc_id", "source", "score").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(scores_dir, part))
-        else:
-            cur.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(scores_dir, part)
+            _write_batch(
+                sc.select("doc_id", "source", "score"),
+                scores_dir,
+                batch_id,
             )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, part)
-        )
+        else:
+            _write_batch(cur, scores_dir, batch_id, single_file=True)
+        _write_batch(survivors, kept_dir, batch_id)
         kept_sets = sets.join(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
         add = build_minhash_index(
             survivors, persist=False, shingle_sets=kept_sets
         )
-        add["bands"].write.mode("overwrite").parquet(
-            os.path.join(bands_dir, part)
-        )
-        add["shingles"].write.mode("overwrite").parquet(
-            os.path.join(sh_dir, part)
-        )
-        sess.createDataFrame(
-            [
-                (int(batch_id), 0, "ingest", n0),
-                (int(batch_id), 1, "domain_blocklist", n1),
-                (int(batch_id), 2, "quality_cutoff", n2),
-                (int(batch_id), 3, "neardup_keep", n3),
-            ],
-            "batch_id long, stage_idx int, stage string, n_docs long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(funnel_dir, part)
+        _write_batch(add["bands"], bands_dir, batch_id)
+        _write_batch(add["shingles"], sh_dir, batch_id)
+        _write_batch(
+            sess.createDataFrame(
+                [
+                    (int(batch_id), 0, "ingest", n0),
+                    (int(batch_id), 1, "domain_blocklist", n1),
+                    (int(batch_id), 2, "quality_cutoff", n2),
+                    (int(batch_id), 3, "neardup_keep", n3),
+                ],
+                "batch_id long, stage_idx int, stage string, n_docs long",
+            ),
+            funnel_dir,
+            batch_id,
+            single_file=True,
         )
 
     _run_available_now(
@@ -1493,10 +1304,10 @@ def pca_stats_run(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        part = f"batch={batch_id}"
-        pca_sufficient_stats(batch).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stats_dir, part))
+        _write_batch(
+            pca_sufficient_stats(batch), stats_dir, batch_id,
+            single_file=True,
+        )
 
     _run_available_now(
         spark, feed_dir, work_dir,
@@ -1599,7 +1410,7 @@ def ivfpq_index_ingest_run(
         st = ivfpq_index_cell_stats(
             sess, index_dir, skew_threshold=skew_threshold
         )
-        sess.createDataFrame(
+        stats_row = sess.createDataFrame(
             [
                 (
                     int(batch_id),
@@ -1612,9 +1423,8 @@ def ivfpq_index_ingest_run(
             ],
             "batch_id long, n_appended long, max_cell long, "
             "mean_cell double, skew double, retrain boolean",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(monitor_dir, f"batch={batch_id}")
         )
+        _write_batch(stats_row, monitor_dir, batch_id, single_file=True)
 
     _run_available_now(
         spark, feed_dir, work_dir,
@@ -1874,17 +1684,17 @@ def realized_vol_ingest_run(
             # replays under different memory pressure (review
             # finding) - pin the row order so byte-identity follows
             # from value-identity.
-            row.withColumn("batch_id", F.lit(int(batch_id))).orderBy(
-                "session_id"
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(monitor_dir, f"batch={batch_id}")
+            _write_batch(
+                row.withColumn("batch_id", F.lit(int(batch_id))),
+                monitor_dir,
+                batch_id,
+                order_by=["session_id"],
             )
-            limits.withColumn(
-                "batch_id", F.lit(int(batch_id))
-            ).orderBy("session_id", "contract_year_month").coalesce(
-                1
-            ).write.mode("overwrite").parquet(
-                os.path.join(limits_dir, f"batch={batch_id}")
+            _write_batch(
+                limits.withColumn("batch_id", F.lit(int(batch_id))),
+                limits_dir,
+                batch_id,
+                order_by=["session_id", "contract_year_month"],
             )
         finally:
             adjusted.unpersist()
@@ -2059,22 +1869,25 @@ def config_revision_watch_run(
         snapshot.coalesce(1).write.mode("overwrite").parquet(
             current_dir
         )
-        sess.createDataFrame(
-            [
-                (
-                    int(batch_id),
-                    bool(seeded),
-                    int(stats["config_changes"]),
-                    int(stats["scanned_partitions"]),
-                    int(stats["rewritten_partitions"]),
-                    int(stats["restated_rows"]),
-                )
-            ],
-            "batch_id long, seeded boolean, config_changes long, "
-            "scanned_partitions long, rewritten_partitions long, "
-            "restated_rows long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(monitor_dir, f"batch={batch_id}")
+        _write_batch(
+            sess.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        bool(seeded),
+                        int(stats["config_changes"]),
+                        int(stats["scanned_partitions"]),
+                        int(stats["rewritten_partitions"]),
+                        int(stats["restated_rows"]),
+                    )
+                ],
+                "batch_id long, seeded boolean, config_changes long, "
+                "scanned_partitions long, rewritten_partitions long, "
+                "restated_rows long",
+            ),
+            monitor_dir,
+            batch_id,
+            single_file=True,
         )
 
     _run_available_now(
@@ -2168,10 +1981,12 @@ def budgeted_ingest_run(
         # 3) - route them to an explicit quarantine partition instead
         # (the quality_filter_ingest_run discipline: rejects stay
         # auditable), and keep them out of every prefix sum.
-        sized.where(F.col("n_tokens").isNull()).select(
-            "doc_id", "source"
-        ).write.mode("overwrite").parquet(
-            os.path.join(work_dir, "quarantine", f"batch={batch_id}")
+        _write_batch(
+            sized.where(F.col("n_tokens").isNull()).select(
+                "doc_id", "source"
+            ),
+            os.path.join(work_dir, "quarantine"),
+            batch_id,
         )
         sized = sized.where(F.col("n_tokens").isNotNull())
         staged = (
@@ -2194,14 +2009,14 @@ def budgeted_ingest_run(
             <= F.col("_budget")
         ).select("doc_id", "source", "text", "n_tokens")
         kept = kept.localCheckpoint(eager=True)
-        part = f"batch={batch_id}"
-        kept.write.mode("overwrite").parquet(
-            os.path.join(kept_dir, part)
-        )
-        kept.groupBy("source").agg(
-            F.sum("n_tokens").alias("admitted_tokens")
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(ledger_dir, part)
+        _write_batch(kept, kept_dir, batch_id)
+        _write_batch(
+            kept.groupBy("source").agg(
+                F.sum("n_tokens").alias("admitted_tokens")
+            ),
+            ledger_dir,
+            batch_id,
+            single_file=True,
         )
 
     _run_available_now(
