@@ -147,3 +147,30 @@ def test_live_retry_in_window():
     for name in Q.RETRY:
         assert name in Q.REGISTRY and Q.REGISTRY[name][1] is not None
         assert name in window, name
+
+
+def test_text_family_split_preserves_registration_order():
+    """r11 verdict #7: queries/text.py was split by family; the split
+    must be rotation-invariant. Pin that (a) every _TEXT_ORDER query
+    is registered, (b) the text-family slice of the REAL registry is
+    contiguous and in exactly the pinned pre-split order (the facade's
+    reorder stanza), and (c) the slice starts where the module import
+    order puts it (after timeseries/relational, before similarity) -
+    so rotation_order's registration-order tie-break is unchanged by
+    the split."""
+    from txf_continuous_data_pipeline_spark.queries import REGISTRY
+    from txf_continuous_data_pipeline_spark.queries.text import (
+        _TEXT_ORDER,
+    )
+
+    names = list(REGISTRY)
+    assert set(_TEXT_ORDER) <= set(names)
+    idx = [names.index(n) for n in _TEXT_ORDER]
+    assert idx == list(range(idx[0], idx[0] + len(idx))), (
+        "text slice not contiguous/ordered"
+    )
+    # the families' pre-facade registration (module import order)
+    # would NOT be the pinned order - the reorder stanza is
+    # load-bearing; guard that someone removing it trips here
+    assert names.index("text_stats") < names.index("minhash_neardup")
+    assert names.index("dedup_exact_groups") == idx[0]
