@@ -187,6 +187,11 @@ FLAGSHIPS = [
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",
+    # r12: suffix grain + calendar gate + checkable quantile sketch
+    "exact_substr_stats",
+    "longest_dup_substrings",
+    "expected_session_counts",
+    "price_quantile_sketch",
 ]
 
 

@@ -1169,7 +1169,6 @@ def _suffix_dup_lengths_sorted(
     ).where(F.size("_h") > 0)
     sfx = base.select(
         id_col,
-        F.size("_h").alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_h")),
@@ -1483,6 +1482,7 @@ def exact_substr_stats(
     text_col: str = "text",
     min_len: int = 8,
     n_rounds: int = 7,
+    lens: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-document exact-substring duplication report off the suffix
     grain (dup_span_stats' shape on suffix_dup_lengths): token count,
@@ -1490,10 +1490,13 @@ def exact_substr_stats(
     longest duplicated run, and the duplicated-position fraction. The
     5-token span index answers 'which positions sit in SOME 5-token
     duplicate'; this answers Lee et al.'s actual question - how LONG
-    the duplicated runs are - exactly."""
-    lens = suffix_dup_lengths(
-        df, id_col=id_col, text_col=text_col, n_rounds=n_rounds
-    )
+    the duplicated runs are - exactly. `lens` injects a precomputed
+    (id, pos, dup_len) frame so several report consumers share ONE
+    suffix sort (the memoized-bar-frame discipline)."""
+    if lens is None:
+        lens = suffix_dup_lengths(
+            df, id_col=id_col, text_col=text_col, n_rounds=n_rounds
+        )
     per_doc = lens.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count(F.when(F.col("dup_len") >= min_len, 1))

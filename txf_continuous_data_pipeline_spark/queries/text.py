@@ -118,6 +118,9 @@ _TEXT_ORDER = [
     "tokenizer_fertility_by_source",
     "dup_cluster_size_histogram",
     "dedup_rate_by_source",
+    # r12 additions append AFTER the pre-split slice (the analogue of
+    # appending at module end before the split)
+    "longest_dup_substrings",
 ]
 
 for _n in _TEXT_ORDER:

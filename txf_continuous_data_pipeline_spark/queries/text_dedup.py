@@ -579,6 +579,26 @@ LEFT JOIN (
 """
 
 
+_SUFFIX_LENS_CACHE: dict = {}
+
+
+def _cached_suffix_lens(spark, sf_dir):
+    """Memoized per-position longest-duplicated-run frame (doc_id,
+    pos, dup_len): the suffix sort is the expensive stage, and TWO
+    report queries consume it (exact_substr_stats +
+    longest_dup_substrings) - the memoized-bar-frame discipline, so a
+    bench/driver session pays the sort once per corpus."""
+    from ..operators.dedup import suffix_dup_lengths
+
+    key = _corpus_key(spark, sf_dir)
+    if key not in _SUFFIX_LENS_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths(
+            docs
+        ).localCheckpoint(eager=True)
+    return _SUFFIX_LENS_CACHE[key]
+
+
 @q("exact_substr_stats", _EXACT_SUBSTR_SQL)
 def exact_substr_stats_q(spark, sf_dir):
     """EXACT-substring duplication report (Lee et al. 2022's suffix
@@ -589,15 +609,130 @@ def exact_substr_stats_q(spark, sf_dir):
     token hashes (lrs(i) = max LCP with the two suffix-array
     neighbors - exact, because the suffix sharing the longest prefix
     is always SA-adjacent). The engine sorts suffix hash-slices once
-    (bounded-doc-length plan; the prefix-doubling twin for unbounded
-    docs is pinned row-identical in tests/test_properties.py along
-    with a pure-Python suffix-array differential); the oracle sorts
-    DuckDB lists natively and takes the same neighbor LCPs
+    (bounded-doc-length plan, memoized across the suffix-grain report
+    family via _cached_suffix_lens; the prefix-doubling twin for
+    unbounded docs is pinned row-identical in tests/test_properties.py
+    along with a pure-Python suffix-array differential); the oracle
+    sorts DuckDB lists natively and takes the same neighbor LCPs
     (operators/dedup.suffix_dup_lengths / exact_substr_stats)."""
     from ..operators.dedup import exact_substr_stats
 
     docs = read_table(spark, sf_dir, "documents")
-    return exact_substr_stats(docs, min_len=8)
+    return exact_substr_stats(
+        docs, min_len=8, lens=_cached_suffix_lens(spark, sf_dir)
+    )
+
+
+_LONGEST_DUP_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> ''),
+           x -> CAST('0x' || substr(md5('S:' || x), 1, 15) AS BIGINT))
+           AS h
+  FROM documents
+),
+sfx AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, h[i:] AS sfx
+  FROM t, unnest(range(1, len(h) + 1)) AS u(i)
+),
+sa AS MATERIALIZED (
+  SELECT doc_id, pos, sfx,
+         row_number() OVER (ORDER BY sfx, doc_id, pos) AS sid
+  FROM sfx
+),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS adoc, a.pos AS apos,
+         b.doc_id AS bdoc, b.pos AS bpos,
+         coalesce(
+           nullif(list_position(
+             list_transform(
+               range(1, least(len(a.sfx), len(b.sfx)) + 1),
+               i -> a.sfx[i] = b.sfx[i]),
+             false), 0) - 1,
+           least(len(a.sfx), len(b.sfx))) AS lcp
+  FROM sa a JOIN sa b ON b.sid = a.sid + 1
+),
+lrs AS (
+  SELECT doc_id, pos, max(lcp) AS dup_len
+  FROM (SELECT adoc AS doc_id, apos AS pos, lcp FROM p
+        UNION ALL SELECT bdoc, bpos, lcp FROM p)
+  GROUP BY 1, 2
+),
+lm AS (
+  SELECT doc_id, pos, dup_len,
+         lag(dup_len) OVER (PARTITION BY doc_id ORDER BY pos) AS prevl
+  FROM lrs
+),
+runs AS (
+  SELECT array_to_string(
+           t.toks[l.pos + 1 : l.pos + l.dup_len], ' ') AS dup_text,
+         l.dup_len
+  FROM lm l JOIN t USING (doc_id)
+  WHERE l.dup_len >= 8
+    AND (l.prevl IS NULL OR l.prevl < l.dup_len + 1)
+)
+SELECT dup_text, CAST(dup_len AS BIGINT) AS dup_len,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM runs GROUP BY 1, 2
+ORDER BY dup_len DESC, dup_text
+LIMIT 20
+"""
+
+
+@q("longest_dup_substrings", _LONGEST_DUP_SQL)
+def longest_dup_substrings_q(spark, sf_dir):
+    """The corpus-level companion of exact_substr_stats: the 20
+    LONGEST left-maximal duplicated runs as actual TEXT with their
+    occurrence counts - what a curation owner reads to decide whether
+    the duplication mass is boilerplate (license headers, navigation
+    chrome) or organic. A position starts a left-maximal run when the
+    previous position cannot extend it (dup_len(p-1) < dup_len(p)+1 -
+    the standard maximal-repeat filter; without it every suffix of a
+    long run would flood the report). Runs reconstruct by slicing the
+    per-doc token array - the only corpus-scale additions over the
+    memoized suffix frame are one per-doc lag window (parallel across
+    docs) and one dimension-sized aggregate over the surviving runs.
+    Deterministic top-20: grouped by (text, len), ordered by len then
+    text."""
+    lens = _cached_suffix_lens(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""
+        ).alias("_toks"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lm = lens.withColumn("prevl", F.lag("dup_len").over(w))
+    runs = (
+        lm.where(
+            (F.col("dup_len") >= 8)
+            & (
+                F.col("prevl").isNull()
+                | (F.col("prevl") < F.col("dup_len") + 1)
+            )
+        )
+        .join(toks, "doc_id")
+        .select(
+            F.array_join(
+                F.slice(
+                    F.col("_toks"), F.col("pos") + 1, F.col("dup_len")
+                ),
+                " ",
+            ).alias("dup_text"),
+            F.col("dup_len").cast("long").alias("dup_len"),
+        )
+    )
+    return (
+        runs.groupBy("dup_text", "dup_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("dup_len"), "dup_text")
+        .limit(20)
+    )
 
 
 _DUP_SPAN_REMOVAL_SQL = _dup_span_removal_sql()
