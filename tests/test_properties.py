@@ -639,3 +639,55 @@ def test_suffix_dup_lengths_matches_pure_python_suffix_array(
     # ... and the sort strategy has no cap
     out = suffix_dup_lengths(long_doc, strategy="sort").collect()
     assert len(out) == 40 and all(r["dup_len"] == 0 for r in out)
+
+
+def test_keep_first_span_removal_semantics(spark, sf_dir):
+    """Keep-one vs scrub-everything at the span grain: on a planted
+    corpus where doc 1 holds the canonical first occurrence of a
+    duplicated 5-token span and doc 2 repeats it mid-text, keep-first
+    must leave doc 1 byte-intact and excise only doc 2's occurrence,
+    while remove-all excises both; an untouched doc passes through
+    either way. On the real corpus, keep-first's removed mass is
+    per-doc dominated by remove-all's and strictly smaller in total
+    (some doc holds each span's first occurrence)."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+        remove_duplicated_spans_keep_first,
+    )
+
+    planted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon extraA1 extraA2"),
+            (2, "prefixb1 prefixb2 alpha beta gamma delta epsilon tailb"),
+            (3, "unique tokens only here nothing shared doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kf = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans_keep_first(planted).collect()
+    }
+    ra = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(planted).collect()
+    }
+    assert kf[1]["text"] == "alpha beta gamma delta epsilon extraa1 extraa2"
+    assert kf[1]["n_tokens_removed"] == 0
+    assert kf[2]["text"] == "prefixb1 prefixb2 tailb"
+    assert kf[2]["n_tokens_removed"] == 5
+    assert kf[3]["n_tokens_removed"] == 0
+    assert ra[1]["text"] == "extraa1 extraa2"
+    assert ra[1]["n_tokens_removed"] == 5
+    assert ra[2]["text"] == kf[2]["text"]
+
+    docs = read_table(spark, sf_dir, "documents")
+    kf_all = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_duplicated_spans_keep_first(docs).collect()
+    }
+    ra_all = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in remove_duplicated_spans(docs).collect()
+    }
+    assert all(kf_all[d] <= ra_all[d] for d in kf_all)
+    assert sum(kf_all.values()) < sum(ra_all.values())

@@ -223,6 +223,61 @@ def remove_duplicated_spans(
     )
 
 
+def remove_duplicated_spans_keep_first(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lee et al.'s KEEP-ONE remediation at the span grain:
+    remove_duplicated_spans excises EVERY occurrence of a duplicated
+    span (the corpus keeps zero copies of the boilerplate);
+    deduplicating-to-one instead keeps each duplicated span's
+    canonical FIRST occurrence - smallest (doc id, position) - and
+    excises only the others, so the cleaned corpus still contains the
+    content exactly once (the paper's dedup semantics, vs the
+    scrub-everything semantics a contamination pass wants). A token
+    survives unless covered by a NON-first occurrence of some hot
+    span; the first occurrence's tokens can still fall to a different
+    span's non-first occurrence covering them (overlap is resolved
+    token-wise, deterministically).
+
+    Same scale shape as remove-all plus one aggregate: the canonical
+    first is ONE hash-keyed groupBy over 8-byte span hashes
+    (min((doc, pos)) rides the same aggregate that computes the
+    distinct-doc frequency), then a join back to the occurrence rows;
+    still no pairwise work anywhere. Output schema matches
+    remove_duplicated_spans."""
+    spanned = _positioned_spans(df, n=n, id_col=id_col, text_col=text_col)
+    ex = spanned.select(
+        F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
+    )
+    firsts = (
+        ex.groupBy("_h")
+        .agg(
+            F.countDistinct(id_col).alias("_df"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("_i").alias("i")
+                )
+            ).alias("_first"),
+        )
+        .where(F.col("_df") >= min_df)
+        .select("_h", "_first")
+    )
+    removal = ex.join(firsts, "_h").where(
+        ~(
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("_i") == F.col("_first.i"))
+        )
+    )
+    return _excise_starts(
+        spanned, removal, n=n, id_col=id_col, text_col=text_col
+    )
+
+
 def _positioned_spans(
     df: DataFrame, *, n: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -273,10 +328,30 @@ def _excise_spans(
     """Shared excision tail: semi-join the exploded spans against the
     hot set, collect per-doc removal starts, drop every covered token.
     (id, cleaned text, n_tokens, n_tokens_removed)."""
-    starts = (
-        ex.join(hot, "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("_i").alias("_starts"))
+    return _excise_starts(
+        spanned,
+        ex.join(hot, "_h", "left_semi"),
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def _excise_starts(
+    spanned: DataFrame,
+    removal_ex: DataFrame,
+    *,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Excision tail on an explicit removal set: `removal_ex` holds the
+    (id, _i) span occurrences to excise - remove-all passes every hot
+    occurrence, keep-first passes every hot occurrence EXCEPT each
+    span's canonical first. Collect per-doc removal starts, drop every
+    covered token."""
+    starts = removal_ex.groupBy(id_col).agg(
+        F.collect_set("_i").alias("_starts")
     )
     joined = spanned.join(starts, id_col, "left")
     size = F.size("_toks")

@@ -121,6 +121,7 @@ _TEXT_ORDER = [
     # r12 additions append AFTER the pre-split slice (the analogue of
     # appending at module end before the split)
     "longest_dup_substrings",
+    "dup_span_removal_keepfirst",
 ]
 
 for _n in _TEXT_ORDER:

@@ -302,6 +302,67 @@ FROM kept
 """
 
 
+def _dup_span_removal_keepfirst_sql(src: str = "documents") -> str:
+    """Keep-first twin of _dup_span_removal_sql (the Lee et al.
+    keep-one semantics): each hot span's canonical first occurrence
+    (row_number over (doc, pos) inside the span partition) survives;
+    only non-first occurrences feed the removal starts. Same
+    prefix/excision machinery."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKS}, w -> len(w) > 0) AS toks
+  FROM {src}
+),
+sp AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(range(0, len(toks) - 4),
+             i -> {_h60_sql("array_to_string(toks[i + 1:i + 5], ' ')")})
+         WHEN len(toks) >= 1 THEN
+           [{_h60_sql("array_to_string(toks, ' ')")}]
+         ELSE CAST([] AS BIGINT[]) END AS spans
+  FROM t
+),
+ex AS (
+  SELECT doc_id, unnest(spans) AS h,
+         generate_subscripts(spans, 1) - 1 AS p
+  FROM sp
+),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM ex)
+  GROUP BY h HAVING count(*) >= 2
+),
+r AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM ex JOIN hot USING (h)
+),
+st AS (
+  SELECT doc_id, list(p) AS starts FROM r WHERE rn > 1
+  GROUP BY doc_id
+),
+j AS (
+  SELECT sp.doc_id, sp.toks, sp.n,
+         coalesce(st.starts, CAST([] AS BIGINT[])) AS starts,
+         least(5, sp.n) AS w
+  FROM sp LEFT JOIN st USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, n,
+         list_transform(
+           list_filter(list_zip(toks, range(0, n)),
+             z -> len(list_filter(starts,
+                    s -> z[2] >= s AND z[2] < s + w)) = 0),
+           z -> CAST(z[1] AS VARCHAR)) AS ktoks
+  FROM j
+)
+SELECT doc_id, coalesce(array_to_string(ktoks, ' '), '') AS text,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n - len(ktoks) AS BIGINT) AS n_tokens_removed
+FROM kept
+"""
+
+
 # Per-corpus cache of the 64-dim hashed feature frame - the shared
 # intermediate of the classifier pair (serving scores the whole frame,
 # training collects its doc_id % 5 slice), the _shingle_sets pattern.

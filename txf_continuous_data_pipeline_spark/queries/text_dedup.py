@@ -33,6 +33,7 @@ from .text_common import (  # noqa: F401
     _SHINGLES,
     _TOKS,
     _corpus_key,
+    _dup_span_removal_keepfirst_sql,
     _dup_span_removal_sql,
     _h60_sql,
     _neardup_components,
@@ -752,6 +753,25 @@ def dup_span_removal_q(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, n=5, min_df=2)
+
+
+@q("dup_span_removal_keepfirst", _dup_span_removal_keepfirst_sql())
+def dup_span_removal_keepfirst_q(spark, sf_dir):
+    """The KEEP-ONE form of span remediation (Lee et al.'s actual
+    dedup semantics, vs dup_span_removal's scrub-everything form a
+    contamination pass wants): each duplicated 5-token span's
+    canonical first occurrence - smallest (doc_id, position) - stays
+    in the corpus; every other occurrence is excised. One extra
+    hash-keyed aggregate over remove-all (the canonical first rides
+    the same groupBy that counts distinct docs); the cleaned TEXT is
+    value-compared against the oracle's window-ranked derivation.
+    Pytests pin keep-first vs remove-all semantics on a planted corpus
+    and the removed-mass dominance invariant
+    (operators/dedup.remove_duplicated_spans_keep_first)."""
+    from ..operators.dedup import remove_duplicated_spans_keep_first
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans_keep_first(docs, n=5, min_df=2)
 
 
 @q(
