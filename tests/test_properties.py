@@ -691,3 +691,79 @@ def test_keep_first_span_removal_semantics(spark, sf_dir):
     }
     assert all(kf_all[d] <= ra_all[d] for d in kf_all)
     assert sum(kf_all.values()) < sum(ra_all.values())
+
+
+def test_suffix_eval_overlap_matches_pure_python(spark, sf_dir):
+    """The exact-substring decontamination arm: per train position,
+    the operator's longest verbatim run shared with the eval side
+    (source 'src0') must equal a pure-Python merged suffix array's
+    answer (nearest eval suffix in either direction carries the max
+    LCP). Also pins the null-neighbor guard: a train suffix with no
+    eval suffix on one side must score 0 from that side, not its own
+    full length (F.least silently skips NULL operands - the bug this
+    test would have caught)."""
+    import duckdb
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_eval_overlap,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    got = {
+        (r["doc_id"], r["pos"]): r["eval_len"]
+        for r in suffix_eval_overlap(train, ev).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, lower(trim(text)) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    tr, evd = {}, {}
+    for d, src, t in rows:
+        toks = [w for w in (t or "").split() if w]
+        (evd if src == "src0" else tr)[d] = toks
+    suf = []
+    for d, toks in tr.items():
+        for i in range(len(toks)):
+            suf.append((tuple(toks[i:]), 0, d, i))
+    for d, toks in evd.items():
+        for i in range(len(toks)):
+            suf.append((tuple(toks[i:]), 1, d, i))
+    suf.sort()
+
+    def lcp(a, b):
+        m = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            m += 1
+        return m
+
+    pe, ne = [None] * len(suf), [None] * len(suf)
+    last = None
+    for i, s in enumerate(suf):
+        pe[i] = last
+        if s[1] == 1:
+            last = i
+    nxt = None
+    for i in range(len(suf) - 1, -1, -1):
+        ne[i] = nxt
+        if suf[i][1] == 1:
+            nxt = i
+    want = {}
+    for i, s in enumerate(suf):
+        if s[1] == 1:
+            continue
+        best = 0
+        for j in (pe[i], ne[i]):
+            if j is not None:
+                best = max(best, lcp(s[0], suf[j][0]))
+        want[(s[2], s[3])] = best
+    assert got == want and want
+    assert max(got.values()) < max(
+        len(t) for t in tr.values()
+    ) or any(v > 0 for v in got.values())

@@ -1597,3 +1597,206 @@ def exact_substr_stats(
             ),
         ).alias("dup_pos_frac"),
     )
+
+
+def suffix_eval_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """EXACT-substring decontamination (the suffix-grain arm of the
+    triad, Lee et al. 2022's train-test overlap): per TRAIN document,
+    the longest token run shared VERBATIM with ANY eval document, plus
+    the count of train positions starting a shared run of >= min_len
+    tokens. Verbatim-n-gram decontamination answers 'is there ANY
+    n-gram overlap'; this answers 'how LONG is the longest quoted
+    passage' - the number a release review actually debates.
+
+    Merged suffix array: both sides' suffix hash-slices sort together
+    ONCE (the suffix_dup_lengths 'sort' plan); a train suffix's
+    maximal LCP against the whole eval set is attained at the NEAREST
+    eval suffix in either direction of the merged order, so the
+    eval-overlap of every train position costs two neighbor lookups,
+    never train x eval pairs. Nearest-eval ids are a per-partition
+    running max/min over the consecutive sids plus a
+    partition-boundary fix-up collected driver-side (one row per
+    partition - the same two-pass discipline as the sid assignment),
+    so no global single-task window exists in the plan.
+
+    Returns (id_col, pos, eval_len) per train position; report
+    consumer exact_decontamination_q aggregates per document.
+    Ids must be unique across the two frames (they are: both sides
+    come from the same documents table)."""
+    from pyspark.sql import Window
+
+    def _slices(df, side):
+        toks_arr = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+        base = df.select(
+            F.col(id_col),
+            F.transform(
+                toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
+            ).alias("_h"),
+        ).where(F.size("_h") > 0)
+        sfx = base.select(
+            id_col,
+            F.lit(side).alias("_side"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_h")),
+                    lambda i: F.slice(
+                        F.col("_h"), i, F.size("_h") - i + 1
+                    ),
+                )
+            ).alias("pos", "_sfx"),
+        )
+        return base, sfx
+
+    tbase, tsfx = _slices(train, 0)
+    _, esfx = _slices(eval_df, 1)
+    keys = ["_sfx", "_side", id_col, "pos"]
+    sorted_ = (
+        tsfx.unionByName(esfx)
+        .repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in sorted_.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    spark = train.sparkSession
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    sidf = (
+        sorted_.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "_side",
+            id_col,
+            "pos",
+            "_sfx",
+            "_pid",
+            (F.col("_off") + F.col("_lrn") - 1).alias("sid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # nearest eval sid in each direction: per-partition running
+    # max/min of the eval-row sids, then the cross-partition boundary
+    # from the driver-collected per-partition eval extrema
+    emark = F.when(F.col("_side") == 1, F.col("sid"))
+    w_fwd = (
+        Window.partitionBy("_pid")
+        .orderBy("sid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy("_pid")
+        .orderBy("sid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # boundary maps need eval SIDs per partition; recompute extrema on
+    # the sid frame (dimension-sized: one row per partition)
+    esids = {
+        r["_pid"]: (r["mn"], r["mx"])
+        for r in sidf.where(F.col("_side") == 1)
+        .groupBy("_pid")
+        .agg(F.min("sid").alias("mn"), F.max("sid").alias("mx"))
+        .collect()
+    }
+    pids = sorted(counts)
+    rows, run = [], None
+    for p in pids:
+        prevb = run
+        if p in esids:
+            run = esids[p][1] if run is None else max(run, esids[p][1])
+        rows.append([p, prevb, None])
+    run = None
+    for i in range(len(pids) - 1, -1, -1):
+        rows[i][2] = run
+        p = pids[i]
+        if p in esids:
+            run = esids[p][0] if run is None else min(run, esids[p][0])
+    bdf = spark.createDataFrame(
+        [tuple(r) for r in rows], "_pid int, _prevb long, _nextb long"
+    )
+    scanned = (
+        sidf.withColumn("_pe_loc", F.max(emark).over(w_fwd))
+        .withColumn("_ne_loc", F.min(emark).over(w_bwd))
+        .join(F.broadcast(bdf), "_pid")
+        .withColumn("_pe", F.coalesce("_pe_loc", "_prevb"))
+        .withColumn("_ne", F.coalesce("_ne_loc", "_nextb"))
+    )
+    trows = scanned.where(F.col("_side") == 0).select(
+        id_col, "pos", "_sfx", "_pe", "_ne"
+    )
+    eslices = sidf.where(F.col("_side") == 1).select(
+        F.col("sid").alias("_esid"), F.col("_sfx").alias("_esfx")
+    )
+
+    def _lcp(a, b):
+        # explicit null guard: F.least SKIPS nulls (it returns the
+        # smallest NON-null operand), so with a missing eval neighbor
+        # m would silently become size(a) and the no-mismatch fall-
+        # through would report a full-length overlap against nothing
+        m = F.least(F.size(a), F.size(b))
+        first_bad = F.get(
+            F.filter(
+                F.sequence(F.lit(1), m),
+                lambda i: F.element_at(a, i) != F.element_at(b, i),
+            ),
+            0,
+        )
+        return F.when(
+            a.isNull() | b.isNull(), F.lit(0)
+        ).otherwise(F.coalesce(first_bad - 1, m))
+
+    joined = (
+        trows.join(
+            eslices.withColumnRenamed("_esid", "_pe").withColumnRenamed(
+                "_esfx", "_pesfx"
+            ),
+            "_pe",
+            "left",
+        )
+        .join(
+            eslices.withColumnRenamed("_esid", "_ne").withColumnRenamed(
+                "_esfx", "_nesfx"
+            ),
+            "_ne",
+            "left",
+        )
+        .select(
+            id_col,
+            "pos",
+            F.greatest(
+                F.coalesce(
+                    _lcp(F.col("_sfx"), F.col("_pesfx")), F.lit(0)
+                ),
+                F.coalesce(
+                    _lcp(F.col("_sfx"), F.col("_nesfx")), F.lit(0)
+                ),
+            ).alias("eval_len"),
+        )
+    )
+    all_pos = tbase.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.size("_h") - 1)).alias("pos"),
+    )
+    return all_pos.join(joined, [id_col, "pos"], "left").select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce("eval_len", F.lit(0)).cast("long").alias("eval_len"),
+    )

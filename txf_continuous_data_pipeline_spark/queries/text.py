@@ -122,6 +122,7 @@ _TEXT_ORDER = [
     # appending at module end before the split)
     "longest_dup_substrings",
     "dup_span_removal_keepfirst",
+    "exact_decontamination",
 ]
 
 for _n in _TEXT_ORDER:

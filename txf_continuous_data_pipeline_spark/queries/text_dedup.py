@@ -1292,3 +1292,118 @@ def dedup_rate_by_source_q(spark, sf_dir):
             F.sum(removable) / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+_EXACT_DECONTAM_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS side,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> ''),
+           x -> CAST('0x' || substr(md5('S:' || x), 1, 15) AS BIGINT))
+           AS h
+  FROM documents
+),
+sfx AS MATERIALIZED (
+  SELECT doc_id, side, i - 1 AS pos, h[i:] AS sfx
+  FROM d, unnest(range(1, len(h) + 1)) AS u(i)
+),
+sa AS MATERIALIZED (
+  SELECT *, row_number() OVER (ORDER BY sfx, side, doc_id, pos) AS sid
+  FROM sfx
+),
+scan AS MATERIALIZED (
+  SELECT doc_id, side, pos, sfx,
+         last_value(CASE WHEN side = 1 THEN sid END IGNORE NULLS)
+           OVER (ORDER BY sid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pe,
+         first_value(CASE WHEN side = 1 THEN sid END IGNORE NULLS)
+           OVER (ORDER BY sid
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS ne
+  FROM sa
+),
+ov AS (
+  SELECT s.doc_id, s.pos,
+         greatest(
+           CASE WHEN p.sfx IS NULL THEN 0 ELSE coalesce(
+             nullif(list_position(
+               list_transform(
+                 range(1, least(len(s.sfx), len(p.sfx)) + 1),
+                 i -> s.sfx[i] = p.sfx[i]),
+               false), 0) - 1,
+             least(len(s.sfx), len(p.sfx))) END,
+           CASE WHEN n.sfx IS NULL THEN 0 ELSE coalesce(
+             nullif(list_position(
+               list_transform(
+                 range(1, least(len(s.sfx), len(n.sfx)) + 1),
+                 i -> s.sfx[i] = n.sfx[i]),
+               false), 0) - 1,
+             least(len(s.sfx), len(n.sfx))) END
+         ) AS eval_len
+  FROM scan s
+  LEFT JOIN sa p ON p.sid = s.pe
+  LEFT JOIN sa n ON n.sid = s.ne
+  WHERE s.side = 0
+),
+agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE eval_len >= 8)
+           AS contaminated_positions,
+         max(eval_len) AS max_eval_run
+  FROM ov GROUP BY 1
+)
+SELECT dd.doc_id, dd.source,
+       CAST(len(dd.h) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.contaminated_positions, 0) AS BIGINT)
+         AS contaminated_positions,
+       CAST(coalesce(a.max_eval_run, 0) AS BIGINT) AS max_eval_run
+FROM d dd LEFT JOIN agg a USING (doc_id)
+WHERE dd.side = 0
+"""
+
+
+@q("exact_decontamination", _EXACT_DECONTAM_SQL)
+def exact_decontamination_q(spark, sf_dir):
+    """The EXACT-substring arm of the decontamination triad (verbatim
+    n-gram / fuzzy MinHash / semantic cosine already exist): per TRAIN
+    document, the longest token run shared VERBATIM with any eval doc
+    (source 'src0', the benchmark stand-in) and the count of positions
+    starting a shared run of >= 8 tokens. n-gram decontamination says
+    whether ANY overlap exists; this says how LONG the longest quoted
+    passage is - the number a release review debates (Lee et al.
+    2022's train-test overlap measurement). One merged suffix sort
+    over both sides; each train suffix checks exactly its two nearest
+    eval neighbors in the merged order (where any max-LCP is
+    attained), never train x eval pairs; nearest-eval ids ride a
+    per-partition scan + driver-side boundary fix-up, one row per
+    partition (operators/dedup.suffix_eval_overlap - pinned against a
+    pure-Python merged suffix array in tests/test_properties.py)."""
+    from ..operators.dedup import suffix_eval_overlap
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    lens = suffix_eval_overlap(train, ev, min_len=8)
+    per_doc = lens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("eval_len") >= 8, 1))
+        .cast("long")
+        .alias("contaminated_positions"),
+        F.max("eval_len").cast("long").alias("max_eval_run"),
+    )
+    return train.select("doc_id", "source").join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("contaminated_positions", F.lit(0))
+        .cast("long")
+        .alias("contaminated_positions"),
+        F.coalesce("max_eval_run", F.lit(0))
+        .cast("long")
+        .alias("max_eval_run"),
+    )
