@@ -521,3 +521,86 @@ def test_web_funnel_mode_switch_raises_loudly(spark, sf_dir, tmp_path):
     web_funnel_ingest_run(spark, feed, work, quantile_mode="histogram")
     with pytest.raises(ValueError, match="quantile_mode"):
         web_funnel_ingest_run(spark, feed, work)  # defaults to exact
+
+
+def test_decontam_gate_stream_equals_batch_and_replay_noop(
+    spark, sf_dir, tmp_path
+):
+    """decontam_gate_ingest_run: the streaming exact-substring gate
+    must quarantine exactly the docs the batch exact-decontamination
+    measurement flags (max verbatim eval run >= 8 tokens), keep the
+    rest, conserve the feed (kept + quarantine == input, nothing
+    silently dropped), and rewrite - not double-append - on replay."""
+    import hashlib
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_eval_overlap,
+    )
+    from txf_continuous_data_pipeline_spark.streaming.incremental import (
+        decontam_gate_ingest_run,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.select("doc_id", "source", "text").where(
+        F.col("source") != "src0"
+    )
+    ev = docs.where(F.col("source") == "src0").localCheckpoint(
+        eager=True
+    )
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        train.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    work = str(tmp_path / "work")
+    kept_dir, quar_dir = decontam_gate_ingest_run(
+        spark, feed, work, ev, max_run=8
+    )
+
+    kept = spark.read.parquet(kept_dir)
+    quar = spark.read.parquet(quar_dir)
+    all_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    quar_ids = {r["doc_id"] for r in quar.collect()}
+    assert kept_ids | quar_ids == all_ids
+    assert not (kept_ids & quar_ids)
+
+    # batch fold: the same operator over the WHOLE train side
+    lens = suffix_eval_overlap(train, ev)
+    flags = {
+        r["doc_id"]: r["mx"]
+        for r in lens.groupBy("doc_id")
+        .agg(F.max("eval_len").alias("mx"))
+        .collect()
+    }
+    want_quar = {d for d, m in flags.items() if m >= 8}
+    assert quar_ids == want_quar and want_quar
+    # quarantined rows carry the offending run length for audit
+    for r in quar.collect():
+        assert r["max_eval_run"] == flags[r["doc_id"]] >= 8
+
+    # ledger conserves the feed per batch
+    led = spark.read.parquet(os.path.join(work, "ledger"))
+    tot = led.agg(
+        F.sum("n_in").alias("i"),
+        F.sum("n_kept").alias("k"),
+        F.sum("n_quarantined").alias("q"),
+    ).collect()[0]
+    assert tot["i"] == len(all_ids) and tot["k"] + tot["q"] == tot["i"]
+
+    # replay over the consumed checkpoint rewrites identical bytes
+    def _tree(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before_k, before_q = _tree(kept_dir), _tree(quar_dir)
+    decontam_gate_ingest_run(spark, feed, work, ev, max_run=8)
+    assert _tree(kept_dir) == before_k
+    assert _tree(quar_dir) == before_q

@@ -2027,3 +2027,77 @@ def budgeted_ingest_run(
         label="budgeted ingest",
     )
     return kept_dir
+
+
+def decontam_gate_ingest_run(
+    spark: SparkSession,
+    feed_dir: str,
+    work_dir: str,
+    eval_df: DataFrame,
+    *,
+    max_run: int = 8,
+    timeout_s: int = 240,
+) -> "tuple[str, str]":
+    """Continuous corpus ingestion with EXACT-SUBSTRING
+    decontamination at the door (the streaming twin of the
+    exact_decontamination batch query): each arriving micro-batch of
+    documents is measured against the FROZEN eval set via the merged
+    suffix sort (operators/dedup.suffix_eval_overlap - per-batch cost
+    is O(batch + eval) suffix mass, never batch x eval pairs); docs
+    whose longest verbatim eval run stays under `max_run` tokens land
+    in kept/, the rest in quarantine/ WITH the offending run length -
+    rejected data stays auditable, the quality_filter_ingest_run
+    transparency discipline. The contamination verdict depends only
+    on the row itself against the fixed eval side, so the stream fold
+    trivially equals the batch split (pytest-pinned), and exactly-once
+    rides the commit-log batch=<id> overwrite layout.
+
+    Returns (kept_dir, quarantine_dir); a per-batch admission ledger
+    lands in work_dir/ledger."""
+    from ..operators.dedup import suffix_eval_overlap
+
+    kept_dir = os.path.join(work_dir, "kept")
+    quar_dir = os.path.join(work_dir, "quarantine")
+    ledger_dir = os.path.join(work_dir, "ledger")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        lens = suffix_eval_overlap(batch, eval_df)
+        per_doc = lens.groupBy("doc_id").agg(
+            F.max("eval_len").cast("long").alias("max_eval_run")
+        )
+        # LEFT join from the batch side: a doc the overlap pass cannot
+        # measure (null/empty text yields no suffix rows) must still
+        # land somewhere - it KEEPS (no tokens = nothing quoted), with
+        # a 0 run recorded
+        staged = batch.join(per_doc, "doc_id", "left").withColumn(
+            "max_eval_run",
+            F.coalesce("max_eval_run", F.lit(0)).cast("long"),
+        )
+        kept = staged.where(F.col("max_eval_run") < max_run)
+        quar = staged.where(F.col("max_eval_run") >= max_run)
+        _write_batch(kept, kept_dir, batch_id)
+        _write_batch(quar, quar_dir, batch_id)
+        n_in = batch.count()
+        n_q = quar.count()
+        _write_batch(
+            sess.createDataFrame(
+                [(int(batch_id), int(n_in), int(n_in - n_q), int(n_q))],
+                "batch_id long, n_in long, n_kept long, n_quarantined long",
+            ),
+            ledger_dir,
+            batch_id,
+            single_file=True,
+        )
+
+    _run_available_now(
+        spark, feed_dir, work_dir,
+        schema="doc_id long, source string, text string",
+        ingest=_ingest,
+        timeout_s=timeout_s,
+        label="decontamination gate ingest",
+    )
+    return kept_dir, quar_dir
