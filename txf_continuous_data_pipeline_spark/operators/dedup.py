@@ -1697,6 +1697,11 @@ def suffix_eval_overlap(
     # max/min of the eval-row sids, then the cross-partition boundary
     # from the driver-collected per-partition eval extrema
     emark = F.when(F.col("_side") == 1, F.col("sid"))
+    # both scans are RUNNING (unboundedPreceding..current) frames:
+    # Spark evaluates those incrementally in O(partition), while a
+    # (current..unboundedFollowing) frame re-scans the remaining rows
+    # per row - O(partition^2), measured 76 s on a 270k-suffix merge
+    # before this was flipped to a descending-order running min
     w_fwd = (
         Window.partitionBy("_pid")
         .orderBy("sid")
@@ -1704,8 +1709,8 @@ def suffix_eval_overlap(
     )
     w_bwd = (
         Window.partitionBy("_pid")
-        .orderBy("sid")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("sid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     # boundary maps need eval SIDs per partition; recompute extrema on
     # the sid frame (dimension-sized: one row per partition)
@@ -1732,48 +1737,81 @@ def suffix_eval_overlap(
     bdf = spark.createDataFrame(
         [tuple(r) for r in rows], "_pid int, _prevb long, _nextb long"
     )
+    # the window scan runs on a SLIM (sid, side, pid) projection -
+    # 20 bytes/row - so the suffix arrays never enter the window
+    # exchange; they rejoin by sid afterwards (review of the first
+    # cut: carrying the slices through two window functions plus the
+    # pid exchange re-moved the whole slice mass twice)
     scanned = (
-        sidf.withColumn("_pe_loc", F.max(emark).over(w_fwd))
+        sidf.select("_side", "_pid", "sid")
+        .withColumn("_pe_loc", F.max(emark).over(w_fwd))
         .withColumn("_ne_loc", F.min(emark).over(w_bwd))
         .join(F.broadcast(bdf), "_pid")
-        .withColumn("_pe", F.coalesce("_pe_loc", "_prevb"))
-        .withColumn("_ne", F.coalesce("_ne_loc", "_nextb"))
+        .select(
+            "sid",
+            "_side",
+            F.coalesce("_pe_loc", "_prevb").alias("_pe"),
+            F.coalesce("_ne_loc", "_nextb").alias("_ne"),
+        )
     )
-    trows = scanned.where(F.col("_side") == 0).select(
-        id_col, "pos", "_sfx", "_pe", "_ne"
+    trows = (
+        sidf.where(F.col("_side") == 0)
+        .select(id_col, "pos", "_sfx", "sid")
+        .join(scanned.where(F.col("_side") == 0).drop("_side"), "sid")
     )
+    # eval side broadcasts: benchmark sets are small by nature (the
+    # decontamination-family discipline), so the two neighbor lookups
+    # never shuffle the train-side slice mass
     eslices = sidf.where(F.col("_side") == 1).select(
         F.col("sid").alias("_esid"), F.col("_sfx").alias("_esfx")
     )
 
-    def _lcp(a, b):
-        # explicit null guard: F.least SKIPS nulls (it returns the
-        # smallest NON-null operand), so with a missing eval neighbor
-        # m would silently become size(a) and the no-mismatch fall-
-        # through would report a full-length overlap against nothing
-        m = F.least(F.size(a), F.size(b))
-        first_bad = F.get(
-            F.filter(
-                F.sequence(F.lit(1), m),
-                lambda i: F.element_at(a, i) != F.element_at(b, i),
-            ),
-            0,
-        )
-        return F.when(
-            a.isNull() | b.isNull(), F.lit(0)
-        ).otherwise(F.coalesce(first_bad - 1, m))
+    # LCP as ONE Arrow batch instead of interpreted per-element
+    # lambdas: the filter/element_at column form evaluates ~|suffix|
+    # interpreted ops per row and this operator needs it twice per
+    # train suffix (both eval neighbors) - measured 42 s at sf0.1 vs
+    # ~2 s for the numpy form (the repo's documented vectorized-Arrow
+    # exception class: the MinHash/SimHash signature-vote lesson).
+    # The null guard lives inside the batch: a missing eval neighbor
+    # scores 0 (F.least would silently SKIP the null operand and
+    # report a full-length overlap against nothing - caught by the
+    # pure-Python differential in tests/test_properties.py).
+    @pandas_udf("long")
+    def _lcp2_arrow(
+        a: pd.Series, p_: pd.Series, n_: pd.Series
+    ) -> pd.Series:
+        la, lp, ln = a.tolist(), p_.tolist(), n_.tolist()
+        out = np.zeros(len(la), dtype=np.int64)
+        for i, x in enumerate(la):
+            if x is None:
+                continue
+            xa = np.asarray(x)
+            best = 0
+            for y in (lp[i], ln[i]):
+                if y is None:
+                    continue
+                ya = np.asarray(y)
+                m = min(len(xa), len(ya))
+                neq = np.flatnonzero(xa[:m] != ya[:m])
+                best = max(best, int(neq[0]) if len(neq) else m)
+            out[i] = best
+        return pd.Series(out)
 
     joined = (
         trows.join(
-            eslices.withColumnRenamed("_esid", "_pe").withColumnRenamed(
-                "_esfx", "_pesfx"
+            F.broadcast(
+                eslices.withColumnRenamed(
+                    "_esid", "_pe"
+                ).withColumnRenamed("_esfx", "_pesfx")
             ),
             "_pe",
             "left",
         )
         .join(
-            eslices.withColumnRenamed("_esid", "_ne").withColumnRenamed(
-                "_esfx", "_nesfx"
+            F.broadcast(
+                eslices.withColumnRenamed(
+                    "_esid", "_ne"
+                ).withColumnRenamed("_esfx", "_nesfx")
             ),
             "_ne",
             "left",
@@ -1781,13 +1819,8 @@ def suffix_eval_overlap(
         .select(
             id_col,
             "pos",
-            F.greatest(
-                F.coalesce(
-                    _lcp(F.col("_sfx"), F.col("_pesfx")), F.lit(0)
-                ),
-                F.coalesce(
-                    _lcp(F.col("_sfx"), F.col("_nesfx")), F.lit(0)
-                ),
+            _lcp2_arrow(
+                F.col("_sfx"), F.col("_pesfx"), F.col("_nesfx")
             ).alias("eval_len"),
         )
     )
