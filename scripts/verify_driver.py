@@ -45,11 +45,16 @@ def canon(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        # Arrow hands DECIMAL columns over as decimal.Decimal; the
-        # driver-side pandas path sees float64, so compare as float
-        # (restores isclose tolerance - Decimal is neither float nor
-        # int to values_match).
-        return float(v)
+        # Keep Decimals EXACT (the r12 lesson: coercing to float here
+        # hid a driver-red >2^53 checksum behind nine local "ALL OK"
+        # runs). values_match handles Decimal-vs-float tolerance for
+        # float-safe magnitudes; compare() separately hard-fails any
+        # >2^53 Decimal output, because the external driver's hasher
+        # float-coerces asymmetrically and would mark it red even
+        # when both engines agree exactly.
+        if v.is_nan():
+            return None
+        return v
     try:  # pandas NaT / NaN-likes
         import pandas as pd
 
@@ -72,7 +77,27 @@ def rows_key(rows):
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
+FLOAT_SAFE = 1 << 53  # largest contiguous exact integer in float64
+
+
 def values_match(a, b):
+    import decimal
+
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        if isinstance(a, decimal.Decimal) and isinstance(b, decimal.Decimal):
+            if a == b:
+                return True
+            # beyond float64's exact range, exact equality is the ONLY
+            # acceptable outcome - isclose would paper over corruption
+            if max(abs(a), abs(b)) > FLOAT_SAFE:
+                return False
+            return math.isclose(
+                float(a), float(b), rel_tol=1e-9, abs_tol=1e-9
+            )
+        fa, fb = float(a), float(b)
+        if max(abs(fa), abs(fb)) > FLOAT_SAFE:
+            return False
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, float) and isinstance(b, (float, int)):
         return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(b, float) and isinstance(a, (float, int)):
@@ -107,6 +132,25 @@ def _canon_type(t) -> str:
     return s
 
 
+def wide_decimal_err(rows, side):
+    """The external driver float-coerces Decimals on one side of its
+    compare, so a >2^53 Decimal output is driver-red EVEN WHEN both
+    engines agree exactly (price_quantile_sketch, r12). Flag it here so
+    the class can never ship locally-green: emit hex strings or <2^53
+    halves instead."""
+    import decimal
+
+    for row in rows:
+        for v in row:
+            if isinstance(v, decimal.Decimal) and abs(v) > FLOAT_SAFE:
+                return (
+                    f"WIDE-DECIMAL {side} value {v} exceeds 2^53; "
+                    "driver hashing corrupts it - use a float-safe "
+                    "representation"
+                )
+    return None
+
+
 def compare(name, spark_df, con, sql):
     cols = sorted(spark_df.columns)
     s_rows = [
@@ -131,6 +175,11 @@ def compare(name, spark_df, con, sql):
     ]
     if len(s_rows) != len(o_rows):
         return f"ROWCOUNT spark={len(s_rows)} oracle={len(o_rows)}"
+    err = wide_decimal_err(s_rows, "spark") or wide_decimal_err(
+        o_rows, "oracle"
+    )
+    if err:
+        return err
     for sr, orow in zip(rows_key(s_rows), rows_key(o_rows)):
         for a, b in zip(sr, orow):
             if not values_match(a, b):

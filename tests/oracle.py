@@ -40,9 +40,20 @@ def _canon(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        # Arrow yields decimal.Decimal for DECIMAL columns; compare as
-        # float so the isclose tolerance applies (the driver's pandas
-        # conversion sees float64 here).
+        # Arrow yields decimal.Decimal for DECIMAL columns. Up to 2^53
+        # compare as float so the isclose tolerance applies (the
+        # driver's pandas conversion sees float64 here). BEYOND 2^53 a
+        # float cannot represent the value and the external driver's
+        # asymmetric coercion corrupts it even when both engines agree
+        # exactly (r12 price_quantile_sketch) - fail loudly so the
+        # class can never ship locally-green again.
+        if abs(v) > 1 << 53:
+            raise AssertionError(
+                f"wide Decimal output {v} exceeds 2^53: the external "
+                "driver float-coerces one side of its compare and "
+                "corrupts it - emit a float-safe representation "
+                "(hex string or <2^53 halves)"
+            )
         return float(v)
     # Normalize temporal types: pandas Timestamp vs datetime.date vs
     # datetime.datetime must compare equal when they name the same

@@ -267,9 +267,14 @@ def bottomk_quantile_sketch(
     of the input).
 
     Output: one row per group - group_col, n_rows (exact), n_retained,
-    retained_h_sum (DECIMAL(38,0) checksum over the retained set's
-    hashes, so the oracle checks the WHOLE retained set, not just the
-    order statistics), and one p{q}_sketch column per requested
+    retained_h_lo / retained_h_hi (BIGINT checksums over the retained
+    set's hashes - the low and high 30 bits summed separately, so the
+    oracle checks the WHOLE retained set, not just the order
+    statistics; each half is <= 4096 * 2^30 < 2^42, safely inside
+    float64's 2^53 exact-integer range, because the r12 driver
+    rotation proved a single >2^53 DECIMAL(38,0) sum gets corrupted
+    asymmetrically by any float coercion in a comparison harness),
+    and one p{q}_sketch column per requested
     quantile (the lower empirical quantile of the sample: 1-indexed
     rank greatest(1, ceil(q * n_retained)), value-then-hash ordered so
     ties break identically on every engine)."""
@@ -312,7 +317,10 @@ def bottomk_quantile_sketch(
     )
     stats = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_retained"),
-        F.sum(F.col("_h").cast("decimal(38,0)")).alias("retained_h_sum"),
+        F.sum(F.col("_h").bitwiseAND(F.lit((1 << 30) - 1)))
+        .cast("long")
+        .alias("retained_h_lo"),
+        F.sum(F.shiftright(F.col("_h"), 30)).cast("long").alias("retained_h_hi"),
         *[
             F.max(
                 F.when(

@@ -2112,7 +2112,8 @@ SELECT l_returnflag,
          AS p99_sketch,
        CAST(max(n_all) AS BIGINT) AS n_rows,
        CAST(max(n_kept) AS BIGINT) AS n_retained,
-       CAST(sum(h) AS DECIMAL(38,0)) AS retained_h_sum
+       CAST(sum(h & 1073741823) AS BIGINT) AS retained_h_lo,
+       CAST(sum(h >> 30) AS BIGINT) AS retained_h_hi
 FROM s GROUP BY l_returnflag
 """
 
@@ -2128,7 +2129,9 @@ def price_quantile_sketch_q(spark, sf_dir):
     ("keep the k smallest hashes") is arrival-order-free, so the
     oracle re-derives the EXACT retained set (row_number over the
     same md5-prefix hash) and the quantiles read off it, plus a
-    DECIMAL(38,0) hash-sum checksum over the whole retained set.
+    two-half BIGINT hash-sum checksum over the whole retained set
+    (low/high 30 bits summed separately - each half < 2^42, so no
+    driver-side float coercion can corrupt it; the r12 lesson).
     Merging shard sketches = union + keep k smallest + sum counts -
     still the associative one-shuffle shape GK had, with the rank
     error trade (n*sqrt(q(1-q)/k) vs n/accuracy) pinned against the
@@ -2155,7 +2158,8 @@ def price_quantile_sketch_q(spark, sf_dir):
         F.round("p99_sketch", 4).alias("p99_sketch"),
         "n_rows",
         "n_retained",
-        "retained_h_sum",
+        "retained_h_lo",
+        "retained_h_hi",
     )
 
 
