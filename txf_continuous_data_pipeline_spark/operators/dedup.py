@@ -1219,31 +1219,32 @@ def _order_consistent_ranks(
     return with_id.join(ranks, key_cols).drop("_mid")
 
 
-def _suffix_dup_lengths_sorted(
-    df: DataFrame, *, id_col: str, text_col: str
-) -> DataFrame:
-    """strategy='sort' body of suffix_dup_lengths: one global
-    range-sort of the suffix token-hash slices, consecutive
-    suffix-array ids via the two-pass partition-offset assignment
-    (range-sort -> checkpoint -> per-partition counts collected
-    driver-side, a <=#partitions-row collect -> partition-local
-    row_number + broadcast offset; never a global single-task
-    window), one sid/sid+1 equi-join whose two slice payloads feed
-    the first-mismatch LCP column expression, one per-position max."""
-    from pyspark.sql import Window
-
+def _suffix_slice_frames(
+    df: DataFrame, *, id_col: str, text_col: str, side
+) -> "tuple[DataFrame, DataFrame]":
+    """(base, sfx) for the suffix-sort family: base = (id, _h
+    token-hash array), sfx = one row per suffix carrying its hash
+    slice plus a _side tag (0 = train/corpus, 1 = eval; an int or a
+    per-row Column) - the tag is what lets ONE merged sort serve both
+    the dup-length and the eval-overlap derivations (r12 verdict #3:
+    the family paid two ~7 s sorts per bench pass for the same
+    corpus)."""
     toks_arr = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
     )
-    base = df.select(
+    side_col = side if isinstance(side, Column) else F.lit(side)
+    tagged = df.select(
         F.col(id_col),
+        side_col.alias("_side"),
         F.transform(
             toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
         ).alias("_h"),
     ).where(F.size("_h") > 0)
-    sfx = base.select(
+    base = tagged.select(id_col, "_h")
+    sfx = tagged.select(
         id_col,
+        "_side",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_h")),
@@ -1251,13 +1252,30 @@ def _suffix_dup_lengths_sorted(
             )
         ).alias("pos", "_sfx"),
     )
+    return base, sfx
+
+
+def suffix_sorted_frame(sfx: DataFrame, *, id_col: str) -> DataFrame:
+    """ONE global range-sort of suffix slices + the two-pass
+    partition-offset sid assignment (range-sort -> checkpoint ->
+    per-partition counts collected driver-side, a <=#partitions-row
+    collect -> partition-local row_number + broadcast offset; never a
+    global single-task window). Returns the checkpointed
+    (_side, id, pos, _sfx, _pid, sid) frame every suffix-grain
+    consumer derives from. Equal slices are ordered by (_side, id,
+    pos) within their tie block, but every derivation is tie-
+    insensitive: equal _sfx means the ENTIRE slices are equal, so any
+    tied representative yields the same LCP against its neighbors."""
+    from pyspark.sql import Window
+
+    keys = ["_sfx", "_side", id_col, "pos"]
     # checkpoint BEFORE the two consumers (counts collect + the main
     # job): range boundaries are sampled, so without the pin the two
     # evaluations could partition differently and the offsets would
     # describe the wrong layout
     sorted_ = (
-        sfx.repartitionByRange("_sfx", id_col, "pos")
-        .sortWithinPartitions("_sfx", id_col, "pos")
+        sfx.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -1271,20 +1289,39 @@ def _suffix_dup_lengths_sorted(
     for pid in sorted(counts):
         offs.append((pid, acc))
         acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
+    off_df = sfx.sparkSession.createDataFrame(
         offs, "_pid int, _off long"
     )
-    w = Window.partitionBy("_pid").orderBy("_sfx", id_col, "pos")
-    sid = (
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    # checkpoint the sid frame too: the family reads it several times
+    # (dup pairs join on sid AND sid+1, the eval scan, the eval slice
+    # broadcasts), and each read would otherwise replay the window +
+    # offset join over the full slice mass
+    return (
         sorted_.withColumn("_lrn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_pid")
         .select(
+            "_side",
             id_col,
             "pos",
             "_sfx",
+            "_pid",
             (F.col("_off") + F.col("_lrn") - 1).alias("sid"),
         )
+        .localCheckpoint(eager=True)
     )
+
+
+def suffix_dup_lengths_from_frame(
+    sidf: DataFrame, base: DataFrame, *, id_col: str
+) -> DataFrame:
+    """(id, pos, dup_len) derived from a suffix_sorted_frame: one
+    sid/sid+1 equi-join whose two slice payloads feed the
+    first-mismatch LCP column expression, one per-position max over
+    both directions, zero-fill from `base`'s position universe. Side
+    tags are ignored - duplication is corpus-wide, eval rows
+    included."""
+    sid = sidf.select("sid", id_col, "pos", "_sfx")
     b = sid.select(
         (F.col("sid") - F.lit(1)).alias("sid"),
         F.col(id_col).alias("_bdoc"),
@@ -1329,6 +1366,20 @@ def _suffix_dup_lengths_sorted(
         F.col("pos").cast("int").alias("pos"),
         F.coalesce("dup_len", F.lit(0)).cast("long").alias("dup_len"),
     )
+
+
+def _suffix_dup_lengths_sorted(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """strategy='sort' body of suffix_dup_lengths: slice -> one global
+    range-sort with sid assignment -> neighbor-LCP derivation. Each
+    stage is a shared builder so report families can reuse the sorted
+    frame across consumers (queries/text_dedup._cached_suffix_frame)."""
+    base, sfx = _suffix_slice_frames(
+        df, id_col=id_col, text_col=text_col, side=0
+    )
+    sidf = suffix_sorted_frame(sfx, id_col=id_col)
+    return suffix_dup_lengths_from_frame(sidf, base, id_col=id_col)
 
 
 def suffix_dup_lengths(
@@ -1630,69 +1681,28 @@ def suffix_eval_overlap(
     consumer exact_decontamination_q aggregates per document.
     Ids must be unique across the two frames (they are: both sides
     come from the same documents table)."""
+    tbase, tsfx = _suffix_slice_frames(
+        train, id_col=id_col, text_col=text_col, side=0
+    )
+    _, esfx = _suffix_slice_frames(
+        eval_df, id_col=id_col, text_col=text_col, side=1
+    )
+    sidf = suffix_sorted_frame(tsfx.unionByName(esfx), id_col=id_col)
+    return suffix_eval_overlap_from_frame(sidf, tbase, id_col=id_col)
+
+
+def suffix_eval_overlap_from_frame(
+    sidf: DataFrame, tbase: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, eval_len) per TRAIN position derived from a merged
+    side-tagged suffix_sorted_frame (_side 1 = eval): the scan +
+    two-neighbor-LCP half of suffix_eval_overlap, factored out so the
+    frame can be shared with the dup-length derivation - the sort is
+    the expensive stage, and both consumers read the SAME sorted
+    corpus (r12 verdict #3)."""
     from pyspark.sql import Window
 
-    def _slices(df, side):
-        toks_arr = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-            lambda t: t != "",
-        )
-        base = df.select(
-            F.col(id_col),
-            F.transform(
-                toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
-            ).alias("_h"),
-        ).where(F.size("_h") > 0)
-        sfx = base.select(
-            id_col,
-            F.lit(side).alias("_side"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_h")),
-                    lambda i: F.slice(
-                        F.col("_h"), i, F.size("_h") - i + 1
-                    ),
-                )
-            ).alias("pos", "_sfx"),
-        )
-        return base, sfx
-
-    tbase, tsfx = _slices(train, 0)
-    _, esfx = _slices(eval_df, 1)
-    keys = ["_sfx", "_side", id_col, "pos"]
-    sorted_ = (
-        tsfx.unionByName(esfx)
-        .repartitionByRange(*keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in sorted_.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    spark = train.sparkSession
-    off_df = spark.createDataFrame(offs, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    sidf = (
-        sorted_.withColumn("_lrn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .select(
-            "_side",
-            id_col,
-            "pos",
-            "_sfx",
-            "_pid",
-            (F.col("_off") + F.col("_lrn") - 1).alias("sid"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    spark = sidf.sparkSession
     # nearest eval sid in each direction: per-partition running
     # max/min of the eval-row sids, then the cross-partition boundary
     # from the driver-collected per-partition eval extrema
@@ -1721,7 +1731,12 @@ def suffix_eval_overlap(
         .agg(F.min("sid").alias("mn"), F.max("sid").alias("mx"))
         .collect()
     }
-    pids = sorted(counts)
+    # the partition universe comes off the frame itself (dimension-
+    # sized: one row per partition), since the sort builder's counts
+    # are not in scope when the frame arrives pre-built
+    pids = sorted(
+        r["_pid"] for r in sidf.select("_pid").distinct().collect()
+    )
     rows, run = [], None
     for p in pids:
         prevb = run

@@ -580,7 +580,40 @@ LEFT JOIN (
 """
 
 
+_SUFFIX_FRAME_CACHE: dict = {}
 _SUFFIX_LENS_CACHE: dict = {}
+
+
+def _cached_suffix_frame(spark, sf_dir):
+    """ONE merged side-tagged suffix sort for the WHOLE suffix-grain
+    family (r12 verdict #3: exact_substr_stats, longest_dup_substrings
+    and exact_decontamination each paid their own ~7 s sort over the
+    same corpus). Rows from source 'src0' (the benchmark stand-in eval
+    set) carry _side = 1, everything else _side = 0; filtering a
+    sorted frame preserves suffix order, so the same frame serves both
+    the corpus-wide dup-length derivation (all rows - duplication
+    counts eval docs too, matching the all-documents oracle) and the
+    train-vs-eval nearest-neighbor overlap scan."""
+    from ..operators.dedup import (
+        _suffix_slice_frames,
+        suffix_sorted_frame,
+    )
+
+    key = _corpus_key(spark, sf_dir)
+    if key not in _SUFFIX_FRAME_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        _, sfx = _suffix_slice_frames(
+            docs,
+            id_col="doc_id",
+            text_col="text",
+            side=F.when(F.col("source") == "src0", F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        _SUFFIX_FRAME_CACHE[key] = suffix_sorted_frame(
+            sfx, id_col="doc_id"
+        )
+    return _SUFFIX_FRAME_CACHE[key]
 
 
 def _cached_suffix_lens(spark, sf_dir):
@@ -588,14 +621,22 @@ def _cached_suffix_lens(spark, sf_dir):
     pos, dup_len): the suffix sort is the expensive stage, and TWO
     report queries consume it (exact_substr_stats +
     longest_dup_substrings) - the memoized-bar-frame discipline, so a
-    bench/driver session pays the sort once per corpus."""
-    from ..operators.dedup import suffix_dup_lengths
+    bench/driver session pays the sort once per corpus (and since r13,
+    the sort itself is the shared _cached_suffix_frame the
+    decontamination arm also rides)."""
+    from ..operators.dedup import (
+        _suffix_slice_frames,
+        suffix_dup_lengths_from_frame,
+    )
 
     key = _corpus_key(spark, sf_dir)
     if key not in _SUFFIX_LENS_CACHE:
         docs = read_table(spark, sf_dir, "documents")
-        _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths(
-            docs
+        base, _ = _suffix_slice_frames(
+            docs, id_col="doc_id", text_col="text", side=0
+        )
+        _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths_from_frame(
+            _cached_suffix_frame(spark, sf_dir), base, id_col="doc_id"
         ).localCheckpoint(eager=True)
     return _SUFFIX_LENS_CACHE[key]
 
@@ -1380,13 +1421,23 @@ def exact_decontamination_q(spark, sf_dir):
     attained), never train x eval pairs; nearest-eval ids ride a
     per-partition scan + driver-side boundary fix-up, one row per
     partition (operators/dedup.suffix_eval_overlap - pinned against a
-    pure-Python merged suffix array in tests/test_properties.py)."""
-    from ..operators.dedup import suffix_eval_overlap
+    pure-Python merged suffix array in tests/test_properties.py).
+    The sort rides the family-shared _cached_suffix_frame (r12
+    verdict #3) - a bench/driver session pays it once for this query,
+    exact_substr_stats AND longest_dup_substrings."""
+    from ..operators.dedup import (
+        _suffix_slice_frames,
+        suffix_eval_overlap_from_frame,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     train = docs.where(F.col("source") != "src0")
-    ev = docs.where(F.col("source") == "src0")
-    lens = suffix_eval_overlap(train, ev, min_len=8)
+    tbase, _ = _suffix_slice_frames(
+        train, id_col="doc_id", text_col="text", side=0
+    )
+    lens = suffix_eval_overlap_from_frame(
+        _cached_suffix_frame(spark, sf_dir), tbase, id_col="doc_id"
+    )
     per_doc = lens.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count(F.when(F.col("eval_len") >= 8, 1))
