@@ -75,6 +75,7 @@ def stage_documents(spark, replicas: int, workdir: str) -> str:
             ),
         ),
     )
+    tmp_dir = os.path.join(staged, "_docs_build")
     (
         docs.select("doc_id", "text", "lang", "source", rep)
         .select(
@@ -84,9 +85,17 @@ def stage_documents(spark, replicas: int, workdir: str) -> str:
             "source",
             F.length(text).alias("n_chars"),
         )
+        .repartition(1)  # read_table expects ONE parquet file per table
         .write.mode("overwrite")
-        .parquet(docs_path)
+        .parquet(tmp_dir)
     )
+    part = [
+        f
+        for f in os.listdir(tmp_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ][0]
+    os.rename(os.path.join(tmp_dir, part), docs_path)
+    shutil.rmtree(tmp_dir)
     return staged
 
 
@@ -119,9 +128,17 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "true")
+        # the 10x suffix slice mass needs real executor memory; a bare
+        # local session defaults to 1g and OOMs the range sort
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .appName("sf1_tail_probe")
         .getOrCreate()
     )
