@@ -767,3 +767,69 @@ def test_suffix_eval_overlap_matches_pure_python(spark, sf_dir):
     assert max(got.values()) < max(
         len(t) for t in tr.values()
     ) or any(v > 0 for v in got.values())
+
+
+def test_shared_suffix_frame_serves_both_derivations(spark, sf_dir):
+    """r12 verdict #3 pin: ONE merged side-tagged suffix sort serves
+    the whole family. (a) dup_len derived from the side-tagged merged
+    frame (eval rows included, _side in the tie-break keys) is
+    row-identical to the standalone train-only-keyed sort - the
+    tie-insensitivity claim, since tie blocks carry identical slices;
+    (b) the eval-overlap derivation off the SAME frame matches the
+    standalone suffix_eval_overlap; (c) the query-layer cache returns
+    the same frame object across consumers, so a session pays the
+    sort once per corpus."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_slice_frames,
+        suffix_dup_lengths,
+        suffix_dup_lengths_from_frame,
+        suffix_eval_overlap,
+        suffix_eval_overlap_from_frame,
+        suffix_sorted_frame,
+    )
+    from txf_continuous_data_pipeline_spark.queries.text_dedup import (
+        _cached_suffix_frame,
+    )
+    from txf_continuous_data_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    side = F.when(F.col("source") == "src0", F.lit(1)).otherwise(F.lit(0))
+    base, sfx = _suffix_slice_frames(
+        docs, id_col="doc_id", text_col="text", side=side
+    )
+    sidf = suffix_sorted_frame(sfx, id_col="doc_id")
+
+    got_lens = {
+        (r["doc_id"], r["pos"]): r["dup_len"]
+        for r in suffix_dup_lengths_from_frame(
+            sidf, base, id_col="doc_id"
+        ).collect()
+    }
+    want_lens = {
+        (r["doc_id"], r["pos"]): r["dup_len"]
+        for r in suffix_dup_lengths(docs, strategy="sort").collect()
+    }
+    assert got_lens == want_lens and got_lens
+
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    tbase, _ = _suffix_slice_frames(
+        train, id_col="doc_id", text_col="text", side=0
+    )
+    got_ov = {
+        (r["doc_id"], r["pos"]): r["eval_len"]
+        for r in suffix_eval_overlap_from_frame(
+            sidf, tbase, id_col="doc_id"
+        ).collect()
+    }
+    want_ov = {
+        (r["doc_id"], r["pos"]): r["eval_len"]
+        for r in suffix_eval_overlap(train, ev).collect()
+    }
+    assert got_ov == want_ov and got_ov
+
+    assert _cached_suffix_frame(spark, sf_dir) is _cached_suffix_frame(
+        spark, sf_dir
+    )
