@@ -833,3 +833,65 @@ def test_shared_suffix_frame_serves_both_derivations(spark, sf_dir):
     assert _cached_suffix_frame(spark, sf_dir) is _cached_suffix_frame(
         spark, sf_dir
     )
+
+
+def test_suffix_family_degenerate_corpora(spark):
+    """Crash-freedom + exact semantics of the shared suffix builders on
+    degenerate inputs: empty corpus (empty partition-offset frame),
+    single doc (self-overlap only), single token, eval-only / train-only
+    sides, and whitespace-only docs (dropped by the size>0 guard)."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_slice_frames,
+        suffix_dup_lengths_from_frame,
+        suffix_eval_overlap_from_frame,
+        suffix_sorted_frame,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, s int"
+        )
+        base, sfx = _suffix_slice_frames(
+            df, id_col="doc_id", text_col="text", side=F.col("s")
+        )
+        sidf = suffix_sorted_frame(sfx, id_col="doc_id")
+        lens = sorted(
+            (r["doc_id"], r["pos"], r["dup_len"])
+            for r in suffix_dup_lengths_from_frame(
+                sidf, base, id_col="doc_id"
+            ).collect()
+        )
+        tbase, _ = _suffix_slice_frames(
+            df.where(F.col("s") == 0),
+            id_col="doc_id",
+            text_col="text",
+            side=0,
+        )
+        ov = sorted(
+            (r["doc_id"], r["pos"], r["eval_len"])
+            for r in suffix_eval_overlap_from_frame(
+                sidf, tbase, id_col="doc_id"
+            ).collect()
+        )
+        return lens, ov
+
+    assert run([]) == ([], [])
+    # "a b a b": suffixes at 0 and 2 share "a b" (LCP 2); 1 and 3 share "b"
+    assert run([(1, "a b a b", 0)]) == (
+        [(1, 0, 2), (1, 1, 1), (1, 2, 2), (1, 3, 1)],
+        [(1, 0, 0), (1, 1, 0), (1, 2, 0), (1, 3, 0)],
+    )
+    assert run([(1, "x", 0)]) == ([(1, 0, 0)], [(1, 0, 0)])
+    # eval-only corpus: no train positions to report
+    assert run([(1, "a b c", 1)]) == (
+        [(1, 0, 0), (1, 1, 0), (1, 2, 0)],
+        [],
+    )
+    # whitespace-only docs are dropped by the size>0 guard; the eval
+    # doc "a a" self-overlaps at the dup grain but no train rows exist
+    assert run([(1, "   ", 0), (2, "a a", 1)]) == (
+        [(2, 0, 1), (2, 1, 1)],
+        [],
+    )
