@@ -478,3 +478,13 @@ def test_knn_label_propagation_no_corpus_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_label_propagation")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orc_roundtrip_read_is_partition_pruned(spark, sf_dir):
+    # The ORC source twin: the bucket filter must reach the scan as a
+    # PartitionFilter (directory pruning - 2 of 8 bucket dirs), never a
+    # post-scan Filter over the whole dataset.
+    plan = _plan(spark, sf_dir, "orc_roundtrip")
+    assert "Format: ORC" in plan
+    assert "PartitionFilters: [bucket" in plan
+    assert "IN (2,5)" in plan

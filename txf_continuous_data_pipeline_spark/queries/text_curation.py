@@ -1545,6 +1545,74 @@ def jsonl_roundtrip_q(spark, sf_dir):
     )
 
 
+_ORC_CACHE: dict = {}
+
+
+def _orc_path(spark, sf_dir):
+    """One partitioned ORC write per (applicationId, corpus) - the
+    _jsonl_path discipline. Layout: partitionBy(bucket = doc_id % 8),
+    Spark's native ORC writer, so the read side exercises directory
+    partition pruning (the ORC analogue of the parquet sink's pruned
+    incremental read)."""
+    import os
+    import re
+    import tempfile
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    stamp = (os.path.getmtime(p), os.path.getsize(p))
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    if key not in _ORC_CACHE:
+        app = re.sub(
+            r"[^A-Za-z0-9_-]", "_", spark.sparkContext.applicationId
+        )
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_orc_{app}",
+            re.sub(r"[^A-Za-z0-9_-]", "_", str(key[1:])),
+        )
+        docs = read_table(spark, sf_dir, "documents").withColumn(
+            "bucket", F.col("doc_id") % 8
+        )
+        docs.write.mode("overwrite").partitionBy("bucket").orc(path)
+        _ORC_CACHE[key] = path
+    return _ORC_CACHE[key]
+
+
+_ORC_SQL = """
+SELECT doc_id, source, lang, doc_id % 8 AS bucket,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id % 8 IN (2, 5)
+"""
+
+
+@q("orc_roundtrip", _ORC_SQL)
+def orc_roundtrip_q(spark, sf_dir):
+    """ORC sink + source round trip through Spark's built-in columnar
+    twin of parquet (S-coverage breadth: a training-data engine meets
+    ORC wherever Hive-era lakes feed it): documents write once per
+    corpus as a bucket-partitioned ORC dataset (bucket = doc_id % 8,
+    pure column expr, no global sort) and read back with a
+    partition-pruned filter (bucket IN (2,5) - 2 of 8 directories;
+    tests/test_plans.py pins PartitionFilters in the scan and
+    inputFiles confined to the two bucket dirs). The oracle re-derives
+    every surviving doc's md5 and UTF-8 byte length from the parquet
+    original, so a byte lost anywhere in write -> ORC -> read -> prune
+    fails the value hash, and an unpruned/over-pruned read fails the
+    row count."""
+    path = _orc_path(spark, sf_dir)
+    back = spark.read.orc(path)
+    return back.where(F.col("bucket").isin(2, 5)).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.md5("text").alias("payload_md5"),
+        F.octet_length("text").cast("long").alias("payload_bytes"),
+    )
+
+
 # Planted crawl URL per doc (the pii_redact discipline: the synthetic
 # corpus has no natural URLs, so the query plants a deterministic one
 # per doc exercising every canonicalization rule - mixed-case scheme/
