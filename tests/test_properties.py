@@ -895,3 +895,103 @@ def test_suffix_family_degenerate_corpora(spark):
         [(2, 0, 1), (2, 1, 1)],
         [],
     )
+
+
+def test_suffix_family_adversarial_shapes(spark):
+    """Adversarial corpus shapes through the shared builders, each
+    against an inline pure-Python suffix-array differential: all-equal
+    tokens (maximal tie blocks - the shape that would expose any
+    tie-break sensitivity), nested repeats, an eval doc VERBATIM equal
+    to a train doc (full-length contamination), and an eval doc that
+    is a proper substring of a train doc."""
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_slice_frames,
+        suffix_dup_lengths_from_frame,
+        suffix_eval_overlap_from_frame,
+        suffix_sorted_frame,
+    )
+
+    def py_dup_lengths(toks):
+        suf = sorted(
+            (tuple(ws[i:]), d, i)
+            for d, ws in toks.items()
+            for i in range(len(ws))
+        )
+        want = {}
+        for a, b in zip(suf, suf[1:]):
+            l = 0
+            for x, y in zip(a[0], b[0]):
+                if x != y:
+                    break
+                l += 1
+            for s in (a, b):
+                k = (s[1], s[2])
+                want[k] = max(want.get(k, 0), l)
+        for d, ws in toks.items():
+            for i in range(len(ws)):
+                want.setdefault((d, i), 0)
+        return want
+
+    def py_eval_overlap(train_toks, eval_toks):
+        want = {}
+        for d, ws in train_toks.items():
+            for i in range(len(ws)):
+                best = 0
+                for ews in eval_toks.values():
+                    for j in range(len(ews)):
+                        l = 0
+                        for x, y in zip(ws[i:], ews[j:]):
+                            if x != y:
+                                break
+                            l += 1
+                        best = max(best, l)
+                want[(d, i)] = best
+        return want
+
+    corpora = [
+        # all-equal tokens: every suffix of every doc ties maximally
+        {1: "z z z z z", 2: "z z z", 3: "z"},
+        # nested repeats: "a b a b a" self-overlaps at shifted offsets
+        {1: "a b a b a", 2: "b a b"},
+        # eval (doc 9) verbatim equals train doc 1
+        {1: "p q r s", 2: "x y", 9: "p q r s"},
+        # eval (doc 9) is a proper substring of train doc 1
+        {1: "m n o p q", 9: "n o p"},
+    ]
+    for toks_map in corpora:
+        rows = [
+            (d, t, 1 if d >= 9 else 0) for d, t in toks_map.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, s int"
+        )
+        base, sfx = _suffix_slice_frames(
+            df, id_col="doc_id", text_col="text", side=F.col("s")
+        )
+        sidf = suffix_sorted_frame(sfx, id_col="doc_id")
+        got = {
+            (r["doc_id"], r["pos"]): r["dup_len"]
+            for r in suffix_dup_lengths_from_frame(
+                sidf, base, id_col="doc_id"
+            ).collect()
+        }
+        toks = {d: t.split() for d, t in toks_map.items()}
+        assert got == py_dup_lengths(toks), toks_map
+
+        train_toks = {d: w for d, w in toks.items() if d < 9}
+        eval_toks = {d: w for d, w in toks.items() if d >= 9}
+        tbase, _ = _suffix_slice_frames(
+            df.where(F.col("s") == 0),
+            id_col="doc_id",
+            text_col="text",
+            side=0,
+        )
+        got_ov = {
+            (r["doc_id"], r["pos"]): r["eval_len"]
+            for r in suffix_eval_overlap_from_frame(
+                sidf, tbase, id_col="doc_id"
+            ).collect()
+        }
+        assert got_ov == py_eval_overlap(train_toks, eval_toks), toks_map
