@@ -1248,10 +1248,15 @@ def _suffix_slice_frames(
     # The suffix SLICES ride dense int32 token ranks instead of the
     # 8-byte hashes (r13): LCP is alphabet-permutation-invariant, so
     # ANY injective token -> int mapping preserves every derived value
-    # while halving the slice sort's shuffle/checkpoint bytes - and the
-    # slice explode amplifies each token ~L/2 times, so the one extra
-    # vocabulary join is paid back ~L/2-fold (measured 15.4 -> 6.5 s at
-    # sf0.1, 113 -> 28 s at a 10x staged corpus, rows identical). The
+    # while halving the slice sort's shuffle/checkpoint bytes. The
+    # dictionary stages cost a FLAT ~2 s plus one linear token join,
+    # repaid in slice bytes amplified ~L/2-fold: order-swapped A/B
+    # (rows identical) measures ~7.5 vs ~6.0 s at sf0.1 (overhead
+    # dominates a 5k-doc corpus - the conscious trade) and ~40 vs
+    # ~50 s at a 10x staged corpus, with the advantage growing with
+    # corpus share of the sort; at the 100-TB design point the sort
+    # is the lane's whole cost and the byte ratio (~2x) bounds the
+    # win. The
     # rank is the two-pass partition-offset assignment over the
     # DISTINCT token hashes (vocabulary-sized - token TYPES, not corpus
     # mass), never a single-task window; vocab is NOT broadcast-hinted,
