@@ -192,6 +192,9 @@ FLAGSHIPS = [
     "longest_dup_substrings",
     "expected_session_counts",
     "price_quantile_sketch",
+    # r13: shared-frame decontamination arm + ORC source
+    "exact_decontamination",
+    "orc_roundtrip",
 ]
 
 
