@@ -35,6 +35,9 @@ def load_entry():
     return mod
 
 
+FLOAT_SAFE = 1 << 53  # largest contiguous exact integer in float64
+
+
 def canon(v):
     if v is None:
         return None
@@ -45,15 +48,19 @@ def canon(v):
     import decimal
 
     if isinstance(v, decimal.Decimal):
-        # Keep Decimals EXACT (the r12 lesson: coercing to float here
-        # hid a driver-red >2^53 checksum behind nine local "ALL OK"
-        # runs). values_match handles Decimal-vs-float tolerance for
-        # float-safe magnitudes; compare() separately hard-fails any
-        # >2^53 Decimal output, because the external driver's hasher
-        # float-coerces asymmetrically and would mark it red even
-        # when both engines agree exactly.
         if v.is_nan():
             return None
+        # Small Decimals keep the float path: isclose tolerance for
+        # the rounded-quotient lanes AND aligned rows_key string sort
+        # keys next to float columns (str(Decimal('3.140000')) would
+        # sort away from str(3.14) and misalign row pairing). Past
+        # 2^53 stay EXACT (the r12 lesson: coercing to float here hid
+        # a driver-red checksum behind nine local "ALL OK" runs);
+        # compare() separately hard-fails any wide Decimal, because
+        # the external driver's hasher float-coerces asymmetrically
+        # and is red even when both engines agree exactly.
+        if abs(v) <= FLOAT_SAFE:
+            return float(v)
         return v
     try:  # pandas NaT / NaN-likes
         import pandas as pd
@@ -77,12 +84,14 @@ def rows_key(rows):
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
-FLOAT_SAFE = 1 << 53  # largest contiguous exact integer in float64
-
-
 def values_match(a, b):
     import decimal
 
+    if a is None or b is None:
+        # guard BEFORE the Decimal branch: float(None) in the mixed
+        # path would abort the whole verify run with a TypeError
+        # instead of reporting the per-query VALUE mismatch
+        return a is None and b is None
     if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
         if isinstance(a, decimal.Decimal) and isinstance(b, decimal.Decimal):
             if a == b:

@@ -65,3 +65,18 @@ def test_oracle_canon_refuses_wide_decimal():
         _canon(WIDE)
     # small decimals keep the float path (isclose tolerance)
     assert _canon(Decimal("3.1416")) == pytest.approx(3.1416)
+
+
+def test_verify_driver_none_vs_decimal_reports_not_crashes():
+    """r13 review: after canon kept Decimals exact, a NULL on one side
+    against a Decimal on the other entered the mixed branch and blew
+    up on float(None), aborting the whole verify run instead of
+    reporting the per-query VALUE line."""
+    vd = _load_verify_driver()
+    assert not vd.values_match(None, Decimal("3.14"))
+    assert not vd.values_match(WIDE, None)
+    assert vd.values_match(None, None)
+    # small decimals canon to float (isclose tolerance + aligned
+    # rows_key string sort next to float columns); wide stay exact
+    assert isinstance(vd.canon(Decimal("3.1416")), float)
+    assert isinstance(vd.canon(WIDE), Decimal)

@@ -782,6 +782,7 @@ def test_shared_suffix_frame_serves_both_derivations(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_positions,
         _suffix_slice_frames,
         suffix_dup_lengths,
         suffix_dup_lengths_from_frame,
@@ -815,9 +816,7 @@ def test_shared_suffix_frame_serves_both_derivations(spark, sf_dir):
 
     train = docs.where(F.col("source") != "src0")
     ev = docs.where(F.col("source") == "src0")
-    tbase, _ = _suffix_slice_frames(
-        train, id_col="doc_id", text_col="text", side=0
-    )
+    tbase = _suffix_positions(train, id_col="doc_id", text_col="text")
     got_ov = {
         (r["doc_id"], r["pos"]): r["eval_len"]
         for r in suffix_eval_overlap_from_frame(
@@ -843,6 +842,7 @@ def test_suffix_family_degenerate_corpora(spark):
     from pyspark.sql import functions as F
 
     from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_positions,
         _suffix_slice_frames,
         suffix_dup_lengths_from_frame,
         suffix_eval_overlap_from_frame,
@@ -863,11 +863,8 @@ def test_suffix_family_degenerate_corpora(spark):
                 sidf, base, id_col="doc_id"
             ).collect()
         )
-        tbase, _ = _suffix_slice_frames(
-            df.where(F.col("s") == 0),
-            id_col="doc_id",
-            text_col="text",
-            side=0,
+        tbase = _suffix_positions(
+            df.where(F.col("s") == 0), id_col="doc_id", text_col="text"
         )
         ov = sorted(
             (r["doc_id"], r["pos"], r["eval_len"])
@@ -907,6 +904,7 @@ def test_suffix_family_adversarial_shapes(spark):
     from pyspark.sql import functions as F
 
     from txf_continuous_data_pipeline_spark.operators.dedup import (
+        _suffix_positions,
         _suffix_slice_frames,
         suffix_dup_lengths_from_frame,
         suffix_eval_overlap_from_frame,
@@ -982,11 +980,8 @@ def test_suffix_family_adversarial_shapes(spark):
 
         train_toks = {d: w for d, w in toks.items() if d < 9}
         eval_toks = {d: w for d, w in toks.items() if d >= 9}
-        tbase, _ = _suffix_slice_frames(
-            df.where(F.col("s") == 0),
-            id_col="doc_id",
-            text_col="text",
-            side=0,
+        tbase = _suffix_positions(
+            df.where(F.col("s") == 0), id_col="doc_id", text_col="text"
         )
         got_ov = {
             (r["doc_id"], r["pos"]): r["eval_len"]
@@ -995,3 +990,51 @@ def test_suffix_family_adversarial_shapes(spark):
             ).collect()
         }
         assert got_ov == py_eval_overlap(train_toks, eval_toks), toks_map
+
+
+def test_suffix_eval_overlap_disjoint_vocabularies(spark):
+    """r13 review regression (reproduced live before the fix): the
+    standalone operator sliced train and eval with one dictionary
+    build PER SIDE, so the int32 ranks were incompatible across sides
+    - train 'apple' and eval 'banana' both got rank 0, yielding a
+    spurious overlap AND missing the verbatim one. The corpus tests
+    masked it because the synthetic train/eval vocabularies coincide;
+    this corpus makes them (mostly) disjoint."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_eval_overlap,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry date")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "banana")], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["pos"], r["eval_len"])
+        for r in suffix_eval_overlap(train, ev).collect()
+    )
+    assert got == [(1, 0, 0), (1, 1, 1), (2, 0, 0), (2, 1, 0)]
+
+    # fully disjoint: no position may overlap
+    ev2 = spark.createDataFrame([(9, "kiwi mango")], "doc_id long, text string")
+    got2 = sorted(
+        (r["doc_id"], r["pos"], r["eval_len"])
+        for r in suffix_eval_overlap(train, ev2).collect()
+    )
+    assert got2 == [(1, 0, 0), (1, 1, 0), (2, 0, 0), (2, 1, 0)]
+
+    # multi-token verbatim quote across disjoint surroundings
+    train3 = spark.createDataFrame(
+        [(1, "x y the quick brown fox z")], "doc_id long, text string"
+    )
+    ev3 = spark.createDataFrame(
+        [(9, "quick brown fox jumps")], "doc_id long, text string"
+    )
+    got3 = {
+        (r["doc_id"], r["pos"]): r["eval_len"]
+        for r in suffix_eval_overlap(train3, ev3).collect()
+    }
+    assert got3 == {
+        (1, 0): 0, (1, 1): 0, (1, 2): 0,
+        (1, 3): 3, (1, 4): 2, (1, 5): 1, (1, 6): 0,
+    }

@@ -1219,16 +1219,105 @@ def _order_consistent_ranks(
     return with_id.join(ranks, key_cols).drop("_mid")
 
 
+def _two_pass_ranks(
+    df: DataFrame, keys: "list[str]", *, rank_col: str
+) -> "tuple[DataFrame, int]":
+    """The dense-rank-without-a-global-window primitive the suffix
+    family shares (r13 review: the vocab ranking and the sid
+    assignment had hand-copied twins of this - the exact drift class
+    _order_consistent_ranks' docstring already warned about):
+    range-sort by `keys`, eager-checkpoint BEFORE the two consumers
+    (range boundaries are sampled, so without the pin the counts
+    collect and the main job could partition differently and the
+    offsets would describe the wrong layout), collect per-partition
+    counts (<= #partitions rows), then partition-local row_number +
+    broadcast offset. Returns (the checkpointed sorted frame with
+    `_pid` and the 0-based `rank_col` added, total row count)."""
+    from pyspark.sql import Window
+
+    sorted_ = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in sorted_.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    ranked = (
+        sorted_.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_lrn") - 1)
+        .drop("_lrn", "_off")
+    )
+    return ranked, acc
+
+
+def _suffix_positions(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _h raw token-hash array) - the CHEAP position-universe
+    builder: consumers only read F.size(_h), so no dictionary work
+    runs here (r13 review: callers that need only the universe were
+    paying _suffix_slice_frames' eager vocabulary-ranking jobs for
+    frames they threw away)."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
+        ).alias("_h"),
+    ).where(F.size("_h") > 0)
+
+
 def _suffix_slice_frames(
     df: DataFrame, *, id_col: str, text_col: str, side
 ) -> "tuple[DataFrame, DataFrame]":
-    """(base, sfx) for the suffix-sort family: base = (id, _h
-    token-hash array), sfx = one row per suffix carrying its hash
-    slice plus a _side tag (0 = train/corpus, 1 = eval; an int or a
-    per-row Column) - the tag is what lets ONE merged sort serve both
-    the dup-length and the eval-overlap derivations (r12 verdict #3:
-    the family paid two ~7 s sorts per bench pass for the same
-    corpus)."""
+    """(base, sfx) for the suffix-sort family: base = (id, _h raw
+    token-hash array - the position universe), sfx = one row per
+    suffix carrying its slice plus a _side tag (0 = train/corpus,
+    1 = eval; an int or a per-row Column) - the tag is what lets ONE
+    merged sort serve both the dup-length and the eval-overlap
+    derivations (r12 verdict #3).
+
+    The suffix SLICES ride dense int32 token ranks instead of the
+    8-byte h60 hashes (r13): LCP is alphabet-permutation-invariant,
+    so ANY injective token -> int mapping preserves every derived
+    value while halving the slice sort's shuffle/checkpoint bytes.
+    The dictionary stages cost a FLAT ~2 s plus one linear token
+    join, repaid in slice bytes amplified ~L/2-fold: order-swapped
+    A/B (rows identical) measures ~7.5 vs ~6.0 s at sf0.1 (overhead
+    dominates a 5k-doc corpus - the conscious trade) and ~40 vs
+    ~50 s at a 10x staged corpus, the advantage growing with the
+    sort's share; at the 100-TB design point the sort IS the lane
+    and the ~2x byte ratio bounds the win. The rank is the shared
+    two-pass assignment over the DISTINCT token hashes
+    (vocabulary-sized - token TYPES, not corpus mass), never a
+    single-task window; the vocab join is NOT broadcast-hinted - AQE
+    broadcasts while it fits and falls back to a shuffle join at
+    web-scale vocabularies.
+
+    NOTE the dictionary build runs EAGERLY at call time (a checkpoint
+    + one collect) because every sfx consumer needs it pinned; a
+    caller that only needs the position universe must use
+    _suffix_positions instead. CRITICAL: ranks are only comparable
+    WITHIN one call's dictionary - frames that will be compared or
+    merged (train vs eval) must be tagged and sliced in ONE call,
+    never one call per side (r13 review finding, reproduced: per-side
+    dictionaries assign incompatible ranks and cross-side LCPs come
+    out wrong whenever the vocabularies differ)."""
     toks_arr = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
@@ -1241,62 +1330,19 @@ def _suffix_slice_frames(
             toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
         ).alias("_h"),
     ).where(F.size("_h") > 0)
-    # base carries the RAW 60-bit hash arrays: its consumers only read
-    # F.size(_h) (the position universe), so it must stay cheap - a
-    # base-only call never executes the dictionary stages below (lazy)
     base = tagged.select(id_col, "_h")
-    # The suffix SLICES ride dense int32 token ranks instead of the
-    # 8-byte hashes (r13): LCP is alphabet-permutation-invariant, so
-    # ANY injective token -> int mapping preserves every derived value
-    # while halving the slice sort's shuffle/checkpoint bytes. The
-    # dictionary stages cost a FLAT ~2 s plus one linear token join,
-    # repaid in slice bytes amplified ~L/2-fold: order-swapped A/B
-    # (rows identical) measures ~7.5 vs ~6.0 s at sf0.1 (overhead
-    # dominates a 5k-doc corpus - the conscious trade) and ~40 vs
-    # ~50 s at a 10x staged corpus, with the advantage growing with
-    # corpus share of the sort; at the 100-TB design point the sort
-    # is the lane's whole cost and the byte ratio (~2x) bounds the
-    # win. The
-    # rank is the two-pass partition-offset assignment over the
-    # DISTINCT token hashes (vocabulary-sized - token TYPES, not corpus
-    # mass), never a single-task window; vocab is NOT broadcast-hinted,
-    # AQE picks broadcast while it fits and falls back to a shuffle
-    # join at web-scale vocabularies.
     ex = tagged.select(
         id_col, "_side", F.posexplode("_h").alias("pos", "_th")
     )
-    vocab = ex.select("_th").distinct()
-    sorted_v = (
-        vocab.repartitionByRange("_th")
-        .sortWithinPartitions("_th")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked_v, vtotal = _two_pass_ranks(
+        ex.select("_th").distinct(), ["_th"], rank_col="_r64"
     )
-    vcounts = {
-        r["_pid"]: r["c"]
-        for r in sorted_v.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(vcounts):
-        offs.append((pid, acc))
-        acc += vcounts[pid]
-    if acc >= 1 << 31:
+    if vtotal >= 1 << 31:
         raise ValueError(
-            f"token vocabulary {acc} exceeds int32 rank space"
+            f"token vocabulary {vtotal} exceeds int32 rank space"
         )
-    off_df = df.sparkSession.createDataFrame(offs, "_pid int, _off long")
-    from pyspark.sql import Window
-
-    w_v = Window.partitionBy("_pid").orderBy("_th")
-    ranked = (
-        sorted_v.withColumn("_lrn", F.row_number().over(w_v))
-        .join(F.broadcast(off_df), "_pid")
-        .select(
-            "_th",
-            (F.col("_off") + F.col("_lrn") - 1).cast("int").alias("_r"),
-        )
+    ranked = ranked_v.select(
+        "_th", F.col("_r64").cast("int").alias("_r")
     )
     rebuilt = (
         ex.join(ranked, "_th")
@@ -1332,50 +1378,16 @@ def suffix_sorted_frame(sfx: DataFrame, *, id_col: str) -> DataFrame:
     pos) within their tie block, but every derivation is tie-
     insensitive: equal _sfx means the ENTIRE slices are equal, so any
     tied representative yields the same LCP against its neighbors."""
-    from pyspark.sql import Window
-
-    keys = ["_sfx", "_side", id_col, "pos"]
-    # checkpoint BEFORE the two consumers (counts collect + the main
-    # job): range boundaries are sampled, so without the pin the two
-    # evaluations could partition differently and the offsets would
-    # describe the wrong layout
-    sorted_ = (
-        sfx.repartitionByRange(*keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked, _ = _two_pass_ranks(
+        sfx, ["_sfx", "_side", id_col, "pos"], rank_col="sid"
     )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in sorted_.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    off_df = sfx.sparkSession.createDataFrame(
-        offs, "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy(*keys)
     # checkpoint the sid frame too: the family reads it several times
     # (dup pairs join on sid AND sid+1, the eval scan, the eval slice
     # broadcasts), and each read would otherwise replay the window +
     # offset join over the full slice mass
-    return (
-        sorted_.withColumn("_lrn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
-        .select(
-            "_side",
-            id_col,
-            "pos",
-            "_sfx",
-            "_pid",
-            (F.col("_off") + F.col("_lrn") - 1).alias("sid"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    return ranked.select(
+        "_side", id_col, "pos", "_sfx", "_pid", "sid"
+    ).localCheckpoint(eager=True)
 
 
 def suffix_dup_lengths_from_frame(
@@ -1723,15 +1735,14 @@ def suffix_eval_overlap(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_len: int = 8,
 ) -> DataFrame:
     """EXACT-substring decontamination (the suffix-grain arm of the
-    triad, Lee et al. 2022's train-test overlap): per TRAIN document,
-    the longest token run shared VERBATIM with ANY eval document, plus
-    the count of train positions starting a shared run of >= min_len
-    tokens. Verbatim-n-gram decontamination answers 'is there ANY
-    n-gram overlap'; this answers 'how LONG is the longest quoted
-    passage' - the number a release review actually debates.
+    triad, Lee et al. 2022's train-test overlap): per TRAIN document
+    position, the longest token run shared VERBATIM with ANY eval
+    document (thresholding - e.g. >= 8 tokens - is the report
+    consumers' job). Verbatim-n-gram decontamination answers 'is
+    there ANY n-gram overlap'; this answers 'how LONG is the longest
+    quoted passage' - the number a release review actually debates.
 
     Merged suffix array: both sides' suffix hash-slices sort together
     ONCE (the suffix_dup_lengths 'sort' plan); a train suffix's
@@ -1747,14 +1758,28 @@ def suffix_eval_overlap(
     Returns (id_col, pos, eval_len) per train position; report
     consumer exact_decontamination_q aggregates per document.
     Ids must be unique across the two frames (they are: both sides
-    come from the same documents table)."""
-    tbase, tsfx = _suffix_slice_frames(
-        train, id_col=id_col, text_col=text_col, side=0
+    come from the same documents table).
+
+    Both sides MUST be tagged and sliced in ONE _suffix_slice_frames
+    call so they share one token dictionary (r13 review finding,
+    reproduced live: one slicing call per side built independent
+    dictionaries whose int32 ranks are incompatible across sides -
+    train 'apple' and eval 'banana' both got rank 0, yielding a
+    spurious overlap AND missing the verbatim one, wrong on any
+    corpus where the two vocabularies differ; the repo corpus's
+    coinciding train/eval vocabularies had masked it)."""
+    merged = train.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_sd")
+    ).unionByName(
+        eval_df.select(
+            F.col(id_col), F.col(text_col), F.lit(1).alias("_sd")
+        )
     )
-    _, esfx = _suffix_slice_frames(
-        eval_df, id_col=id_col, text_col=text_col, side=1
+    _, sfx = _suffix_slice_frames(
+        merged, id_col=id_col, text_col=text_col, side=F.col("_sd")
     )
-    sidf = suffix_sorted_frame(tsfx.unionByName(esfx), id_col=id_col)
+    sidf = suffix_sorted_frame(sfx, id_col=id_col)
+    tbase = _suffix_positions(train, id_col=id_col, text_col=text_col)
     return suffix_eval_overlap_from_frame(sidf, tbase, id_col=id_col)
 
 
@@ -1789,21 +1814,22 @@ def suffix_eval_overlap_from_frame(
         .orderBy(F.desc("sid"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # boundary maps need eval SIDs per partition; recompute extrema on
-    # the sid frame (dimension-sized: one row per partition)
-    esids = {
+    # ONE aggregated scan yields both driver-side maps (r13 review:
+    # this ran as two separate full-frame jobs): the partition
+    # universe = every group, the per-partition eval extrema = the
+    # groups whose conditional min/max are non-null. Dimension-sized
+    # output, one row per partition.
+    stats = {
         r["_pid"]: (r["mn"], r["mx"])
-        for r in sidf.where(F.col("_side") == 1)
-        .groupBy("_pid")
-        .agg(F.min("sid").alias("mn"), F.max("sid").alias("mx"))
+        for r in sidf.groupBy("_pid")
+        .agg(
+            F.min(F.when(F.col("_side") == 1, F.col("sid"))).alias("mn"),
+            F.max(F.when(F.col("_side") == 1, F.col("sid"))).alias("mx"),
+        )
         .collect()
     }
-    # the partition universe comes off the frame itself (dimension-
-    # sized: one row per partition), since the sort builder's counts
-    # are not in scope when the frame arrives pre-built
-    pids = sorted(
-        r["_pid"] for r in sidf.select("_pid").distinct().collect()
-    )
+    pids = sorted(stats)
+    esids = {p: v for p, v in stats.items() if v[0] is not None}
     rows, run = [], None
     for p in pids:
         prevb = run

@@ -1595,8 +1595,9 @@ def orc_roundtrip_q(spark, sf_dir):
     corpus as a bucket-partitioned ORC dataset (bucket = doc_id % 8,
     pure column expr, no global sort) and read back with a
     partition-pruned filter (bucket IN (2,5) - 2 of 8 directories;
-    tests/test_plans.py pins PartitionFilters in the scan and
-    inputFiles confined to the two bucket dirs). The oracle re-derives
+    tests/test_plans.py pins the PartitionFilters line in the scan -
+    inputFiles() reports the pre-pruning listing, so the plan string
+    is the checkable evidence). The oracle re-derives
     every surviving doc's md5 and UTF-8 byte length from the parquet
     original, so a byte lost anywhere in write -> ORC -> read -> prune
     fails the value hash, and an unpruned/over-pruned read fails the

@@ -625,16 +625,14 @@ def _cached_suffix_lens(spark, sf_dir):
     the sort itself is the shared _cached_suffix_frame the
     decontamination arm also rides)."""
     from ..operators.dedup import (
-        _suffix_slice_frames,
+        _suffix_positions,
         suffix_dup_lengths_from_frame,
     )
 
     key = _corpus_key(spark, sf_dir)
     if key not in _SUFFIX_LENS_CACHE:
         docs = read_table(spark, sf_dir, "documents")
-        base, _ = _suffix_slice_frames(
-            docs, id_col="doc_id", text_col="text", side=0
-        )
+        base = _suffix_positions(docs, id_col="doc_id", text_col="text")
         _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths_from_frame(
             _cached_suffix_frame(spark, sf_dir), base, id_col="doc_id"
         ).localCheckpoint(eager=True)
@@ -1426,15 +1424,13 @@ def exact_decontamination_q(spark, sf_dir):
     verdict #3) - a bench/driver session pays it once for this query,
     exact_substr_stats AND longest_dup_substrings."""
     from ..operators.dedup import (
-        _suffix_slice_frames,
+        _suffix_positions,
         suffix_eval_overlap_from_frame,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     train = docs.where(F.col("source") != "src0")
-    tbase, _ = _suffix_slice_frames(
-        train, id_col="doc_id", text_col="text", side=0
-    )
+    tbase = _suffix_positions(train, id_col="doc_id", text_col="text")
     lens = suffix_eval_overlap_from_frame(
         _cached_suffix_frame(spark, sf_dir), tbase, id_col="doc_id"
     )
