@@ -1038,3 +1038,48 @@ def test_suffix_eval_overlap_disjoint_vocabularies(spark):
         (1, 0): 0, (1, 1): 0, (1, 2): 0,
         (1, 3): 3, (1, 4): 2, (1, 5): 1, (1, 6): 0,
     }
+
+
+def test_suffix_family_unicode_tokens(spark):
+    """Non-ASCII tokens through the dictionary-rank path: md5 hashing,
+    lower(), and the whitespace split must agree with a pure-Python
+    token-level suffix array on CJK, accented, emoji, and mixed-case
+    unicode tokens (the encoding seam a latin-only corpus never
+    exercises)."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_dup_lengths,
+    )
+
+    toks_map = {
+        1: "café 東京 naïve 東京 café 東京",
+        2: "東京 café",
+        3: "🙂 ß straße ß 🙂",
+        4: "CAFÉ café",  # lower() must fold these together
+    }
+    df = spark.createDataFrame(
+        list(toks_map.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["dup_len"]
+        for r in suffix_dup_lengths(df, strategy="sort").collect()
+    }
+    toks = {d: t.lower().split() for d, t in toks_map.items()}
+    suf = sorted(
+        (tuple(ws[i:]), d, i)
+        for d, ws in toks.items()
+        for i in range(len(ws))
+    )
+    want = {}
+    for a, b in zip(suf, suf[1:]):
+        l = 0
+        for x, y in zip(a[0], b[0]):
+            if x != y:
+                break
+            l += 1
+        for s in (a, b):
+            k = (s[1], s[2])
+            want[k] = max(want.get(k, 0), l)
+    for d, ws in toks.items():
+        for i in range(len(ws)):
+            want.setdefault((d, i), 0)
+    assert got == want and got
