@@ -575,6 +575,32 @@ def test_calendar_aware_gate_passes_planted_early_close(spark):
     assert_complete(ok, EXPECTED_5MIN, calendar=cal)
 
 
+def _py_suffix_dup_lengths(toks: dict) -> dict:
+    """Module-level pure-Python oracle for the suffix-grain family
+    (sorted suffix tuples + neighbor-LCP max + zero-fill), shared by
+    every differential test so the three former verbatim copies
+    cannot drift (r13 review finding)."""
+    suf = sorted(
+        (tuple(ws[i:]), d, i)
+        for d, ws in toks.items()
+        for i in range(len(ws))
+    )
+    want = {}
+    for a, b in zip(suf, suf[1:]):
+        l = 0
+        for x, y in zip(a[0], b[0]):
+            if x != y:
+                break
+            l += 1
+        for s_ in (a, b):
+            k = (s_[1], s_[2])
+            want[k] = max(want.get(k, 0), l)
+    for d, ws in toks.items():
+        for i in range(len(ws)):
+            want.setdefault((d, i), 0)
+    return want
+
+
 def test_suffix_dup_lengths_matches_pure_python_suffix_array(
     spark, sf_dir
 ):
@@ -610,25 +636,7 @@ def test_suffix_dup_lengths_matches_pure_python_suffix_array(
         f"FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     toks = {d: [w for w in (t or "").split() if w] for d, t in rows}
-    suf = sorted(
-        (tuple(ws[i:]), d, i)
-        for d, ws in toks.items()
-        for i in range(len(ws))
-    )
-    want = {}
-    for a, b in zip(suf, suf[1:]):
-        l = 0
-        for x, y in zip(a[0], b[0]):
-            if x != y:
-                break
-            l += 1
-        for s in (a, b):
-            k = (s[1], s[2])
-            want[k] = max(want.get(k, 0), l)
-    for d, ws in toks.items():
-        for i in range(len(ws)):
-            want.setdefault((d, i), 0)
-    assert got_sort == want
+    assert got_sort == _py_suffix_dup_lengths(toks)
 
     # doubling refuses documents longer than its 2^n_rounds cap
     long_doc = spark.createDataFrame(
@@ -911,27 +919,6 @@ def test_suffix_family_adversarial_shapes(spark):
         suffix_sorted_frame,
     )
 
-    def py_dup_lengths(toks):
-        suf = sorted(
-            (tuple(ws[i:]), d, i)
-            for d, ws in toks.items()
-            for i in range(len(ws))
-        )
-        want = {}
-        for a, b in zip(suf, suf[1:]):
-            l = 0
-            for x, y in zip(a[0], b[0]):
-                if x != y:
-                    break
-                l += 1
-            for s in (a, b):
-                k = (s[1], s[2])
-                want[k] = max(want.get(k, 0), l)
-        for d, ws in toks.items():
-            for i in range(len(ws)):
-                want.setdefault((d, i), 0)
-        return want
-
     def py_eval_overlap(train_toks, eval_toks):
         want = {}
         for d, ws in train_toks.items():
@@ -976,7 +963,7 @@ def test_suffix_family_adversarial_shapes(spark):
             ).collect()
         }
         toks = {d: t.split() for d, t in toks_map.items()}
-        assert got == py_dup_lengths(toks), toks_map
+        assert got == _py_suffix_dup_lengths(toks), toks_map
 
         train_toks = {d: w for d, w in toks.items() if d < 9}
         eval_toks = {d: w for d, w in toks.items() if d >= 9}
@@ -1064,22 +1051,4 @@ def test_suffix_family_unicode_tokens(spark):
         for r in suffix_dup_lengths(df, strategy="sort").collect()
     }
     toks = {d: t.lower().split() for d, t in toks_map.items()}
-    suf = sorted(
-        (tuple(ws[i:]), d, i)
-        for d, ws in toks.items()
-        for i in range(len(ws))
-    )
-    want = {}
-    for a, b in zip(suf, suf[1:]):
-        l = 0
-        for x, y in zip(a[0], b[0]):
-            if x != y:
-                break
-            l += 1
-        for s in (a, b):
-            k = (s[1], s[2])
-            want[k] = max(want.get(k, 0), l)
-    for d, ws in toks.items():
-        for i in range(len(ws)):
-            want.setdefault((d, i), 0)
-    assert got == want and got
+    assert got == _py_suffix_dup_lengths(toks) and got

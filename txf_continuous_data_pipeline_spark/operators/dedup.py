@@ -1262,6 +1262,23 @@ def _two_pass_ranks(
     return ranked, acc
 
 
+def _suffix_token_hashes(text_col: str) -> Column:
+    """The family's ONE tokenize-and-hash expression (trim -> lower ->
+    whitespace split -> drop empties -> salted h60 per token), shared
+    by the position-universe and slice builders so the two can never
+    drift (review finding: a tokenizer tweak applied to one verbatim
+    copy but not the other would silently desync the zero-filled
+    position universe from the suffix slices - the same
+    hand-copied-twin class _two_pass_ranks closed)."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    return F.transform(
+        toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
+    )
+
+
 def _suffix_positions(
     df: DataFrame, *, id_col: str, text_col: str
 ) -> DataFrame:
@@ -1270,15 +1287,9 @@ def _suffix_positions(
     runs here (r13 review: callers that need only the universe were
     paying _suffix_slice_frames' eager vocabulary-ranking jobs for
     frames they threw away)."""
-    toks_arr = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
-    )
     return df.select(
         F.col(id_col),
-        F.transform(
-            toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
-        ).alias("_h"),
+        _suffix_token_hashes(text_col).alias("_h"),
     ).where(F.size("_h") > 0)
 
 
@@ -1318,17 +1329,11 @@ def _suffix_slice_frames(
     never one call per side (r13 review finding, reproduced: per-side
     dictionaries assign incompatible ranks and cross-side LCPs come
     out wrong whenever the vocabularies differ)."""
-    toks_arr = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != "",
-    )
     side_col = side if isinstance(side, Column) else F.lit(side)
     tagged = df.select(
         F.col(id_col),
         side_col.alias("_side"),
-        F.transform(
-            toks_arr, lambda t: h60(F.concat(F.lit("S:"), t))
-        ).alias("_h"),
+        _suffix_token_hashes(text_col).alias("_h"),
     ).where(F.size("_h") > 0)
     base = tagged.select(id_col, "_h")
     ex = tagged.select(
