@@ -1052,3 +1052,76 @@ def test_suffix_family_unicode_tokens(spark):
     }
     toks = {d: t.lower().split() for d, t in toks_map.items()}
     assert got == _py_suffix_dup_lengths(toks) and got
+
+
+def test_suffix_family_random_differential(spark):
+    """Hypothesis differential for the suffix grain: on random corpora
+    over a 3-token alphabet (dense suffix ties by construction - the
+    hardest shape for the dictionary-rank tie-break argument), both
+    dup_len and train-vs-eval eval_len must equal the pure-Python
+    suffix-array answers, with the eval side drawn from a PARTIALLY
+    DISJOINT alphabet so the per-side-dictionary regression class
+    stays covered under random shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_dup_lengths,
+        suffix_eval_overlap,
+    )
+
+    def py_eval_overlap(train_toks, eval_toks):
+        want = {}
+        for d, ws in train_toks.items():
+            for i in range(len(ws)):
+                best = 0
+                for ews in eval_toks.values():
+                    for j in range(len(ews)):
+                        l = 0
+                        for x, y in zip(ws[i:], ews[j:]):
+                            if x != y:
+                                break
+                            l += 1
+                        best = max(best, l)
+                want[(d, i)] = best
+        return want
+
+    train_tok = st.sampled_from(["aa", "bb", "cc"])
+    eval_tok = st.sampled_from(["bb", "cc", "zz"])  # overlaps partially
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(train_tok, min_size=1, max_size=10),
+            min_size=1,
+            max_size=3,
+        ),
+        st.lists(
+            st.lists(eval_tok, min_size=1, max_size=6),
+            min_size=1,
+            max_size=2,
+        ),
+    )
+    def run(train_lists, eval_lists):
+        train_toks = {i: t for i, t in enumerate(train_lists)}
+        eval_toks = {100 + i: t for i, t in enumerate(eval_lists)}
+        train = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in train_toks.items()],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in eval_toks.items()],
+            "doc_id long, text string",
+        )
+        got_dup = {
+            (r["doc_id"], r["pos"]): r["dup_len"]
+            for r in suffix_dup_lengths(train, strategy="sort").collect()
+        }
+        assert got_dup == _py_suffix_dup_lengths(train_toks)
+        got_ov = {
+            (r["doc_id"], r["pos"]): r["eval_len"]
+            for r in suffix_eval_overlap(train, ev).collect()
+        }
+        assert got_ov == py_eval_overlap(train_toks, eval_toks)
+
+    run()
