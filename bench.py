@@ -15,6 +15,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -33,8 +34,42 @@ def main() -> None:
     # normalizes every flavor; this manifest makes the NEXT flavor
     # change a visible diff line instead of a surprise.
     print(json.dumps({"ts_flavors": timestamp_flavors(sf_dir)}))
-    spark = get_spark("txf_bench")
+    # UI on for the REST status API: per-query shuffle_read_mb/n_tasks
+    # are DETERMINISTIC under the host's 2-6x wall-clock swings, so a
+    # future "regression" adjudicates itself — flat bytes + inflated
+    # wall = throttle, moved bytes = real (r13 verdict #3; BASELINE.md
+    # adjudication rule cites these columns).
+    spark = get_spark(
+        "txf_bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "600",
+            "spark.ui.retainedJobs": "600",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    ui_url = spark.sparkContext.uiWebUrl
+
+    def _stage_snapshot() -> dict:
+        """(stageId, attemptId) -> completed-stage record via the REST
+        status API; {} when the UI is unreachable (metrics then simply
+        omit that query — never fail the bench over observability)."""
+        try:
+            apps = json.load(
+                urllib.request.urlopen(
+                    f"{ui_url}/api/v1/applications", timeout=10
+                )
+            )
+            data = json.load(
+                urllib.request.urlopen(
+                    f"{ui_url}/api/v1/applications/{apps[0]['id']}"
+                    "/stages?status=complete",
+                    timeout=10,
+                )
+            )
+            return {(s["stageId"], s["attemptId"]): s for s in data}
+        except Exception:  # noqa: BLE001 - observability, not correctness
+            return {}
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch classloading. bar_pipeline_5m touches
@@ -74,6 +109,9 @@ def main() -> None:
     # the whole bench with zero timings).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    shuffle_mb: dict[str, float] = {}
+    n_tasks: dict[str, int] = {}
+    before = _stage_snapshot()
     for name, (fn, _) in REGISTRY.items():
         t0 = time.perf_counter()
         try:
@@ -81,6 +119,14 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001 - reported per query
             errors[name] = str(e)[:200]
+        after = _stage_snapshot()
+        new = [s for k, s in after.items() if k not in before]
+        if after:
+            shuffle_mb[name] = round(
+                sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6, 1
+            )
+            n_tasks[name] = sum(s.get("numTasks", 0) for s in new)
+        before = after
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout and
@@ -115,27 +161,31 @@ def main() -> None:
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         ),
         "queries": timings,
+        # deterministic scale signals next to the wall time (r13
+        # verdict #3): flat bytes + inflated wall = host throttle,
+        # moved bytes = a real plan change
+        "shuffle_read_mb": shuffle_mb,
+        "n_tasks": n_tasks,
         **({"errors": errors} if errors else {}),
     }
-    prior_runs: list = []
     carry: dict = {}
     try:
         with open(detail_path) as f:
             old = json.load(f)
-        prior_runs = old.get("runs", [])
-        if not prior_runs and "queries" in old:
-            prior_runs = [old]  # migrate the pre-history single-run shape
         # hand-recorded A/B investigations survive the rewrite
         if "ab_checks" in old:
             carry["ab_checks"] = old["ab_checks"]
     except (OSError, ValueError):
         pass
-    runs = (prior_runs + [this_run])[-4:]
+    # BENCH_DETAIL.json = the LATEST run only (+ the ab_checks archive);
+    # history appends one line per sample to BENCH_DETAIL.jsonl so each
+    # bench run is a one-line diff, not a 1,000-line rewrite (r13
+    # verdict #6).
     with open(detail_path, "w") as f:
-        json.dump(
-            {**this_run, "runs": runs, **carry}, f, indent=1, sort_keys=True
-        )
+        json.dump({**this_run, **carry}, f, indent=1, sort_keys=True)
         f.write("\n")
+    with open(detail_path.replace(".json", ".jsonl"), "a") as f:
+        f.write(json.dumps(this_run, sort_keys=True) + "\n")
     print(json.dumps({"queries_detail": timings, "sf": sf}))
     if errors:
         print(json.dumps({"errors": errors}))

@@ -103,7 +103,15 @@ def values_match(a, b):
             return math.isclose(
                 float(a), float(b), rel_tol=1e-9, abs_tol=1e-9
             )
-        fa, fb = float(a), float(b)
+        # mixed branch: one side Decimal, other arbitrary. A Decimal vs
+        # string/date/bool divergence must surface as a per-query VALUE
+        # mismatch, not abort the whole run on float()'s
+        # TypeError/ValueError (the same crash class the None guard
+        # above closed — ADVICE r13).
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
         if max(abs(fa), abs(fb)) > FLOAT_SAFE:
             return False
         return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
@@ -222,6 +230,14 @@ def main():
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    # optional second arg: comma-separated query names to verify (a
+    # targeted re-check after touching one family; the full run stays
+    # the per-commit discipline)
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        unknown = only - set(queries)
+        assert not unknown, f"unknown queries: {sorted(unknown)}"
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
     for name, fn in queries.items():
         t0 = time.perf_counter()

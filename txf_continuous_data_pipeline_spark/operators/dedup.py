@@ -403,6 +403,31 @@ def build_span_index(
     return idx.localCheckpoint(eager=True) if persist else idx
 
 
+def _batch_min_splits(
+    batch: DataFrame, min_splits: int | None = None
+) -> DataFrame:
+    """Floor on a delta-lane batch's read parallelism (r13 verdict #2).
+    The delta lanes' CONTRACT is small incremental batches, and those
+    are NORMALLY one small parquet file => one scan split => every
+    narrow stage downstream inherits parallelism 1 (measured:
+    dup_span_removal_delta 24.1 -> 13.6 s at the 10x probe with a
+    manual repartition(64), SCALE.md). When the batch scan reads fewer
+    files than cores/4, repartition to `min_splits` (default: cores) -
+    a shuffle bounded by the BATCH size, the cheap side by contract.
+    Multi-file inputs and non-file frames (in-memory, checkpointed -
+    inputFiles() empty or unavailable) keep their natural layout: no
+    new exchange in the plan."""
+    try:
+        files = batch.inputFiles()
+    except Exception:  # noqa: BLE001 - non-file frames keep their plan
+        return batch
+    sc = batch.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if not files or len(files) >= max(1, cores // 4):
+        return batch
+    return batch.repartition(min_splits or cores)
+
+
 def remove_duplicated_spans_delta(
     batch: DataFrame,
     span_index: DataFrame,
@@ -421,6 +446,7 @@ def remove_duplicated_spans_delta(
     the batch rows (pytest-pinned). Per-arrival cost is O(batch spans)
     plus one probe join into the 16-byte-keyed index - never O(corpus).
     """
+    batch = _batch_min_splits(batch)
     spanned = _positioned_spans(
         batch, n=n, id_col=id_col, text_col=text_col
     )
@@ -873,6 +899,7 @@ def minhash_delta_pairs(
     batch-size + collisions, independent of corpus size. shingle_sets:
     precomputed (id_col, sh) for the DELTA rows (see
     build_minhash_index)."""
+    delta = _batch_min_splits(delta)
     d_index = build_minhash_index(
         delta, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, bands=bands, persist=False,
@@ -1087,6 +1114,7 @@ def dedup_lines_delta(
     the batch rows (pytest-pinned, the remove_duplicated_spans_delta
     contract). Per-arrival cost is O(batch lines) plus one probe join
     into the 8-byte index - never O(corpus)."""
+    batch = _batch_min_splits(batch)
     base, part_rows = _positioned_lines(
         batch, id_col=id_col, text_col=text_col, sep=sep
     )
@@ -1320,6 +1348,15 @@ def _suffix_slice_frames(
     broadcasts while it fits and falls back to a shuffle join at
     web-scale vocabularies.
 
+    PRECONDITION: (id, _side) pairs must be UNIQUE across `df` — the
+    rank rebuild below groups by (id, _side) and would silently merge
+    duplicate rows into one interleaved pseudo-document (the pre-r13
+    per-row posexplode kept them independent). Every caller satisfies
+    it today (documents-table ids are unique; the merged train∪eval
+    frame tags the sides apart), so no per-call count-vs-distinct job
+    is spent; a new caller with repeatable ids must dropDuplicates or
+    salt first (ADVICE r13).
+
     NOTE the dictionary build runs EAGERLY at call time (a checkpoint
     + one collect) because every sfx consumer needs it pinned; a
     caller that only needs the position universe must use
@@ -1526,6 +1563,10 @@ def suffix_dup_lengths(
     RAISES if any doc exceeds the cap (one max aggregate) - raise
     n_rounds for a longer corpus; rounds grow log(doc length), not
     corpus size. 'sort' has no cap.
+
+    PRECONDITION: `id_col` values must be unique in `df` (duplicate
+    ids would merge into one interleaved pseudo-document in the
+    slice rebuild — see _suffix_slice_frames).
 
     Returns (id_col, pos, dup_len): one row per token position,
     dup_len = 0 when even the single token is unique. Both strategies
