@@ -1254,20 +1254,22 @@ def _two_pass_ranks(
     family shares (r13 review: the vocab ranking and the sid
     assignment had hand-copied twins of this - the exact drift class
     _order_consistent_ranks' docstring already warned about):
-    range-sort by `keys`, eager-checkpoint BEFORE the two consumers
-    (range boundaries are sampled, so without the pin the counts
-    collect and the main job could partition differently and the
-    offsets would describe the wrong layout), collect per-partition
-    counts (<= #partitions rows), then partition-local row_number +
-    broadcast offset. Returns (the checkpointed sorted frame with
-    `_pid` and the 0-based `rank_col` added, total row count)."""
+    range-sort by `keys`, checkpoint BEFORE the two consumers (range
+    boundaries are sampled, so without the pin the counts collect and
+    the main job could partition differently and the offsets would
+    describe the wrong layout) - LAZILY, so the counts collect below
+    is the job that materializes it (one job, not two; r14), collect
+    per-partition counts (<= #partitions rows), then partition-local
+    row_number + broadcast offset. Returns (the checkpointed sorted
+    frame with `_pid` and the 0-based `rank_col` added, total row
+    count)."""
     from pyspark.sql import Window
 
     sorted_ = (
         df.repartitionByRange(*keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["_pid"]: r["c"]
@@ -1321,6 +1323,55 @@ def _suffix_positions(
     ).where(F.size("_h") > 0)
 
 
+def _suffix_rank_docs(
+    df: DataFrame, *, id_col: str, text_col: str, side
+) -> DataFrame:
+    """(id, _side, _h array<int>) - documents as DENSE-RANK token
+    arrays: the shared dictionary stage of both suffix machineries
+    (the r13 slice sort and the r14 chunked refinement). Tokenizes via
+    the family's ONE expression (_suffix_token_hashes), then assigns
+    each DISTINCT token hash a dense int32 rank via the two-pass
+    assignment (vocabulary-sized - token TYPES, never corpus mass; the
+    vocab join is NOT broadcast-hinted - AQE broadcasts while it fits).
+    Ranks are 1-BASED so 0 stays free as a pad sentinel for fixed-width
+    chunk packing; LCP is alphabet-permutation-invariant, so any
+    injective token -> int map preserves every derived value.
+
+    Same preconditions as _suffix_slice_frames: (id, _side) pairs must
+    be unique, and frames that will be compared or merged must be
+    tagged and ranked in ONE call (per-side dictionaries assign
+    incompatible ranks - the r13 review finding)."""
+    side_col = side if isinstance(side, Column) else F.lit(side)
+    tagged = df.select(
+        F.col(id_col),
+        side_col.alias("_side"),
+        _suffix_token_hashes(text_col).alias("_h"),
+    ).where(F.size("_h") > 0)
+    ex = tagged.select(
+        id_col, "_side", F.posexplode("_h").alias("pos", "_th")
+    )
+    ranked_v, vtotal = _two_pass_ranks(
+        ex.select("_th").distinct(), ["_th"], rank_col="_r64"
+    )
+    if vtotal >= 1 << 31:
+        raise ValueError(
+            f"token vocabulary {vtotal} exceeds int32 rank space"
+        )
+    ranked = ranked_v.select(
+        "_th", (F.col("_r64") + 1).cast("int").alias("_r")
+    )
+    return (
+        ex.join(ranked, "_th")
+        .groupBy(id_col, "_side")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_r"))),
+                lambda s: s["_r"],
+            ).alias("_h")
+        )
+    )
+
+
 def _suffix_slice_frames(
     df: DataFrame, *, id_col: str, text_col: str, side
 ) -> "tuple[DataFrame, DataFrame]":
@@ -1366,35 +1417,11 @@ def _suffix_slice_frames(
     never one call per side (r13 review finding, reproduced: per-side
     dictionaries assign incompatible ranks and cross-side LCPs come
     out wrong whenever the vocabularies differ)."""
-    side_col = side if isinstance(side, Column) else F.lit(side)
-    tagged = df.select(
-        F.col(id_col),
-        side_col.alias("_side"),
-        _suffix_token_hashes(text_col).alias("_h"),
+    base = df.select(
+        F.col(id_col), _suffix_token_hashes(text_col).alias("_h")
     ).where(F.size("_h") > 0)
-    base = tagged.select(id_col, "_h")
-    ex = tagged.select(
-        id_col, "_side", F.posexplode("_h").alias("pos", "_th")
-    )
-    ranked_v, vtotal = _two_pass_ranks(
-        ex.select("_th").distinct(), ["_th"], rank_col="_r64"
-    )
-    if vtotal >= 1 << 31:
-        raise ValueError(
-            f"token vocabulary {vtotal} exceeds int32 rank space"
-        )
-    ranked = ranked_v.select(
-        "_th", F.col("_r64").cast("int").alias("_r")
-    )
-    rebuilt = (
-        ex.join(ranked, "_th")
-        .groupBy(id_col, "_side")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_r"))),
-                lambda s: s["_r"],
-            ).alias("_h")
-        )
+    rebuilt = _suffix_rank_docs(
+        df, id_col=id_col, text_col=text_col, side=side
     )
     sfx = rebuilt.select(
         id_col,
@@ -1430,6 +1457,780 @@ def suffix_sorted_frame(sfx: DataFrame, *, id_col: str) -> DataFrame:
     return ranked.select(
         "_side", id_col, "pos", "_sfx", "_pid", "sid"
     ).localCheckpoint(eager=True)
+
+
+def _suffix_run_geometry(blk, mat, lens, prev0_blk, prev0_ck):
+    """Shared vectorized run detection for the chunked suffix scans:
+    given a partition's sorted member rows (parent block ids, padded
+    chunk matrix, chunk lengths) plus the previous partition's last
+    key, returns (key_start bool array, lcp-vs-previous-row int
+    array). Pads with -1, which never equals a 1-based rank, so
+    length mismatches surface as the first unequal column."""
+    import numpy as np
+
+    n = len(blk)
+    prev_mat = np.empty_like(mat)
+    prev_mat[1:] = mat[:-1]
+    prev_mat[0, :] = -1
+    if prev0_ck is not None:
+        prev_mat[0, : len(prev0_ck)] = prev0_ck
+    aug = np.hstack([mat == prev_mat, np.zeros((n, 1), dtype=bool)])
+    lcp = np.argmin(aug, axis=1)
+    prev_blk = np.empty(n, dtype=np.int64)
+    prev_blk[1:] = blk[:-1]
+    prev_blk[0] = prev0_blk if prev0_blk is not None else blk[0] - 1
+    prev_len = np.empty(n, dtype=np.int64)
+    prev_len[1:] = lens[:-1]
+    prev_len[0] = len(prev0_ck) if prev0_ck is not None else -1
+    same_key = (blk == prev_blk) & (lens == prev_len) & (lcp >= lens)
+    return ~same_key, lcp
+
+
+def _suffix_ck_matrix(cks, width_floor=1):
+    """Pack a list of int chunk arrays into a -1-padded int64 matrix;
+    returns (matrix, lengths)."""
+    import numpy as np
+
+    n = len(cks)
+    lens = np.fromiter((len(c) for c in cks), dtype=np.int64, count=n)
+    width = max(int(lens.max()) if n else 0, width_floor)
+    mat = np.full((n, width), -1, dtype=np.int64)
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in cks if len(c)]
+        )
+        excl = np.cumsum(lens) - lens
+        row_idx = np.repeat(np.arange(n), lens)
+        col_idx = np.arange(total) - np.repeat(excl, lens)
+        mat[row_idx, col_idx] = flat
+    return mat, lens
+
+
+def suffix_block_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    side=0,
+    w: int = 8,
+    docs_ranked: "DataFrame | None" = None,
+) -> dict:
+    """Bounded-prefix (chunked) suffix ordering - the r13-verdict-#1
+    replacement for the full-slice sort. The slice sort materializes
+    every suffix as its whole rank slice (~L/2-fold amplification of
+    the token stream, the dominant shuffle of the family's 10x probe);
+    this machinery sorts FIXED-WIDTH chunks and refines only tied
+    runs, so no suffix slice ever enters a shuffle:
+
+      level 1: every suffix carries only its first `w` ranks; ONE
+        range-sort of those member rows puts equal keys adjacent, and
+        a partition-local Arrow scan (with a one-row-per-partition
+        driver fix-up for runs/parents straddling partition bounds -
+        the two-pass discipline) assigns each run of equal keys its
+        global range start, member count, eval flag and boundary LCP
+        against the previous sibling run. Runs of size 1 are RESOLVED
+        (their order and both neighbor LCPs are exact); runs whose
+        key is shorter than the width are resolved IDENTICAL-suffix
+        groups (equal short keys + equal prior prefix = equal
+        suffixes, so dup_len = member length with no further work -
+        the mirror-crawl/dupheavy mass collapses here instead of
+        riding the sort).
+      level k: only members of surviving runs (>= 2 members, full-
+        width key - i.e. positions whose duplicated run reaches the
+        cumulative offset) continue, comparing the next chunk with
+        GEOMETRICALLY growing width (w, 8w, 64w, ... capped at 4096 -
+        the Manber-Myers round structure on an MSD-radix plan), so
+        the level count is O(log max_doc_len) - 2-3 levels for a
+        100-token corpus - and each level's mass is the surviving dup
+        mass only. Survivors fetch their remainder once after level 1
+        (AQE-planned join against the rank docs) and carry a
+        shrinking tail thereafter - clean corpora never pay it.
+
+    Every adjacent pair of FINAL blocks diverged at exactly one
+    level, between two adjacent sibling runs whose chunk values give
+    their exact LCP (cumulative offset + first chunk mismatch); those
+    boundary records are emitted at split time keyed by the global
+    position they separate, so the neighbor-LCP array exists WITHOUT
+    any slice-carrying neighbor join. ONE job and ONE member-mass
+    shuffle per level (the summary collect materializes the lazily-
+    checkpointed sort; members, blocks, boundaries and survivors all
+    read the same scanned frame); no global window, no corpus-sized
+    collect anywhere.
+
+    Returns {"blocks": (bid, _m, _he, tie_len, lcp_prev, lcp_next) -
+    one row per distinct-suffix group, bid = global range start (a
+    total order key), tie_len = member length for identical groups,
+    lcp_prev/next = exact LCP with the neighboring group;
+    "members": (bid, id, pos, _side) - every suffix position;
+    "docs": the checkpointed rank docs}. Derivations:
+    suffix_dup_lengths_from_blocks / suffix_eval_overlap_from_blocks.
+    Same preconditions as _suffix_rank_docs (unique ids, one call for
+    frames that will be compared)."""
+    import numpy as np  # noqa: F401 - workers import inside closures
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    docs = docs_ranked
+    if docs is None:
+        # RAW h60 token hashes, no dictionary ranking: the r13
+        # int32-rank trade was justified by the ~L/2 SLICE
+        # amplification it halved; chunks amplify only w-fold, and
+        # the rank rebuild costs a corpus-wide explode+join+groupBy
+        # shuffle plus the vocab two-pass - more than the 4 extra
+        # bytes/rank it saves here. LCP is hash/permutation-invariant
+        # either way; -1 padding stays safe (h60 is non-negative).
+        side_col = side if isinstance(side, Column) else F.lit(side)
+        docs = df.select(
+            F.col(id_col),
+            side_col.alias("_side"),
+            _suffix_token_hashes(text_col).alias("_h"),
+        ).where(F.size("_h") > 0)
+    # lazy: the level-1 summary job below is what materializes it
+    docs = docs.withColumn("_n", F.size("_h")).localCheckpoint(
+        eager=False
+    )
+
+    # level-1 candidates: the w-rank chunk is materialized inside the
+    # explode projection - the full slice never exists anywhere
+    live = (
+        docs.select(
+            F.col(id_col),
+            "_side",
+            F.col("_n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n")),
+                    lambda i: F.struct(
+                        (i - F.lit(1)).cast("int").alias("pos"),
+                        F.slice("_h", i, w).alias("ck"),
+                    ),
+                )
+            ).alias("_e"),
+        )
+        .select(
+            id_col,
+            "_side",
+            F.col("_e.pos").alias("pos"),
+            (F.col("_n") - F.col("_e.pos")).cast("int").alias("slen"),
+            F.lit(0).cast("long").alias("_blk"),
+            F.col("_e.ck").alias("_ck"),
+            F.array().cast("array<bigint>").alias("_rem"),
+        )
+    )
+    id_t = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[id_col]
+    out_schema = (
+        f"`{id_col}` {id_t}, pos int, _side int, slen int, "
+        "_rem array<bigint>, bid long, srv int, is_start int, _m long, "
+        "_he int, _clen int, _bnd long"
+    )
+    summ_schema = (
+        "_pid int, n long, nruns long, first_blk long, last_blk long,"
+        " first_ck array<bigint>, last_ck array<bigint>, first_cnt long,"
+        " first_he int, last_cnt long, last_he int,"
+        " tail_parent_mass long, mid_surv long, mid_surv_mass long"
+    )
+    # EXPLICIT partition count everywhere: AQE would coalesce the
+    # default range shuffle to ~1 partition at small sizes,
+    # serializing the Arrow scans (measured 20 s at sf0.1);
+    # user-specified repartitions are exempt from coalescing.
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+
+    members_parts: list = []
+    blocks_parts: list = []
+    bnd_parts: list = []
+    offset, cw, lvl = 0, w, 1
+    lvl_parts = nparts
+    while True:
+        srt = (
+            live.repartitionByRange(lvl_parts, "_blk", "_ck")
+            .sortWithinPartitions("_blk", "_ck")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+
+        # pass A: one summary row per partition, collected driver-side
+        # (dimension-sized - the two-pass discipline)
+        def _summarize(it, _cw=cw):
+            import numpy as _np
+            import pandas as _pd
+
+            parts = [pdf for pdf in it if len(pdf) > 0]
+            if not parts:
+                return
+            pdf = _pd.concat(parts, ignore_index=True)
+            pid = int(pdf["_pid"].iloc[0])
+            blk = pdf["_blk"].to_numpy()
+            sd = pdf["_side"].to_numpy()
+            mat, lens = _suffix_ck_matrix(list(pdf["_ck"]))
+            key_start, _ = _suffix_run_geometry(
+                blk, mat, lens, None, None
+            )
+            key_start[0] = True
+            starts = _np.flatnonzero(key_start)
+            n = len(blk)
+            bounds = _np.append(starts, n)
+            counts = _np.diff(bounds)
+            he = _np.array(
+                [
+                    int((sd[a:b] == 1).any())
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ],
+                dtype=_np.int64,
+            )
+            clens = lens[starts]
+            if len(starts) > 2:
+                midmask = (counts[1:-1] >= 2) & (clens[1:-1] == _cw)
+                mid = int(midmask.sum())
+                midmass = int(counts[1:-1][midmask].sum())
+            else:
+                mid, midmass = 0, 0
+            tail_parent = int(
+                n
+                - (
+                    _np.flatnonzero(blk != blk[-1])[-1] + 1
+                    if (blk != blk[-1]).any()
+                    else 0
+                )
+            )
+            yield _pd.DataFrame(
+                {
+                    "_pid": [pid],
+                    "n": [int(n)],
+                    "nruns": [int(len(starts))],
+                    "first_blk": [int(blk[0])],
+                    "last_blk": [int(blk[-1])],
+                    "first_ck": [[int(x) for x in pdf["_ck"].iloc[0]]],
+                    "last_ck": [[int(x) for x in pdf["_ck"].iloc[-1]]],
+                    "first_cnt": [int(counts[0])],
+                    "first_he": [int(he[0])],
+                    "last_cnt": [int(counts[-1])],
+                    "last_he": [int(he[-1])],
+                    "tail_parent_mass": [tail_parent],
+                    "mid_surv": [mid],
+                    "mid_surv_mass": [midmass],
+                }
+            )
+
+        summ = {
+            r["_pid"]: r
+            for r in srt.select("_pid", "_blk", "_side", "_ck")
+            .mapInPandas(_summarize, summ_schema)
+            .collect()
+        }
+        pids = sorted(summ)
+
+        # driver fix-ups: straddling runs/parents across partitions.
+        # backward pass - rows of the partition-head run living in
+        # LATER partitions (so the start partition can emit final
+        # m/he for its trailing run)
+        after_m: dict = {}
+        after_he: dict = {}
+        carry_key, carry_m, carry_he = None, 0, 0
+        for p in reversed(pids):
+            r = summ[p]
+            k_last = (r["last_blk"], tuple(r["last_ck"]))
+            if carry_key is not None and carry_key == k_last:
+                after_m[p], after_he[p] = carry_m, carry_he
+            else:
+                after_m[p], after_he[p] = 0, 0
+            if r["nruns"] == 1:
+                head_m = r["n"] + after_m[p]
+                head_he = max(r["first_he"], after_he[p])
+            else:
+                head_m, head_he = r["first_cnt"], r["first_he"]
+            carry_key = (r["first_blk"], tuple(r["first_ck"]))
+            carry_m, carry_he = head_m, head_he
+        # forward pass - the open trailing group chain + parent mass
+        ent: dict = {}
+        ext: dict = {}
+        run_blk, run_mass = None, 0
+        g_key, g_bid, g_m, g_he = None, 0, 0, 0
+        prev_blk, prev_ck = None, None
+        n_surv = sum(r["mid_surv"] for r in summ.values())
+        surv_mass = sum(r["mid_surv_mass"] for r in summ.values())
+        for p in pids:
+            r = summ[p]
+            k_first = (r["first_blk"], tuple(r["first_ck"]))
+            cont = g_key is not None and g_key == k_first
+            ent[p] = {
+                "cont": cont,
+                "bid": g_bid if cont else 0,
+                "m_before": g_m if cont else 0,
+                "he_before": g_he if cont else 0,
+                "psib": run_mass if run_blk == r["first_blk"] else 0,
+                "prev_blk": prev_blk,
+                "prev_ck": prev_ck,
+            }
+            ext[p] = {"after_m": after_m[p], "after_he": after_he[p]}
+            entering = run_mass if run_blk == r["last_blk"] else 0
+            last_bid = (
+                r["last_blk"]
+                + entering
+                + r["tail_parent_mass"]
+                - r["last_cnt"]
+            )
+            last_is_cont = cont and r["nruns"] == 1
+            if not last_is_cont:
+                m_fin = r["last_cnt"] + after_m[p]
+                if m_fin >= 2 and len(r["last_ck"]) == cw:
+                    n_surv += 1
+                    surv_mass += m_fin
+                g_bid, g_m, g_he = last_bid, r["last_cnt"], r["last_he"]
+                g_key = (r["last_blk"], tuple(r["last_ck"]))
+            else:
+                g_m += r["n"]
+                g_he = max(g_he, r["first_he"])
+            if (not cont) and r["nruns"] > 1:
+                if r["first_cnt"] >= 2 and len(r["first_ck"]) == cw:
+                    n_surv += 1
+                    surv_mass += r["first_cnt"]
+            run_mass = entering + r["tail_parent_mass"]
+            run_blk = r["last_blk"]
+            prev_blk = r["last_blk"]
+            prev_ck = list(r["last_ck"])
+
+        # pass B: full member-grain enrichment - bid, resolution
+        # class, run stats + boundary LCP on run-start rows
+        def _scan(
+            it, _cw=cw, _off=offset, _ent=ent, _ext=ext, _id=id_col
+        ):
+            import numpy as _np
+            import pandas as _pd
+
+            parts = [pdf for pdf in it if len(pdf) > 0]
+            if not parts:
+                return
+            pdf = _pd.concat(parts, ignore_index=True)
+            p = int(pdf["_pid"].iloc[0])
+            e = _ent.get(p, {})
+            x = _ext.get(p, {"after_m": 0, "after_he": 0})
+            blk = pdf["_blk"].to_numpy()
+            sd = pdf["_side"].to_numpy()
+            cks = list(pdf["_ck"])
+            pck = (
+                _np.asarray(e["prev_ck"], dtype=_np.int64)
+                if e.get("prev_ck") is not None
+                else None
+            )
+            mat, lens = _suffix_ck_matrix(
+                cks, width_floor=len(pck) if pck is not None else 1
+            )
+            key_start, lcp = _suffix_run_geometry(
+                blk, mat, lens, e.get("prev_blk"), pck
+            )
+            if e.get("cont"):
+                key_start[0] = False
+            else:
+                key_start[0] = True
+            n = len(blk)
+            starts = _np.flatnonzero(key_start)
+            # run index per row; 0 = the continuing run (no local
+            # start) when cont
+            rid = _np.cumsum(key_start)
+            if not e.get("cont"):
+                rid = rid - 1
+            nruns = int(rid[-1]) + 1
+            # per-run local stats
+            r_count = _np.bincount(rid, minlength=nruns).astype(
+                _np.int64
+            )
+            r_he = (
+                _np.bincount(
+                    rid, weights=(sd == 1), minlength=nruns
+                )
+                > 0
+            ).astype(_np.int64)
+            first_rows = _np.zeros(nruns, dtype=_np.int64)
+            if e.get("cont"):
+                first_rows[1:] = starts
+            else:
+                first_rows[:] = starts
+            r_blk = blk[first_rows]
+            r_clen = lens[first_rows]
+            r_lcp = lcp[first_rows]
+            # final m/he with straddle corrections
+            r_m = r_count.copy()
+            r_hef = r_he.copy()
+            if e.get("cont"):
+                r_m[0] += e["m_before"]
+                r_hef[0] = max(r_hef[0], e["he_before"])
+            r_m[nruns - 1] += x["after_m"]
+            r_hef[nruns - 1] = max(r_hef[nruns - 1], x["after_he"])
+            # sibling-mass chain -> global range starts
+            seg_mass = r_count.copy()
+            if e.get("cont"):
+                seg_mass[0] += e["m_before"]
+            parent_prev = _np.empty(nruns, dtype=_np.int64)
+            parent_prev[1:] = r_blk[:-1]
+            parent_prev[0] = (
+                e["prev_blk"]
+                if e.get("prev_blk") is not None
+                else r_blk[0] - 1
+            )
+            p_start = r_blk != parent_prev
+            ecs = _np.cumsum(seg_mass) - seg_mass
+            segid = _np.cumsum(p_start)
+            pstarts = _np.flatnonzero(p_start)
+            bases = _np.empty(len(pstarts) + 1, dtype=_np.int64)
+            if e.get("cont"):
+                seed = e["bid"] - r_blk[0]
+            else:
+                seed = e.get("psib", 0)
+            bases[0] = -seed
+            bases[1:] = ecs[pstarts]
+            r_bid = r_blk + (ecs - bases[segid])
+            if e.get("cont"):
+                r_bid[0] = e["bid"]
+            # boundary LCP: run starts whose previous row shares the
+            # parent block
+            r_bnd = _np.full(nruns, -1, dtype=_np.int64)
+            has_left = ~p_start
+            local_start = _np.ones(nruns, dtype=bool)
+            if e.get("cont"):
+                local_start[0] = False
+            emit_bnd = has_left & local_start
+            r_bnd[emit_bnd] = _off + r_lcp[emit_bnd]
+            # survivors: full-width keys shared by >= 2 members
+            r_srv = ((r_m >= 2) & (r_clen == _cw)).astype(_np.int64)
+            out = _pd.DataFrame(
+                {
+                    _id: pdf[_id].to_numpy(),
+                    "pos": pdf["pos"].to_numpy(),
+                    "_side": sd,
+                    "slen": pdf["slen"].to_numpy(),
+                    "_rem": pdf["_rem"],
+                    "bid": r_bid[rid],
+                    "srv": r_srv[rid],
+                    "is_start": _np.where(
+                        key_start & local_start[rid].astype(bool), 1, 0
+                    ),
+                    "_m": r_m[rid],
+                    "_he": r_hef[rid],
+                    "_clen": r_clen[rid],
+                    "_bnd": _np.where(
+                        key_start, r_bnd[rid], -1
+                    ),
+                }
+            )
+            yield out
+
+        enr = srt.mapInPandas(_scan, out_schema).localCheckpoint(
+            eager=False
+        )
+        resolved_start = (F.col("is_start") == 1) & (
+            F.col("srv") == 0
+        )
+        blocks_parts.append(
+            enr.where(resolved_start).select(
+                "bid",
+                "_m",
+                "_he",
+                F.when(
+                    F.col("_m") >= 2, F.lit(offset) + F.col("_clen")
+                )
+                .cast("long")
+                .alias("tie_len"),
+            )
+        )
+        bnd_parts.append(
+            enr.where(F.col("_bnd") >= 0).select(
+                (F.col("bid") - 1).alias("endpos"),
+                F.col("_bnd").alias("lcp"),
+            )
+        )
+        members_parts.append(
+            enr.where(F.col("srv") == 0).select(
+                "bid", id_col, "pos", "_side"
+            )
+        )
+
+        if n_surv == 0:
+            break
+        nxt = enr.where(F.col("srv") == 1).select(
+            id_col,
+            "_side",
+            "pos",
+            "slen",
+            F.col("bid").alias("_blk"),
+            "_rem",
+        )
+        if lvl == 1:
+            # survivors fetch their remainder ONCE (AQE-planned; the
+            # clean-corpus survivor set is the dup mass only)
+            nxt = (
+                nxt.drop("_rem")
+                .join(docs.select(F.col(id_col), "_h"), id_col)
+                .withColumn(
+                    "_rem",
+                    F.slice(
+                        "_h",
+                        F.col("pos") + 1 + w,
+                        F.greatest(F.col("slen") - w, F.lit(0)),
+                    ),
+                )
+                .drop("_h")
+            )
+        ncw = min(cw * 8, 4096)
+        live = nxt.select(
+            id_col,
+            "_side",
+            "pos",
+            "slen",
+            "_blk",
+            F.slice("_rem", 1, ncw).alias("_ck"),
+            F.slice(
+                "_rem",
+                1 + ncw,
+                F.greatest(F.size("_rem") - ncw, F.lit(0)),
+            ).alias("_rem"),
+        )
+        offset += cw
+        cw = ncw
+        lvl += 1
+        # later levels carry only the surviving dup mass - size their
+        # shuffles to it instead of spawning full-width tiny tasks
+        lvl_parts = min(nparts, max(2, surv_mass // 16384 + 1))
+        if lvl > 64:  # geometric widths: unreachable except by a bug
+            raise RuntimeError("suffix_block_frames failed to converge")
+
+    blocks = blocks_parts[0]
+    for part in blocks_parts[1:]:
+        blocks = blocks.unionByName(part)
+    bnd = bnd_parts[0]
+    for part in bnd_parts[1:]:
+        bnd = bnd.unionByName(part)
+    members = members_parts[0]
+    for part in members_parts[1:]:
+        members = members.unionByName(part)
+    blocks = (
+        blocks.withColumn("_bp", F.col("bid") - 1)
+        .join(
+            bnd.select(
+                F.col("endpos").alias("_bp"),
+                F.col("lcp").alias("lcp_prev"),
+            ),
+            "_bp",
+            "left",
+        )
+        .drop("_bp")
+        .withColumn("_bn", F.col("bid") + F.col("_m") - 1)
+        .join(
+            bnd.select(
+                F.col("endpos").alias("_bn"),
+                F.col("lcp").alias("lcp_next"),
+            ),
+            "_bn",
+            "left",
+        )
+        .drop("_bn")
+    )
+    return {
+        "blocks": blocks.localCheckpoint(eager=False),
+        "members": members.localCheckpoint(eager=False),
+        "docs": docs,
+    }
+
+def suffix_dup_lengths_from_blocks(
+    frames: dict, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, dup_len) derived from suffix_block_frames: identical
+    groups (m >= 2) read their member length, singletons take the max
+    of the two exact neighbor-group LCPs - no zero-fill join needed
+    because every suffix position is a member of exactly one block.
+    Side tags are ignored: duplication is corpus-wide, eval rows
+    included (the from_frame contract)."""
+    val = F.when(F.col("_m") >= 2, F.col("tie_len")).otherwise(
+        F.greatest(
+            F.coalesce(F.col("lcp_prev"), F.lit(0)),
+            F.coalesce(F.col("lcp_next"), F.lit(0)),
+        )
+    )
+    bv = frames["blocks"].select(
+        "bid", val.cast("long").alias("dup_len")
+    )
+    return frames["members"].join(bv, "bid").select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("dup_len"),
+    )
+
+
+def suffix_eval_overlap_from_blocks(
+    frames: dict, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, eval_len) per TRAIN position derived from a merged
+    side-tagged suffix_block_frames (_he marks groups containing an
+    eval suffix): a train suffix's maximal LCP against the whole eval
+    set is attained at the nearest eval group in either direction of
+    the block order, and LCP across a gap is the RANGE-MIN of the
+    boundary LCPs between - so the whole derivation is two running
+    min-since-last-eval scans over the slim blocks frame (partition-
+    local, driver-carried boundary state; no slices, no per-row eval
+    lookups). Train members of an eval-containing identical group
+    overlap verbatim at full length (tie_len)."""
+    import numpy as np  # noqa: F401
+    import pandas as pd  # noqa: F401
+
+    blocks, members = frames["blocks"], frames["members"]
+    # explicit partition count: exempt from AQE coalescing, so the
+    # scan parallelism survives small shuffle sizes
+    nparts = max(
+        blocks.sparkSession.sparkContext.defaultParallelism, 2
+    )
+    sb = (
+        blocks.select(
+            "bid",
+            "_m",
+            "_he",
+            F.coalesce("tie_len", F.lit(0)).alias("_tl"),
+            F.coalesce("lcp_prev", F.lit(0)).alias("_lp"),
+            F.coalesce("lcp_next", F.lit(0)).alias("_ln"),
+        )
+        .repartitionByRange(nparts, "bid")
+        .sortWithinPartitions("bid")
+        .withColumn("_pid", F.spark_partition_id())
+        # lazy: the summary collect below materializes it
+        .localCheckpoint(eager=False)
+    )
+
+    def _summarize(it):
+        import numpy as _np
+        import pandas as _pd
+
+        pid = None
+        hes, lps, lns = [], [], []
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            hes.append(pdf["_he"].to_numpy())
+            lps.append(pdf["_lp"].to_numpy())
+            lns.append(pdf["_ln"].to_numpy())
+        if pid is None:
+            return
+        he = _np.concatenate(hes)
+        lp = _np.concatenate(lps)
+        ln = _np.concatenate(lns)
+        ev = _np.flatnonzero(he == 1)
+        big = 1 << 62
+        if len(ev):
+            last, first = int(ev[-1]), int(ev[0])
+            tail = (
+                int(lp[last + 1 :].min()) if last + 1 < len(lp) else big
+            )
+            head = int(ln[:first].min()) if first > 0 else big
+        else:
+            tail = head = big
+        yield _pd.DataFrame(
+            {
+                "_pid": [pid],
+                "has_eval": [bool(len(ev))],
+                "fwd_tail": [tail],
+                "bwd_head": [head],
+                "fwd_all": [int(lp.min()) if len(lp) else big],
+                "bwd_all": [int(ln.min()) if len(ln) else big],
+            }
+        )
+
+    summ = {
+        r["_pid"]: r
+        for r in sb.select("_pid", "_he", "_lp", "_ln")
+        .mapInPandas(
+            _summarize,
+            "_pid int, has_eval boolean, fwd_tail long, bwd_head long,"
+            " fwd_all long, bwd_all long",
+        )
+        .collect()
+    }
+    pids = sorted(summ)
+    fwd_in: dict = {}
+    bwd_in: dict = {}
+    v = None  # None = no eval seen yet; else min-chain since last eval
+    for p in pids:
+        fwd_in[p] = v
+        r = summ[p]
+        if r["has_eval"]:
+            v = r["fwd_tail"]
+        elif v is not None:
+            v = min(v, r["fwd_all"])
+    v = None
+    for p in reversed(pids):
+        bwd_in[p] = v
+        r = summ[p]
+        if r["has_eval"]:
+            v = r["bwd_head"]
+        elif v is not None:
+            v = min(v, r["bwd_all"])
+
+    def _scan(it, _fwd=fwd_in, _bwd=bwd_in):
+        import numpy as _np
+        import pandas as _pd
+
+        big = 1 << 62
+        # buffer the whole partition FIRST: a partition spans several
+        # Arrow batches and the backward pass must walk them in
+        # reverse (the per-batch form silently reset the running state
+        # at every batch boundary - caught by the sf0.001 pure-Python
+        # differential)
+        parts = [pdf for pdf in it if len(pdf) > 0]
+        if not parts:
+            return
+        pdf = _pd.concat(parts, ignore_index=True)
+        p = int(pdf["_pid"].iloc[0])
+        he = pdf["_he"].to_numpy()
+        lp = pdf["_lp"].to_numpy()
+        ln = pdf["_ln"].to_numpy()
+        n = len(he)
+        prevv = _np.zeros(n, dtype=_np.int64)
+        nextv = _np.zeros(n, dtype=_np.int64)
+        v = _fwd.get(p)
+        v = big + 1 if v is None else v
+        for i in range(n):
+            if v <= big:
+                v = min(v, int(lp[i]))
+                prevv[i] = v if v <= big else 0
+            if he[i] == 1:
+                v = big
+        u = _bwd.get(p)
+        u = big + 1 if u is None else u
+        for i in range(n - 1, -1, -1):
+            if u <= big:
+                u = min(u, int(ln[i]))
+                nextv[i] = u if u <= big else 0
+            if he[i] == 1:
+                u = big
+        out = _np.maximum(prevv, nextv)
+        out[out > big] = 0
+        yield _pd.DataFrame({"bid": pdf["bid"].to_numpy(), "_ev": out})
+
+    scan_vals = sb.select("_pid", "bid", "_he", "_lp", "_ln").mapInPandas(
+        _scan, "bid long, _ev long"
+    )
+    ev_per_block = (
+        sb.where((F.col("_he") == 1) & (F.col("_m") >= 2))
+        .select("bid", F.col("_tl").alias("eval_len"))
+        .unionByName(
+            sb.where(F.col("_he") == 0)
+            .select("bid")
+            .join(scan_vals, "bid")
+            .select("bid", F.col("_ev").alias("eval_len"))
+        )
+    )
+    return (
+        members.where(F.col("_side") == 0)
+        .join(ev_per_block, "bid", "left")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.coalesce("eval_len", F.lit(0))
+            .cast("long")
+            .alias("eval_len"),
+        )
+    )
 
 
 def suffix_dup_lengths_from_frame(
@@ -1507,13 +2308,13 @@ def suffix_dup_lengths(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    strategy: str = "sort",
+    strategy: str = "chunked",
     n_rounds: int = 7,
 ) -> DataFrame:
     """Per token position, the length (in tokens) of the LONGEST
     substring starting there that occurs at least twice in the corpus
     - the exact-substring grain of Lee et al. 2022 (arXiv:2107.06499)
-    the 5-token span index approximates (r11 verdict #4). Both
+    the 5-token span index approximates (r11 verdict #4). All three
     strategies build the SUFFIX-ARRAY order over h60 token hashes (a
     permuted alphabet - LCP is alphabet-order-invariant) and read
     lrs(i) = max(LCP with the two suffix-array neighbors), which is
@@ -1521,7 +2322,16 @@ def suffix_dup_lengths(
     always adjacent to S in SA order; they differ in how the order is
     built, trading memory amplification against sort rounds:
 
-    strategy='sort' (default): materialize each suffix as its
+    strategy='chunked' (default since r14): bounded-prefix sort with
+    tie refinement (suffix_block_frames) - sorts w-rank chunks with
+    doubling widths instead of whole slices, collapses identical-
+    suffix groups up front, and derives every LCP from split-time
+    boundary records, so NO suffix slice ever enters a shuffle: the
+    ~L/2 slice amplification of 'sort' (the family's dominant 10x-
+    probe shuffle) drops to ~w per position plus the surviving dup
+    mass. O(log max_doc_len) levels; no document-length cap.
+
+    strategy='sort': materialize each suffix as its
     token-hash slice and range-sort ONCE - arrays are natively
     orderable, neighbors carry their slices, and LCP is a pure column
     expression (first mismatching index), so the whole operator is
@@ -1569,10 +2379,15 @@ def suffix_dup_lengths(
     slice rebuild — see _suffix_slice_frames).
 
     Returns (id_col, pos, dup_len): one row per token position,
-    dup_len = 0 when even the single token is unique. Both strategies
+    dup_len = 0 when even the single token is unique. All strategies
     are pinned row-identical to each other AND to a pure-Python
     suffix array in tests/test_properties.py; report consumer
     exact_substr_stats."""
+    if strategy == "chunked":
+        frames = suffix_block_frames(
+            df, id_col=id_col, text_col=text_col, side=0
+        )
+        return suffix_dup_lengths_from_blocks(frames, id_col=id_col)
     if strategy == "sort":
         return _suffix_dup_lengths_sorted(
             df, id_col=id_col, text_col=text_col
@@ -1806,14 +2621,18 @@ def suffix_eval_overlap(
     Ids must be unique across the two frames (they are: both sides
     come from the same documents table).
 
-    Both sides MUST be tagged and sliced in ONE _suffix_slice_frames
-    call so they share one token dictionary (r13 review finding,
-    reproduced live: one slicing call per side built independent
-    dictionaries whose int32 ranks are incompatible across sides -
-    train 'apple' and eval 'banana' both got rank 0, yielding a
-    spurious overlap AND missing the verbatim one, wrong on any
-    corpus where the two vocabularies differ; the repo corpus's
-    coinciding train/eval vocabularies had masked it)."""
+    Both sides MUST be tagged and ranked in ONE dictionary build so
+    their ranks are comparable (r13 review finding, reproduced live:
+    one slicing call per side built independent dictionaries whose
+    int32 ranks are incompatible across sides - train 'apple' and
+    eval 'banana' both got rank 0, yielding a spurious overlap AND
+    missing the verbatim one, wrong on any corpus where the two
+    vocabularies differ; the repo corpus's coinciding train/eval
+    vocabularies had masked it) - satisfied here by merging the
+    frames before ONE suffix_block_frames call (since r14 this rides
+    the chunked machinery; the slice-sort twin stays available via
+    suffix_sorted_frame + suffix_eval_overlap_from_frame and is
+    pinned row-identical in tests)."""
     merged = train.select(
         F.col(id_col), F.col(text_col), F.lit(0).alias("_sd")
     ).unionByName(
@@ -1821,12 +2640,10 @@ def suffix_eval_overlap(
             F.col(id_col), F.col(text_col), F.lit(1).alias("_sd")
         )
     )
-    _, sfx = _suffix_slice_frames(
+    frames = suffix_block_frames(
         merged, id_col=id_col, text_col=text_col, side=F.col("_sd")
     )
-    sidf = suffix_sorted_frame(sfx, id_col=id_col)
-    tbase = _suffix_positions(train, id_col=id_col, text_col=text_col)
-    return suffix_eval_overlap_from_frame(sidf, tbase, id_col=id_col)
+    return suffix_eval_overlap_from_blocks(frames, id_col=id_col)
 
 
 def suffix_eval_overlap_from_frame(

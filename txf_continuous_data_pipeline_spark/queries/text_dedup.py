@@ -585,24 +585,25 @@ _SUFFIX_LENS_CACHE: dict = {}
 
 
 def _cached_suffix_frame(spark, sf_dir):
-    """ONE merged side-tagged suffix sort for the WHOLE suffix-grain
-    family (r12 verdict #3: exact_substr_stats, longest_dup_substrings
-    and exact_decontamination each paid their own ~7 s sort over the
-    same corpus). Rows from source 'src0' (the benchmark stand-in eval
-    set) carry _side = 1, everything else _side = 0; filtering a
-    sorted frame preserves suffix order, so the same frame serves both
-    the corpus-wide dup-length derivation (all rows - duplication
-    counts eval docs too, matching the all-documents oracle) and the
-    train-vs-eval nearest-neighbor overlap scan."""
-    from ..operators.dedup import (
-        _suffix_slice_frames,
-        suffix_sorted_frame,
-    )
+    """ONE merged side-tagged suffix ordering for the WHOLE
+    suffix-grain family (r12 verdict #3: exact_substr_stats,
+    longest_dup_substrings and exact_decontamination each paid their
+    own ~7 s sort over the same corpus). Rows from source 'src0' (the
+    benchmark stand-in eval set) carry _side = 1, everything else
+    _side = 0, so the same frames serve both the corpus-wide
+    dup-length derivation (all rows - duplication counts eval docs
+    too, matching the all-documents oracle) and the train-vs-eval
+    nearest-neighbor overlap scan. Since r14 this is the CHUNKED
+    bounded-prefix machinery (operators/dedup.suffix_block_frames):
+    the returned dict's slim blocks/members frames replace the
+    slice-carrying sorted frame, cutting the family's dominant
+    shuffle (~L/2 slice amplification) to ~w ranks per position."""
+    from ..operators.dedup import suffix_block_frames
 
     key = _corpus_key(spark, sf_dir)
     if key not in _SUFFIX_FRAME_CACHE:
         docs = read_table(spark, sf_dir, "documents")
-        _, sfx = _suffix_slice_frames(
+        _SUFFIX_FRAME_CACHE[key] = suffix_block_frames(
             docs,
             id_col="doc_id",
             text_col="text",
@@ -610,31 +611,23 @@ def _cached_suffix_frame(spark, sf_dir):
                 F.lit(0)
             ),
         )
-        _SUFFIX_FRAME_CACHE[key] = suffix_sorted_frame(
-            sfx, id_col="doc_id"
-        )
     return _SUFFIX_FRAME_CACHE[key]
 
 
 def _cached_suffix_lens(spark, sf_dir):
     """Memoized per-position longest-duplicated-run frame (doc_id,
-    pos, dup_len): the suffix sort is the expensive stage, and TWO
+    pos, dup_len): the suffix ordering is the expensive stage, and TWO
     report queries consume it (exact_substr_stats +
     longest_dup_substrings) - the memoized-bar-frame discipline, so a
-    bench/driver session pays the sort once per corpus (and since r13,
-    the sort itself is the shared _cached_suffix_frame the
-    decontamination arm also rides)."""
-    from ..operators.dedup import (
-        _suffix_positions,
-        suffix_dup_lengths_from_frame,
-    )
+    bench/driver session pays the ordering once per corpus (and the
+    shared _cached_suffix_frame blocks also serve the
+    decontamination arm)."""
+    from ..operators.dedup import suffix_dup_lengths_from_blocks
 
     key = _corpus_key(spark, sf_dir)
     if key not in _SUFFIX_LENS_CACHE:
-        docs = read_table(spark, sf_dir, "documents")
-        base = _suffix_positions(docs, id_col="doc_id", text_col="text")
-        _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths_from_frame(
-            _cached_suffix_frame(spark, sf_dir), base, id_col="doc_id"
+        _SUFFIX_LENS_CACHE[key] = suffix_dup_lengths_from_blocks(
+            _cached_suffix_frame(spark, sf_dir), id_col="doc_id"
         ).localCheckpoint(eager=True)
     return _SUFFIX_LENS_CACHE[key]
 
@@ -1413,26 +1406,23 @@ def exact_decontamination_q(spark, sf_dir):
     starting a shared run of >= 8 tokens. n-gram decontamination says
     whether ANY overlap exists; this says how LONG the longest quoted
     passage is - the number a release review debates (Lee et al.
-    2022's train-test overlap measurement). One merged suffix sort
-    over both sides; each train suffix checks exactly its two nearest
-    eval neighbors in the merged order (where any max-LCP is
-    attained), never train x eval pairs; nearest-eval ids ride a
-    per-partition scan + driver-side boundary fix-up, one row per
-    partition (operators/dedup.suffix_eval_overlap - pinned against a
-    pure-Python merged suffix array in tests/test_properties.py).
-    The sort rides the family-shared _cached_suffix_frame (r12
-    verdict #3) - a bench/driver session pays it once for this query,
-    exact_substr_stats AND longest_dup_substrings."""
-    from ..operators.dedup import (
-        _suffix_positions,
-        suffix_eval_overlap_from_frame,
-    )
+    2022's train-test overlap measurement). One merged suffix
+    ordering over both sides; a train suffix's max-LCP against the
+    whole eval set is attained at the nearest eval group in either
+    direction of the order, derived as two running min-since-last-
+    eval scans over the slim boundary-LCP frame (never train x eval
+    pairs; operators/dedup.suffix_eval_overlap_from_blocks - pinned
+    against a pure-Python merged suffix array in
+    tests/test_properties.py). The ordering rides the family-shared
+    _cached_suffix_frame (r12 verdict #3) - a bench/driver session
+    pays it once for this query, exact_substr_stats AND
+    longest_dup_substrings."""
+    from ..operators.dedup import suffix_eval_overlap_from_blocks
 
     docs = read_table(spark, sf_dir, "documents")
     train = docs.where(F.col("source") != "src0")
-    tbase = _suffix_positions(train, id_col="doc_id", text_col="text")
-    lens = suffix_eval_overlap_from_frame(
-        _cached_suffix_frame(spark, sf_dir), tbase, id_col="doc_id"
+    lens = suffix_eval_overlap_from_blocks(
+        _cached_suffix_frame(spark, sf_dir), id_col="doc_id"
     )
     per_doc = lens.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
