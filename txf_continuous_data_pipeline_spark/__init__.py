@@ -23,4 +23,20 @@ Layout (see SURVEY.md section 7):
                           foreachBatch idempotent sink)
 """
 
+import os as _os
+
+# Default numpy's transparent-hugepage madvise OFF for this process and
+# every child (the JVM gateway and, through it, every pooled Python
+# worker inherit the environment). On long-lived hosts with fragmented
+# memory, each madvise(MADV_HUGEPAGE) on a fresh numpy buffer can stall
+# in synchronous kernel compaction: measured on this box as 55% system
+# time inside pure-userspace numpy, np.stack of 164 MB taking 0.07-6.6 s
+# bimodally with hugepages vs a stable 0.12-0.15 s without (r14 A/B,
+# OPTIMIZATION_r14.md). The engine's Arrow-batch workloads allocate many
+# small/medium arrays where the TLB win can never repay a multi-second
+# compaction stall. Deliberately setdefault, not overwrite: deployments
+# whose kernels handle THP well re-enable it with
+# NUMPY_MADVISE_HUGEPAGE=1 in the environment.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 __version__ = "0.1.0"

@@ -660,14 +660,22 @@ def _phash_batch(payloads, *, size: int = 32, hash_size: int = 8):
 
 
 def image_phash(
-    media: DataFrame, *, id_col: str = "media_id"
+    media: DataFrame, *, id_col: str = "media_id", repartition: bool = True
 ) -> DataFrame:
     """Perceptual 63-bit image hash per PPM row via one Arrow
     mapInPandas stage (payload + id cross into Python, nothing else).
     Output: (media_id, phash long); undecodable rows carry a null
     phash (quarantined, not raised - see _phash_batch). Composes with
     phash_neardup_pairs for image-level near-duplicate detection - the
-    multimodal twin of the text MinHash/SimHash stack."""
+    multimodal twin of the text MinHash/SimHash stack.
+
+    `repartition=False` skips the byte-budget exchange and inherits the
+    upstream partitioning - the right call when the payloads flow out of
+    an upstream stage that is already spread (a synthesis mapInPandas, a
+    wide scan): the default exchange both MOVES every payload byte and,
+    when total_bytes is unknown, runs an eager length() aggregate that
+    executes the whole upstream chain once more just to size partitions
+    (the frame_phash lesson, applied here)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -679,9 +687,9 @@ def image_phash(
             )
 
     pruned = media.select(F.col(id_col), "payload")
-    return repartition_by_bytes(pruned).mapInPandas(
-        _batches, PHASH_SCHEMA
-    )
+    if repartition:
+        pruned = repartition_by_bytes(pruned)
+    return pruned.mapInPandas(_batches, PHASH_SCHEMA)
 
 
 def _audio_fingerprint_one(
@@ -728,7 +736,7 @@ def _audio_fingerprint_one(
 
 
 def audio_fingerprint(
-    media: DataFrame, *, id_col: str = "media_id"
+    media: DataFrame, *, id_col: str = "media_id", repartition: bool = True
 ) -> DataFrame:
     """Perceptual 63-bit audio fingerprint per WAV row via one Arrow
     mapInPandas stage - the audio twin of image_phash. Output:
@@ -740,7 +748,12 @@ def audio_fingerprint(
     rather than aborting the corpus pass (one corrupt WAV in 100 TB
     must not kill the stage); null fp rows fall out of the downstream
     band equi-join naturally (null never equi-matches), and callers
-    can count them with a `fp IS NULL` filter."""
+    can count them with a `fp IS NULL` filter.
+
+    `repartition=False`: same contract as image_phash - skip the
+    byte-budget exchange (which also re-executes an unsized upstream
+    chain once for its eager length() aggregate) when the caller's
+    upstream is already spread."""
 
     def _fp_or_null(p: bytes):
         try:
@@ -761,9 +774,9 @@ def audio_fingerprint(
             )
 
     pruned = media.select(F.col(id_col), "payload")
-    return repartition_by_bytes(pruned).mapInPandas(
-        _batches, "media_id long, fp long"
-    )
+    if repartition:
+        pruned = repartition_by_bytes(pruned)
+    return pruned.mapInPandas(_batches, "media_id long, fp long")
 
 
 def frame_phash(

@@ -87,44 +87,62 @@ def image_phash_neardup(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan -> spread the per-row synthesis Python BEFORE it
+    # runs (only 8-byte ids move); previously the whole corpus was
+    # synthesized in the scan's one task and then repartition_by_bytes
+    # inside image_phash shuffled every payload byte (7.8 MB at sf0.1)
+    # AND re-executed the one-task synthesis once more for its eager
+    # length() sizing aggregate (r14; guide §2.4/§8 - decide with small
+    # rows, never move or recompute the heavy bytes).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _make(it):
+        c32 = _dct_matrix(32)
+        ii = np.arange(8)[:, None] * 19349663  # (8,1)
+        jj = np.arange(8)[None, :] * 83492791  # (1,8)
         for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                # Low-frequency content must be DISTINCT per seed AND
-                # spectrally DENSE: a sparse spectrum (e.g. 3 pure
-                # sinusoids) leaves most of the hash's 63 DCT
-                # coefficients at numerical zero, where the median
-                # threshold flips on FP noise. Generating the image
-                # FROM a seeded dense 8x8 coefficient block guarantees
-                # every hash bit is decisive; validated pair-exact at
-                # sf0.1 (2500 seeds), not just the driver's sf0.01.
-                seed = int(d) // 2
-                S = np.zeros((32, 32))
-                for i in range(8):
-                    for j in range(8):
-                        h = (
-                            seed * 73856093
-                            ^ i * 19349663
-                            ^ j * 83492791
-                        ) % (1 << 31)
-                        amp = float(h % 161) - 80.0
-                        if -20.0 < amp < 20.0:
-                            amp = 20.0 if amp >= 0 else -20.0
-                        S[i, j] = amp
-                S[0, 0] = 0.0
-                c32 = _dct_matrix(32)
-                field = c32.T @ S @ c32
-                field = field / (np.abs(field).max() + 1e-9) * 90.0
-                img = (128.0 + field[:24, :])[:, :, None] + np.arange(
-                    3
-                )[None, None, :]
-                if int(d) % 2 == 1:
-                    img = np.clip(img + 6, 0, 255)
-                payloads.append(
-                    bytearray(encode_ppm(img.astype(np.uint8)))
-                )
+            # Low-frequency content must be DISTINCT per seed AND
+            # spectrally DENSE: a sparse spectrum (e.g. 3 pure
+            # sinusoids) leaves most of the hash's 63 DCT
+            # coefficients at numerical zero, where the median
+            # threshold flips on FP noise. Generating the image
+            # FROM a seeded dense 8x8 coefficient block guarantees
+            # every hash bit is decisive; validated pair-exact at
+            # sf0.1 (2500 seeds), not just the driver's sf0.01.
+            # One batched pipeline per Arrow batch (r14): the seeded
+            # grid, the DCT synthesis and the normalization all run as
+            # (B,8,8)/(B,32,32) numpy ops - same values bit-for-bit as
+            # the former per-doc loops (int64 ^/% identities unchanged),
+            # pinned by the planted-pair oracle and test_multimodal.
+            d_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+            seeds = d_arr // 2
+            h = (
+                (seeds[:, None, None] * 73856093)
+                ^ (ii ^ jj)[None, :, :]
+            ) % (1 << 31)
+            amp = (h % 161).astype(np.float64) - 80.0
+            small = np.abs(amp) < 20.0
+            amp[small] = np.where(amp[small] >= 0, 20.0, -20.0)
+            S = np.zeros((len(d_arr), 32, 32))
+            S[:, :8, :8] = amp
+            S[:, 0, 0] = 0.0
+            field = c32.T @ S @ c32  # (B,32,32)
+            field = field / (
+                np.abs(field).reshape(len(d_arr), -1).max(axis=1)[
+                    :, None, None
+                ]
+                + 1e-9
+            ) * 90.0
+            img = (128.0 + field[:, :24, :])[:, :, :, None] + np.arange(
+                3
+            )[None, None, None, :]
+            odd = (d_arr % 2 == 1)
+            img[odd] = np.clip(img[odd] + 6, 0, 255)
+            img8 = img.astype(np.uint8)
+            payloads = [
+                bytearray(encode_ppm(img8[i]))
+                for i in range(len(d_arr))
+            ]
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -132,7 +150,12 @@ def image_phash_neardup(spark, sf_dir):
     media = docs.mapInPandas(
         _make, "media_id long, payload binary"
     )
-    hashes = image_phash(media).localCheckpoint(eager=False)
+    # repartition=False: synthesis is already spread over default
+    # parallelism; inheriting it keeps synth -> hash ONE shuffle-free
+    # fused stage and only (id, phash) rows ever reach the JVM join
+    hashes = image_phash(media, repartition=False).localCheckpoint(
+        eager=False
+    )
     return phash_neardup_pairs(hashes, max_hamming=4).select(
         "id_a", "id_b"
     )
@@ -223,7 +246,14 @@ def audio_fingerprint_neardup(spark, sf_dir):
             )
 
     media = docs.mapInPandas(_make, "media_id long, payload binary")
-    fps = audio_fingerprint(media).localCheckpoint(eager=False)
+    # repartition=False: synthesis is already spread over default
+    # parallelism (the exchange above moved only ids); the default
+    # byte-budget exchange would BOTH move every WAV byte (~65 MB at
+    # sf0.1, the registry's top byte-mover) and re-execute the whole
+    # synthesis once more for its eager length() sizing aggregate
+    fps = audio_fingerprint(media, repartition=False).localCheckpoint(
+        eager=False
+    )
     return phash_neardup_pairs(
         fps, hash_col="fp", max_hamming=4
     ).select("id_a", "id_b")

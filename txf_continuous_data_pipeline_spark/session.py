@@ -47,6 +47,13 @@ def get_spark(
         # BENCH_DETAIL.json video_phash_neardup_r12)
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # propagate the numpy-THP default (set in the package __init__)
+        # to cluster executors; in local mode workers inherit it from
+        # this process's environment directly
+        .config(
+            "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+            os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     )
