@@ -81,8 +81,8 @@ def image_phash_neardup(spark, sf_dir):
 
     from ..operators.multimodal import (
         _dct_matrix,
+        _phash_batch,
         encode_ppm,
-        image_phash,
         phash_neardup_pairs,
     )
 
@@ -139,23 +139,24 @@ def image_phash_neardup(spark, sf_dir):
             odd = (d_arr % 2 == 1)
             img[odd] = np.clip(img[odd] + 6, 0, 255)
             img8 = img.astype(np.uint8)
+            # synth -> PPM encode -> pHash (which re-decodes the PPM -
+            # the REAL codec round trip, unchanged) in ONE Python pass:
+            # a second chained mapInPandas node costs ~0.25 CPU-s/task
+            # of Arrow/handshake overhead and would ship every payload
+            # byte through the JVM for nothing (r14; guide §4.1)
             payloads = [
-                bytearray(encode_ppm(img8[i]))
-                for i in range(len(d_arr))
+                encode_ppm(img8[i]) for i in range(len(d_arr))
             ]
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
+                {
+                    "media_id": pdf["doc_id"],
+                    "phash": _phash_batch(payloads),
+                }
             )
 
-    media = docs.mapInPandas(
-        _make, "media_id long, payload binary"
-    )
-    # repartition=False: synthesis is already spread over default
-    # parallelism; inheriting it keeps synth -> hash ONE shuffle-free
-    # fused stage and only (id, phash) rows ever reach the JVM join
-    hashes = image_phash(media, repartition=False).localCheckpoint(
-        eager=False
-    )
+    hashes = docs.mapInPandas(
+        _make, "media_id long, phash long"
+    ).localCheckpoint(eager=False)
     return phash_neardup_pairs(hashes, max_hamming=4).select(
         "id_a", "id_b"
     )
@@ -190,7 +191,7 @@ def audio_fingerprint_neardup(spark, sf_dir):
     import pandas as pd
 
     from ..operators.multimodal import (
-        audio_fingerprint,
+        _audio_fingerprint_one,
         encode_wav,
         phash_neardup_pairs,
     )
@@ -240,20 +241,34 @@ def audio_fingerprint_neardup(spark, sf_dir):
                 x = (amp @ basis).ravel()
                 if int(d) % 2 == 1:
                     x = x * 1.25
-                payloads.append(bytearray(encode_wav(x, 8000)))
+                payloads.append(encode_wav(x, 8000))
+            # synth -> WAV encode -> fingerprint (which re-decodes the
+            # WAV - the REAL codec round trip, unchanged) in ONE Python
+            # pass: a second chained mapInPandas node costs ~0.25
+            # CPU-s/task of Arrow/handshake overhead and would ship
+            # every WAV byte (~65 MB at sf0.1, formerly the registry's
+            # top byte-mover) through the JVM for nothing (r14; guide
+            # §4.1). Quarantine contract identical to the
+            # audio_fingerprint operator: undecodable -> null fp.
+            def _fp_or_null(p: bytes):
+                try:
+                    return _audio_fingerprint_one(p)
+                except (ValueError, IndexError, ZeroDivisionError):
+                    return None
+
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
+                {
+                    "media_id": pdf["doc_id"],
+                    "fp": pd.array(
+                        [_fp_or_null(p) for p in payloads],
+                        dtype="Int64",
+                    ),
+                }
             )
 
-    media = docs.mapInPandas(_make, "media_id long, payload binary")
-    # repartition=False: synthesis is already spread over default
-    # parallelism (the exchange above moved only ids); the default
-    # byte-budget exchange would BOTH move every WAV byte (~65 MB at
-    # sf0.1, the registry's top byte-mover) and re-execute the whole
-    # synthesis once more for its eager length() sizing aggregate
-    fps = audio_fingerprint(media, repartition=False).localCheckpoint(
-        eager=False
-    )
+    fps = docs.mapInPandas(
+        _make, "media_id long, fp long"
+    ).localCheckpoint(eager=False)
     return phash_neardup_pairs(
         fps, hash_col="fp", max_hamming=4
     ).select("id_a", "id_b")
@@ -271,9 +286,19 @@ FROM documents a JOIN documents b
 def video_phash_neardup(spark, sf_dir):
     """Video near-duplicate detection end to end through the REAL
     concatenated-P6 container path: deterministic 4-frame videos per
-    doc pair -> random-access frame sampling (sample_frames seeks,
-    never decodes predecessors) -> per-frame pHash -> slot-keyed band
-    join + majority vote (video_neardup_pairs, min 3 of 4 frames).
+    doc pair -> random-access frame sampling (decode_ppm_video_frame
+    seeks, never decodes predecessors) -> per-frame pHash -> slot-keyed
+    band join + majority vote (video_neardup_pairs, min 3 of 4 frames).
+
+    r14: synth -> container encode -> frame seek/decode -> pHash run in
+    ONE mapInPandas (the same codec calls the 3-stage composition made),
+    because each chained Python eval node costs ~0.25 CPU-s/task of
+    Arrow/handshake overhead regardless of data (measured: 3 chained
+    identity nodes over 32 tasks = 31 CPU-s, 1 node = 10) and the
+    intermediate container/frame payloads (~30 MB at sf0.1) never need
+    to cross into the JVM at all (guide §4.1 - control how many columns
+    cross; §1.2 - remove passes). The general operators (sample_frames,
+    frame_phash) remain the public composition for external media.
 
     Planted structure = the oracle: the odd twin carries a +12
     brightness shift on frames 1-2 (pHash drops DC, so the AC block
@@ -289,9 +314,10 @@ def video_phash_neardup(spark, sf_dir):
     import pandas as pd
 
     from ..operators.multimodal import (
+        _phash_batch,
+        decode_ppm_video_frame,
+        encode_ppm,
         encode_ppm_video,
-        frame_phash,
-        sample_frames,
         video_neardup_pairs,
     )
 
@@ -309,7 +335,6 @@ def video_phash_neardup(spark, sf_dir):
 
     def _make(it):
         for pdf in it:
-            ids, payloads = [], []
             cache: dict[int, np.ndarray] = {}
 
             def _draw(seed_val: int) -> np.ndarray:
@@ -328,6 +353,7 @@ def video_phash_neardup(spark, sf_dir):
                     cache[seed_val] = f
                 return f
 
+            f_ids, f_idx, f_pay = [], [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 seed, grp = d // 2, d // 4
@@ -342,36 +368,30 @@ def video_phash_neardup(spark, sf_dir):
                     if d % 2 == 1 and slot in (1, 2):
                         f = f + 12
                     frames.append(f)
-                ids.append(d)
-                payloads.append(
-                    bytearray(encode_ppm_video(np.stack(frames)))
-                )
+                payload = encode_ppm_video(np.stack(frames))
+                # the REAL random-access container path, unchanged:
+                # seek-decode each sampled frame (never predecessors),
+                # re-encode as a standalone PPM for the hash stage -
+                # identical codec calls to sample_frames(every_nth=1)
+                for fi in range(4):
+                    f_ids.append(d)
+                    f_idx.append(fi)
+                    f_pay.append(
+                        encode_ppm(decode_ppm_video_frame(payload, fi))
+                    )
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
-                    "kind": "video",
-                    "payload": payloads,
-                    "n_frames": 4,
-                    "codec": "ppmv",
+                    "media_id": f_ids,
+                    "frame_idx": pd.array(f_idx, dtype="int32"),
+                    "phash": _phash_batch(pd.Series(f_pay, dtype=object)),
                 }
             )
 
-    media = docs.mapInPandas(
-        _make,
-        "media_id long, kind string, payload binary, "
-        "n_frames int, codec string",
-    )
-    frames = sample_frames(media, every_nth=1, max_frames=4)
-    # repartition=False: synthesis already spread docs over default
-    # parallelism, so decode -> sample -> hash stays ONE fused stage
-    # (the default byte-budget exchange would also re-run the whole
-    # Python chain eagerly just to size partitions, then collapse
-    # these small frames to a single partition). localCheckpoint cuts
-    # lineage so the band self-join reads 20 hash bytes/frame, not
-    # the synthesis chain, twice.
-    fps = frame_phash(frames, repartition=False).localCheckpoint(
-        eager=False
-    )
+    # localCheckpoint cuts lineage so the band self-join reads 20 hash
+    # bytes/frame, not the synthesis chain, twice.
+    fps = docs.mapInPandas(
+        _make, "media_id long, frame_idx int, phash long"
+    ).localCheckpoint(eager=False)
     return video_neardup_pairs(
         fps, max_hamming=4, min_frames_agree=3
     ).select("id_a", "id_b", "n_frames_agree")
