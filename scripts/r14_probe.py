@@ -76,21 +76,19 @@ def main() -> None:
 
     for name in args.names:
         spark.sparkContext.setJobDescription(f"r14_probe:{name}")
-        df = qs[name](spark, args.sf)
-        if not args.no_plan:
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-            with open(
-                f"/root/repo/plans/r14/{name}_{args.tag}.txt", "w"
-            ) as f:
-                f.write(plan)
+        # timing reps run FIRST so rep 0 is the session-cold number
+        # (constructing a df for the plan can eagerly build family
+        # caches and hide the first-consumer cost)
         times, sh_mb, n_tasks = [], [], []
         for _ in range(args.reps):
-            df2 = qs[name](spark, args.sf)
+            # time construction + execution together, exactly like
+            # bench.py (query functions may do eager family-cache work
+            # at construction time)
             seen = _stages(ui_url)
             t0 = time.monotonic()
-            df2.write.format("noop").mode("overwrite").save()
+            qs[name](spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             times.append(round(time.monotonic() - t0, 3))
             done = _stages(ui_url)
             new = [v for k, v in done.items() if k not in seen]
@@ -101,6 +99,15 @@ def main() -> None:
                 )
             )
             n_tasks.append(sum(s.get("numCompleteTasks", 0) for s in new))
+        df = qs[name](spark, args.sf)
+        if not args.no_plan:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(
+                f"/root/repo/plans/r14/{name}_{args.tag}.txt", "w"
+            ) as f:
+                f.write(plan)
         chk = (
             qs[name](spark, args.sf)
             .select(

@@ -63,7 +63,7 @@ def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _star_phase(e: DataFrame, phase: str) -> DataFrame:
+def _star_phase(e: DataFrame, phase: str, *, dedup: bool = True) -> DataFrame:
     """One large-star or small-star rewrite of canonical edges.
 
     m(u) is attached to every (u, v) row with ONE shuffle via a window
@@ -71,7 +71,14 @@ def _star_phase(e: DataFrame, phase: str) -> DataFrame:
     roots are hot keys by construction — that is inherent to the
     algorithm (the root must see its members) and bounded by component
     size; the paper's load argument is that total edge volume stays
-    O(n + m) per round."""
+    O(n + m) per round.
+
+    dedup=False skips the trailing distinct — safe for the LARGE phase
+    feeding directly into the small phase (r14, guide §2.4): the small
+    phase's window min is duplicate-insensitive, its own trailing
+    distinct restores canonical form, and the undeduped large output is
+    still bounded at |sym| = 2|e| rows (each sym row emits at most one
+    edge), so edge volume stays O(n + m) without the extra exchange."""
     from pyspark.sql import Window
 
     sym = e.unionByName(
@@ -98,7 +105,8 @@ def _star_phase(e: DataFrame, phase: str) -> DataFrame:
         )
         hooks = j.select(F.col("_m").alias("a"), F.col("a").alias("b"))
         out = nbrs.unionByName(hooks)
-    return out.where(F.col("a") != F.col("b")).distinct()
+    out = out.where(F.col("a") != F.col("b"))
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -126,9 +134,19 @@ def connected_components(
     stats, if given, is filled with {"rounds": n} — the number of
     large+small star rounds actually executed, the scale-probe
     observable (SCALE.md quantifies its growth vs corpus size)."""
+    # repartition("a") FIRST, dedup after: HashPartitioning(a) satisfies
+    # the (a, b) clustering the dedup aggregate needs (same-key rows
+    # share a), so entry canonicalization costs ONE exchange instead of
+    # distinct's (a, b) exchange followed by the repartition (r14,
+    # guide §2.4 "two operations keyed the same way share one exchange").
     e0 = (
-        _canon_edges(edges, src, dst)
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
         .repartition(F.col("a"))
+        .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=True)
     )
     # Node universe from the ORIGINAL edges (keeps self-loop-only nodes,
@@ -163,6 +181,7 @@ def connected_components(
     e = e0
     sig = _sig(e)
     converged = False
+    final_lab = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -170,17 +189,22 @@ def connected_components(
         # distinct already hash-partitioned on (a, b), and the next
         # round's window re-shuffles on a regardless — an extra
         # repartition(a) here is a pure wasted exchange per round.
-        e = _star_phase(_star_phase(e, "large"), "small").localCheckpoint(
-            eager=True
-        )
+        # inner large phase skips its distinct (see _star_phase dedup
+        # note): 3 exchanges per round instead of 4, identical fixpoint
+        e = _star_phase(
+            _star_phase(e, "large", dedup=False), "small"
+        ).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
             # Signature stability is probabilistic (64-bit xor); confirm
             # exactly: every ORIGINAL edge must connect same-labeled
             # nodes, which is necessary and sufficient for the labels to
             # be the true components (each label is a member of its own
-            # group, so distinct groups cannot share one).
-            lab = _labels(e)
+            # group, so distinct groups cannot share one). The labels
+            # are checkpointed once and RETURNED on success, so the
+            # caller's action reuses the confirm pass's materialization
+            # instead of recomputing _labels from scratch (r14).
+            lab = _labels(e).localCheckpoint(eager=True)
             la = lab.select(
                 F.col("id").alias("a"), F.col("component").alias("_ca")
             )
@@ -196,6 +220,7 @@ def connected_components(
             )
             if bad == 0:
                 converged = True
+                final_lab = lab
                 break
         sig = new_sig
     if stats is not None:
@@ -207,7 +232,7 @@ def connected_components(
         # unconfirmed" from genuinely unfinished - without it a correct
         # result would raise (the r4 implementation had the same
         # rescue).
-        lab = _labels(e)
+        lab = _labels(e).localCheckpoint(eager=True)
         la = lab.select(
             F.col("id").alias("a"), F.col("component").alias("_ca")
         )
@@ -221,7 +246,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        converged = bad == 0
+        if bad == 0:
+            converged = True
+            final_lab = lab
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter="
@@ -233,7 +260,9 @@ def connected_components(
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    return _labels(e)
+    # converged via a confirm pass -> its checkpointed labels ARE the
+    # answer; only the non-strict unconverged path recomputes lazily
+    return final_lab if final_lab is not None else _labels(e)
 
 
 def dedup_components(
