@@ -1855,11 +1855,21 @@ HAVING count(*) >= 3
 
 def _order_items(spark, sf_dir):
     """Deduped (order, part) basket items - the shared base of the
-    market-basket family."""
+    market-basket family.
+
+    repartition(l_orderkey) BEFORE the dedup (r14, guide §2.4):
+    HashPartitioning(l_orderkey) satisfies the (orderkey, partkey)
+    clustering the dedup aggregate needs, and it is ALSO the pair
+    self-join's key - so both join sides carry byte-identical subplans
+    (one ReusedExchange instead of two lineitem dedup shuffles) and the
+    join itself needs no further exchange at any scale. A plain
+    .distinct() partitioned on (orderkey, partkey), which the join
+    cannot reuse."""
     return (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
 
 
@@ -1891,8 +1901,13 @@ def frequent_part_pairs(spark, sf_dir):
     at least 3 orders (the support-counting inner step of frequent-
     itemset mining); see _pair_support for the scale argument. Items
     deduped per order first so multi-line repeats of one part don't
-    inflate support."""
-    return _pair_support(_order_items(spark, sf_dir))
+    inflate support. The deduped items frame is lazily checkpointed so
+    the self-join's two sides read ONE materialization instead of
+    scanning + dedup-shuffling lineitem twice (r14; the
+    part_association_rules discipline applied here too)."""
+    return _pair_support(
+        _order_items(spark, sf_dir).localCheckpoint(eager=False)
+    )
 
 
 _CORR_SQL = """
