@@ -46,6 +46,11 @@ QUERIES = [
     "web_pipeline_funnel",
     "dup_span_removal_delta",
     "bm25_index_topk",
+    # r14 standing-tier additions (verdict #4): the current bench tail's
+    # documents-derived heavies after the r14 rewrites
+    "video_phash_neardup",
+    "neardup_groups",
+    "minhash_neardup",
 ]
 
 
