@@ -384,3 +384,50 @@ def test_incremental_components_fold_on_corpus_pairs(spark, sf_dir):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert got == want
+
+
+def test_star_round_without_large_phase_dedup_is_identical(spark):
+    """r14 optimization pin: a large+small star round with the large
+    phase's trailing distinct SKIPPED (the in-loop shape - the small
+    phase's window min is duplicate-insensitive and its own distinct
+    restores canonical form) must produce the exact edge set of the
+    fully-deduped round, and the undeduped large output must stay
+    within the |sym| = 2|e| volume bound on adversarial graphs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from txf_continuous_data_pipeline_spark.operators.graph import (
+        _canon_edges,
+        _star_phase,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        # chain with descending ids (the adversarial layout)
+        [(i + 1, i) for i in range(30)],
+        # two dense blobs + bridge + self-dup edges
+        [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+        + [(100 + rng.randrange(8), 100 + rng.randrange(8)) for _ in range(40)]
+        + [(5, 104), (3, 3)],
+        # star + isolated pairs
+        [(0, i) for i in range(1, 15)] + [(50, 51), (60, 61), (60, 62)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        e = _canon_edges(df, "id_a", "id_b").localCheckpoint(eager=True)
+        n_e = e.count()
+        large_nodedup = _star_phase(e, "large", dedup=False)
+        # volume bound: at most one emit per sym row
+        assert large_nodedup.count() <= 2 * n_e
+        got = {
+            (r["a"], r["b"])
+            for r in _star_phase(large_nodedup, "small").collect()
+        }
+        want = {
+            (r["a"], r["b"])
+            for r in _star_phase(_star_phase(e, "large"), "small").collect()
+        }
+        assert got == want

@@ -437,9 +437,10 @@ def clip_align_filter(spark, sf_dir):
     pairs - the single highest-leverage multimodal curation op).
 
     The image side takes the REAL plumbing path: an opaque binary
-    payload per image flows through an Arrow mapInPandas embedding
-    stage (clip_image_embed - the documented seam where a production
-    pipeline runs the CLIP vision encoder), then a vec_id equi-join
+    payload per image flows through an Arrow embedding pass (the same
+    CV01 container decode clip_image_embed runs - the documented seam
+    where a production pipeline runs the CLIP vision encoder - fused
+    with the packer into one Python node, r14), then a vec_id equi-join
     brings text and image vectors together and an Arrow-batched cosine
     scores each pair JVM->numpy. At 100 TB both sides are corpus-sized,
     so the join is a plain co-partitioned equi-join on the id - no
@@ -457,7 +458,10 @@ def clip_align_filter(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import clip_image_embed, encode_clip_payload
+    from ..operators.multimodal import (
+        decode_clip_payload,
+        encode_clip_payload,
+    )
     from ..operators.similarity import cosine_fast, quantize_int8
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -466,9 +470,16 @@ def clip_align_filter(spark, sf_dir):
     # audio r7 lesson): only ids + int8 codes move, ~70 bytes/row.
     qt = qt.repartition(spark.sparkContext.defaultParallelism)
 
-    def _pack(it):
+    def _pack_embed(it):
+        # pack -> container decode (encode_clip_payload ->
+        # decode_clip_payload, the byte-exact CV01 round trip the query
+        # exists to exercise) fused into ONE Python node (r14): the
+        # second chained mapInPandas cost ~0.25 CPU-s/task of
+        # Arrow/handshake overhead and shipped every container byte
+        # through the JVM between the stages (guide §4.1). Quarantine
+        # contract identical to clip_image_embed: undecodable -> null.
         for pdf in it:
-            ids, payloads = [], []
+            ids, vecs = [], []
             for vid, scale, qvec in zip(
                 pdf["vec_id"], pdf["scale"], pdf["qvec"]
             ):
@@ -479,16 +490,19 @@ def clip_align_filter(spark, sf_dir):
                     codes = np.random.default_rng(vid).integers(
                         -127, 128, len(qvec), dtype=np.int64
                     ).astype(np.int8)
+                payload = encode_clip_payload(float(scale), codes)
                 ids.append(vid)
-                payloads.append(
-                    bytearray(encode_clip_payload(float(scale), codes))
-                )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+                try:
+                    vecs.append(decode_clip_payload(payload).tolist())
+                except (ValueError, IndexError):
+                    vecs.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "image_embedding": vecs}
+            )
 
-    media = qt.mapInPandas(_pack, "media_id long, payload binary")
-    # repartition=False: synthesis already spread rows; keep pack ->
-    # decode one fused Python stage instead of an eager sizing pass.
-    img = clip_image_embed(media, repartition=False)
+    img = qt.mapInPandas(
+        _pack_embed, "media_id long, image_embedding array<double>"
+    )
     pairs = emb.join(img, emb.vec_id == img.media_id).select(
         "vec_id",
         cosine_fast(F.col("embedding"), F.col("image_embedding")).alias(
