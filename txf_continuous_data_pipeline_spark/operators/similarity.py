@@ -461,6 +461,17 @@ def ivf_knn_join(
     path is deterministic and oracle-checkable."""
     from pyspark.sql import Window
 
+    from .dedup import _batch_min_splits
+
+    # Parallelism floor on narrow single-file scans (r14, the delta-lane
+    # gate): the candidate join is BROADCAST-shaped at small scale (no
+    # exchange anywhere), so the scoring stage inherits the scan's split
+    # count - for a one-row-group bench table that is ONE task running
+    # the whole route+join+cosine chain single-threaded (measured
+    # 2.8-3.3 s as-is vs 1.7-1.9 s spread, 5-rep interleaved A/B).
+    # Multi-file corpora keep their natural layout: no new exchange.
+    corpus = _batch_min_splits(corpus)
+    queries = _batch_min_splits(queries)
     # Arrow fast paths (same argmin + tie-break as the expression
     # forms; exactness pinned in tests/test_recall.py):
     # the k*dim literal Catalyst trees cost ~1 s of analysis per
