@@ -394,9 +394,14 @@ def build_span_index(
     span - the stored half of incremental span dedup, the analog of
     build_minhash_index. 16 bytes/row, hash-partitioned; at rest this
     is a table a sink writes once and every arriving batch probes."""
+    # the corpus pass gets the same gated read-parallelism floor as
+    # the delta side (r14): a one-row-group bench corpus is otherwise
+    # ONE scan split, so the interpreted h60 span hashing ran
+    # single-threaded (measured 2.0 s in one task); multi-file corpora
+    # keep their natural layout - no new exchange
     idx = (
-        shingles_exploded(df, n=n, hashed=True, id_col=id_col,
-                          text_col=text_col)
+        shingles_exploded(_batch_min_splits(df), n=n, hashed=True,
+                          id_col=id_col, text_col=text_col)
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -1088,8 +1093,9 @@ def build_line_index(
     line dedup (the build_span_index discipline, membership instead
     of df counts: keep-first only needs to know a line already exists
     somewhere earlier). 8 bytes/row at rest."""
+    # same gated corpus-pass parallelism floor as build_span_index (r14)
     _base, part_rows = _positioned_lines(
-        df, id_col=id_col, text_col=text_col, sep=sep
+        _batch_min_splits(df), id_col=id_col, text_col=text_col, sep=sep
     )
     idx = part_rows.select(F.col("_h").alias("line_h")).distinct()
     return idx.localCheckpoint(eager=True) if persist else idx
