@@ -426,9 +426,37 @@ def _batch_min_splits(
         files = batch.inputFiles()
     except Exception:  # noqa: BLE001 - non-file frames keep their plan
         return batch
-    sc = batch.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    if not files or len(files) >= max(1, cores // 4):
+    sess = batch.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    if not files:
+        return batch
+    # Gate on estimated SCAN SPLITS, not bare file count (r14 review):
+    # a corpus stored as a few LARGE parquet files already splits into
+    # many natural maxPartitionBytes tasks, and repartitioning it would
+    # shuffle the whole corpus for nothing. Files whose size cannot be
+    # statted (remote paths) count as one split each - the pre-r14
+    # behavior for exactly those inputs.
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        max_pb = int(
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower()
+            .replace("b", "")
+        )
+    except ValueError:
+        max_pb = 128 << 20
+    splits = 0
+    for f in files:
+        p = urlparse(f)
+        path = p.path if p.scheme in ("", "file") else None
+        try:
+            size = os.path.getsize(path) if path else None
+        except OSError:
+            size = None
+        splits += max(1, -(-size // max_pb)) if size else 1
+    if splits >= max(1, cores // 4):
         return batch
     return batch.repartition(min_splits or cores)
 
