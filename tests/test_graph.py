@@ -395,8 +395,6 @@ def test_star_round_without_large_phase_dedup_is_identical(spark):
     within the |sym| = 2|e| volume bound on adversarial graphs."""
     import random
 
-    from pyspark.sql import functions as F
-
     from txf_continuous_data_pipeline_spark.operators.graph import (
         _canon_edges,
         _star_phase,

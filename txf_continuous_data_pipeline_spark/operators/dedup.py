@@ -408,6 +408,27 @@ def build_span_index(
     return idx.localCheckpoint(eager=True) if persist else idx
 
 
+def _size_conf_bytes(value: str, default: int = 128 << 20) -> int:
+    """Spark size-conf string -> bytes. Handles the suffixed forms the
+    conf accepts ('128m', '1g', '64k', '134217728b', bare ints; case-
+    insensitive). The pre-r15 parser stripped 'b' and int()'d the rest,
+    so a deployment setting '128m' parsed as 128 BYTES - overestimating
+    splits and silently disabling the read-parallelism floor (r14
+    verdict #6 / advice #1). Unparseable values fall back to Spark's
+    default, the fail-safe direction (no unnecessary shuffle)."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(value), _re.IGNORECASE
+    )
+    if not m:
+        return default
+    mult = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}[
+        m.group(2).lower()
+    ]
+    return int(m.group(1)) << mult
+
+
 def _batch_min_splits(
     batch: DataFrame, min_splits: int | None = None
 ) -> DataFrame:
@@ -439,14 +460,15 @@ def _batch_min_splits(
     import os
     from urllib.parse import urlparse
 
-    try:
-        max_pb = int(
-            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .lower()
-            .replace("b", "")
-        )
-    except ValueError:
-        max_pb = 128 << 20
+    max_pb = _size_conf_bytes(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    threshold = max(1, cores // 4)
+    # every file is at least one split, so a file count at threshold
+    # decides the gate without statting anything (r14 advice: the
+    # driver-side getsize loop should not scale with corpus file count)
+    if len(files) >= threshold:
+        return batch
     splits = 0
     for f in files:
         p = urlparse(f)
@@ -456,8 +478,8 @@ def _batch_min_splits(
         except OSError:
             size = None
         splits += max(1, -(-size // max_pb)) if size else 1
-    if splits >= max(1, cores // 4):
-        return batch
+        if splits >= threshold:
+            return batch
     return batch.repartition(min_splits or cores)
 
 
