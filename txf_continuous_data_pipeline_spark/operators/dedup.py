@@ -2702,6 +2702,227 @@ def suffix_eval_overlap(
     return suffix_eval_overlap_from_blocks(frames, id_col=id_col)
 
 
+def _eval_suffix_array(E):
+    """Suffix array of an int64 token-hash sequence by prefix doubling
+    (numpy argsort/lexsort, O(n log^2 n)) - driver-local, used only on
+    the size-gated FROZEN eval side of build_eval_suffix_index. The
+    per-doc sentinels in E are distinct, so all suffixes are distinct
+    and the doubling always reaches full rank."""
+    import numpy as np
+
+    n = len(E)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(E, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    se = E[order]
+    rank[order] = np.cumsum(
+        np.concatenate(([0], (se[1:] != se[:-1]).astype(np.int64)))
+    )
+    k = 1
+    while k < n:
+        k2 = np.full(n, -1, dtype=np.int64)
+        k2[: n - k] = rank[k:]
+        order = np.lexsort((k2, rank))
+        r1, r2 = rank[order], k2[order]
+        changed = np.concatenate(
+            (
+                [0],
+                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(
+                    np.int64
+                ),
+            )
+        )
+        nr = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = nr
+        if nr[-1] == n - 1:
+            break
+        k <<= 1
+    return order
+
+
+# Token-mass gate for the broadcastable eval-side suffix index: above
+# this the index (16 bytes/token in the broadcast, unpickled once per
+# pooled Python worker) stops being "the small side" and callers fall
+# back to the merged suffix sort. 4M tokens = 64 MB broadcast.
+_EVAL_INDEX_MAX_TOKENS = 1 << 22
+
+
+def build_eval_suffix_index(
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: "int | None" = None,
+):
+    """Broadcastable suffix index over a FROZEN eval set - the stored
+    eval side of the streaming decontamination gate (r14 verdict #1:
+    the gate re-sorted batch UNION eval per micro-batch; with the eval
+    side frozen, per-batch cost should be O(batch), like every other
+    delta lane). An eval/benchmark suite is the canonical broadcast
+    small side (guide S3/S8: decide against a lightweight structure,
+    never re-shuffle what didn't change): token hashes + suffix array
+    cost 16 bytes/token, so even a very large eval suite is megabytes
+    while the stream is unbounded.
+
+    Returns {"E": int64 token hashes of all eval docs concatenated
+    with DISTINCT negative per-doc sentinels (h60 is non-negative, so
+    a match can never cross a doc boundary), "SA": suffix array over
+    the non-sentinel positions, "vocab": sorted unique eval token
+    hashes (the O(1) ms=0 screen)} - or None when the eval side
+    exceeds max_tokens (default SPARK_GRAFT_EVAL_INDEX_MAX_TOKENS env
+    or 4M tokens); callers then fall back to the merged sort.
+    Tokenization is the family's ONE expression
+    (_suffix_token_hashes), so probe LCPs are value-identical to the
+    merged machinery's."""
+    import os
+
+    import numpy as np
+
+    if max_tokens is None:
+        try:
+            max_tokens = int(
+                os.environ.get(
+                    "SPARK_GRAFT_EVAL_INDEX_MAX_TOKENS",
+                    _EVAL_INDEX_MAX_TOKENS,
+                )
+            )
+        except ValueError:
+            max_tokens = _EVAL_INDEX_MAX_TOKENS
+    hashed = eval_df.select(
+        _suffix_token_hashes(text_col).alias("_h")
+    ).where(F.size("_h") > 0)
+    # size pre-check BEFORE collecting anything corpus-sized
+    total = hashed.agg(F.sum(F.size("_h"))).collect()[0][0] or 0
+    if total > max_tokens:
+        return None
+    arrays = [r["_h"] for r in hashed.collect()]
+    segs: list = []
+    sep = -1
+    for a in arrays:
+        segs.append(np.asarray(a, dtype=np.int64))
+        segs.append(np.array([sep], dtype=np.int64))
+        sep -= 1
+    E = (
+        np.concatenate(segs)
+        if segs
+        else np.empty(0, dtype=np.int64)
+    )
+    SA = _eval_suffix_array(E)
+    SA = SA[E[SA] >= 0]
+    vocab = np.unique(E[E >= 0])
+    return {"E": E, "SA": SA, "vocab": vocab}
+
+
+def suffix_eval_maxrun_probe(
+    batch: DataFrame,
+    index_bc,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, max_eval_run) per batch document, probed against a
+    broadcast build_eval_suffix_index - value-identical to
+    suffix_eval_overlap(batch, eval).groupBy(id).max(eval_len), with
+    ZERO shuffle and no per-batch suffix sort: one mapInPandas over
+    (id, token hashes) computes each position's matching statistic
+    (longest prefix of the suffix occurring anywhere in the eval set)
+    by binary search in the eval suffix array, maxed per doc. Docs
+    with no tokens (null/empty text) report 0, the merged path's
+    LEFT-join semantics. Per-position cost is O(log |eval| + lcp);
+    positions whose token never occurs in eval short-circuit to 0 via
+    the sorted-vocab screen, and positions whose remaining length
+    cannot beat the doc's running best are skipped."""
+    import numpy as np  # noqa: F401 - workers import inside closures
+    import pandas as pd  # noqa: F401
+
+    id_t = {
+        f.name: f.dataType.simpleString()
+        for f in batch.schema.fields
+    }[id_col]
+    hashed = batch.select(
+        F.col(id_col), _suffix_token_hashes(text_col).alias("_h")
+    )
+
+    def _probe(it):
+        import numpy as _np
+        import pandas as _pd
+
+        idx = index_bc.value
+        E, SA, vocab = idx["E"], idx["SA"], idx["vocab"]
+        nsa, ne, nv = len(SA), len(E), len(vocab)
+
+        def _cmp(s, q, i):
+            # compare E[s:] with q[i:]; (sign, lcp). E's sentinels are
+            # negative and q is non-negative, so runs stop at doc ends
+            m = min(ne - s, len(q) - i)
+            a = E[s : s + m]
+            b = q[i : i + m]
+            neq = _np.flatnonzero(a != b)
+            if len(neq):
+                j = int(neq[0])
+                return (-1 if a[j] < b[j] else 1), j
+            if ne - s == len(q) - i:
+                return 0, m
+            return (-1 if ne - s < len(q) - i else 1), m
+
+        def _ms(q, i):
+            lo, hi, best = 0, nsa, 0
+            while lo < hi:
+                mid = (lo + hi) >> 1
+                c, l = _cmp(int(SA[mid]), q, i)
+                if l > best:
+                    best = l
+                if c < 0:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            for nb in (lo - 1, lo):
+                if 0 <= nb < nsa:
+                    _, l = _cmp(int(SA[nb]), q, i)
+                    if l > best:
+                        best = l
+            return best
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            outs = _np.zeros(len(pdf), dtype=_np.int64)
+            for row, h in enumerate(pdf["_h"]):
+                if h is None or nsa == 0:
+                    continue
+                q = _np.asarray(h, dtype=_np.int64)
+                n = len(q)
+                if n == 0:
+                    continue
+                best = 0
+                # ms=0 screen: a position can only start a run if its
+                # token occurs in the eval vocabulary at all
+                vi = _np.searchsorted(vocab, q)
+                inb = vi < nv
+                hit = _np.zeros(n, dtype=bool)
+                hit[inb] = vocab[vi[inb]] == q[inb]
+                for i in _np.flatnonzero(hit):
+                    i = int(i)
+                    if n - i <= best:
+                        break
+                    l = _ms(q, i)
+                    if l > best:
+                        best = l
+                outs[row] = best
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_eval_run": outs,
+                }
+            )
+
+    return hashed.mapInPandas(
+        _probe, f"`{id_col}` {id_t}, max_eval_run long"
+    )
+
+
 def suffix_eval_overlap_from_frame(
     sidf: DataFrame, tbase: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:

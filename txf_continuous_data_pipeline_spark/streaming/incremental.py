@@ -2053,22 +2053,46 @@ def decontam_gate_ingest_run(
     rides the commit-log batch=<id> overwrite layout.
 
     Returns (kept_dir, quarantine_dir); a per-batch admission ledger
-    lands in work_dir/ledger."""
-    from ..operators.dedup import suffix_eval_overlap
+    lands in work_dir/ledger.
+
+    Per-batch cost is O(batch), not O(batch + eval) (r14 verdict #1):
+    the FROZEN eval side is indexed ONCE per run
+    (operators/dedup.build_eval_suffix_index - token hashes + suffix
+    array, 16 bytes/token) and broadcast; each micro-batch probes it
+    with one zero-shuffle mapInPandas
+    (suffix_eval_maxrun_probe), value-identical to the merged suffix
+    sort it replaces (pytest-pinned stream == batch fold). Eval sides
+    above the broadcast gate (SPARK_GRAFT_EVAL_INDEX_MAX_TOKENS,
+    default 4M tokens) fall back to the per-batch merged sort."""
+    from ..operators.dedup import (
+        build_eval_suffix_index,
+        suffix_eval_maxrun_probe,
+        suffix_eval_overlap,
+    )
 
     kept_dir = os.path.join(work_dir, "kept")
     quar_dir = os.path.join(work_dir, "quarantine")
     ledger_dir = os.path.join(work_dir, "ledger")
+
+    eval_idx = build_eval_suffix_index(eval_df)
+    eval_bc = (
+        spark.sparkContext.broadcast(eval_idx)
+        if eval_idx is not None
+        else None
+    )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
         sess = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        lens = suffix_eval_overlap(batch, eval_df)
-        per_doc = lens.groupBy("doc_id").agg(
-            F.max("eval_len").cast("long").alias("max_eval_run")
-        )
+        if eval_bc is not None:
+            per_doc = suffix_eval_maxrun_probe(batch, eval_bc)
+        else:
+            lens = suffix_eval_overlap(batch, eval_df)
+            per_doc = lens.groupBy("doc_id").agg(
+                F.max("eval_len").cast("long").alias("max_eval_run")
+            )
         # LEFT join from the batch side: a doc the overlap pass cannot
         # measure (null/empty text yields no suffix rows) must still
         # land somewhere - it KEEPS (no tokens = nothing quoted), with
