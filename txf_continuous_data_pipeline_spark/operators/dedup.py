@@ -2815,6 +2815,52 @@ def build_eval_suffix_index(
     return {"E": E, "SA": SA, "vocab": vocab}
 
 
+# Chunk width of the vectorized probe's fixed-width prefix keys: a
+# position whose first _PROBE_K tokens all match some eval suffix
+# takes the exact per-position refinement, everything else resolves in
+# the vectorized pass - so the slow path runs only on positions inside
+# a >= _PROBE_K-token verbatim quote (contaminated mass only).
+_PROBE_K = 16
+# pad BELOW every real value: h60 >= 0, sentinels in [-ndocs, -1]
+_PROBE_PAD = -(1 << 62)
+
+# per-worker derived-key cache: ETOK/EKEY are deterministic functions
+# of the broadcast index, derived once per pooled Python worker (the
+# broadcast's .value is process-cached, so id() is a stable key)
+_EVAL_PROBE_CACHE: dict = {}
+
+
+def _eval_probe_tables(idx):
+    """(ETOK (nsa,K) int64, EKEY |S(8K) sorted) derived from a
+    build_eval_suffix_index value: each suffix array entry's first K
+    tokens raw and as a big-endian biased byte key (order-identical to
+    the int64 tuple order, so ONE np.searchsorted ranks every query
+    prefix at once)."""
+    import numpy as np
+
+    key = id(idx["E"])
+    hit = _EVAL_PROBE_CACHE.get(key)
+    # identity check guards against id() reuse after a GC'd broadcast
+    if hit is not None and hit[0] is idx["E"]:
+        return hit[1], hit[2]
+    E, SA, K = idx["E"], idx["SA"], _PROBE_K
+    pad = np.full(K, _PROBE_PAD, dtype=np.int64)
+    EPAD = np.concatenate([E, pad])
+    ETOK = np.lib.stride_tricks.sliding_window_view(EPAD, K)[
+        SA
+    ].copy()
+    EKEY = (
+        (ETOK + (1 << 62))
+        .astype(">u8")
+        .reshape(len(SA), K)
+        .view(f"|S{8 * K}")
+        .ravel()
+    )
+    _EVAL_PROBE_CACHE.clear()  # one live index per worker is plenty
+    _EVAL_PROBE_CACHE[key] = (idx["E"], ETOK, EKEY)
+    return ETOK, EKEY
+
+
 def suffix_eval_maxrun_probe(
     batch: DataFrame,
     index_bc,
@@ -2825,15 +2871,22 @@ def suffix_eval_maxrun_probe(
     """(id, max_eval_run) per batch document, probed against a
     broadcast build_eval_suffix_index - value-identical to
     suffix_eval_overlap(batch, eval).groupBy(id).max(eval_len), with
-    ZERO shuffle and no per-batch suffix sort: one mapInPandas over
-    (id, token hashes) computes each position's matching statistic
-    (longest prefix of the suffix occurring anywhere in the eval set)
-    by binary search in the eval suffix array, maxed per doc. Docs
+    no per-batch suffix sort: one mapInPandas over (id, token hashes)
+    computes each position's matching statistic (longest prefix of the
+    suffix occurring anywhere in the eval set), maxed per doc. Docs
     with no tokens (null/empty text) report 0, the merged path's
-    LEFT-join semantics. Per-position cost is O(log |eval| + lcp);
-    positions whose token never occurs in eval short-circuit to 0 via
-    the sorted-vocab screen, and positions whose remaining length
-    cannot beat the doc's running best are skipped."""
+    LEFT-join semantics.
+
+    The only exchange is a round-robin spread of (id, hashes) rows so
+    the probe stage is not serialized by a single-file batch scan
+    (guide S2.3: shuffle keys, never payloads - text stays behind).
+    Inside the task everything is vectorized (guide S4.2): every
+    position's first-K-token prefix becomes one fixed-width byte key,
+    ONE np.searchsorted against the index's key table ranks them all,
+    and a matrix compare against the two neighbor rows yields exact
+    LCPs below K. Positions matching a full K-token prefix (i.e.
+    inside a >= K-token verbatim quote - contaminated mass only) take
+    an exact per-position binary search over the full suffixes."""
     import numpy as np  # noqa: F401 - workers import inside closures
     import pandas as pd  # noqa: F401
 
@@ -2841,9 +2894,11 @@ def suffix_eval_maxrun_probe(
         f.name: f.dataType.simpleString()
         for f in batch.schema.fields
     }[id_col]
+    sess = batch.sparkSession
+    nparts = max(sess.sparkContext.defaultParallelism, 2)
     hashed = batch.select(
         F.col(id_col), _suffix_token_hashes(text_col).alias("_h")
-    )
+    ).repartition(nparts)
 
     def _probe(it):
         import numpy as _np
@@ -2851,7 +2906,9 @@ def suffix_eval_maxrun_probe(
 
         idx = index_bc.value
         E, SA, vocab = idx["E"], idx["SA"], idx["vocab"]
-        nsa, ne, nv = len(SA), len(E), len(vocab)
+        nsa, ne, nv, K = len(SA), len(E), len(vocab), _PROBE_K
+        if nsa:
+            ETOK, EKEY = _eval_probe_tables(idx)
 
         def _cmp(s, q, i):
             # compare E[s:] with q[i:]; (sign, lcp). E's sentinels are
@@ -2889,28 +2946,89 @@ def suffix_eval_maxrun_probe(
             if len(pdf) == 0:
                 continue
             outs = _np.zeros(len(pdf), dtype=_np.int64)
+            if nsa == 0:
+                yield _pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "max_eval_run": outs,
+                    }
+                )
+                continue
+            # flatten every doc's positions into one batch-wide matrix
+            qs, docix, posix = [], [], []
             for row, h in enumerate(pdf["_h"]):
-                if h is None or nsa == 0:
+                if h is None:
                     continue
                 q = _np.asarray(h, dtype=_np.int64)
                 n = len(q)
                 if n == 0:
                     continue
-                best = 0
                 # ms=0 screen: a position can only start a run if its
                 # token occurs in the eval vocabulary at all
                 vi = _np.searchsorted(vocab, q)
                 inb = vi < nv
                 hit = _np.zeros(n, dtype=bool)
                 hit[inb] = vocab[vi[inb]] == q[inb]
-                for i in _np.flatnonzero(hit):
-                    i = int(i)
-                    if n - i <= best:
-                        break
-                    l = _ms(q, i)
-                    if l > best:
-                        best = l
-                outs[row] = best
+                keep = _np.flatnonzero(hit)
+                if len(keep) == 0:
+                    continue
+                qs.append(q)
+                docix.append(_np.full(len(keep), row, _np.int64))
+                posix.append(keep)
+            if not qs:
+                yield _pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "max_eval_run": outs,
+                    }
+                )
+                continue
+            lens = _np.array([len(q) for q in qs], _np.int64)
+            starts = _np.concatenate(([0], _np.cumsum(lens + K)))[:-1]
+            flat = _np.full(
+                int((lens + K).sum()), _PROBE_PAD, dtype=_np.int64
+            )
+            for j, q in enumerate(qs):
+                flat[starts[j] : starts[j] + len(q)] = q
+            doci = _np.concatenate(docix)
+            posi = _np.concatenate(posix)
+            # absolute flat offset of each surviving position
+            seg = _np.repeat(
+                _np.arange(len(qs), dtype=_np.int64),
+                [len(p) for p in posix],
+            )
+            abspos = starts[seg] + posi
+            QTOK = _np.lib.stride_tricks.sliding_window_view(flat, K)[
+                abspos
+            ]
+            QKEY = (
+                (QTOK + (1 << 62))
+                .astype(">u8")
+                .reshape(len(abspos), K)
+                .view(f"|S{8 * K}")
+                .ravel()
+            )
+            ip = _np.searchsorted(EKEY, QKEY)
+            best = _np.zeros(len(abspos), dtype=_np.int64)
+            for nb in (ip - 1, ip):
+                valid = (nb >= 0) & (nb < nsa)
+                if not valid.any():
+                    continue
+                cmp_eq = (
+                    ETOK[_np.clip(nb, 0, nsa - 1)] == QTOK
+                ) & valid[:, None]
+                # first mismatch per row = exact LCP (capped at K)
+                lcp = _np.where(
+                    cmp_eq.all(axis=1),
+                    K,
+                    _np.argmin(cmp_eq, axis=1),
+                )
+                _np.maximum(best, lcp, out=best)
+            # exact refinement for full-K prefixes: only positions
+            # inside a >= K-token verbatim eval quote land here
+            for j in _np.flatnonzero(best >= K):
+                best[j] = _ms(qs[seg[j]], int(posi[j]))
+            _np.maximum.at(outs, doci, best)
             yield _pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

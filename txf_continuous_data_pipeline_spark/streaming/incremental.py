@@ -2087,7 +2087,12 @@ def decontam_gate_ingest_run(
         sess = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
         if eval_bc is not None:
-            per_doc = suffix_eval_maxrun_probe(batch, eval_bc)
+            # lazy checkpoint: the kept write, quarantine write and
+            # ledger count all read the SAME probe execution instead
+            # of re-running it per action
+            per_doc = suffix_eval_maxrun_probe(
+                batch, eval_bc
+            ).localCheckpoint(eager=False)
         else:
             lens = suffix_eval_overlap(batch, eval_df)
             per_doc = lens.groupBy("doc_id").agg(
@@ -2105,8 +2110,15 @@ def decontam_gate_ingest_run(
         quar = staged.where(F.col("max_eval_run") >= max_run)
         _write_batch(kept, kept_dir, batch_id)
         _write_batch(quar, quar_dir, batch_id)
-        n_in = batch.count()
-        n_q = quar.count()
+        # ONE ledger aggregate instead of two count() jobs: per-doc
+        # verdicts are checkpointed, so this re-reads no suffix work
+        tot = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("max_eval_run") >= max_run).cast("long")
+            ).alias("q"),
+        ).collect()[0]
+        n_in, n_q = int(tot["n"]), int(tot["q"] or 0)
         _write_batch(
             sess.createDataFrame(
                 [(int(batch_id), int(n_in), int(n_in - n_q), int(n_q))],
