@@ -2150,7 +2150,19 @@ def _bm25_postings(
     corpus: DataFrame, *, id_col: str, text_col: str
 ) -> "tuple[DataFrame, DataFrame]":
     """(postings (id, _h, _tf), doc lengths (id, _dl)) - the two
-    at-rest tables of a BM25 index, one explode/groupBy each."""
+    at-rest tables of a BM25 index.
+
+    ONE corpus pass (r15, guide S2.4): postings are lazily
+    checkpointed and doc lengths derive from them as sum(_tf) per doc
+    (identical by construction - both counted the same filtered token
+    stream). The pre-r15 form built dl with its own corpus
+    explode/groupBy, and because the serving tail consumes postings
+    and dl under separately-planned broadcast subtrees, no exchange
+    reuse fired: one bm25_topk call scanned + exploded the corpus
+    FOUR times (cand postings, dfreq postings, scoring dl, stats dl).
+    Now every consumer reads the single postings materialization, and
+    the dl aggregate moves posting rows (8-byte hash + two longs),
+    never the corpus."""
     from .dedup import h60, normalized_tokens
 
     corpus = scan_parallelism_floor(corpus)
@@ -2165,8 +2177,10 @@ def _bm25_postings(
     ).select(F.col(id_col), h60(F.col("_t")).alias("_h"))
     postings = toks.groupBy(id_col, "_h").agg(
         F.count(F.lit(1)).alias("_tf")
+    ).localCheckpoint(eager=False)
+    dl = postings.groupBy(id_col).agg(
+        F.sum("_tf").cast("long").alias("_dl")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     return postings, dl
 
 
