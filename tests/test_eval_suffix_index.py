@@ -67,6 +67,55 @@ def test_probe_matches_merged_sort_on_testdata(spark, sf_dir):
     assert max(want.values()) >= 2
 
 
+def test_stats_probe_matches_merged_sort_aggregates(spark, sf_dir):
+    """suffix_eval_stats_probe vs the exact_decontamination
+    aggregates over the merged machinery: n_tokens,
+    contaminated_positions (ms >= 8) and max_eval_run must agree
+    doc-exact - the declared query's oracle identity rides on it."""
+    from txf_continuous_data_pipeline_spark.operators.dedup import (
+        suffix_eval_stats_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ev = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+
+    idx = build_eval_suffix_index(ev)
+    bc = spark.sparkContext.broadcast(idx)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["contaminated_positions"],
+            r["max_eval_run"],
+        )
+        for r in suffix_eval_stats_probe(
+            train, bc, run_threshold=8
+        ).collect()
+    }
+    lens = suffix_eval_overlap(train, ev)
+    want = {
+        r["doc_id"]: (r["nt"], r["cp"], r["mx"])
+        for r in lens.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nt"),
+            F.count(F.when(F.col("eval_len") >= 8, 1))
+            .cast("long")
+            .alias("cp"),
+            F.max("eval_len").cast("long").alias("mx"),
+        )
+        .collect()
+    }
+    assert got.keys() >= want.keys()
+    for d, w in want.items():
+        assert got[d] == w, f"doc {d}: probe {got[d]} != merged {w}"
+    for d in got.keys() - want.keys():
+        assert got[d] == (0, 0, 0)
+    # the testdata must exercise contamination or this test is void
+    assert any(w[1] > 0 for w in want.values())
+
+
 def test_probe_edge_cases(spark):
     ev = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "x y z")],

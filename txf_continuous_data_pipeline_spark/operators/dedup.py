@@ -2861,21 +2861,21 @@ def _eval_probe_tables(idx):
     return ETOK, EKEY
 
 
-def suffix_eval_maxrun_probe(
+def _suffix_eval_probe_frame(
     batch: DataFrame,
     index_bc,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
+    run_threshold: int,
+    stats: bool,
 ) -> DataFrame:
-    """(id, max_eval_run) per batch document, probed against a
-    broadcast build_eval_suffix_index - value-identical to
-    suffix_eval_overlap(batch, eval).groupBy(id).max(eval_len), with
-    no per-batch suffix sort: one mapInPandas over (id, token hashes)
-    computes each position's matching statistic (longest prefix of the
-    suffix occurring anywhere in the eval set), maxed per doc. Docs
-    with no tokens (null/empty text) report 0, the merged path's
-    LEFT-join semantics.
+    """Shared core of suffix_eval_maxrun_probe /
+    suffix_eval_stats_probe: per batch document, exact per-position
+    matching statistics against a broadcast build_eval_suffix_index,
+    aggregated per doc - (n_tokens, positions with ms >=
+    run_threshold, max ms). Value-identical to the merged suffix
+    sort's suffix_eval_overlap aggregates, with no per-batch sort.
 
     The only exchange is a round-robin spread of (id, hashes) rows so
     the probe stage is not serialized by a single-file batch scan
@@ -2942,17 +2942,25 @@ def suffix_eval_maxrun_probe(
                         best = l
             return best
 
+        def _emit(pdf, ntok, nge, mx):
+            cols = {id_col: pdf[id_col].to_numpy()}
+            if stats:
+                cols["n_tokens"] = ntok
+                cols["contaminated_positions"] = nge
+            cols["max_eval_run"] = mx
+            return _pd.DataFrame(cols)
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
             outs = _np.zeros(len(pdf), dtype=_np.int64)
+            nge = _np.zeros(len(pdf), dtype=_np.int64)
+            ntok = _np.array(
+                [0 if h is None else len(h) for h in pdf["_h"]],
+                dtype=_np.int64,
+            )
             if nsa == 0:
-                yield _pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        "max_eval_run": outs,
-                    }
-                )
+                yield _emit(pdf, ntok, nge, outs)
                 continue
             # flatten every doc's positions into one batch-wide matrix
             qs, docix, posix = [], [], []
@@ -2976,12 +2984,7 @@ def suffix_eval_maxrun_probe(
                 docix.append(_np.full(len(keep), row, _np.int64))
                 posix.append(keep)
             if not qs:
-                yield _pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        "max_eval_run": outs,
-                    }
-                )
+                yield _emit(pdf, ntok, nge, outs)
                 continue
             lens = _np.array([len(q) for q in qs], _np.int64)
             starts = _np.concatenate(([0], _np.cumsum(lens + K)))[:-1]
@@ -3029,15 +3032,69 @@ def suffix_eval_maxrun_probe(
             for j in _np.flatnonzero(best >= K):
                 best[j] = _ms(qs[seg[j]], int(posi[j]))
             _np.maximum.at(outs, doci, best)
-            yield _pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "max_eval_run": outs,
-                }
-            )
+            if stats:
+                _np.add.at(
+                    nge, doci, (best >= run_threshold).astype(_np.int64)
+                )
+            yield _emit(pdf, ntok, nge, outs)
 
-    return hashed.mapInPandas(
-        _probe, f"`{id_col}` {id_t}, max_eval_run long"
+    schema = f"`{id_col}` {id_t}, "
+    if stats:
+        schema += "n_tokens long, contaminated_positions long, "
+    schema += "max_eval_run long"
+    return hashed.mapInPandas(_probe, schema)
+
+
+def suffix_eval_maxrun_probe(
+    batch: DataFrame,
+    index_bc,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, max_eval_run) per batch document, probed against a
+    broadcast build_eval_suffix_index - value-identical to
+    suffix_eval_overlap(batch, eval).groupBy(id).max(eval_len), with
+    no per-batch suffix sort (see _suffix_eval_probe_frame). Docs
+    with no tokens (null/empty text) report 0, the merged path's
+    LEFT-join semantics."""
+    return _suffix_eval_probe_frame(
+        batch,
+        index_bc,
+        id_col=id_col,
+        text_col=text_col,
+        run_threshold=1,
+        stats=False,
+    )
+
+
+def suffix_eval_stats_probe(
+    batch: DataFrame,
+    index_bc,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_threshold: int = 8,
+) -> DataFrame:
+    """(id, n_tokens, contaminated_positions, max_eval_run) per batch
+    document - the exact_decontamination report aggregates, computed
+    from the broadcast eval index instead of the merged suffix sort:
+    n_tokens = the doc's position count, contaminated_positions = the
+    positions whose matching statistic reaches run_threshold, and
+    max_eval_run = the per-doc max. Value-identical to the
+    suffix_eval_overlap groupBy (differential-tested). run_threshold
+    must be >= 1: screened-out positions (token absent from the eval
+    vocabulary) have ms = 0 and are counted implicitly, never
+    enumerated."""
+    if run_threshold < 1:
+        raise ValueError("run_threshold must be >= 1")
+    return _suffix_eval_probe_frame(
+        batch,
+        index_bc,
+        id_col=id_col,
+        text_col=text_col,
+        run_threshold=run_threshold,
+        stats=True,
     )
 
 

@@ -582,6 +582,30 @@ LEFT JOIN (
 
 _SUFFIX_FRAME_CACHE: dict = {}
 _SUFFIX_LENS_CACHE: dict = {}
+_EVAL_INDEX_CACHE: dict = {}
+
+
+def _cached_eval_index(spark, sf_dir):
+    """Session-memoized broadcast of the src0 eval-side suffix index
+    (operators/dedup.build_eval_suffix_index) - the decontamination
+    arm's small frozen side, built once per corpus like the family's
+    other session caches. None when the eval side exceeds the
+    broadcast token gate; consumers then use the merged-machinery
+    path."""
+    from ..operators.dedup import build_eval_suffix_index
+
+    key = _corpus_key(spark, sf_dir)
+    if key not in _EVAL_INDEX_CACHE:
+        docs = read_table(spark, sf_dir, "documents")
+        idx = build_eval_suffix_index(
+            docs.where(F.col("source") == "src0")
+        )
+        _EVAL_INDEX_CACHE[key] = (
+            spark.sparkContext.broadcast(idx)
+            if idx is not None
+            else None
+        )
+    return _EVAL_INDEX_CACHE[key]
 
 
 def _cached_suffix_frame(spark, sf_dir):
@@ -1417,20 +1441,33 @@ def exact_decontamination_q(spark, sf_dir):
     _cached_suffix_frame (r12 verdict #3) - a bench/driver session
     pays it once for this query, exact_substr_stats AND
     longest_dup_substrings."""
-    from ..operators.dedup import suffix_eval_overlap_from_blocks
+    from ..operators.dedup import (
+        suffix_eval_overlap_from_blocks,
+        suffix_eval_stats_probe,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     train = docs.where(F.col("source") != "src0")
-    lens = suffix_eval_overlap_from_blocks(
-        _cached_suffix_frame(spark, sf_dir), id_col="doc_id"
-    )
-    per_doc = lens.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.count(F.when(F.col("eval_len") >= 8, 1))
-        .cast("long")
-        .alias("contaminated_positions"),
-        F.max("eval_len").cast("long").alias("max_eval_run"),
-    )
+    eval_bc = _cached_eval_index(spark, sf_dir)
+    if eval_bc is not None:
+        # r15: probe the broadcast eval index (the gate's O(batch)
+        # machinery) instead of scanning the family block frames -
+        # same aggregates, zero eval-arm shuffle, and the report no
+        # longer re-reads corpus-mass member rows per execution.
+        # Value-identical (differential-tested + oracle-checked);
+        # oversized eval sides fall back to the merged machinery.
+        per_doc = suffix_eval_stats_probe(train, eval_bc, run_threshold=8)
+    else:
+        lens = suffix_eval_overlap_from_blocks(
+            _cached_suffix_frame(spark, sf_dir), id_col="doc_id"
+        )
+        per_doc = lens.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(F.when(F.col("eval_len") >= 8, 1))
+            .cast("long")
+            .alias("contaminated_positions"),
+            F.max("eval_len").cast("long").alias("max_eval_run"),
+        )
     return train.select("doc_id", "source").join(
         per_doc, "doc_id", "left"
     ).select(
