@@ -1184,19 +1184,36 @@ def source_shingle_vocab(docs):
     """Distinct (source, shingle-hash) vocabulary frame - the shared
     build of source_overlap_matrix_q and the scale probe
     (scripts/curation_scale_probe.py), factored so the probe always
-    measures the SHIPPED join shape."""
+    measures the SHIPPED join shape.
+
+    repartition(h) BEFORE the dedup (r15; the _order_items discipline,
+    guide S2.4): HashPartitioning(h) satisfies the (source, h)
+    distinct's clustering AND is the self-join key, so one vocab-mass
+    exchange serves both - and the lazy checkpoint lets the query's
+    three consumers (per-source counts, both self-join sides) read ONE
+    materialization instead of re-running the explode + distinct each
+    (the pre-r15 plan rebuilt the vocab three times)."""
     from ..operators.dedup import shingle_array
 
-    return docs.select(
-        "source",
-        F.explode(shingle_array(F.col("text"), hashed=True)).alias("h"),
-    ).distinct()
+    return (
+        docs.select(
+            "source",
+            F.explode(
+                shingle_array(F.col("text"), hashed=True)
+            ).alias("h"),
+        )
+        .repartition(F.col("h"))
+        .dropDuplicates(["source", "h"])
+        .localCheckpoint(eager=False)
+    )
 
 
-def source_shared_shingles(docs):
+def source_shared_shingles(docs, sh=None):
     """(source_a, source_b, n_shared) over the shingle vocabularies -
-    the hash-only equi-join both the query and the probe time."""
-    sh = source_shingle_vocab(docs)
+    the hash-only equi-join both the query and the probe time. Pass
+    `sh` to share one vocab materialization with other consumers."""
+    if sh is None:
+        sh = source_shingle_vocab(docs)
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -1226,7 +1243,7 @@ def source_overlap_matrix_q(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     sh = source_shingle_vocab(docs)
     per = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    shared = source_shared_shingles(docs)
+    shared = source_shared_shingles(docs, sh=sh)
     pa = per.select(
         F.col("source").alias("source_a"), F.col("n").alias("na")
     )
