@@ -210,9 +210,16 @@ def remove_duplicated_spans(
     ex = spanned.select(
         F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
     )
+    # ONE span-mass exchange (r15, guide S2.4): HashPartitioning(_h)
+    # satisfies both the (id, _h) dedup clustering and the _h-keyed
+    # frequency aggregate, so the distinct -> groupBy chain that
+    # previously shuffled the span mass twice now shuffles it once
+    # (per-doc span repeats are rare, so the lost map-side partial
+    # dedup was saving almost nothing).
     hot = (
         ex.select(id_col, "_h")
-        .distinct()
+        .repartition(F.col("_h"))
+        .dropDuplicates([id_col, "_h"])
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") >= min_df)
@@ -254,10 +261,23 @@ def remove_duplicated_spans_keep_first(
     ex = spanned.select(
         F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
     )
+    # ONE span-mass exchange (r15): countDistinct alongside a regular
+    # aggregate plans as an Expand that shuffles the span mass TWICE
+    # (measured 11.1 vs the remove-all lane's 6.2 MB). Repartition on
+    # _h once - that partitioning satisfies the (_h, id) rollup AND
+    # the _h-keyed finalize, so both aggregates run partition-local:
+    # _df = row count over per-(h, doc) minima = distinct docs, and
+    # min(struct(d, i)) over per-doc minima = the global canonical
+    # first. Value-identical by construction.
+    per_doc = (
+        ex.repartition(F.col("_h"))
+        .groupBy("_h", id_col)
+        .agg(F.min("_i").alias("_i"))
+    )
     firsts = (
-        ex.groupBy("_h")
+        per_doc.groupBy("_h")
         .agg(
-            F.countDistinct(id_col).alias("_df"),
+            F.count(F.lit(1)).alias("_df"),
             F.min(
                 F.struct(
                     F.col(id_col).alias("d"), F.col("_i").alias("i")
@@ -508,9 +528,12 @@ def remove_duplicated_spans_delta(
     ex = spanned.select(
         F.col(id_col), F.posexplode("_spans").alias("_i", "_h")
     )
+    # one batch-mass exchange (r15): HashPartitioning(_h) satisfies
+    # the dedup, the frequency aggregate AND the index probe join key
     batch_df = (
         ex.select(id_col, "_h")
-        .distinct()
+        .repartition(F.col("_h"))
+        .dropDuplicates([id_col, "_h"])
         .groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_bdf"))
     )
