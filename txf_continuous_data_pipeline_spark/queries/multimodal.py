@@ -62,6 +62,54 @@ FROM documents a JOIN documents b
 """
 
 
+def _synth_image_payloads(d_arr) -> list:
+    """Deterministic PPM payload per doc id - the fused query's
+    synthesis, factored out so tests can run the PUBLIC operator
+    composition (image_phash -> phash_neardup_pairs) over the
+    IDENTICAL media and pin fused == composition (r14 ADVICE: the
+    fused registry paths must not strand the public operators without
+    an end-to-end differential). Content seeded by doc_id//2; the odd
+    twin gets a +6 brightness shift - a different byte stream, the
+    same percept. Low-frequency content must be DISTINCT per seed AND
+    spectrally DENSE: a sparse spectrum (e.g. 3 pure sinusoids) leaves
+    most of the hash's 63 DCT coefficients at numerical zero, where
+    the median threshold flips on FP noise; generating the image FROM
+    a seeded dense 8x8 coefficient block guarantees every hash bit is
+    decisive (validated pair-exact at sf0.1, 2500 seeds)."""
+    import numpy as np
+
+    from ..operators.multimodal import _dct_matrix, encode_ppm
+
+    c32 = _dct_matrix(32)
+    ii = np.arange(8)[:, None] * 19349663  # (8,1)
+    jj = np.arange(8)[None, :] * 83492791  # (1,8)
+    d_arr = np.asarray(d_arr, dtype=np.int64)
+    seeds = d_arr // 2
+    h = (
+        (seeds[:, None, None] * 73856093) ^ (ii ^ jj)[None, :, :]
+    ) % (1 << 31)
+    amp = (h % 161).astype(np.float64) - 80.0
+    small = np.abs(amp) < 20.0
+    amp[small] = np.where(amp[small] >= 0, 20.0, -20.0)
+    S = np.zeros((len(d_arr), 32, 32))
+    S[:, :8, :8] = amp
+    S[:, 0, 0] = 0.0
+    field = c32.T @ S @ c32  # (B,32,32)
+    field = field / (
+        np.abs(field).reshape(len(d_arr), -1).max(axis=1)[
+            :, None, None
+        ]
+        + 1e-9
+    ) * 90.0
+    img = (128.0 + field[:, :24, :])[:, :, :, None] + np.arange(3)[
+        None, None, None, :
+    ]
+    odd = (d_arr % 2 == 1)
+    img[odd] = np.clip(img[odd] + 6, 0, 255)
+    img8 = img.astype(np.uint8)
+    return [encode_ppm(img8[i]) for i in range(len(d_arr))]
+
+
 @q("image_phash_neardup", _PHASH_SQL)
 def image_phash_neardup(spark, sf_dir):
     """Image near-duplicate detection end to end through the REAL codec
@@ -76,15 +124,9 @@ def image_phash_neardup(spark, sf_dir):
     DCT (no SQL oracle could); it verifies the recall/precision
     contract the operator exists for. Hash values themselves are pinned
     by tests/test_multimodal.py."""
-    import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import (
-        _dct_matrix,
-        _phash_batch,
-        encode_ppm,
-        phash_neardup_pairs,
-    )
+    from ..operators.multimodal import _phash_batch, phash_neardup_pairs
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     # single-file scan -> spread the per-row synthesis Python BEFORE it
@@ -97,56 +139,16 @@ def image_phash_neardup(spark, sf_dir):
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _make(it):
-        c32 = _dct_matrix(32)
-        ii = np.arange(8)[:, None] * 19349663  # (8,1)
-        jj = np.arange(8)[None, :] * 83492791  # (1,8)
         for pdf in it:
-            # Low-frequency content must be DISTINCT per seed AND
-            # spectrally DENSE: a sparse spectrum (e.g. 3 pure
-            # sinusoids) leaves most of the hash's 63 DCT
-            # coefficients at numerical zero, where the median
-            # threshold flips on FP noise. Generating the image
-            # FROM a seeded dense 8x8 coefficient block guarantees
-            # every hash bit is decisive; validated pair-exact at
-            # sf0.1 (2500 seeds), not just the driver's sf0.01.
-            # One batched pipeline per Arrow batch (r14): the seeded
-            # grid, the DCT synthesis and the normalization all run as
-            # (B,8,8)/(B,32,32) numpy ops - same values bit-for-bit as
-            # the former per-doc loops (int64 ^/% identities unchanged),
-            # pinned by the planted-pair oracle and test_multimodal.
-            d_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
-            seeds = d_arr // 2
-            h = (
-                (seeds[:, None, None] * 73856093)
-                ^ (ii ^ jj)[None, :, :]
-            ) % (1 << 31)
-            amp = (h % 161).astype(np.float64) - 80.0
-            small = np.abs(amp) < 20.0
-            amp[small] = np.where(amp[small] >= 0, 20.0, -20.0)
-            S = np.zeros((len(d_arr), 32, 32))
-            S[:, :8, :8] = amp
-            S[:, 0, 0] = 0.0
-            field = c32.T @ S @ c32  # (B,32,32)
-            field = field / (
-                np.abs(field).reshape(len(d_arr), -1).max(axis=1)[
-                    :, None, None
-                ]
-                + 1e-9
-            ) * 90.0
-            img = (128.0 + field[:, :24, :])[:, :, :, None] + np.arange(
-                3
-            )[None, None, None, :]
-            odd = (d_arr % 2 == 1)
-            img[odd] = np.clip(img[odd] + 6, 0, 255)
-            img8 = img.astype(np.uint8)
-            # synth -> PPM encode -> pHash (which re-decodes the PPM -
-            # the REAL codec round trip, unchanged) in ONE Python pass:
-            # a second chained mapInPandas node costs ~0.25 CPU-s/task
-            # of Arrow/handshake overhead and would ship every payload
+            # synth (vectorized (B,8,8)/(B,32,32) numpy, r14) -> PPM
+            # encode -> pHash (which re-decodes the PPM - the REAL
+            # codec round trip, unchanged) in ONE Python pass: a second
+            # chained mapInPandas node costs ~0.25 CPU-s/task of
+            # Arrow/handshake overhead and would ship every payload
             # byte through the JVM for nothing (r14; guide §4.1)
-            payloads = [
-                encode_ppm(img8[i]) for i in range(len(d_arr))
-            ]
+            payloads = _synth_image_payloads(
+                pdf["doc_id"].to_numpy()
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -169,6 +171,55 @@ FROM documents a JOIN documents b
 """
 
 
+def _synth_audio_payloads(doc_ids) -> list:
+    """Deterministic WAV payload per doc id - the fused query's
+    synthesis, factored out for the same fused == public-composition
+    differential as _synth_image_payloads. A seeded 8x8 time-frequency
+    bit grid (ONE md5 per seed; 128 digest bits -> first 64 = the
+    grid, independent across seeds, so the >=17-bit cross-seed
+    separation argument is unchanged) realized as a 9x9 banded-energy
+    staircase whose Haitsma-Kalker double differences have UNIFORM
+    +-1 margins - every fingerprint bit decisive. The odd twin gets a
+    1.25x gain: a different byte stream, the same (gain-invariant)
+    fingerprint."""
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav
+
+    k = np.arange(800)
+    # seed-INDEPENDENT sinusoid basis, hoisted: row b is band b's
+    # unit sinusoid, so per-doc synthesis is one (9,9)@(9,800)
+    # matmul instead of 81 Python-loop sin evaluations (the r7
+    # 4.4 ms/doc hot spot).
+    basis = np.stack(
+        [
+            np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
+            for b in range(9)
+        ]
+    )
+    payloads = []
+    for d in doc_ids:
+        seed = int(d) // 2
+        bits = np.unpackbits(
+            np.frombuffer(
+                hashlib.md5(str(seed).encode()).digest(),
+                dtype=np.uint8,
+            )
+        )[:64].reshape(8, 8)
+        D = np.zeros((9, 8))
+        D[1:] = np.cumsum(np.where(bits, 1.0, -1.0), axis=0)
+        E = np.full((9, 9), 50.0)
+        E[:, 1:] = 50.0 + np.cumsum(D, axis=1)
+        amp = 0.003 * np.sqrt(E)
+        x = (amp @ basis).ravel()
+        if int(d) % 2 == 1:
+            x = x * 1.25
+        payloads.append(encode_wav(x, 8000))
+    return payloads
+
+
 @q("audio_fingerprint_neardup", _AUDIO_FP_SQL)
 def audio_fingerprint_neardup(spark, sf_dir):
     """Audio near-duplicate detection end to end through the REAL WAV
@@ -185,14 +236,10 @@ def audio_fingerprint_neardup(spark, sf_dir):
     pairs must come back - full recall AND zero false pairs (cross-seed
     fingerprints measured >= 17 bits apart vs the 4-bit budget).
     Fingerprint values are pinned by tests/test_multimodal.py."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
 
     from ..operators.multimodal import (
         _audio_fingerprint_one,
-        encode_wav,
         phash_neardup_pairs,
     )
 
@@ -205,43 +252,8 @@ def audio_fingerprint_neardup(spark, sf_dir):
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _make(it):
-        k = np.arange(800)
-        # seed-INDEPENDENT sinusoid basis, hoisted: row b is band b's
-        # unit sinusoid, so per-doc synthesis is one (9,9)@(9,800)
-        # matmul instead of 81 Python-loop sin evaluations (the r7
-        # 4.4 ms/doc hot spot).
-        basis = np.stack(
-            [
-                np.sin(2 * np.pi * (1 + b * 44 + 22) * k / 800)
-                for b in range(9)
-            ]
-        )
         for pdf in it:
-            payloads = []
-            for d in pdf["doc_id"]:
-                seed = int(d) // 2
-                # seeded target bit grid from ONE md5 per seed (128
-                # digest bits -> first 64 = the 8x8 grid; bits are
-                # still independent across seeds, so the >=17-bit
-                # cross-seed separation argument is unchanged),
-                # realized as a 9x9 energy staircase whose double
-                # differences have UNIFORM +-1 margins - every
-                # fingerprint bit decisive
-                bits = np.unpackbits(
-                    np.frombuffer(
-                        hashlib.md5(str(seed).encode()).digest(),
-                        dtype=np.uint8,
-                    )
-                )[:64].reshape(8, 8)
-                D = np.zeros((9, 8))
-                D[1:] = np.cumsum(np.where(bits, 1.0, -1.0), axis=0)
-                E = np.full((9, 9), 50.0)
-                E[:, 1:] = 50.0 + np.cumsum(D, axis=1)
-                amp = 0.003 * np.sqrt(E)
-                x = (amp @ basis).ravel()
-                if int(d) % 2 == 1:
-                    x = x * 1.25
-                payloads.append(encode_wav(x, 8000))
+            payloads = _synth_audio_payloads(list(pdf["doc_id"]))
             # synth -> WAV encode -> fingerprint (which re-decodes the
             # WAV - the REAL codec round trip, unchanged) in ONE Python
             # pass: a second chained mapInPandas node costs ~0.25
